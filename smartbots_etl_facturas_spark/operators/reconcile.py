@@ -1,0 +1,65 @@
+"""J3/J4/A1/A2 — financial reconciliation.
+
+Reference (smartbots-etl/src/application/use_cases/consolidate_invoices.py:550-572):
+1. zero-data-loss: every source PK must exist in the result
+   (set difference must be empty) — J3 anti-join.
+2. amount cross-check: sum of source totals vs sum of result totals
+   *restricted to source PKs* (J4 semi-join), exact Decimal sums (A1),
+   variance **strictly greater than 1 fails** (A2 — exclusive, unlike
+   the row-level P9 check which is inclusive;
+   tests/integration/test_consolidation_flow.py:451-462).
+
+Decimal sums are exact and order-independent — safe under any
+partitioning / AQE re-plan, unlike a double sum.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from smartbots_etl_facturas_spark.operators.upsert import PK
+
+DEC = "decimal(18,2)"
+
+
+def reconcile(
+    source: DataFrame,
+    result: DataFrame,
+    keys: Sequence[str] = PK,
+    amount_col: str = "total_amount",
+) -> DataFrame:
+    """One-row reconciliation report DataFrame.
+
+    Columns: source_total, result_total, variance, missing_pk_count,
+    no_data_loss, amounts_match, reconciled.
+    """
+    keys = list(keys)
+    missing = source.join(result, on=keys, how="left_anti")
+    subset = result.join(source.select(*keys).distinct(), on=keys, how="left_semi")
+
+    src_tot = source.agg(
+        F.coalesce(F.sum(F.col(amount_col).cast(DEC)), F.lit(0).cast(DEC)).alias("t")
+    )
+    res_tot = subset.agg(
+        F.coalesce(F.sum(F.col(amount_col).cast(DEC)), F.lit(0).cast(DEC)).alias("t")
+    )
+    miss = missing.agg(F.count(F.lit(1)).alias("missing_pk_count"))
+
+    report = (
+        src_tot.select(F.col("t").alias("source_total"))
+        .crossJoin(res_tot.select(F.col("t").alias("result_total")))
+        .crossJoin(miss)
+    )
+    return report.select(
+        F.col("source_total").cast("double").alias("source_total"),
+        F.col("result_total").cast("double").alias("result_total"),
+        F.abs(F.col("source_total") - F.col("result_total")).cast("double").alias("variance"),
+        F.col("missing_pk_count"),
+        (F.col("missing_pk_count") == 0).alias("no_data_loss"),
+        (F.abs(F.col("source_total") - F.col("result_total")) <= 1).alias("amounts_match"),
+        ((F.col("missing_pk_count") == 0)
+         & (F.abs(F.col("source_total") - F.col("result_total")) <= 1)).alias("reconciled"),
+    )

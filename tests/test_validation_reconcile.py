@@ -1,0 +1,73 @@
+"""P9/P10 validation rules incl. ±1 boundary semantics, and J3/J4/A1/A2
+reconciliation with its *exclusive* tolerance.
+
+Boundary proofs mirrored from the reference:
+- row-level total≈net+tax is INCLUSIVE at 1 (entities.py:67,
+  tests/unit/test_entities.py:77-92)
+- reconciliation variance is EXCLUSIVE at 1
+  (consolidate_invoices.py:570-572)
+"""
+
+from pyspark.sql import functions as F
+
+from smartbots_etl_facturas_spark.operators.reconcile import reconcile
+from smartbots_etl_facturas_spark.operators.validation import split_valid, with_validation
+
+SCHEMA = ("invoice_number string, reference_number string, carrier_name string, "
+          "net_amount double, tax_amount double, total_amount double")
+
+
+def test_validation_rule_order_and_boundaries(spark):
+    rows = [
+        ("", "R", "C", 100.0, 19.0, 119.0),        # rule 1
+        ("F", " ", "C", 100.0, 19.0, 119.0),       # rule 2 (blank, not just empty)
+        ("F", "R", None, 100.0, 19.0, 119.0),      # rule 3
+        ("F", "R", "C", 100.0, 19.0, -5.0),        # rule 4
+        ("F", "R", "C", 100.0, 19.0, 121.0),       # rule 5: |121-119| = 2 > 1
+        ("F", "R", "C", 100.0, 19.0, 120.0),       # |120-119| = 1 → VALID (inclusive)
+        ("F", "R", "C", 100.0, 19.0, 119.0),       # exact
+        ("", "", "", -1.0, 0.0, -1.0),             # multiple failures → FIRST rule wins
+    ]
+    df = with_validation(spark.createDataFrame(rows, SCHEMA))
+    got = [r.error_reason for r in df.collect()]
+    assert got[0] == "invoice_number no puede estar vacío"
+    assert got[1] == "reference_number no puede estar vacío"
+    assert got[2] == "carrier_name no puede estar vacío"
+    assert got[3] == "total_amount no puede ser negativo"
+    assert got[4] == "total_amount no coincide con net + tax"
+    assert got[5] is None
+    assert got[6] is None
+    assert got[7] == "invoice_number no puede estar vacío"
+
+    valid, errors = split_valid(df)
+    assert valid.count() == 2
+    assert errors.count() == 6
+
+
+def test_reconcile_pass_and_exclusive_tolerance(spark):
+    schema = "invoice_number string, reference_number string, total_amount double"
+    source = spark.createDataFrame(
+        [("F1", "R1", 100.0), ("F2", "R2", 200.0)], schema)
+    # result contains both PKs; totals differ by exactly 1 → PASSES (exclusive)
+    result = spark.createDataFrame(
+        [("F1", "R1", 100.0), ("F2", "R2", 199.0), ("F9", "R9", 777.0)], schema)
+    rep = reconcile(source, result).collect()[0]
+    assert rep.missing_pk_count == 0
+    assert rep.no_data_loss
+    assert rep.variance == 1.0
+    assert rep.amounts_match          # exactly 1 passes
+    assert rep.reconciled
+    # result_total must exclude F9 (semi-join restriction)
+    assert rep.result_total == 299.0
+
+
+def test_reconcile_detects_loss_and_variance(spark):
+    schema = "invoice_number string, reference_number string, total_amount double"
+    source = spark.createDataFrame([("F1", "R1", 100.0), ("F2", "R2", 200.0)], schema)
+    result = spark.createDataFrame([("F1", "R1", 97.0)], schema)
+    rep = reconcile(source, result).collect()[0]
+    assert rep.missing_pk_count == 1
+    assert not rep.no_data_loss
+    assert rep.variance == 203.0      # 300 - 97
+    assert not rep.amounts_match
+    assert not rep.reconciled
