@@ -1,38 +1,989 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is one operator from SURVEY.md §2 (or a
+scale-extension from BASELINE.json's north star), implemented with the
+engine library ``smartbots_etl_facturas_spark`` and verified against
+the matching ``oracle_sql()`` DuckDB statement at sf=0.01.
+
+Conventions that keep Spark and DuckDB hash-identical:
+- every aggregate / computed column is aliased to the SAME name on
+  both sides;
+- raw double columns are cast to decimal FIRST (faithful: source
+  values carry ≤4 decimal digits), all arithmetic stays in decimal
+  with no scale narrowing (Spark rounds HALF_UP, DuckDB truncates),
+  and results are cast to DOUBLE only in the final projection;
+- DuckDB-side decimal→double casts of wide sums go through VARCHAR
+  (DuckDB double-rounds when the scaled integer exceeds 2^53);
+- counts are cast to BIGINT on the DuckDB side (its SUM(int) widens
+  to HUGEINT otherwise);
+- window/dedup orderings are TOTAL orders (explicit tie-breaks) —
+  lineitem contains duplicate (orderkey, linenumber) pairs;
+- no query relies on output row order; LIMIT queries use a total
+  deterministic ORDER BY (tie-broken by key) on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from smartbots_etl_facturas_spark.functions.dates import excel_serial_to_date, parse_date_multi
+from smartbots_etl_facturas_spark.functions.money import parse_money
+from smartbots_etl_facturas_spark.operators.ordered import (
+    dedup_first_wins,
+    filter_summary_rows,
+    take_while,
+)
+from smartbots_etl_facturas_spark.operators.reconcile import reconcile
+from smartbots_etl_facturas_spark.operators.rollup import (
+    derived_total,
+    per_file_counts,
+    run_report,
+    status_counts,
+)
+from smartbots_etl_facturas_spark.operators.upsert import (
+    upsert_full,
+    upsert_insert_only,
+)
+from smartbots_etl_facturas_spark.operators.validation import split_valid, with_validation
+from smartbots_etl_facturas_spark.plans.invoices import invoice_view, invoices_cte
+from smartbots_etl_facturas_spark.sources.manifest import pending_files
+
+DEC = "decimal(18,2)"
+PK = ["invoice_number", "reference_number"]
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Consolidation scenario frames (J1/J2/J3/J4 exercised on lineitem):
+#   existing  = master rows  (l_linenumber >= 3)
+#   incoming  = new batch    (l_linenumber <= 4, carrier re-labelled INC-)
+# overlap at linenumbers 3-4 proves "existing wins" insert-only semantics.
+# ---------------------------------------------------------------------------
+
+def _existing(spark, sf_dir):
+    return invoice_view(_read(spark, sf_dir, "lineitem")).filter(F.col("l_linenumber") >= 3)
+
+
+def _incoming(spark, sf_dir):
+    inv = invoice_view(_read(spark, sf_dir, "lineitem")).filter(F.col("l_linenumber") <= 4)
+    return inv.withColumn(
+        "carrier_name", F.concat(F.lit("INC-"), F.col("l_suppkey").cast("string"))
+    )
+
+
+_EXISTING_SQL = "existing AS (SELECT * FROM invoices WHERE l_linenumber >= 3)"
+_INCOMING_SQL = ("incoming AS (SELECT * REPLACE ('INC-' || CAST(l_suppkey AS VARCHAR)"
+                 " AS carrier_name) FROM invoices WHERE l_linenumber <= 4)")
+
+_VALID_PRED_SQL = """NOT (invoice_number IS NULL OR trim(invoice_number) = '')
+    AND NOT (reference_number IS NULL OR trim(reference_number) = '')
+    AND NOT (carrier_name IS NULL OR trim(carrier_name) = '')
+    AND NOT (total_amount < 0)
+    AND NOT (abs(total_amount - (coalesce(net_amount, 0) + coalesce(tax_amount, 0))) > 1)"""
+
+_ERROR_REASON_SQL = """CASE
+    WHEN invoice_number IS NULL OR trim(invoice_number) = '' THEN 'invoice_number no puede estar vacío'
+    WHEN reference_number IS NULL OR trim(reference_number) = '' THEN 'reference_number no puede estar vacío'
+    WHEN carrier_name IS NULL OR trim(carrier_name) = '' THEN 'carrier_name no puede estar vacío'
+    WHEN total_amount < 0 THEN 'total_amount no puede ser negativo'
+    WHEN abs(total_amount - (coalesce(net_amount, 0) + coalesce(tax_amount, 0))) > 1
+         THEN 'total_amount no coincide con net + tax'
+    END"""
+
+
+# --- J1 ---------------------------------------------------------------------
+
+def q_upsert_insert_only(spark, sf_dir):
+    """J1 insert-only upsert (consolidate_invoices.py:475-515)."""
+    result = upsert_insert_only(_existing(spark, sf_dir), _incoming(spark, sf_dir), PK)
+    return result.select(
+        "invoice_number", "reference_number", "carrier_name",
+        F.col("total_amount").cast("double").alias("total_amount"),
+    )
+
+
+SQL_UPSERT_INSERT_ONLY = f"""
+WITH {invoices_cte()},
+{_EXISTING_SQL},
+{_INCOMING_SQL}
+SELECT invoice_number, reference_number, carrier_name,
+       CAST(total_amount AS DOUBLE) AS total_amount
+FROM existing
+UNION ALL
+SELECT i.invoice_number, i.reference_number, i.carrier_name,
+       CAST(i.total_amount AS DOUBLE) AS total_amount
+FROM incoming i
+WHERE NOT EXISTS (SELECT 1 FROM existing e
+                  WHERE e.invoice_number = i.invoice_number
+                    AND e.reference_number = i.reference_number)
+"""
+
+
+# --- J2 ---------------------------------------------------------------------
+
+def q_upsert_full_status(spark, sf_dir):
+    """J2 full upsert with NEW/UPDATED/UNCHANGED (entities.py:101-111)."""
+    inv = invoice_view(_read(spark, sf_dir, "lineitem"))
+    existing = inv.filter(F.col("l_linenumber") >= 3)
+    incoming = inv.filter(F.col("l_linenumber") <= 4).withColumn(
+        "carrier_name",
+        F.when(F.col("l_partkey") % 3 == 0,
+               F.concat(F.lit("MOD-"), F.col("l_suppkey").cast("string")))
+        .otherwise(F.col("carrier_name")),
+    )
+    merged = upsert_full(existing, incoming, PK, compare_cols=["carrier_name", "total_amount"])
+    return merged.select(
+        "invoice_number", "reference_number", "carrier_name",
+        F.col("total_amount").cast("double").alias("total_amount"), "status",
+    )
+
+
+SQL_UPSERT_FULL = f"""
+WITH {invoices_cte()},
+{_EXISTING_SQL},
+incoming AS (SELECT * REPLACE (CASE WHEN l_partkey % 3 = 0
+                 THEN 'MOD-' || CAST(l_suppkey AS VARCHAR)
+                 ELSE carrier_name END AS carrier_name)
+             FROM invoices WHERE l_linenumber <= 4)
+SELECT coalesce(i.invoice_number, e.invoice_number) AS invoice_number,
+       coalesce(i.reference_number, e.reference_number) AS reference_number,
+       CASE WHEN e.invoice_number IS NULL
+              OR (i.invoice_number IS NOT NULL
+                  AND ((i.carrier_name IS DISTINCT FROM e.carrier_name)
+                       OR (i.total_amount IS DISTINCT FROM e.total_amount)))
+            THEN i.carrier_name ELSE e.carrier_name END AS carrier_name,
+       CAST(CASE WHEN e.invoice_number IS NULL
+              OR (i.invoice_number IS NOT NULL
+                  AND ((i.carrier_name IS DISTINCT FROM e.carrier_name)
+                       OR (i.total_amount IS DISTINCT FROM e.total_amount)))
+            THEN i.total_amount ELSE e.total_amount END AS DOUBLE) AS total_amount,
+       CASE WHEN e.invoice_number IS NULL THEN 'NEW'
+            WHEN i.invoice_number IS NULL THEN 'UNCHANGED'
+            WHEN (i.carrier_name IS DISTINCT FROM e.carrier_name)
+                 OR (i.total_amount IS DISTINCT FROM e.total_amount) THEN 'UPDATED'
+            ELSE 'UNCHANGED' END AS status
+FROM incoming i
+FULL OUTER JOIN existing e
+  ON i.invoice_number = e.invoice_number AND i.reference_number = e.reference_number
+"""
+
+
+# --- J3/J4/A1/A2 ------------------------------------------------------------
+
+_RECONCILE_SELECT_SQL = """
+SELECT CAST(CAST(st.t AS VARCHAR) AS DOUBLE) AS source_total,
+       CAST(CAST(rt.t AS VARCHAR) AS DOUBLE) AS result_total,
+       CAST(CAST(abs(st.t - rt.t) AS VARCHAR) AS DOUBLE) AS variance,
+       m.missing_pk_count,
+       m.missing_pk_count = 0 AS no_data_loss,
+       abs(st.t - rt.t) <= 1 AS amounts_match,
+       (m.missing_pk_count = 0 AND abs(st.t - rt.t) <= 1) AS reconciled
+FROM st, rt, m
+"""
+
+
+def q_reconciliation(spark, sf_dir):
+    """J3/J4/A1/A2 — zero-data-loss + amount variance (±1 exclusive)."""
+    existing, incoming = _existing(spark, sf_dir), _incoming(spark, sf_dir)
+    result = upsert_insert_only(existing, incoming, PK)
+    return reconcile(incoming, result, PK, amount_type="decimal(27,6)")
+
+
+SQL_RECONCILIATION = f"""
+WITH {invoices_cte()},
+{_EXISTING_SQL},
+{_INCOMING_SQL},
+result AS (
+  SELECT * FROM existing
+  UNION ALL
+  SELECT * FROM incoming i
+  WHERE NOT EXISTS (SELECT 1 FROM existing e
+                    WHERE e.invoice_number = i.invoice_number
+                      AND e.reference_number = i.reference_number)),
+m AS (SELECT CAST(count(*) AS BIGINT) AS missing_pk_count FROM incoming s
+      WHERE NOT EXISTS (SELECT 1 FROM result r
+                        WHERE r.invoice_number = s.invoice_number
+                          AND r.reference_number = s.reference_number)),
+st AS (SELECT coalesce(sum(CAST(total_amount AS DECIMAL(27,6))), 0) AS t FROM incoming),
+rt AS (SELECT coalesce(sum(CAST(total_amount AS DECIMAL(27,6))), 0) AS t FROM result r
+       WHERE EXISTS (SELECT 1 FROM incoming s
+                     WHERE s.invoice_number = r.invoice_number
+                       AND s.reference_number = r.reference_number))
+{_RECONCILE_SELECT_SQL}
+"""
+
+
+def q_reconciliation_broken(spark, sf_dir):
+    """Reconciliation failure path: simulated data loss must trip both
+    the anti-join check and the variance check."""
+    existing, incoming = _existing(spark, sf_dir), _incoming(spark, sf_dir)
+    result = upsert_insert_only(existing, incoming, PK)
+    broken = result.filter(~(F.col("l_orderkey") % 101 == 0))
+    return reconcile(incoming, broken, PK, amount_type="decimal(27,6)")
+
+
+SQL_RECONCILIATION_BROKEN = f"""
+WITH {invoices_cte()},
+{_EXISTING_SQL},
+{_INCOMING_SQL},
+result0 AS (
+  SELECT * FROM existing
+  UNION ALL
+  SELECT * FROM incoming i
+  WHERE NOT EXISTS (SELECT 1 FROM existing e
+                    WHERE e.invoice_number = i.invoice_number
+                      AND e.reference_number = i.reference_number)),
+result AS (SELECT * FROM result0 WHERE NOT (l_orderkey % 101 = 0)),
+m AS (SELECT CAST(count(*) AS BIGINT) AS missing_pk_count FROM incoming s
+      WHERE NOT EXISTS (SELECT 1 FROM result r
+                        WHERE r.invoice_number = s.invoice_number
+                          AND r.reference_number = s.reference_number)),
+st AS (SELECT coalesce(sum(CAST(total_amount AS DECIMAL(27,6))), 0) AS t FROM incoming),
+rt AS (SELECT coalesce(sum(CAST(total_amount AS DECIMAL(27,6))), 0) AS t FROM result r
+       WHERE EXISTS (SELECT 1 FROM incoming s
+                     WHERE s.invoice_number = r.invoice_number
+                       AND s.reference_number = r.reference_number))
+{_RECONCILE_SELECT_SQL}
+"""
+
+
+# --- flagship: the whole reference pipeline in one plan ---------------------
+
+def q_flagship_consolidation(spark, sf_dir):
+    """P1→P9/P10→U4→J1 chain: project, validate+split, first-wins dedup,
+    insert-only upsert (the reference's essence as one Catalyst plan)."""
+    existing = _existing(spark, sf_dir)
+    incoming = invoice_view(_read(spark, sf_dir, "lineitem"), dirty=True)
+    # lineitem holds duplicate (orderkey, linenumber) pairs — first-wins
+    # dedup with a total order so the surviving row is deterministic
+    incoming = dedup_first_wins(
+        incoming, PK, ["l_partkey", "l_suppkey", "net_amount", "tax_amount"]
+    )
+    valid, _errors = split_valid(with_validation(incoming))
+    result = upsert_insert_only(existing, valid.drop("error_reason", "valid"), PK)
+    return result.select(
+        "invoice_number", "reference_number", "carrier_name", "source_file",
+        F.col("total_amount").cast("double").alias("total_amount"),
+    )
+
+
+SQL_FLAGSHIP = f"""
+WITH {invoices_cte(name="invoices_dirty", dirty=True)},
+{invoices_cte()},
+{_EXISTING_SQL},
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY invoice_number, reference_number
+                                 ORDER BY l_partkey, l_suppkey, net_amount, tax_amount) AS rn
+    FROM invoices_dirty)
+  WHERE rn = 1),
+valid_incoming AS (SELECT * FROM deduped WHERE {_VALID_PRED_SQL})
+SELECT invoice_number, reference_number, carrier_name, source_file,
+       CAST(total_amount AS DOUBLE) AS total_amount
+FROM existing
+UNION ALL
+SELECT i.invoice_number, i.reference_number, i.carrier_name, i.source_file,
+       CAST(i.total_amount AS DOUBLE) AS total_amount
+FROM valid_incoming i
+WHERE NOT EXISTS (SELECT 1 FROM existing e
+                  WHERE e.invoice_number = i.invoice_number
+                    AND e.reference_number = i.reference_number)
+"""
+
+
+# --- P9/P10 -----------------------------------------------------------------
+
+def q_validation_valid(spark, sf_dir):
+    inv = invoice_view(_read(spark, sf_dir, "lineitem"), dirty=True)
+    valid, _ = split_valid(with_validation(inv))
+    return valid.select(
+        "invoice_number", "reference_number",
+        F.col("total_amount").cast("double").alias("total_amount"),
+    )
+
+
+SQL_VALIDATION_VALID = f"""
+WITH {invoices_cte(dirty=True)}
+SELECT invoice_number, reference_number, CAST(total_amount AS DOUBLE) AS total_amount
+FROM invoices WHERE {_VALID_PRED_SQL}
+"""
+
+
+def q_validation_errors(spark, sf_dir):
+    inv = invoice_view(_read(spark, sf_dir, "lineitem"), dirty=True)
+    _, errors = split_valid(with_validation(inv))
+    return errors.select("invoice_number", "reference_number", "error_reason")
+
+
+SQL_VALIDATION_ERRORS = f"""
+WITH {invoices_cte(dirty=True)}
+SELECT invoice_number, reference_number, {_ERROR_REASON_SQL} AS error_reason
+FROM invoices WHERE NOT ({_VALID_PRED_SQL})
+"""
+
+
+# --- F1/F2/F3 golden scalar functions ---------------------------------------
+
+GOLDEN_MONEY = [
+    (0, "1.234.567"), (1, "$12.345"), (2, "1234,56"), (3, "1,234.56"),
+    (4, "50000"), (5, "123.45"), (6, "1.234,56"), (7, "999"),
+    (8, "  $ 1.000.000  "), (9, "N/A"), (10, None), (11, "12.3456"),
+    (12, "0,5"), (13, "1,234,567.89"),
+]
+
+
+def q_money_parse_golden(spark, sf_dir):
+    """F1 locale-aware money parse (transformers.py:70-101 semantics)."""
+    df = spark.createDataFrame(GOLDEN_MONEY, "idx long, raw string")
+    parsed = parse_money(F.col("raw"))
+    return df.select(
+        "idx", parsed.cast("double").alias("parsed"), parsed.isNotNull().alias("parse_ok")
+    )
+
+
+_MONEY_VALUES = ", ".join(
+    f"({i}, {'NULL' if s is None else repr(s)})" for i, s in GOLDEN_MONEY
+)
+
+SQL_MONEY_PARSE = f"""
+WITH raw(idx, s0) AS (VALUES {_MONEY_VALUES}),
+cleaned AS (SELECT CAST(idx AS BIGINT) AS idx,
+                   replace(replace(trim(s0), '$', ''), ' ', '') AS s FROM raw),
+norm AS (SELECT idx,
+  CASE
+    WHEN contains(s, '.') AND contains(s, ',')
+         AND strpos(reverse(s), '.') < strpos(reverse(s), ',')
+      THEN replace(s, ',', '')
+    WHEN contains(s, '.') AND contains(s, ',')
+      THEN replace(replace(s, '.', ''), ',', '.')
+    WHEN contains(s, ',') AND length(s) - length(replace(s, ',', '')) = 1
+      THEN replace(s, ',', '.')
+    WHEN length(s) - length(replace(s, '.', '')) > 1
+      THEN replace(s, '.', '')
+    WHEN length(s) - length(replace(s, '.', '')) = 1
+         AND regexp_matches(s, '^[^.]*\\..{{3}}$')
+      THEN replace(s, '.', '')
+    ELSE s END AS n FROM cleaned)
+SELECT idx, CAST(TRY_CAST(n AS DECIMAL(18,2)) AS DOUBLE) AS parsed,
+       TRY_CAST(n AS DECIMAL(18,2)) IS NOT NULL AS parse_ok
+FROM norm
+"""
+
+GOLDEN_DATES = [
+    (0, "15-02-2026"), (1, "2026-02-15"), (2, "15/02/2026"),
+    (3, "31-13-2026"), (4, "INVALID-DATE"), (5, None), (6, "01-01-1999"),
+    (7, "29/02/2024"), (8, "29/02/2023"),
+]
+
+
+def q_date_parse_golden(spark, sf_dir):
+    """F2 multi-format date parse (transformers.py:57-68)."""
+    df = spark.createDataFrame(GOLDEN_DATES, "idx long, raw string")
+    return df.select("idx", parse_date_multi(F.col("raw")).alias("parsed"))
+
+
+_DATE_VALUES = ", ".join(
+    f"({i}, {'NULL' if s is None else repr(s)})" for i, s in GOLDEN_DATES
+)
+
+SQL_DATE_PARSE = f"""
+WITH raw(idx, s) AS (VALUES {_DATE_VALUES})
+SELECT CAST(idx AS BIGINT) AS idx,
+       coalesce(CAST(try_strptime(trim(s), '%d-%m-%Y') AS DATE),
+                CAST(try_strptime(trim(s), '%Y-%m-%d') AS DATE),
+                CAST(try_strptime(trim(s), '%d/%m/%Y') AS DATE)) AS parsed
+FROM raw
+"""
+
+GOLDEN_SERIALS = [(0, 45000), (1, 1), (2, 60), (3, None), (4, 25569)]
+
+
+def q_excel_serial_golden(spark, sf_dir):
+    """F3 Excel 1900-epoch serial decode (calamine_extractor.py:122-128)."""
+    df = spark.createDataFrame(GOLDEN_SERIALS, "idx long, serial int")
+    return df.select("idx", excel_serial_to_date(F.col("serial")).alias("d"))
+
+
+_SERIAL_VALUES = ", ".join(
+    f"({i}, {'NULL' if n is None else n})" for i, n in GOLDEN_SERIALS
+)
+
+SQL_EXCEL_SERIAL = f"""
+WITH raw(idx, serial) AS (VALUES {_SERIAL_VALUES})
+SELECT CAST(idx AS BIGINT) AS idx, DATE '1899-12-30' + CAST(serial AS INTEGER) AS d
+FROM raw
+"""
+
+
+# --- U4 / P8 order-sensitive ------------------------------------------------
+
+def q_dedup_first_wins(spark, sf_dir):
+    """U4 first-wins dedup on an explicit (total) order."""
+    li = _read(spark, sf_dir, "lineitem")
+    order = ["l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"]
+    first = dedup_first_wins(li, ["l_orderkey"], order)
+    return first.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+
+
+SQL_DEDUP_FIRST_WINS = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey, l_suppkey,
+                                         l_extendedprice, l_quantity) AS rn
+      FROM lineitem)
+WHERE rn = 1
+"""
+
+
+def q_take_while(spark, sf_dir):
+    """P8 take-while: per order, stop at the first low-quantity line
+    (positional break semantics, official_format_extractor.py:255-264)."""
+    li = _read(spark, sf_dir, "lineitem")
+    kept = take_while(li, "l_linenumber", F.col("l_quantity") < 3, ["l_orderkey"])
+    return kept.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+SQL_TAKE_WHILE = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+             min(CASE WHEN l_quantity < 3 THEN l_linenumber END)
+               OVER (PARTITION BY l_orderkey) AS stop_at
+      FROM lineitem)
+WHERE stop_at IS NULL OR l_linenumber < stop_at
+"""
+
+
+# --- A3/A4/A5 report aggregations -------------------------------------------
+
+def q_status_counts(spark, sf_dir):
+    """A3 upsert counters (dtos.py:9-18)."""
+    return status_counts(q_upsert_full_status(spark, sf_dir))
+
+
+SQL_STATUS_COUNTS = f"""
+WITH merged AS ({SQL_UPSERT_FULL})
+SELECT CAST(sum(CASE WHEN status = 'NEW' THEN 1 ELSE 0 END) AS BIGINT) AS inserted,
+       CAST(sum(CASE WHEN status = 'UPDATED' THEN 1 ELSE 0 END) AS BIGINT) AS updated,
+       CAST(sum(CASE WHEN status = 'UNCHANGED' THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
+       CAST(count(*) AS BIGINT) AS total_processed
+FROM merged
+"""
+
+
+def q_per_file_counts(spark, sf_dir):
+    """A4 per-file valid/error counts keyed by provenance."""
+    inv = with_validation(invoice_view(_read(spark, sf_dir, "lineitem"), dirty=True))
+    return per_file_counts(inv)
+
+
+SQL_PER_FILE_COUNTS = f"""
+WITH {invoices_cte(dirty=True)}
+SELECT source_file,
+       CAST(count(*) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN {_VALID_PRED_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS rows_valid,
+       CAST(sum(CASE WHEN NOT ({_VALID_PRED_SQL}) THEN 1 ELSE 0 END) AS BIGINT) AS rows_error
+FROM invoices
+GROUP BY source_file
+"""
+
+
+def q_run_report(spark, sf_dir):
+    """A5 run rollup + SUCCESS/PARTIAL/ERROR derivation."""
+    return run_report(q_per_file_counts(spark, sf_dir))
+
+
+SQL_RUN_REPORT = f"""
+WITH per_file AS ({SQL_PER_FILE_COUNTS})
+SELECT CAST(count(*) AS BIGINT) AS total_files,
+       CAST(sum(rows_total) AS BIGINT) AS total_records,
+       CAST(sum(rows_valid) AS BIGINT) AS total_valid,
+       CAST(sum(rows_error) AS BIGINT) AS total_errors,
+       CAST(sum(CASE WHEN rows_error > 0 THEN 1 ELSE 0 END) AS BIGINT) AS error_files,
+       CASE WHEN count(*) = 0 THEN 'NO_FILES'
+            WHEN sum(CASE WHEN rows_error > 0 THEN 1 ELSE 0 END) = 0 THEN 'SUCCESS'
+            WHEN sum(CASE WHEN rows_error > 0 THEN 1 ELSE 0 END) < count(*) THEN 'PARTIAL'
+            ELSE 'ERROR' END AS run_status
+FROM per_file
+"""
+
+
+# --- A6 derived total -------------------------------------------------------
+
+def q_derived_total(spark, sf_dir):
+    """A6 component-sum with explicit-total override
+    (official_format_extractor.py:478-494). All components are exact
+    decimals built from faithful raw-column casts."""
+    li = _read(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(8,4)")
+    tax = F.col("l_tax").cast("decimal(8,4)")
+    qty = F.col("l_quantity").cast("decimal(8,2)")
+    components = [
+        ep,
+        ep * disc,
+        F.when(F.col("l_linenumber") % 2 == 0, qty * 100),
+        F.when(F.col("l_partkey") % 5 == 0, F.lit(50)),
+        qty * 10,
+        F.when(F.col("l_suppkey") % 3 == 0, tax * 1000),
+    ]
+    override = F.when(F.col("l_linenumber") % 3 == 0, ep * 2).otherwise(F.lit(0))
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        derived_total(override, components).cast("double").alias("derived_total"),
+    )
+
+
+SQL_DERIVED_TOTAL = """
+WITH t AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS ep,
+         CAST(l_discount AS DECIMAL(8,4)) AS disc,
+         CAST(l_tax AS DECIMAL(8,4)) AS tax,
+         CAST(l_quantity AS DECIMAL(8,2)) AS qty
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+  CAST(CASE WHEN (CASE WHEN l_linenumber % 3 = 0 THEN ep * 2 ELSE 0 END) > 0
+       THEN (CASE WHEN l_linenumber % 3 = 0 THEN ep * 2 ELSE 0 END)
+       ELSE coalesce(ep, 0)
+          + coalesce(ep * disc, 0)
+          + coalesce(CASE WHEN l_linenumber % 2 = 0 THEN qty * 100 END, 0)
+          + coalesce(CASE WHEN l_partkey % 5 = 0 THEN 50 END, 0)
+          + coalesce(qty * 10, 0)
+          + coalesce(CASE WHEN l_suppkey % 3 = 0 THEN tax * 1000 END, 0)
+       END AS DOUBLE) AS derived_total
+FROM t
+"""
+
+
+# --- J5 idempotent ingestion ------------------------------------------------
+
+def q_idempotency_pending(spark, sf_dir):
+    """J5 processed-file skip on (file_name, modified_time)
+    (consolidate_invoices.py:235-240; sqlite_tracker.py:232-240)."""
+    orders = _read(spark, sf_dir, "orders")
+    manifest = orders.groupBy(F.col("o_orderpriority").alias("file_name")).agg(
+        F.max("o_orderdate").cast("date").alias("modified_time")
+    )
+    processed = (
+        manifest.filter(F.col("file_name").rlike("^[13]"))
+        .withColumn(
+            "modified_time",
+            F.when(F.col("file_name").startswith("3"),
+                   F.date_sub(F.col("modified_time"), 1))
+            .otherwise(F.col("modified_time")),
+        )
+        .withColumn("status", F.lit("COMPLETED"))
+    )
+    return pending_files(manifest, processed)
+
+
+SQL_IDEMPOTENCY_PENDING = """
+WITH manifest AS (
+  SELECT o_orderpriority AS file_name, CAST(max(o_orderdate) AS DATE) AS modified_time
+  FROM orders GROUP BY 1),
+processed AS (
+  SELECT file_name,
+         CASE WHEN file_name LIKE '3%' THEN modified_time - 1 ELSE modified_time END AS modified_time,
+         'COMPLETED' AS status
+  FROM manifest WHERE file_name LIKE '1%' OR file_name LIKE '3%')
+SELECT m.file_name, m.modified_time
+FROM manifest m
+WHERE NOT EXISTS (SELECT 1 FROM processed p
+                  WHERE p.status = 'COMPLETED'
+                    AND p.file_name = m.file_name
+                    AND p.modified_time = m.modified_time)
+"""
+
+
+# --- Spark-native analytical surface (SURVEY §2.4 extensions) ---------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary: the canonical wide aggregation."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date")
+    )
+    cnt = F.count(F.lit(1))
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(8,4)")
+    tax = F.col("l_tax").cast("decimal(8,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(ep).cast("double").alias("sum_base_price"),
+        F.sum(ep * (1 - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(ep * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+        (F.sum(qty).cast("double") / cnt).alias("avg_qty"),
+        (F.sum(ep).cast("double") / cnt).alias("avg_price"),
+        (F.sum(disc).cast("double") / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+SQL_PRICING_SUMMARY = """
+WITH t AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS ep,
+         CAST(l_discount AS DECIMAL(8,4)) AS disc,
+         CAST(l_tax AS DECIMAL(8,4)) AS tax
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02')
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(qty) AS DOUBLE) AS sum_qty,
+       CAST(sum(ep) AS DOUBLE) AS sum_base_price,
+       -- decimal→double via VARCHAR: DuckDB's direct cast double-rounds
+       -- when the scaled integer exceeds 2^53; strtod rounds once like Spark
+       CAST(CAST(sum(ep * (1 - disc)) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(sum(ep * (1 - disc) * (1 + tax)) AS VARCHAR) AS DOUBLE) AS sum_charge,
+       CAST(sum(qty) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(ep) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum(disc) AS DOUBLE) / count(*) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM t
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    """Star join through customer→nation→region + top-k by revenue.
+    nation/region are broadcast (small dims); customer join left to AQE."""
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    nation = F.broadcast(_read(spark, sf_dir, "nation"))
+    region = F.broadcast(_read(spark, sf_dir, "region"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("c_custkey", "c_name", "n_name", "r_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c.c_custkey, c.c_name, n.n_name, r.r_name,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+"""
+
+
+def q_window_rank(spark, sf_dir):
+    """Window ranking: top-3 orders per customer (deterministic tie-break)."""
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+def q_rollup_sales(spark, sf_dir):
+    """ROLLUP hierarchy totals with grouping id (engine surface the
+    reference lacks; SURVEY §2.4 note)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_ROLLUP_SALES = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_distinct_parts(spark, sf_dir):
+    """Distinct aggregation per group."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_DISTINCT_PARTS = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def read_events(spark, sf_dir):
+    """The events parquet uses TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read it as raw nanos-since-epoch (LongType) and
+    derive tz-independent buckets with integer arithmetic."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling 1-hour aggregation over the events stream table
+    (batch shadow of the streaming surface in streaming/windows.py)."""
+    ev = read_events(spark, sf_dir)
+    bucket = (F.expr("ts div 3600000000000") * 3600).cast("long")
+    return ev.groupBy(bucket.alias("bucket_epoch"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT CAST((epoch_ns(ts) // 3600000000000) * 3600 AS BIGINT) AS bucket_epoch,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --- LLM-data-pipeline extensions on documents ------------------------------
+
+def q_dedup_exact_docs(spark, sf_dir):
+    """Exact dedup via content-hash groupBy (scale path: hash-partition
+    on the digest; no full-text shuffle)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("doc_hash", F.md5(F.encode(F.col("text"), "UTF-8")))
+        .groupBy("doc_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+SQL_DEDUP_EXACT_DOCS = """
+SELECT md5(text) AS doc_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+_STOPWORDS_EN = r"\b(the|and|of|to|is|a)\b"
+
+
+def q_text_quality(spark, sf_dir):
+    """Text quality scoring: token count, stopword ratio, alpha ratio."""
+    docs = _read(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    n_stop = F.size(F.regexp_extract_all(F.col("text"), F.lit(_STOPWORDS_EN), 1)).cast("long")
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-z]", "")).cast("long")
+    out = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        alpha_chars.alias("alpha_chars"),
+        (n_stop.cast("double") / n_tokens.cast("double")).alias("stopword_ratio"),
+        (alpha_chars.cast("double") / F.length("text").cast("double")).alias("alpha_ratio"),
+    )
+    return out.withColumn(
+        "quality_score", F.col("stopword_ratio") * 0.5 + F.col("alpha_ratio") * 0.5
+    )
+
+
+SQL_TEXT_QUALITY = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '{_STOPWORDS_EN}', 1)) AS BIGINT) AS n_stopwords,
+         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars,
+         length(text) AS n_chars
+  FROM documents)
+SELECT doc_id, n_tokens, n_stopwords, alpha_chars,
+       CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+       CAST(alpha_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) AS alpha_ratio,
+       (CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5
+         + (CAST(alpha_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.5 AS quality_score
+FROM t
+"""
+
+_LANG_PATTERNS = {
+    "en_hits": r"\b(the|and|of|to|is)\b",
+    "es_hits": r"\b(el|la|de|que|y|en)\b",
+    "de_hits": r"\b(der|die|und|ist|das)\b",
+}
+
+
+def q_lang_id(spark, sf_dir):
+    """n-gram/stopword-voting language ID heuristic."""
+    docs = _read(spark, sf_dir, "documents")
+    cols = [
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 1)).cast("long").alias(name)
+        for name, pat in _LANG_PATTERNS.items()
+    ]
+    out = docs.select("doc_id", *cols)
+    pred = (
+        F.when((F.col("en_hits") >= F.col("es_hits")) & (F.col("en_hits") >= F.col("de_hits")),
+               F.lit("en"))
+        .when(F.col("es_hits") >= F.col("de_hits"), F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return out.withColumn("lang_pred", pred)
+
+
+SQL_LANG_ID = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_LANG_PATTERNS["en_hits"]}', 1)) AS BIGINT) AS en_hits,
+         CAST(len(regexp_extract_all(text, '{_LANG_PATTERNS["es_hits"]}', 1)) AS BIGINT) AS es_hits,
+         CAST(len(regexp_extract_all(text, '{_LANG_PATTERNS["de_hits"]}', 1)) AS BIGINT) AS de_hits
+  FROM documents)
+SELECT doc_id, en_hits, es_hits, de_hits,
+       CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+            WHEN es_hits >= de_hits THEN 'es'
+            ELSE 'de' END AS lang_pred
+FROM t
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: digest of whitespace-normalized text."""
+    docs = _read(spark, sf_dir, "documents")
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id", F.substring(F.md5(F.encode(normalized, "UTF-8")), 1, 16).alias("fingerprint")
+    )
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id,
+       substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 16) AS fingerprint
+FROM documents
+"""
+
+
+def q_summary_row_filter(spark, sf_dir):
+    """P7 keyword row filter (uppercased concat match)."""
+    docs = _read(spark, sf_dir, "documents")
+    return filter_summary_rows(docs, ["text"], ("MERGE", "HASH")).select("doc_id")
+
+
+SQL_SUMMARY_ROW_FILTER = """
+SELECT doc_id FROM documents
+WHERE NOT regexp_matches(upper(text), 'MERGE|HASH')
+"""
+
+
+# --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_flagship_consolidation(spark, "/root/testdata/sf0.001")
+
+
+_QUERIES: dict[str, Callable] = {
+    "flagship_consolidation": q_flagship_consolidation,
+    "upsert_insert_only": q_upsert_insert_only,
+    "upsert_full_status": q_upsert_full_status,
+    "reconciliation": q_reconciliation,
+    "reconciliation_broken": q_reconciliation_broken,
+    "validation_valid": q_validation_valid,
+    "validation_errors": q_validation_errors,
+    "money_parse_golden": q_money_parse_golden,
+    "date_parse_golden": q_date_parse_golden,
+    "excel_serial_golden": q_excel_serial_golden,
+    "dedup_first_wins": q_dedup_first_wins,
+    "take_while": q_take_while,
+    "status_counts": q_status_counts,
+    "per_file_counts": q_per_file_counts,
+    "run_report": q_run_report,
+    "derived_total": q_derived_total,
+    "idempotency_pending": q_idempotency_pending,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "window_rank": q_window_rank,
+    "rollup_sales": q_rollup_sales,
+    "distinct_parts": q_distinct_parts,
+    "events_hourly": q_events_hourly,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "summary_row_filter": q_summary_row_filter,
+}
+
+_ORACLES: dict[str, str] = {
+    "flagship_consolidation": SQL_FLAGSHIP,
+    "upsert_insert_only": SQL_UPSERT_INSERT_ONLY,
+    "upsert_full_status": SQL_UPSERT_FULL,
+    "reconciliation": SQL_RECONCILIATION,
+    "reconciliation_broken": SQL_RECONCILIATION_BROKEN,
+    "validation_valid": SQL_VALIDATION_VALID,
+    "validation_errors": SQL_VALIDATION_ERRORS,
+    "money_parse_golden": SQL_MONEY_PARSE,
+    "date_parse_golden": SQL_DATE_PARSE,
+    "excel_serial_golden": SQL_EXCEL_SERIAL,
+    "dedup_first_wins": SQL_DEDUP_FIRST_WINS,
+    "take_while": SQL_TAKE_WHILE,
+    "status_counts": SQL_STATUS_COUNTS,
+    "per_file_counts": SQL_PER_FILE_COUNTS,
+    "run_report": SQL_RUN_REPORT,
+    "derived_total": SQL_DERIVED_TOTAL,
+    "idempotency_pending": SQL_IDEMPOTENCY_PENDING,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top_customers": SQL_TOP_CUSTOMERS,
+    "window_rank": SQL_WINDOW_RANK,
+    "rollup_sales": SQL_ROLLUP_SALES,
+    "distinct_parts": SQL_DISTINCT_PARTS,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "summary_row_filter": SQL_SUMMARY_ROW_FILTER,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent ANSI SQL per query (omitted → rows-only check)."""
+    return dict(_ORACLES)

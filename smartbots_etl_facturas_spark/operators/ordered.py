@@ -65,11 +65,20 @@ def take_while(
 
 
 def dedup_first_wins(
-    df: DataFrame, keys: Sequence[str], order_col: str
+    df: DataFrame, keys: Sequence[str], order_cols: str | Sequence[str]
 ) -> DataFrame:
     """U4 — keep the first-occurring row per key (order-sensitive;
-    mirrors the reference's 'first inserted wins inside one batch')."""
-    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(order_col))
+    mirrors the reference's 'first inserted wins inside one batch').
+
+    ``order_cols`` must be a TOTAL order within each key group (add
+    tie-break columns if the primary order column can repeat) —
+    otherwise the surviving row is nondeterministic across runs and
+    engines."""
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

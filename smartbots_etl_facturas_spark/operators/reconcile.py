@@ -30,21 +30,29 @@ def reconcile(
     result: DataFrame,
     keys: Sequence[str] = PK,
     amount_col: str = "total_amount",
+    amount_type: str = DEC,
 ) -> DataFrame:
     """One-row reconciliation report DataFrame.
 
     Columns: source_total, result_total, variance, missing_pk_count,
     no_data_loss, amounts_match, reconciled.
+
+    ``amount_type`` must be a decimal type wide enough to hold the
+    amounts WITHOUT narrowing the scale (narrowing rounds, and
+    different engines round differently); the default suits raw
+    2-decimal money columns.
     """
     keys = list(keys)
     missing = source.join(result, on=keys, how="left_anti")
     subset = result.join(source.select(*keys).distinct(), on=keys, how="left_semi")
 
     src_tot = source.agg(
-        F.coalesce(F.sum(F.col(amount_col).cast(DEC)), F.lit(0).cast(DEC)).alias("t")
+        F.coalesce(F.sum(F.col(amount_col).cast(amount_type)),
+                   F.lit(0).cast(amount_type)).alias("t")
     )
     res_tot = subset.agg(
-        F.coalesce(F.sum(F.col(amount_col).cast(DEC)), F.lit(0).cast(DEC)).alias("t")
+        F.coalesce(F.sum(F.col(amount_col).cast(amount_type)),
+                   F.lit(0).cast(amount_type)).alias("t")
     )
     miss = missing.agg(F.count(F.lit(1)).alias("missing_pk_count"))
 

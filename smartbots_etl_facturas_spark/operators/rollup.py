@@ -63,14 +63,16 @@ def run_report(per_file: DataFrame) -> DataFrame:
 
 def derived_total(total_col: Column, components: Sequence[Column]) -> Column:
     """A6 — explicit total wins when > 0, else the null-safe component sum
-    (the 7 money components of the mixed-format extractor)."""
+    (the 7 money components of the mixed-format extractor).
+
+    Callers pass components already cast to exact decimal types; this
+    function never casts or narrows (engine determinism invariant —
+    see plans/invoices.py docstring)."""
     comp_sum = None
     for c in components:
-        term = F.coalesce(c.cast(DEC), F.lit(0).cast(DEC))
+        term = F.coalesce(c, F.lit(0))
         comp_sum = term if comp_sum is None else comp_sum + term
-    return F.when(total_col.isNotNull() & (total_col > 0), total_col.cast(DEC)).otherwise(
-        comp_sum.cast(DEC)
-    )
+    return F.when(total_col.isNotNull() & (total_col > 0), total_col).otherwise(comp_sum)
 
 
 def total_defaults(total: Column, net: Column | None, tax: Column | None) -> tuple[Column, Column]:
