@@ -42,7 +42,16 @@ from smartbots_etl_facturas_spark.operators.ordered import (
     filter_summary_rows,
     take_while,
 )
+from smartbots_etl_facturas_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
 from smartbots_etl_facturas_spark.operators.reconcile import reconcile
+from smartbots_etl_facturas_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
 from smartbots_etl_facturas_spark.operators.rollup import (
     derived_total,
     per_file_counts,
@@ -897,6 +906,132 @@ FROM documents
 """
 
 
+def _augmented_docs(spark, sf_dir):
+    """Sampled documents plus deterministically perturbed near-dup
+    copies (id + 1,000,000; every 'the' → 'teh') — the synthetic
+    corpus has no natural near-dups, so the fuzzy tiers need seeded
+    ones to demonstrate recall."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    sampled = docs.filter(F.col("doc_id") % 10 == 0)
+    perturbed = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), "the", "teh").alias("text"),
+    )
+    return sampled.unionByName(perturbed)
+
+
+_AUGMENTED_DOCS_SQL = """
+aug AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, regexp_replace(text, 'the', 'teh', 'g') AS text
+  FROM documents WHERE doc_id % 20 = 0)
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact word-3-gram Jaccard pair similarity via shingle
+    inverted-index self-join (fuzzy-dedup ground truth)."""
+    return ngram_jaccard_pairs(_augmented_docs(spark, sf_dir), threshold=0.1)
+
+
+SQL_NGRAM_JACCARD = rf"""
+WITH {_AUGMENTED_DOCS_SQL},
+docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM aug),
+pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM docs WHERE len(w) >= 3),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM pos),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(sa.set_size AS BIGINT) AS size_a,
+       CAST(sb.set_size AS BIGINT) AS size_b,
+       CAST(n_common AS DOUBLE)
+         / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE)
+        / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) >= 0.1
+"""
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    """Exact top-5 cosine neighbors for sampled query vectors —
+    broadcast cross join + JVM-side zip_with/aggregate dot product."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5)
+
+
+SQL_ANN_BRUTEFORCE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.qv, c.v)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(c.v, c.v))) AS cosine
+  FROM q, e c WHERE c.vec_id != q.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Approximate top-5 cosine via random-hyperplane LSH buckets —
+    the scale path (no oracle: approximate by design; recall vs
+    brute force is asserted in tests/test_similarity.py)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5, bits=8)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs, exact-Jaccard verified
+    (no oracle: xxhash64 bit patterns are engine-specific; recall vs
+    the exact pair set is asserted in tests/test_dedup.py)."""
+    return minhash_lsh_pairs(_augmented_docs(spark, sf_dir),
+                             num_hashes=32, bands=8, threshold=0.1)
+
+
+def q_simhash_docs(spark, sf_dir):
+    """64-bit SimHash sketch per document (no oracle: engine-specific
+    hash; stability + near-dup behavior asserted in tests)."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return simhash(docs)
+
+
+def q_events_sliding(spark, sf_dir):
+    """Sliding window (1h window, 30min slide) over events — each
+    event contributes to exactly two windows; tz-independent integer
+    bucket arithmetic on the nanos timestamps."""
+    ev = read_events(spark, sf_dir)
+    offsets = spark.range(2).select(F.col("id").alias("k"))
+    slid = ev.crossJoin(F.broadcast(offsets)).withColumn(
+        "window_start", ((F.expr("ts div 1800000000000") - F.col("k")) * 1800).cast("long")
+    )
+    return slid.groupBy("window_start", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+SQL_EVENTS_SLIDING = """
+SELECT CAST(((epoch_ns(ts) // 1800000000000) - k) * 1800 AS BIGINT) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events, (VALUES (0), (1)) AS o(k)
+GROUP BY 1, 2
+"""
+
+
 def q_summary_row_filter(spark, sf_dir):
     """P7 keyword row filter (uppercased concat match)."""
     docs = _read(spark, sf_dir, "documents")
@@ -945,6 +1080,12 @@ _QUERIES: dict[str, Callable] = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "summary_row_filter": q_summary_row_filter,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_lsh": q_ann_lsh,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_docs": q_simhash_docs,
+    "events_sliding": q_events_sliding,
 }
 
 _ORACLES: dict[str, str] = {
@@ -976,6 +1117,12 @@ _ORACLES: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "summary_row_filter": SQL_SUMMARY_ROW_FILTER,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+    "ann_bruteforce": SQL_ANN_BRUTEFORCE,
+    "events_sliding": SQL_EVENTS_SLIDING,
+    # ann_lsh / minhash_lsh_pairs / simhash_docs: intentionally no
+    # oracle (approximate or engine-specific hash) → rows-only check;
+    # recall/stability asserted in tests/.
 }
 
 

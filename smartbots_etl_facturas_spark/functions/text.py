@@ -1,0 +1,77 @@
+"""Text-analysis column functions for the training-data pipeline
+surface (BASELINE.json north star): tokenization, shingling, quality
+metrics, language-ID voting, fingerprinting.
+
+All pure Column expressions (JVM-side, codegen-friendly) — no Python
+UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "y", "en"),
+    "de": ("der", "die", "und", "ist", "das"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def stopword_hits(text: Column, words) -> Column:
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 1)).cast("long")
+
+
+def shingles_from_tokens(tokens_col: str, n: int = 3) -> Column:
+    """Word n-gram shingles from a tokens array column (by name).
+
+    Shingle i joins words[i-1 .. i+n-2] (0-based Spark arrays) with a
+    single space; empty array when the document has < n words."""
+    joined = ", ".join(f"{tokens_col}[i-1+{k}]" for k in range(n))
+    return F.expr(
+        f"CASE WHEN size({tokens_col}) >= {n} THEN "
+        f"transform(sequence(1, size({tokens_col}) - {n - 1}), "
+        f"i -> concat_ws(' ', {joined})) "
+        f"ELSE array() END"
+    )
+
+
+def char_ngrams(text_col: str, n: int = 3) -> Column:
+    """Character n-grams from a string column (by name)."""
+    return F.expr(
+        f"CASE WHEN length({text_col}) >= {n} THEN "
+        f"transform(sequence(1, length({text_col}) - {n - 1}), "
+        f"i -> substring({text_col}, i, {n})) ELSE array() END"
+    )
+
+
+def alpha_ratio(text: Column) -> Column:
+    alpha = F.length(F.regexp_replace(text, "[^a-z]", "")).cast("double")
+    return alpha / F.length(text).cast("double")
+
+
+def quality_score(text: Column, stop_lang: str = "en") -> Column:
+    """0..1 quality heuristic: stopword density + alphabetic density."""
+    stop_ratio = stopword_hits(text, STOPWORDS[stop_lang]).cast("double") / token_count(text)
+    return stop_ratio * 0.5 + alpha_ratio(text) * 0.5
+
+
+def lang_votes(text: Column):
+    """Per-language stopword hit counts (dict of Column)."""
+    return {lang: stopword_hits(text, words) for lang, words in STOPWORDS.items()}
+
+
+def fingerprint(text: Column, length: int = 16) -> Column:
+    """Stable digest of whitespace-normalized lowercased text."""
+    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.substring(F.md5(F.encode(normalized, "UTF-8")), 1, length)

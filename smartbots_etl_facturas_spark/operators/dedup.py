@@ -1,0 +1,189 @@
+"""Deduplication operators for the large-scale training-data pipeline
+(BASELINE.json north star — beyond the reference surface).
+
+Four tiers, all expressed as DataFrame dataflows that scale
+horizontally (no driver-side state, no cross-pair quadratic blowup
+except inside LSH buckets):
+
+- exact_dedup:        hash-groupBy on a content digest (S8/U1-adjacent)
+- ngram_jaccard_pairs: exact set-similarity via shingle inverted index
+  (explode → self-join on shingle → per-pair intersection counts)
+- minhash_lsh_pairs:  MinHash signatures + banded LSH bucketing; only
+  same-bucket candidates are verified → near-linear at 100 TB
+- simhash:            64-bit per-doc sketch; near-dups share sketch
+  (or low Hamming distance) — cheapest, coarsest tier
+
+MinHash/SimHash use xxhash64 (engine-specific bit patterns), so their
+driver checks are rows-only; the Jaccard VERIFICATION of LSH
+candidates is exact and is cross-checked in tests against
+ngram_jaccard_pairs on the same corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from smartbots_etl_facturas_spark.functions.text import shingles_from_tokens, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one surviving id per distinct content digest.
+
+    GroupBy on md5(text) — the shuffle key is the 32-char digest, not
+    the document body, so the exchange stays narrow at scale."""
+    return (
+        df.withColumn("doc_hash", F.md5(F.encode(F.col(text_col), "UTF-8")))
+        .groupBy("doc_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 n: int = 3) -> DataFrame:
+    """(id, shingle) pairs, distinct per document."""
+    with_tokens = df.select(id_col, tokens(F.col(text_col)).alias("__tokens"))
+    return (
+        with_tokens.select(id_col, F.explode(shingles_from_tokens("__tokens", n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Inverted-index join: explode shingles, self-join on the shingle,
+    count per-pair intersections, then |A∪B| = |A|+|B|−|A∩B|. Pairs
+    sharing nothing never materialize. Hot shingles (stopword runs)
+    dominate the join at scale — pair with minhash_lsh_pairs there.
+    """
+    sh = doc_shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    jac = (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "n_common", "size_a", "size_b", "jaccard"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, seed, minhash) — num_hashes independent permutations
+    simulated by seeding xxhash64 with the seed literal.
+
+    The seeds frame is tiny and broadcast; min-aggregation is
+    map-side-combinable, so the shuffle carries one row per (doc, seed).
+    """
+    sh = doc_shingles(df, text_col, id_col, shingle_n)
+    seeds = df.sparkSession.range(num_hashes).select(F.col("id").alias("seed"))
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(id_col, "seed", F.xxhash64(F.col("shingle"), F.col("seed")).alias("h"))
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs with exact verification.
+
+    rows = bands × rows_per_band; a pair lands in the same bucket when
+    one full band of minhashes agrees (P ≈ 1-(1-j^r)^b). Candidates are
+    then verified with the EXACT Jaccard over shingles, so the output
+    has no false positives — LSH only bounds recall.
+    """
+    assert num_hashes % bands == 0
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = (
+        sig.withColumn("band", (F.col("seed") % bands).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.xxhash64(
+                F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "seed", "minhash"))))
+            ).alias("bucket")
+        )
+    )
+    ca = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    cb = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    candidates = (
+        ca.join(cb, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, text_col, id_col, shingle_n, threshold=0.0)
+    return (
+        candidates.join(exact, on=["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash sketch per document.
+
+    Classic Charikar sketch: hash each token, each bit position votes
+    +1/−1 by that bit of the hash, sketch bit = sign of the vote sum.
+    Implemented as one explode + one groupBy with 64 conditional sums —
+    a single shuffle, map-side combinable."""
+    tok = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+    hashed = tok.select(id_col, F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    sketch = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sketch = term if sketch is None else sketch.bitwiseOR(term)
+    return agg.select(id_col, sketch.alias("simhash"))
+
+
+def hamming_distance(a, b):
+    """Hamming distance between two 64-bit sketch columns."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,76 @@
+"""Fuzzy-dedup tiers: exact, n-gram Jaccard, MinHash-LSH, SimHash."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from smartbots_etl_facturas_spark.operators.dedup import (
+    exact_dedup,
+    hamming_distance,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+    (3, "the quick brown fox leaps over the lazy dog"),          # near dup of 1
+    (4, "completely different content about spark engines here"),
+    (5, "spark engines process completely different content here"),  # shares words, not order
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs)
+    assert out.count() == 4                       # 1 and 2 collapse
+    dup = out.filter(F.col("n_copies") == 2).collect()[0]
+    assert dup.keep_id == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    assert pairs[(1, 2)] == 1.0                   # identical shingle sets
+    assert 0.3 < pairs[(1, 3)] < 1.0              # one word changed
+    assert (4, 5) not in pairs or pairs[(4, 5)] < 0.2  # word order breaks shingles
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """LSH must recover the high-similarity pairs the exact join finds.
+    The corpus has no natural near-dups, so seed perturbed copies
+    (same construction as the ngram_jaccard_pairs driver query)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 == 0).unionByName(
+        docs.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.regexp_replace(F.col("text"), "the", "teh").alias("text"),
+        )
+    )
+    exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()}
+    lsh = {(r.id_a, r.id_b)
+           for r in minhash_lsh_pairs(corpus, num_hashes=32, bands=8, threshold=0.5).collect()}
+    # no false positives (LSH output is exact-verified) …
+    assert lsh.issubset(exact)
+    # … and strong pairs (j≥0.5) collide in ≥1 of 8 bands w.h.p.
+    assert exact, "seeded near-dups must produce exact pairs"
+    assert len(lsh) / len(exact) >= 0.9
+
+
+def test_simhash_near_dup_low_hamming(spark, docs):
+    sk = simhash(docs)
+    sketches = {r.doc_id: r.simhash for r in sk.collect()}
+    assert sketches[1] == sketches[2]             # identical docs → identical sketch
+    df = spark.createDataFrame([(sketches[1], sketches[3]), (sketches[1], sketches[4])],
+                               "a long, b long")
+    d13, d14 = [r.d for r in df.select(hamming_distance(F.col("a"), F.col("b")).alias("d")).collect()]
+    assert d13 < d14                              # near-dup closer than unrelated
+
+
+def test_simhash_deterministic(spark, docs):
+    a = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    b = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert a == b

@@ -1,0 +1,70 @@
+"""ANN over embeddings: brute-force exactness properties + LSH recall."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from smartbots_etl_facturas_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    hyperplane_sketch,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_bruteforce_topk_shape(spark, emb):
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    nq = queries.count()
+    out = cosine_topk_bruteforce(queries, emb, k=5)
+    rows = out.collect()
+    assert len(rows) == nq * 5
+    by_q = {}
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        assert -1.0001 <= r.cosine <= 1.0001
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        cos = [r.cosine for r in rs]
+        assert cos == sorted(cos, reverse=True)   # ranks ordered by cosine
+
+
+def test_bruteforce_exact_on_known_vectors(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = cosine_topk_bruteforce(df.filter("vec_id = 0"), df, k=3).collect()
+    ranked = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [1, 2, 3]
+    top = [r for r in out if r.rank == 1][0]
+    assert math.isclose(top.cosine, 0.9 / math.sqrt(0.81 + 0.01), rel_tol=1e-9)
+
+
+def test_lsh_recall_vs_bruteforce(spark, emb):
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk_bruteforce(queries, emb, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in cosine_topk_lsh(queries, emb, k=5, bits=4, tables=4).collect()}
+    # 4 tables × 4 bits: candidate coverage ≈ 1-(15/16)^4 ≈ 23% of the
+    # corpus for a RANDOM vector; true neighbors collide far more often
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"recall {recall}"
+    # no self-matches, correct k bound
+    assert all(q != n for q, n in approx)
+
+
+def test_hyperplane_sketch_deterministic(spark, emb):
+    a = {r.vec_id: r.bucket for r in hyperplane_sketch(emb, bits=8).select("vec_id", "bucket").collect()}
+    b = {r.vec_id: r.bucket for r in hyperplane_sketch(emb, bits=8).select("vec_id", "bucket").collect()}
+    assert a == b
+    assert all(0 <= v < 256 for v in a.values())
