@@ -1,0 +1,86 @@
+"""S11 — staged write + atomic publish with snapshot retention.
+
+The reference snapshots the consolidated file before writing and
+restores it on failure (file_lifecycle_manager.py:35-189; rollback at
+consolidate_invoices.py:147-155). The engine equivalent: every publish
+writes a NEW versioned directory, then atomically flips a _CURRENT
+pointer file; previous versions remain on disk as snapshots, so
+rollback is a pointer flip — never a data rewrite. Readers resolve
+the pointer first, so a crashed half-written version is invisible.
+
+The check-then-publish ordering (reconcile BEFORE flipping the
+pointer) is the caller's responsibility — see publish(check=...).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CURRENT = "_CURRENT"
+
+
+def _pointer_path(base: str) -> str:
+    return os.path.join(base, _CURRENT)
+
+
+def current_version(base: str) -> str | None:
+    try:
+        with open(_pointer_path(base)) as fh:
+            return fh.read().strip() or None
+    except FileNotFoundError:
+        return None
+
+
+def _flip_pointer(base: str, version: str) -> None:
+    tmp = _pointer_path(base) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(version)
+    os.replace(tmp, _pointer_path(base))  # atomic on POSIX
+
+
+def publish(df: DataFrame, base: str, check=None) -> str:
+    """Write df as a new version and flip the pointer atomically.
+
+    ``check``: optional callable run on the WRITTEN data (re-read from
+    disk) before the pointer flips — the reconcile-before-publish
+    hook. Raise inside it to abort: the pointer keeps pointing at the
+    previous good version and the rejected version dir is left for
+    forensics (never referenced by any reader).
+    """
+    os.makedirs(base, exist_ok=True)
+    version = f"v{time.strftime('%Y%m%d-%H%M%S')}-{os.getpid()}-{int(time.monotonic_ns() % 1e9)}"
+    target = os.path.join(base, version)
+    df.write.mode("error").parquet(target)
+    if check is not None:
+        written = df.sparkSession.read.parquet(target)
+        check(written)
+    _flip_pointer(base, version)
+    return version
+
+
+def read_published(spark: SparkSession, base: str) -> DataFrame:
+    version = current_version(base)
+    if version is None:
+        raise FileNotFoundError(f"no published version under {base}")
+    return spark.read.parquet(os.path.join(base, version))
+
+
+def list_versions(base: str) -> list[str]:
+    return sorted(
+        d for d in os.listdir(base)
+        if d.startswith("v") and os.path.isdir(os.path.join(base, d))
+    )
+
+
+def rollback(base: str) -> str:
+    """Point back at the previous retained snapshot (S11 restore)."""
+    versions = list_versions(base)
+    cur = current_version(base)
+    prior = [v for v in versions if cur is None or v < cur]
+    if not prior:
+        raise RuntimeError(f"no snapshot to roll back to under {base}")
+    _flip_pointer(base, prior[-1])
+    return prior[-1]

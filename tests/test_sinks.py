@@ -1,0 +1,98 @@
+"""S9 audit trail and S11 staged publish/rollback semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from smartbots_etl_facturas_spark.sinks.audit import AuditWriter
+from smartbots_etl_facturas_spark.sinks.staged import (
+    current_version,
+    list_versions,
+    publish,
+    read_published,
+    rollback,
+)
+
+
+def test_audit_trail_roundtrip(spark, tmp_path):
+    aw = AuditWriter(spark, str(tmp_path / "audit"))
+    run = aw.start_run()
+    flid = aw.log_file(run, "batch1.parquet", rows_total=3, rows_valid=2,
+                       rows_error=1, file_modified_time="2026-01-01",
+                       status="COMPLETED")
+    records = spark.createDataFrame(
+        [(run, flid, 0, "F1", "R1", "INSERT", None),
+         (run, flid, 1, "F2", "R2", "UNCHANGED", None),
+         (run, flid, 2, "", "R3", "VALIDATION_ERROR", "invoice_number vacío")],
+        "run_uuid string, file_log_id string, row_index long, invoice_number string,"
+        "reference_number string, action string, error_message string",
+    )
+    aw.log_records(records)
+    aw.finish_run(run, {"status": "PARTIAL", "total_files": 1, "total_records": 3,
+                        "inserted": 1, "updated": 0, "unchanged": 1, "errors": 1})
+
+    runs = aw.table("execution_runs")
+    assert runs.filter(F.col("run_uuid") == run).count() == 2   # start + finish rows
+    assert aw.table("file_log").count() == 1
+    rl = aw.table("record_log")
+    assert rl.count() == 3
+    assert {r.action for r in rl.collect()} == {"INSERT", "UNCHANGED", "VALIDATION_ERROR"}
+    # created_at stamped everywhere (F8)
+    assert rl.filter(F.col("created_at").isNull()).count() == 0
+
+
+def test_audit_idempotency_probe(spark, tmp_path):
+    aw = AuditWriter(spark, str(tmp_path / "audit"))
+    run = aw.start_run()
+    aw.log_file(run, "f.parquet", file_modified_time="t1", status="COMPLETED")
+    aw.log_file(run, "g.parquet", file_modified_time="t1", status="ERROR")
+    assert aw.is_completed("f.parquet", "t1")
+    assert not aw.is_completed("f.parquet", "t2")    # modified → reprocess
+    assert not aw.is_completed("g.parquet", "t1")    # errored → reprocess
+    assert not aw.is_completed("h.parquet", "t1")    # never seen
+
+
+def test_log_records_schema_failfast(spark, tmp_path):
+    aw = AuditWriter(spark, str(tmp_path / "audit"))
+    bad = spark.createDataFrame([("x",)], "run_uuid string")
+    with pytest.raises(ValueError, match="missing columns"):
+        aw.log_records(bad)
+
+
+def test_staged_publish_and_rollback(spark, tmp_path):
+    base = str(tmp_path / "consolidated")
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    df2 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+
+    v1 = publish(df1, base)
+    assert read_published(spark, base).count() == 1
+    v2 = publish(df2, base)
+    assert current_version(base) == v2
+    assert read_published(spark, base).count() == 2
+    assert list_versions(base) == [v1, v2]          # snapshot retained
+
+    restored = rollback(base)
+    assert restored == v1
+    assert read_published(spark, base).count() == 1
+
+
+def test_publish_check_aborts_before_pointer_flip(spark, tmp_path):
+    """Reconcile-before-publish: a failing check must leave the
+    previous version live (the reference's backup/rollback ordering)."""
+    base = str(tmp_path / "consolidated")
+    good = spark.createDataFrame([(1, "a")], "id long, v string")
+    bad = spark.createDataFrame([(99, "broken")], "id long, v string")
+    v1 = publish(good, base)
+
+    def check(written):
+        if written.filter(F.col("id") == 99).count() > 0:
+            raise ValueError("reconciliation failed")
+
+    with pytest.raises(ValueError, match="reconciliation failed"):
+        publish(bad, base, check=check)
+    assert current_version(base) == v1
+    assert read_published(spark, base).count() == 1
+
+
+def test_read_unpublished_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_published(spark, str(tmp_path / "nothing"))
