@@ -43,10 +43,17 @@ from smartbots_etl_facturas_spark.operators.ordered import (
     take_while,
 )
 from smartbots_etl_facturas_spark.operators.dedup import (
+    cosine_neardup_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
 )
+from smartbots_etl_facturas_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    bpe_ish_token_count,
+    token_count,
+)
+from smartbots_etl_facturas_spark.sources.multimodal import extract_image_features
 from smartbots_etl_facturas_spark.operators.reconcile import reconcile
 from smartbots_etl_facturas_spark.operators.similarity import (
     cosine_topk_bruteforce,
@@ -1044,6 +1051,245 @@ WHERE NOT regexp_matches(upper(text), 'MERGE|HASH')
 """
 
 
+def _augmented_embeddings(spark, sf_dir):
+    """Embeddings plus seeded near-dup copies (vec_id + 1,000,000;
+    first component shifted by +0.5) — the synthetic vectors are
+    near-orthogonal (max pairwise cosine ≈ 0.51), so near-dup recall
+    needs seeded positives. The +0.5 shift is an exactly-representable
+    binary fraction, so Spark and DuckDB produce bit-identical
+    doubles."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    base = emb.filter(F.col("vec_id") % 5 == 0)
+    pert = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(
+            "concat(array(embedding[0] + CAST(0.5 AS DOUBLE)),"
+            " slice(embedding, 2, size(embedding) - 1))"
+        ).alias("embedding"),
+    )
+    return base.unionByName(pert)
+
+
+_AUGMENTED_EMB_SQL = """
+aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 5 = 0
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_concat([CAST(embedding[1] AS DOUBLE) + 0.5],
+                     CAST(embedding[2:] AS DOUBLE[])) AS v
+  FROM embeddings WHERE vec_id % 10 = 0)
+"""
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (5th dedup tier): exact all-
+    pairs ground truth; the LSH-bucketed scale path of the same
+    operator is exercised in tests/test_dedup.py."""
+    return cosine_neardup_pairs(_augmented_embeddings(spark, sf_dir), threshold=0.9)
+
+
+SQL_DEDUP_EMBEDDING = f"""
+WITH {_AUGMENTED_EMB_SQL},
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM aug)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+FROM n a, n b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish pre-tokenizer runs
+    (letters/digits/symbols), chars-per-token compression proxy."""
+    docs = _read(spark, sf_dir, "documents")
+    n_bpe = bpe_ish_token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        (F.length("text").cast("double") / n_bpe.cast("double")).alias("chars_per_token"),
+    )
+
+
+SQL_TOKEN_COUNT = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+         CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}', 1)) AS BIGINT) AS n_bpe_tokens,
+         length(text) AS n_chars
+  FROM documents)
+SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+       CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE) AS chars_per_token
+FROM t
+"""
+
+
+def q_cube_sales(spark, sf_dir):
+    """CUBE over (returnflag, linestatus) — all 4 grouping-set
+    combinations in one pass (engine surface the reference lacks;
+    SURVEY §2.4 note)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_CUBE_SALES = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_semi_join_amounts(spark, sf_dir):
+    """J4 semi-join subset (consolidate_invoices.py:567): result rows
+    restricted to incoming PKs before the per-carrier amount rollup."""
+    existing, incoming = _existing(spark, sf_dir), _incoming(spark, sf_dir)
+    result = upsert_insert_only(existing, incoming, PK)
+    subset = result.join(incoming.select(*PK).distinct(), PK, "left_semi")
+    return subset.groupBy("carrier_name").agg(
+        F.sum(F.col("total_amount").cast("decimal(27,6)")).cast("double").alias("subset_total"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_SEMI_JOIN_AMOUNTS = f"""
+WITH {invoices_cte()},
+{_EXISTING_SQL},
+{_INCOMING_SQL},
+result AS (
+  SELECT * FROM existing
+  UNION ALL
+  SELECT * FROM incoming i
+  WHERE NOT EXISTS (SELECT 1 FROM existing e
+                    WHERE e.invoice_number = i.invoice_number
+                      AND e.reference_number = i.reference_number))
+SELECT carrier_name,
+       CAST(sum(CAST(total_amount AS DECIMAL(27,6))) AS DOUBLE) AS subset_total,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM result r
+WHERE EXISTS (SELECT 1 FROM incoming s
+              WHERE s.invoice_number = r.invoice_number
+                AND s.reference_number = r.reference_number)
+GROUP BY carrier_name
+"""
+
+
+def q_top_errors(spark, sf_dir):
+    """O3 error-list truncation (dtos.py:70,74-88): first 5 errors per
+    reason (deterministic order) plus the 'y N más' remainder count."""
+    inv = invoice_view(_read(spark, sf_dir, "lineitem"), dirty=True)
+    _, errors = split_valid(with_validation(inv))
+    w = Window.partitionBy("error_reason").orderBy("invoice_number", "reference_number")
+    top = (
+        errors.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+    )
+    totals = errors.groupBy("error_reason").agg(F.count(F.lit(1)).alias("n_total"))
+    return top.join(totals, "error_reason").select(
+        "error_reason", "invoice_number", "reference_number", "rk", "n_total"
+    )
+
+
+SQL_TOP_ERRORS = f"""
+WITH {invoices_cte(dirty=True)},
+err AS (
+  SELECT invoice_number, reference_number, {_ERROR_REASON_SQL} AS error_reason
+  FROM invoices WHERE NOT ({_VALID_PRED_SQL})),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY error_reason
+                               ORDER BY invoice_number, reference_number) AS rk
+  FROM err),
+totals AS (SELECT error_reason, CAST(count(*) AS BIGINT) AS n_total
+           FROM err GROUP BY 1)
+SELECT r.error_reason, r.invoice_number, r.reference_number,
+       CAST(r.rk AS BIGINT) AS rk, t.n_total
+FROM ranked r JOIN totals t USING (error_reason)
+WHERE r.rk <= 5
+"""
+
+
+def q_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ approximate distinct count, asserted within 5% of
+    exact (the oracle pins the exact count and the bound, so the sketch
+    quality itself is hash-checked)."""
+    li = _read(spark, sf_dir, "lineitem")
+    exact = F.count_distinct(F.col("l_partkey"))
+    approx = F.approx_count_distinct("l_partkey", rsd=0.01)
+    return li.agg(
+        exact.alias("exact_distinct"),
+        ((F.abs(approx - exact).cast("double") / exact.cast("double")) <= 0.05)
+        .alias("within_5pct"),
+    )
+
+
+SQL_APPROX_DISTINCT = """
+SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
+       TRUE AS within_5pct
+FROM lineitem
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal decode plumbing: opaque binary payloads →
+    mapInPandas (Arrow-batched) feature extraction. The decode step is
+    a deterministic digest-derived fake (container has no image libs),
+    which the oracle reproduces from sha256 hex — so the whole
+    JVM↔Python round-trip is value-checked, not just row-counted."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.lit("image/x-fake").alias("mime"),
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("source_uri"),
+    )
+    feats = extract_image_features(media)
+    return feats.select(
+        "media_id",
+        F.length("content").cast("long").alias("n_bytes"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        "content_digest",
+    )
+
+
+_HEXB = "(strpos('0123456789abcdef', substr(h, {a}, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h, {b}, 1)) - 1"
+
+SQL_MULTIMODAL_FEATURES = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, sha256(text) AS h,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents WHERE doc_id % 5 = 0),
+b AS (
+  SELECT media_id, n_bytes,
+         {_HEXB.format(a=1, b=2)} AS b0,
+         {_HEXB.format(a=3, b=4)} AS b1,
+         {_HEXB.format(a=5, b=6)} AS b2,
+         substr(h, 1, 16) AS content_digest
+  FROM m)
+SELECT media_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(64 + b0 % 192 AS BIGINT) AS width,
+       CAST(64 + b1 % 192 AS BIGINT) AS height,
+       CAST(CASE WHEN b2 % 4 = 0 THEN 1 ELSE 3 END AS BIGINT) AS channels,
+       content_digest
+FROM b
+"""
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1086,6 +1332,13 @@ _QUERIES: dict[str, Callable] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_docs": q_simhash_docs,
     "events_sliding": q_events_sliding,
+    "dedup_embedding": q_dedup_embedding,
+    "token_count": q_token_count,
+    "cube_sales": q_cube_sales,
+    "semi_join_amounts": q_semi_join_amounts,
+    "top_errors": q_top_errors,
+    "approx_distinct": q_approx_distinct,
+    "multimodal_features": q_multimodal_features,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1120,6 +1373,13 @@ _ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "events_sliding": SQL_EVENTS_SLIDING,
+    "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "token_count": SQL_TOKEN_COUNT,
+    "cube_sales": SQL_CUBE_SALES,
+    "semi_join_amounts": SQL_SEMI_JOIN_AMOUNTS,
+    "top_errors": SQL_TOP_ERRORS,
+    "approx_distinct": SQL_APPROX_DISTINCT,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
     # ann_lsh / minhash_lsh_pairs / simhash_docs: intentionally no
     # oracle (approximate or engine-specific hash) → rows-only check;
     # recall/stability asserted in tests/.

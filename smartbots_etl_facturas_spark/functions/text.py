@@ -75,3 +75,19 @@ def fingerprint(text: Column, length: int = 16) -> Column:
     """Stable digest of whitespace-normalized lowercased text."""
     normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
     return F.substring(F.md5(F.encode(normalized, "UTF-8")), 1, length)
+
+
+# GPT-2-style pre-tokenizer shape, restricted to ASCII classes that
+# behave identically under Java regex (Spark) and RE2 (DuckDB): runs
+# of letters, runs of digits, or runs of other non-space symbols.
+BPE_ISH_PATTERN = r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+)"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Subword-ish tokenization: splits letter/digit/symbol runs the
+    way a BPE pre-tokenizer would before merges."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 1)
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(bpe_ish_tokens(text)).cast("long")

@@ -187,3 +187,59 @@ def simhash(
 def hamming_distance(a, b):
     """Hamming distance between two 64-bit sketch columns."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    bucket_bits: int | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold) — the fifth dedup tier, over vector columns.
+
+    With ``bucket_bits=None`` every pair is scored (exact ground
+    truth; O(n²) — fine for verification corpora). With ``bucket_bits``
+    set, candidates are restricted to vectors sharing a
+    random-hyperplane sign bucket, so the self-join is bucket-
+    partitioned (narrow shuffle) instead of a cross join — the scale
+    path: near-dups (cosine ≥ 0.9 ⇒ small angle) collide with
+    probability (1-θ/π)^bits per table.
+
+    Scoring stays JVM-side (zip_with/aggregate fold in double).
+    """
+    from smartbots_etl_facturas_spark.operators.similarity import (
+        _dot,
+        hyperplane_sketch,
+        with_norm,
+    )
+
+    base = with_norm(df, vec_col)
+    join_keys = []
+    if bucket_bits:
+        base = hyperplane_sketch(base, vec_col, bits=bucket_bits, dim=dim)
+        join_keys = ["bucket"]
+    a = base.select(
+        *join_keys,
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__norm").alias("__na"),
+    )
+    b = base.select(
+        *join_keys,
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__norm").alias("__nb"),
+    )
+    joined = (
+        a.join(b, on=join_keys) if join_keys else a.crossJoin(b)
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        joined.withColumn(
+            "cosine", _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

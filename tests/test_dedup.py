@@ -74,3 +74,32 @@ def test_simhash_deterministic(spark, docs):
     a = {r.doc_id: r.simhash for r in simhash(docs).collect()}
     b = {r.doc_id: r.simhash for r in simhash(docs).collect()}
     assert a == b
+
+
+def test_cosine_neardup_exact_and_lsh(spark):
+    """Embedding-cosine near-dup: exact all-pairs ground truth, and the
+    LSH-bucketed scale path must recover most true pairs."""
+    import math
+    import random
+
+    from smartbots_etl_facturas_spark.operators.dedup import cosine_neardup_pairs
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        nrm = math.sqrt(sum(x * x for x in v))
+        v = [x / nrm for x in v]
+        rows.append((i, v))
+        # seeded near-dup: tiny jitter → cosine ≈ 0.999
+        rows.append((i + 1000, [x + 0.01 * rng.gauss(0, 1) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {(r.id_a, r.id_b) for r in
+             cosine_neardup_pairs(df, threshold=0.95).collect()}
+    assert {(i, i + 1000) for i in range(40)} <= exact
+
+    lsh = {(r.id_a, r.id_b) for r in
+           cosine_neardup_pairs(df, threshold=0.95, bucket_bits=8, dim=16).collect()}
+    assert lsh <= exact                              # no false positives
+    assert len(lsh & exact) / len(exact) >= 0.5      # collision-prob recall
