@@ -66,8 +66,14 @@ from smartbots_etl_facturas_spark.operators.rollup import (
     status_counts,
 )
 from smartbots_etl_facturas_spark.operators.upsert import (
+    audit_actions,
     upsert_full,
     upsert_insert_only,
+)
+from smartbots_etl_facturas_spark.functions.cleaning import int_display_cast
+from smartbots_etl_facturas_spark.sources.readers import (
+    attach_fixed_cells,
+    discover_header,
 )
 from smartbots_etl_facturas_spark.operators.validation import split_valid, with_validation
 from smartbots_etl_facturas_spark.plans.invoices import invoice_view, invoices_cte
@@ -1290,6 +1296,165 @@ FROM b
 """
 
 
+def q_audit_actions(spark, sf_dir):
+    """J6 status-lookup join (consolidate_invoices.py:517-548): each
+    incoming row mapped to its post-upsert INSERT/UPDATE/UNCHANGED
+    action, rolled up with amount totals. Incoming modifies only
+    partkey%3 rows so all three actions occur."""
+    inv = invoice_view(_read(spark, sf_dir, "lineitem"))
+    existing = inv.filter(F.col("l_linenumber") >= 3)
+    incoming = inv.filter(F.col("l_linenumber") <= 4).withColumn(
+        "carrier_name",
+        F.when(F.col("l_partkey") % 3 == 0,
+               F.concat(F.lit("MOD-"), F.col("l_suppkey").cast("string")))
+        .otherwise(F.col("carrier_name")),
+    )
+    result = upsert_full(
+        existing, incoming, PK,
+        compare_cols=["carrier_name", "invoice_date", "net_amount",
+                      "tax_amount", "total_amount"],
+    )
+    actions = audit_actions(incoming, result, PK)
+    return actions.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("total_amount").cast("decimal(27,6)")).cast("double").alias("sum_amount"),
+    )
+
+
+SQL_AUDIT_ACTIONS = f"""
+WITH {invoices_cte()},
+{_EXISTING_SQL},
+incoming AS (SELECT * REPLACE (CASE WHEN l_partkey % 3 = 0
+                 THEN 'MOD-' || CAST(l_suppkey AS VARCHAR)
+                 ELSE carrier_name END AS carrier_name)
+             FROM invoices WHERE l_linenumber <= 4),
+statuses AS (
+  SELECT coalesce(i.invoice_number, e.invoice_number) AS invoice_number,
+         coalesce(i.reference_number, e.reference_number) AS reference_number,
+         CASE WHEN e.invoice_number IS NULL THEN 'NEW'
+              WHEN i.invoice_number IS NULL THEN 'UNCHANGED'
+              WHEN i.carrier_name IS DISTINCT FROM e.carrier_name
+                OR i.invoice_date IS DISTINCT FROM e.invoice_date
+                OR i.net_amount IS DISTINCT FROM e.net_amount
+                OR i.tax_amount IS DISTINCT FROM e.tax_amount
+                OR i.total_amount IS DISTINCT FROM e.total_amount
+                THEN 'UPDATED'
+              ELSE 'UNCHANGED' END AS status
+  FROM incoming i
+  FULL OUTER JOIN existing e
+    ON i.invoice_number = e.invoice_number
+   AND i.reference_number = e.reference_number)
+SELECT CASE s.status WHEN 'NEW' THEN 'INSERT'
+                     WHEN 'UPDATED' THEN 'UPDATE'
+                     ELSE 'UNCHANGED' END AS action,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(inc.total_amount AS DECIMAL(27,6))) AS DOUBLE) AS sum_amount
+FROM incoming inc
+LEFT JOIN statuses s USING (invoice_number, reference_number)
+GROUP BY 1
+"""
+
+
+_SHEET_HEADERS = ("N° Factura", "Órdenes de Embarque", "Monto")
+
+GOLDEN_SHEET = [
+    (0, "Reporte Mensual", None, None),
+    (1, None, None, None),
+    (2, "Empresa:", "ACME Logistics", None),
+    (3, "N° Factura", "Órdenes de Embarque", "Monto"),
+    (4, "F-001", "OE-77", "1200"),
+    (5, "F-002", "OE-78", "3400"),
+    (6, "F-003", "OE-79", "560"),
+]
+
+
+def q_header_discovery(spark, sf_dir):
+    """S4 header-row discovery golden: marker row found at ordinal 3,
+    rows after it re-headered with the discovered names."""
+    raw = spark.createDataFrame(GOLDEN_SHEET, "row_idx long, c0 string, c1 string, c2 string")
+    out = discover_header(raw, _SHEET_HEADERS)
+    return out.select(
+        "row_idx",
+        F.col("N° Factura").alias("invoice_number"),
+        F.col("Órdenes de Embarque").alias("shipment_order"),
+        F.col("Monto").cast("double").alias("amount"),
+    )
+
+
+_SHEET_VALUES = ", ".join(
+    "(" + ", ".join("NULL" if v is None else repr(v) for v in row) + ")"
+    for row in GOLDEN_SHEET
+)
+
+SQL_HEADER_DISCOVERY = f"""
+WITH raw(row_idx, c0, c1, c2) AS (VALUES {_SHEET_VALUES}),
+hdr AS (
+  SELECT min(row_idx) AS h FROM raw
+  WHERE row_idx < 15
+    AND (CASE WHEN upper(trim(c0)) IN ('N° FACTURA', 'ÓRDENES DE EMBARQUE', 'MONTO') THEN 1 ELSE 0 END
+       + CASE WHEN upper(trim(c1)) IN ('N° FACTURA', 'ÓRDENES DE EMBARQUE', 'MONTO') THEN 1 ELSE 0 END
+       + CASE WHEN upper(trim(c2)) IN ('N° FACTURA', 'ÓRDENES DE EMBARQUE', 'MONTO') THEN 1 ELSE 0 END) >= 3)
+SELECT CAST(row_idx AS BIGINT) AS row_idx,
+       c0 AS invoice_number, c1 AS shipment_order, CAST(c2 AS DOUBLE) AS amount
+FROM raw, hdr WHERE row_idx > coalesce(hdr.h, 10)
+"""
+
+
+def q_fixed_cells(spark, sf_dir):
+    """S3 fixed-cell scan: scalar header cells (here: the EUROPE
+    region row) broadcast onto every detail row (nation) without
+    shuffling the detail side."""
+    region = _read(spark, sf_dir, "region")
+    nation = _read(spark, sf_dir, "nation")
+    fixed = region.filter(F.col("r_regionkey") == 0).select(
+        F.col("r_name").alias("fixed_region"),
+        F.col("r_regionkey").alias("fixed_regionkey"),
+    )
+    return attach_fixed_cells(nation.select("n_nationkey", "n_name"), fixed)
+
+
+SQL_FIXED_CELLS = """
+SELECT n.n_nationkey, n.n_name, r.r_name AS fixed_region,
+       r.r_regionkey AS fixed_regionkey
+FROM nation n, (SELECT r_name, r_regionkey FROM region WHERE r_regionkey = 0) r
+"""
+
+
+GOLDEN_DISPLAY = [
+    (0, "1234.0", "abc123"), (1, "007", "file-9"), (2, "12.5", None),
+    (3, "not-a-number", "z"), (4, None, ""), (5, "  88 ", "id/with/slash"),
+]
+
+
+def q_display_casts(spark, sf_dir):
+    """F7 int-cast-for-display (excel_handler.py:98-104: numeric
+    invoice numbers render as int(float(v))) + F9 Drive-link
+    construction (dtos.py:60-62)."""
+    df = spark.createDataFrame(GOLDEN_DISPLAY, "idx long, raw string, file_id string")
+    link = F.when(
+        F.col("file_id").isNotNull(),
+        F.concat(F.lit("https://drive.google.com/file/d/"), F.col("file_id"), F.lit("/view")),
+    )
+    return df.select("idx", int_display_cast(F.col("raw")).alias("display"), link.alias("link"))
+
+
+_DISPLAY_VALUES = ", ".join(
+    "(" + ", ".join("NULL" if v is None else repr(v) for v in row) + ")"
+    for row in GOLDEN_DISPLAY
+)
+
+SQL_DISPLAY_CASTS = f"""
+WITH raw(idx, r, file_id) AS (VALUES {_DISPLAY_VALUES})
+SELECT CAST(idx AS BIGINT) AS idx,
+       CASE WHEN TRY_CAST(trim(r) AS DOUBLE) IS NOT NULL
+            THEN CAST(CAST(trunc(TRY_CAST(trim(r) AS DOUBLE)) AS BIGINT) AS VARCHAR)
+            ELSE r END AS display,
+       CASE WHEN file_id IS NOT NULL
+            THEN 'https://drive.google.com/file/d/' || file_id || '/view' END AS link
+FROM raw
+"""
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1339,6 +1504,10 @@ _QUERIES: dict[str, Callable] = {
     "top_errors": q_top_errors,
     "approx_distinct": q_approx_distinct,
     "multimodal_features": q_multimodal_features,
+    "audit_actions": q_audit_actions,
+    "header_discovery": q_header_discovery,
+    "fixed_cells": q_fixed_cells,
+    "display_casts": q_display_casts,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1380,6 +1549,10 @@ _ORACLES: dict[str, str] = {
     "top_errors": SQL_TOP_ERRORS,
     "approx_distinct": SQL_APPROX_DISTINCT,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "audit_actions": SQL_AUDIT_ACTIONS,
+    "header_discovery": SQL_HEADER_DISCOVERY,
+    "fixed_cells": SQL_FIXED_CELLS,
+    "display_casts": SQL_DISPLAY_CASTS,
     # ann_lsh / minhash_lsh_pairs / simhash_docs: intentionally no
     # oracle (approximate or engine-specific hash) → rows-only check;
     # recall/stability asserted in tests/.

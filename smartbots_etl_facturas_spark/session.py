@@ -36,7 +36,17 @@ def get_spark(app_name: str = "smartbots-etl-facturas-spark",
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Split parquet scans finer than the 128 MB default: the bench
+        # tables are single ~100 MB files, which would otherwise scan
+        # as 1-3 tasks and leave local[32] idle. 8 MB splits give the
+        # scan ~2-4 tasks per core here; on a real cluster reading
+        # 100 TB the file count already saturates executors and this
+        # knob should be raised back toward 128 MB via
+        # SPARK_GRAFT_MAX_PARTITION_BYTES.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)),
+        )
     )
     return builder.getOrCreate()
 

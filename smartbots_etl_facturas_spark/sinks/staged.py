@@ -51,7 +51,10 @@ def publish(df: DataFrame, base: str, check=None) -> str:
     forensics (never referenced by any reader).
     """
     os.makedirs(base, exist_ok=True)
-    version = f"v{time.strftime('%Y%m%d-%H%M%S')}-{os.getpid()}-{int(time.monotonic_ns() % 1e9)}"
+    # zero-padded monotonic ns so lexicographic order == publish order
+    # (single committer per table, the reference's writer model; a
+    # multi-writer deployment would serialize through a metastore)
+    version = f"v{time.strftime('%Y%m%d-%H%M%S')}-{time.monotonic_ns():020d}"
     target = os.path.join(base, version)
     df.write.mode("error").parquet(target)
     if check is not None:
