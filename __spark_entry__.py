@@ -39,9 +39,12 @@ from smartbots_etl_facturas_spark.functions.dates import excel_serial_to_date, p
 from smartbots_etl_facturas_spark.functions.money import parse_money
 from smartbots_etl_facturas_spark.operators.ordered import (
     dedup_first_wins,
+    drop_all_null_rows,
+    filter_nonblank_key,
     filter_summary_rows,
     take_while,
 )
+from smartbots_etl_facturas_spark.streaming.sessions import sessionize
 from smartbots_etl_facturas_spark.operators.dedup import (
     cosine_neardup_pairs,
     minhash_lsh_pairs,
@@ -70,14 +73,19 @@ from smartbots_etl_facturas_spark.operators.upsert import (
     upsert_full,
     upsert_insert_only,
 )
-from smartbots_etl_facturas_spark.functions.cleaning import int_display_cast
+from smartbots_etl_facturas_spark.functions.cleaning import (
+    clean_string,
+    int_display_cast,
+    normalize_currency,
+    strip_prefix,
+)
 from smartbots_etl_facturas_spark.sources.readers import (
     attach_fixed_cells,
     discover_header,
 )
 from smartbots_etl_facturas_spark.operators.validation import split_valid, with_validation
 from smartbots_etl_facturas_spark.plans.invoices import invoice_view, invoices_cte
-from smartbots_etl_facturas_spark.sources.manifest import pending_files
+from smartbots_etl_facturas_spark.sources.manifest import newest_first, pending_files
 
 DEC = "decimal(18,2)"
 PK = ["invoice_number", "reference_number"]
@@ -1455,6 +1463,124 @@ FROM raw
 """
 
 
+def q_sessions(spark, sf_dir):
+    """Gap-based sessionization (1h inactivity gap) via the built-in
+    session_window — the streaming-capable plan run in batch mode;
+    the applyInPandasWithState custom-stateful twin is verified in
+    tests/test_streaming.py."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "value",
+    )
+    out = sessionize(ev, gap_seconds=3600)
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+SQL_SESSIONS = """
+WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, value FROM events),
+o AS (SELECT user_id, tus, value,
+             CASE WHEN lag(tus) OVER w IS NULL
+                    OR tus - lag(tus) OVER w > 3600000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+SELECT user_id,
+       CAST(min(tus) AS BIGINT) AS start_us,
+       CAST(max(tus) AS BIGINT) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_manifest_listing(spark, sf_dir):
+    """S5/O1/O4 ordered source discovery: newest-first manifest,
+    deterministic top-5 (modified desc, name asc tie-break)."""
+    orders = _read(spark, sf_dir, "orders")
+    manifest = orders.groupBy(
+        F.concat(F.lit("file_"), (F.col("o_custkey") % 20).cast("string")).alias("file_name")
+    ).agg(
+        F.max("o_orderdate").cast("date").alias("modified_time"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return (
+        newest_first(manifest)
+        .orderBy(F.desc("modified_time"), F.col("file_name"))
+        .limit(5)
+    )
+
+
+SQL_MANIFEST_LISTING = """
+SELECT 'file_' || CAST(o_custkey % 20 AS VARCHAR) AS file_name,
+       CAST(max(o_orderdate) AS DATE) AS modified_time,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM orders
+GROUP BY 1
+ORDER BY modified_time DESC, file_name
+LIMIT 5
+"""
+
+
+GOLDEN_RAW_ROWS = [
+    (0, " F-001 ", None, "clp", "Aprobado por: Ana Soto", "x"),
+    (1, "F-002", "OE-9", None, "  Luis Rojas ", "y"),
+    (2, None, None, None, None, None),
+    (3, "", "OE-10", "usd", "Aprobado por: Mia King", "z"),
+    (4, "F-005", "OE-11", " eur ", "Jo", None),
+]
+
+
+def q_cleaners(spark, sf_dir):
+    """P2/P3/P4/P5/P6 + F4 cleaning pipeline golden: trim/null-to-
+    empty, currency normalize with CLP default, prefix strip,
+    all-null-row drop, non-blank key filter."""
+    df = spark.createDataFrame(
+        GOLDEN_RAW_ROWS,
+        "idx long, num_factura string, orden string, moneda string, resp string, extra string",
+    )
+    cleaned = (
+        drop_all_null_rows(df, ["num_factura", "orden", "moneda", "resp", "extra"])
+        .select(
+            "idx",
+            clean_string(F.col("num_factura")).alias("invoice_number"),
+            normalize_currency(F.col("moneda")).alias("currency"),
+            strip_prefix(F.col("resp")).alias("responsable"),
+        )
+    )
+    return filter_nonblank_key(cleaned, "invoice_number")
+
+
+_RAW_ROW_VALUES = ", ".join(
+    "(" + ", ".join("NULL" if v is None else repr(v) for v in row) + ")"
+    for row in GOLDEN_RAW_ROWS
+)
+
+SQL_CLEANERS = f"""
+WITH raw(idx, num_factura, orden, moneda, resp, extra) AS (VALUES {_RAW_ROW_VALUES}),
+kept AS (SELECT * FROM raw
+         WHERE NOT (num_factura IS NULL AND orden IS NULL AND moneda IS NULL
+                    AND resp IS NULL AND extra IS NULL)),
+cleaned AS (
+  SELECT CAST(idx AS BIGINT) AS idx,
+         trim(coalesce(num_factura, '')) AS invoice_number,
+         CASE WHEN moneda IS NULL OR trim(moneda) = '' THEN 'CLP'
+              ELSE upper(trim(moneda)) END AS currency,
+         trim(regexp_replace(trim(coalesce(resp, '')), '^Aprobado por: ', '')) AS responsable
+  FROM kept)
+SELECT * FROM cleaned
+WHERE invoice_number IS NOT NULL AND trim(invoice_number) != ''
+"""
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1508,6 +1634,9 @@ _QUERIES: dict[str, Callable] = {
     "header_discovery": q_header_discovery,
     "fixed_cells": q_fixed_cells,
     "display_casts": q_display_casts,
+    "sessions": q_sessions,
+    "manifest_listing": q_manifest_listing,
+    "cleaners": q_cleaners,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1553,6 +1682,9 @@ _ORACLES: dict[str, str] = {
     "header_discovery": SQL_HEADER_DISCOVERY,
     "fixed_cells": SQL_FIXED_CELLS,
     "display_casts": SQL_DISPLAY_CASTS,
+    "sessions": SQL_SESSIONS,
+    "manifest_listing": SQL_MANIFEST_LISTING,
+    "cleaners": SQL_CLEANERS,
     # ann_lsh / minhash_lsh_pairs / simhash_docs: intentionally no
     # oracle (approximate or engine-specific hash) → rows-only check;
     # recall/stability asserted in tests/.

@@ -76,3 +76,26 @@ def attach_fixed_cells(detail: DataFrame, fixed: DataFrame) -> DataFrame:
     scalar header cells become literal columns on every detail row —
     a broadcast cross join of a 1-row frame (no shuffle of detail)."""
     return detail.crossJoin(F.broadcast(fixed))
+
+
+class SchemaValidationError(ValueError):
+    """U2 — declared-schema mismatch (exceptions.py:14-22)."""
+
+    def __init__(self, missing, extra):
+        self.missing, self.extra = missing, extra
+        super().__init__(f"schema mismatch: missing={missing} extra={extra}")
+
+
+def validate_schema(df: DataFrame, expected_columns, strict: bool = True):
+    """U2 column-set validation (excel_handler.py:168-183): compare the
+    frame's columns against the declared set; returns sorted
+    (missing, extra). ``strict`` raises on any difference — the
+    reference's SchemaValidationError path. Metadata-only: touches
+    df.columns, never the data."""
+    actual = set(df.columns)
+    expected = set(expected_columns)
+    missing = sorted(expected - actual)
+    extra = sorted(actual - expected)
+    if strict and (missing or extra):
+        raise SchemaValidationError(missing, extra)
+    return missing, extra

@@ -109,3 +109,90 @@ def test_streaming_windowed_agg_with_watermark(spark, events_dir, tmp_path):
     batch = {(r.window_start.strftime("%H:%M"), r.event_type): r.n
              for r in tumbling_agg(spark.read.parquet(events_dir)).collect()}
     assert seen == batch
+
+
+def test_sessionize_batch_gap_semantics(spark):
+    """Events exactly gap apart still merge (closed [t, t+gap]
+    windows); only a strictly larger gap starts a new session."""
+    from smartbots_etl_facturas_spark.streaming.sessions import sessionize
+
+    rows = [(1, "2024-01-01 10:00:00", 1.0),
+            (1, "2024-01-01 11:00:00", 2.0),   # exactly 3600s → merges
+            (1, "2024-01-01 12:00:01", 3.0),   # 3601s → new session
+            (2, "2024-01-01 10:00:00", 4.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {(r.user_id, r.session_start.strftime("%H:%M")): (r.n_events, r.sum_value)
+           for r in sessionize(df, gap_seconds=3600).collect()}
+    assert out[(1, "10:00")] == (2, 3.0)
+    assert out[(1, "12:00")] == (1, 3.0)
+    assert out[(2, "10:00")] == (1, 4.0)
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """The same session_window plan on a watermarked stream emits the
+    closed sessions the batch plan computes."""
+    from smartbots_etl_facturas_spark.streaming.sessions import sessionize
+
+    rows = [(1, "2024-01-01 10:00:00", 1.0),
+            (1, "2024-01-01 10:10:00", 2.0),
+            (1, "2024-01-01 12:00:00", 3.0),
+            (2, "2024-01-01 10:05:00", 4.0),
+            (2, "2024-01-01 15:00:00", 5.0)]   # advances watermark far
+    src = str(tmp_path / "sess-src")
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.parquet(src)
+
+    schema = "user_id long, ts timestamp, value double"
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (sessionize(stream, gap_seconds=3600, watermark="0 seconds")
+         .writeStream.format("memory").queryName("sess_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "sess-ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.session_start.strftime("%H:%M")): (r.n_events, r.sum_value)
+           for r in spark.sql("select * from sess_out").collect()}
+    batch = {(r.user_id, r.session_start.strftime("%H:%M")): (r.n_events, r.sum_value)
+             for r in sessionize(df, gap_seconds=3600).collect()}
+    # append mode emits only watermark-closed sessions; all emitted
+    # sessions must match the batch computation exactly
+    assert got
+    for k, v in got.items():
+        assert batch[k] == v
+
+
+def test_sessionize_stateful_custom_operator(spark, tmp_path):
+    """applyInPandasWithState twin: per-key open-session state with
+    event-time timeout; closed sessions match batch session_window."""
+    from smartbots_etl_facturas_spark.streaming.sessions import (
+        sessionize,
+        sessionize_stateful,
+    )
+
+    rows = [(1, "2024-01-01 10:00:00", 1.0),
+            (1, "2024-01-01 10:10:00", 2.0),
+            (1, "2024-01-01 12:00:00", 3.0),   # closes session 1 by gap
+            (2, "2024-01-01 10:05:00", 4.0),
+            (2, "2024-01-01 16:00:00", 5.0)]
+    src = str(tmp_path / "st-src")
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.parquet(src)
+
+    schema = "user_id long, ts timestamp, value double"
+    stream = spark.readStream.schema(schema).parquet(src).withWatermark("ts", "0 seconds")
+    q = (sessionize_stateful(stream, gap_seconds=3600)
+         .writeStream.format("memory").queryName("sess_state_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "st-ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.session_start.strftime("%H:%M")): (r.n_events, r.sum_value)
+           for r in spark.sql("select * from sess_state_out").collect()}
+    batch = {(r.user_id, r.session_start.strftime("%H:%M")): (r.n_events, r.sum_value)
+             for r in sessionize(df, gap_seconds=3600).collect()}
+    assert got                                   # in-data gaps close sessions
+    for k, v in got.items():
+        assert batch[k] == v
