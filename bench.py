@@ -38,6 +38,14 @@ HEADLINE = [
     "dedup_exact_docs",
     "text_quality",
     "doc_fingerprint",
+    "sessions",
+    "cube_sales",
+    "token_count",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "ann_bruteforce",
+    "dedup_embedding",
+    "multimodal_features",
 ]
 
 

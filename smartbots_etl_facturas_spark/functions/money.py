@@ -70,7 +70,7 @@ def parse_money_pandas_udf():
     cross-check the expression tree and as the fallback if a future
     locale rule stops being expressible as Column logic.
     """
-    from decimal import Decimal, InvalidOperation
+    from decimal import ROUND_HALF_UP, Decimal, InvalidOperation
 
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -92,7 +92,9 @@ def parse_money_pandas_udf():
             if len(s.split(".")[1]) == 3:
                 s = s.replace(".", "")
         try:
-            return Decimal(s).quantize(Decimal("0.01"))
+            # HALF_UP: Spark's decimal cast rounding (default Python
+            # quantize is HALF_EVEN and diverges on ties like 0.005)
+            return Decimal(s).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
         except (InvalidOperation, ValueError):
             return None
 

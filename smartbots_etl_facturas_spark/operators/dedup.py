@@ -233,8 +233,11 @@ def cosine_neardup_pairs(
         F.col(vec_col).alias("__vb"),
         F.col("__norm").alias("__nb"),
     )
+    # parallelize the all-pairs path: one-split sources would otherwise
+    # score every pair in a single task (see PERF.md)
+    par = df.sparkSession.sparkContext.defaultParallelism
     joined = (
-        a.join(b, on=join_keys) if join_keys else a.crossJoin(b)
+        a.join(b, on=join_keys) if join_keys else a.repartition(par).crossJoin(b)
     ).filter(F.col("id_a") < F.col("id_b"))
     return (
         joined.withColumn(

@@ -99,3 +99,77 @@ def validate_schema(df: DataFrame, expected_columns, strict: bool = True):
     if strict and (missing or extra):
         raise SchemaValidationError(missing, extra)
     return missing, extra
+
+
+def read_csv_table(
+    spark,
+    path: str,
+    schema,
+    header: bool = True,
+    permissive: bool = True,
+    corrupt_col: str = "_corrupt_record",
+):
+    """S1/S2 for CSV: declared-schema read (never inferSchema — schema
+    is config, per the reference's expected_columns contract).
+
+    ``permissive=True`` routes malformed lines into ``corrupt_col``
+    instead of failing the job — the P10 error side-channel at the
+    scan. ``permissive=False`` is FAILFAST (SchemaValidationError-like
+    abort on first bad record).
+    """
+    from pyspark.sql import types as T
+
+    mode = "PERMISSIVE" if permissive else "FAILFAST"
+    full_schema = schema
+    if permissive and corrupt_col not in [f.name for f in schema.fields]:
+        full_schema = T.StructType(
+            list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+        )
+    return (
+        spark.read.schema(full_schema)
+        .option("header", str(header).lower())
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path)
+    )
+
+
+def read_json_table(spark, path: str, schema, permissive: bool = True,
+                    corrupt_col: str = "_corrupt_record"):
+    """S1/S2 for JSON-lines, same declared-schema + error-channel
+    contract as :func:`read_csv_table`."""
+    from pyspark.sql import types as T
+
+    mode = "PERMISSIVE" if permissive else "FAILFAST"
+    full_schema = schema
+    if permissive and corrupt_col not in [f.name for f in schema.fields]:
+        full_schema = T.StructType(
+            list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+        )
+    return (
+        spark.read.schema(full_schema)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def read_xlsx_table(spark, path: str, sheet_name=0, header_row: int = 1):
+    """S1/S2 for real XLSX via a pandas shim (the reference's native
+    format). Gated: raises NotImplementedError when no Excel engine
+    (openpyxl/calamine) is importable in the environment — the
+    testdata is parquet, so this path is exercised only where an
+    engine exists. One driver-side file at a time, mirroring the
+    reference's per-file loop; rows get an explicit row_idx (the
+    engine's order invariant) before becoming a DataFrame."""
+    import pandas as pd
+
+    try:
+        pdf = pd.read_excel(path, sheet_name=sheet_name, header=header_row - 1)
+    except ImportError as exc:
+        raise NotImplementedError(
+            "XLSX reading needs openpyxl or python-calamine; install one "
+            "or convert inputs to parquet/CSV"
+        ) from exc
+    pdf.insert(0, "row_idx", range(len(pdf)))
+    return spark.createDataFrame(pdf)
