@@ -43,23 +43,30 @@ def reconcile(
     2-decimal money columns.
     """
     keys = list(keys)
-    missing = source.join(result, on=keys, how="left_anti")
-    subset = result.join(source.select(*keys).distinct(), on=keys, how="left_semi")
-
-    src_tot = source.agg(
-        F.coalesce(F.sum(F.col(amount_col).cast(amount_type)),
-                   F.lit(0).cast(amount_type)).alias("t")
+    # Single-pass formulation: pre-aggregate each side per PK, join the
+    # (small) per-PK frames once, and derive all three checks from that
+    # one join. The naive anti-join + semi-join + two sums shape
+    # evaluates the (expensive) `result` subtree twice and scans
+    # `source` three times; this shape evaluates each input ONCE, the
+    # two groupBys shuffle on the same keys (co-partitioned join), and
+    # decimal sums-of-sums stay exact. Semantics identical:
+    #   missing_pk_count = Σ n_src over PKs absent from result (≡ J3
+    #   anti-join row count), result_total = Σ result amounts over PKs
+    #   present in source (≡ J4 semi-join sum).
+    src_pk = source.groupBy(*keys).agg(
+        F.sum(F.col(amount_col).cast(amount_type)).alias("__s"),
+        F.count(F.lit(1)).alias("__n_src"),
     )
-    res_tot = subset.agg(
-        F.coalesce(F.sum(F.col(amount_col).cast(amount_type)),
-                   F.lit(0).cast(amount_type)).alias("t")
+    res_pk = result.groupBy(*keys).agg(
+        F.sum(F.col(amount_col).cast(amount_type)).alias("__r"),
+        F.count(F.lit(1)).alias("__n_res"),   # presence marker (amounts may be NULL)
     )
-    miss = missing.agg(F.count(F.lit(1)).alias("missing_pk_count"))
-
-    report = (
-        src_tot.select(F.col("t").alias("source_total"))
-        .crossJoin(res_tot.select(F.col("t").alias("result_total")))
-        .crossJoin(miss)
+    joined = src_pk.join(res_pk, on=keys, how="left")
+    report = joined.agg(
+        F.coalesce(F.sum("__s"), F.lit(0).cast(amount_type)).alias("source_total"),
+        F.coalesce(F.sum("__r"), F.lit(0).cast(amount_type)).alias("result_total"),
+        F.coalesce(F.sum(F.when(F.col("__n_res").isNull(), F.col("__n_src"))),
+                   F.lit(0).cast("long")).alias("missing_pk_count"),
     )
     return report.select(
         F.col("source_total").cast("double").alias("source_total"),

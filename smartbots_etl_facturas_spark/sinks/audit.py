@@ -130,7 +130,10 @@ class AuditWriter:
         return self.spark.read.parquet(os.path.join(self.base, name))
 
     def is_completed(self, file_name: str, modified_time: str) -> bool:
-        """J5 idempotency probe against file_log."""
+        """J5 idempotency probe against file_log (False when the audit
+        table does not exist yet — first-ever run)."""
+        if not os.path.isdir(os.path.join(self.base, "file_log")):
+            return False
         fl = self.table("file_log")
         return (
             fl.filter(
