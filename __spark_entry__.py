@@ -1581,6 +1581,63 @@ WHERE invoice_number IS NOT NULL AND trim(invoice_number) != ''
 """
 
 
+def q_brand_revenue(spark, sf_dir):
+    """Star join lineitem ⋈ part ⋈ supplier ⋈ nation with broadcast
+    dims: revenue by part brand × supplier nation (TPC-H Q9-shaped).
+    part is join-pruned to two columns; dims broadcast so the fact
+    table never shuffles for the joins."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = F.broadcast(_read(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    supp = F.broadcast(_read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    nation = F.broadcast(_read(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(8,4)")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .groupBy("p_brand", "n_name")
+        .agg(
+            F.sum(ep * (1 - disc)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_BRAND_REVENUE = """
+SELECT p.p_brand, n.n_name,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q_top_parts_by_size(spark, sf_dir):
+    """Windowed top-2 parts by retail price within each size class —
+    WindowGroupLimit plan, deterministic tie-break."""
+    part = _read(spark, sf_dir, "part")
+    w = Window.partitionBy("p_size").orderBy(F.desc("p_retailprice"), F.col("p_partkey"))
+    return (
+        part.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 2)
+        .select("p_size", "p_partkey", "p_brand", "p_retailprice", "rk")
+    )
+
+
+SQL_TOP_PARTS_BY_SIZE = """
+SELECT p_size, p_partkey, p_brand, p_retailprice, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY p_size
+                                   ORDER BY p_retailprice DESC, p_partkey) AS rk
+      FROM part)
+WHERE rk <= 2
+"""
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1637,6 +1694,8 @@ _QUERIES: dict[str, Callable] = {
     "sessions": q_sessions,
     "manifest_listing": q_manifest_listing,
     "cleaners": q_cleaners,
+    "brand_revenue": q_brand_revenue,
+    "top_parts_by_size": q_top_parts_by_size,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1685,6 +1744,8 @@ _ORACLES: dict[str, str] = {
     "sessions": SQL_SESSIONS,
     "manifest_listing": SQL_MANIFEST_LISTING,
     "cleaners": SQL_CLEANERS,
+    "brand_revenue": SQL_BRAND_REVENUE,
+    "top_parts_by_size": SQL_TOP_PARTS_BY_SIZE,
     # ann_lsh / minhash_lsh_pairs / simhash_docs: intentionally no
     # oracle (approximate or engine-specific hash) → rows-only check;
     # recall/stability asserted in tests/.
