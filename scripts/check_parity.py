@@ -79,9 +79,23 @@ def main():
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
-    from smartbots_etl_facturas_spark.session import get_spark
 
-    spark = get_spark("parity-check", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+    if os.environ.get("SPARK_GRAFT_PARITY_DEFAULT_SESSION"):
+        # driver-faithful mode: plain session (ANSI on, NO UTC/AQE/
+        # shuffle tuning from the engine factory, host timezone)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("parity-default")
+            .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+            .config("spark.sql.ansi.enabled", "true")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from smartbots_etl_facturas_spark.session import get_spark
+
+        spark = get_spark("parity-check", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failed = []
     for name, fn in qs.items():
