@@ -147,9 +147,30 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, text_col, id_col, shingle_n, threshold=0.0)
+    # Exact-Jaccard verification restricted to CANDIDATE pairs only —
+    # cost O(|candidates| · doc_size), independent of how many
+    # non-candidate pairs share a shingle. (Scoring every co-shingle
+    # pair via the full inverted index would defeat the LSH bucketing
+    # at scale.)
+    sh = doc_shingles(df, text_col, id_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        candidates.join(sh_a, on="id_a")
+        .join(sh_b, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    ).cast("double")
     return (
-        candidates.join(exact, on=["id_a", "id_b"])
+        inter.join(sz_a, on="id_a")
+        .join(sz_b, on="id_b")
+        .withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
