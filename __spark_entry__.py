@@ -1581,6 +1581,16 @@ WHERE invoice_number IS NOT NULL AND trim(invoice_number) != ''
 """
 
 
+def q_rolling_fingerprint(spark, sf_dir):
+    """Rolling-hash (winnowing-style min-of-k-gram-hashes) document
+    fingerprint (no oracle: xxhash64 bit patterns are engine-specific;
+    locality properties asserted in tests/test_dedup.py)."""
+    from smartbots_etl_facturas_spark.functions.text import rolling_fingerprint
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return docs.select("doc_id", rolling_fingerprint("text").alias("fp"))
+
+
 def q_brand_revenue(spark, sf_dir):
     """Star join lineitem ⋈ part ⋈ supplier ⋈ nation with broadcast
     dims: revenue by part brand × supplier nation (TPC-H Q9-shaped).
@@ -1696,6 +1706,7 @@ _QUERIES: dict[str, Callable] = {
     "cleaners": q_cleaners,
     "brand_revenue": q_brand_revenue,
     "top_parts_by_size": q_top_parts_by_size,
+    "rolling_fingerprint": q_rolling_fingerprint,
 }
 
 _ORACLES: dict[str, str] = {

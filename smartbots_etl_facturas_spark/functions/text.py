@@ -91,3 +91,21 @@ def bpe_ish_tokens(text: Column) -> Column:
 
 def bpe_ish_token_count(text: Column) -> Column:
     return F.size(bpe_ish_tokens(text)).cast("long")
+
+
+def rolling_fingerprint(text_col: str, k: int = 8) -> Column:
+    """Rolling-hash document fingerprint (winnowing-style): hash every
+    k-char window with xxhash64, keep the MINIMUM — shift/edit-local
+    changes leave most windows (and usually the min) intact, unlike a
+    whole-document digest. Pure JVM expression: substring windows via
+    sequence/transform + array_min; one pass, no shuffle.
+
+    Takes a column NAME (the expression is built as SQL text for the
+    lambda-bound window index).
+    """
+    s = f"trim({text_col})"
+    windows = F.expr(
+        f"transform(sequence(1, greatest(length({s}) - {k} + 1, 1)), "
+        f"i -> xxhash64(substring({s}, i, {k})))"
+    )
+    return F.when(F.length(F.expr(s)) >= 1, F.array_min(windows))

@@ -111,3 +111,87 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
         mtype = ("image", "audio", "video")[i % 3]
         rows.append((i, mtype, bytearray(payload), f"application/x-{mtype}", f"mem://{i}"))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    MEDIA_SCHEMA.fields
+    + [
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
+        T.StructField("resized", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int = 224, height: int = 224,
+                  decoder: str = "fake") -> DataFrame:
+    """Resize stage via mapInPandas. The pixel resample is STUBBED
+    (deterministic byte-fold standing in for the real kernel; a
+    Pillow-backed body slots into the same batch shape) — the Spark
+    plumbing (schema, Arrow batches, binary pass-through) is real."""
+    if decoder == "pil":
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise NotImplementedError("decoder='pil' requires Pillow") from exc
+
+    target = width * height // 64  # fake: fold payload to a size-proportional digest chain
+
+    def _batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def fake_resize(b):
+            if b is None:
+                return None
+            out = hashlib.sha256(bytes(b)).digest()
+            while len(out) < target:
+                out += hashlib.sha256(out).digest()
+            return out[:target]
+
+        for pdf in batches:
+            yield pdf.assign(
+                out_width=pd.Series([width] * len(pdf), dtype="Int32"),
+                out_height=pd.Series([height] * len(pdf), dtype="Int32"),
+                resized=pdf["content"].map(fake_resize),
+            )
+
+    return df.mapInPandas(_batches, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("duration_s", T.DoubleType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+    T.StructField("n_samples", T.LongType(), True),
+])
+
+
+def extract_audio_features(df: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """Audio feature stub: payload bytes interpreted as int8 samples
+    (a real decoder would produce PCM here); duration/RMS computed
+    vectorized with numpy inside mapInPandas."""
+
+    def _batches(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            for b in pdf["content"]:
+                if b is None:
+                    feats.append((None, None, None))
+                    continue
+                samples = np.frombuffer(bytes(b), dtype=np.int8).astype(np.float64)
+                feats.append((
+                    len(samples) / sample_rate,
+                    float(np.sqrt(np.mean(samples ** 2))) if len(samples) else 0.0,
+                    len(samples),
+                ))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "duration_s": [f[0] for f in feats],
+                "rms": [f[1] for f in feats],
+                "n_samples": pd.Series([f[2] for f in feats], dtype="Int64"),
+            })
+
+    return df.filter(F.col("media_type") == "audio").mapInPandas(_batches, AUDIO_FEATURES_SCHEMA)

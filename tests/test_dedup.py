@@ -103,3 +103,19 @@ def test_cosine_neardup_exact_and_lsh(spark):
            cosine_neardup_pairs(df, threshold=0.95, bucket_bits=8, dim=16).collect()}
     assert lsh <= exact                              # no false positives
     assert len(lsh & exact) / len(exact) >= 0.5      # collision-prob recall
+
+
+def test_rolling_fingerprint_locality(spark):
+    """Winnowing property: an edit near the END leaves the min-window
+    fingerprint of the shared prefix region likely intact, and
+    identical texts always collide; distinct texts rarely do."""
+    from smartbots_etl_facturas_spark.functions.text import rolling_fingerprint
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [(1, base), (2, base), (3, base[:-6] + "CHANGE"), (4, "completely other words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r.doc_id: r.fp for r in df.select("doc_id", rolling_fingerprint("text").alias("fp")).collect()}
+    assert fp[1] == fp[2]                  # identical → same fingerprint
+    assert fp[1] == fp[3]                  # tail edit → min window survives
+    assert fp[1] != fp[4]
+    assert df.filter(F.trim("text") == "").count() == 0

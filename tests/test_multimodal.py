@@ -62,3 +62,31 @@ def test_metadata_filter_prunes_before_decode(spark, media):
     only matching rows (count proves the filter happened upstream)."""
     out = extract_image_features(media.filter(F.col("media_type") == "image"))
     assert out.count() == media.filter(F.col("media_type") == "image").count()
+
+
+def test_resize_images_batch_shape(spark):
+    from smartbots_etl_facturas_spark.sources.multimodal import resize_images, synthetic_media
+
+    out = resize_images(synthetic_media(spark, 12), width=64, height=64).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r.out_width == 64 and r.out_height == 64
+        assert len(r.resized) == 64 * 64 // 64
+    # deterministic: same payload → same resized bytes
+    again = resize_images(synthetic_media(spark, 12), width=64, height=64).collect()
+    assert [bytes(r.resized) for r in out] == [bytes(r.resized) for r in again]
+
+
+def test_extract_audio_features(spark):
+    from smartbots_etl_facturas_spark.sources.multimodal import (
+        extract_audio_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 12)
+    out = {r.media_id: r for r in extract_audio_features(media).collect()}
+    n_audio = media.filter("media_type = 'audio'").count()
+    assert len(out) == n_audio > 0
+    for r in out.values():
+        assert r.n_samples > 0 and r.duration_s == r.n_samples / 16000
+        assert r.rms > 0
