@@ -1581,6 +1581,62 @@ WHERE invoice_number IS NOT NULL AND trim(invoice_number) != ''
 """
 
 
+# Distinctive character trigrams per language (with boundary spaces,
+# like classic n-gram profiles); the vote is the number of profile
+# trigram OCCURRENCES in the lowercased text.
+_TRIGRAM_PROFILES = {
+    "en": [" th", "the", "he ", "ing", "and", " of"],
+    "es": [" de", "os ", " la", "ión", "ent", "que"],
+    "de": ["der", "ein", "sch", "ich", "nde", "die"],
+}
+
+
+def q_lang_id_ngram(spark, sf_dir):
+    """Character-trigram-profile language ID (the classic n-gram
+    heuristic, complementing the stopword-voting lang_id): per-language
+    score = total occurrences of that language's profile trigrams."""
+    docs = _read(spark, sf_dir, "documents")
+    low = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    scores = {}
+    for lang, grams in _TRIGRAM_PROFILES.items():
+        s = None
+        for g in grams:
+            # occurrences of g = (len(text) - len(remove(g))) / 3
+            cnt = (F.length(low) - F.length(F.replace(low, F.lit(g), F.lit("")))) / 3
+            s = cnt if s is None else s + cnt
+        scores[lang] = s.cast("long")
+    out = docs.select("doc_id", *[scores[lang].alias(f"{lang}_score") for lang in scores])
+    pred = (
+        F.when((F.col("en_score") >= F.col("es_score"))
+               & (F.col("en_score") >= F.col("de_score")), F.lit("en"))
+        .when(F.col("es_score") >= F.col("de_score"), F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return out.withColumn("lang_pred", pred)
+
+
+def _sql_trigram_score(grams):
+    parts = [
+        f"(length(t) - length(replace(t, '{g}', ''))) / 3" for g in grams
+    ]
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+SQL_LANG_ID_NGRAM = f"""
+WITH lowered AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+s AS (SELECT doc_id,
+             {_sql_trigram_score(_TRIGRAM_PROFILES["en"])} AS en_score,
+             {_sql_trigram_score(_TRIGRAM_PROFILES["es"])} AS es_score,
+             {_sql_trigram_score(_TRIGRAM_PROFILES["de"])} AS de_score
+      FROM lowered)
+SELECT doc_id, en_score, es_score, de_score,
+       CASE WHEN en_score >= es_score AND en_score >= de_score THEN 'en'
+            WHEN es_score >= de_score THEN 'es'
+            ELSE 'de' END AS lang_pred
+FROM s
+"""
+
+
 def q_rolling_fingerprint(spark, sf_dir):
     """Rolling-hash (winnowing-style min-of-k-gram-hashes) document
     fingerprint (no oracle: xxhash64 bit patterns are engine-specific;
@@ -1707,6 +1763,7 @@ _QUERIES: dict[str, Callable] = {
     "brand_revenue": q_brand_revenue,
     "top_parts_by_size": q_top_parts_by_size,
     "rolling_fingerprint": q_rolling_fingerprint,
+    "lang_id_ngram": q_lang_id_ngram,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1757,6 +1814,7 @@ _ORACLES: dict[str, str] = {
     "cleaners": SQL_CLEANERS,
     "brand_revenue": SQL_BRAND_REVENUE,
     "top_parts_by_size": SQL_TOP_PARTS_BY_SIZE,
+    "lang_id_ngram": SQL_LANG_ID_NGRAM,
     # ann_lsh / minhash_lsh_pairs / simhash_docs: intentionally no
     # oracle (approximate or engine-specific hash) → rows-only check;
     # recall/stability asserted in tests/.

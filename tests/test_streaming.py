@@ -196,3 +196,49 @@ def test_sessionize_stateful_custom_operator(spark, tmp_path):
     assert got                                   # in-data gaps close sessions
     for k, v in got.items():
         assert batch[k] == v
+
+
+def test_streaming_consolidation_foreachbatch(spark, tmp_path):
+    """Streaming twin of plans/consolidation: the file source +
+    checkpoint IS the J5 idempotency ledger; every micro-batch
+    upserts (insert-only) into the staged-published consolidated
+    table inside foreachBatch — exactly-once across re-runs."""
+    from smartbots_etl_facturas_spark.operators.upsert import upsert_insert_only
+    from smartbots_etl_facturas_spark.sinks.staged import publish, read_published
+    from smartbots_etl_facturas_spark.streaming.ingest import incremental_file_stream
+
+    src = str(tmp_path / "inv-src")
+    base = str(tmp_path / "consolidated")
+    ckpt = str(tmp_path / "inv-ckpt")
+    schema = "invoice_number string, reference_number string, total_amount double"
+    pk = ["invoice_number", "reference_number"]
+
+    spark.createDataFrame(
+        [("F-1", "R-1", 119.0), ("F-2", "R-1", 238.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def on_batch(bdf, batch_id):
+        try:
+            current = read_published(bdf.sparkSession, base)
+        except FileNotFoundError:
+            current = bdf.limit(0)
+        merged = upsert_insert_only(current, bdf.dropDuplicates(pk), pk)
+        publish(merged, base)
+
+    for _ in range(2):  # second run: checkpoint says nothing new
+        q = incremental_file_stream(
+            spark, src, T._parse_datatype_string(schema), ckpt, on_batch=on_batch
+        )
+        q.awaitTermination(120)
+    assert read_published(spark, base).count() == 2
+
+    # late file: overlapping PK must NOT overwrite, new PK appends
+    spark.createDataFrame(
+        [("F-1", "R-1", 999.0), ("F-9", "R-9", 10.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = incremental_file_stream(
+        spark, src, T._parse_datatype_string(schema), ckpt, on_batch=on_batch
+    )
+    q.awaitTermination(120)
+    rows = {r.invoice_number: r.total_amount for r in read_published(spark, base).collect()}
+    assert rows == {"F-1": 119.0, "F-2": 238.0, "F-9": 10.0}
