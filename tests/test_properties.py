@@ -84,3 +84,34 @@ def test_upsert_insert_only_invariants(spark, ex_rows, in_rows):
     expected = dict(inc)
     expected.update(ex)
     assert result == expected
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 30), st.booleans()),
+        min_size=0, max_size=40, unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_take_while_matches_python_model(spark, rows):
+    """P8 take-while == itertools.takewhile per partition, for any
+    (group, position, stops) input."""
+    from itertools import takewhile
+
+    from smartbots_etl_facturas_spark.operators.ordered import take_while
+
+    df = spark.createDataFrame(
+        rows or [(99, 0, False)], "grp int, pos int, stops boolean"
+    )
+    if not rows:
+        df = df.limit(0)
+    out = take_while(df, "pos", F.col("stops"), partition_by=["grp"])
+    got = sorted((r.grp, r.pos) for r in out.collect())
+
+    expected = []
+    by_grp = {}
+    for g, p, s in sorted(rows):
+        by_grp.setdefault(g, []).append((p, s))
+    for g, items in by_grp.items():
+        expected += [(g, p) for p, _ in takewhile(lambda t: not t[1], sorted(items))]
+    assert got == sorted(expected)
