@@ -1581,6 +1581,34 @@ WHERE invoice_number IS NOT NULL AND trim(invoice_number) != ''
 """
 
 
+def q_json_props(spark, sf_dir):
+    """Semi-structured extraction: parse the events.props JSON column
+    with a declared schema (from_json; corrupt → null, the scan-level
+    error channel) and aggregate on the extracted field."""
+    ev = read_events(spark, sf_dir)
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k int").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("k").cast("long")).alias("sum_k"),
+        F.max("k").alias("max_k"),
+        F.count(F.when(F.col("k").isNull(), 1)).alias("n_null"),
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(props ->> 'k' AS INTEGER)) AS BIGINT) AS sum_k,
+       max(CAST(props ->> 'k' AS INTEGER)) AS max_k,
+       CAST(count(CASE WHEN props ->> 'k' IS NULL THEN 1 END) AS BIGINT) AS n_null
+FROM events
+GROUP BY 1
+"""
+
+
 # Distinctive character trigrams per language (with boundary spaces,
 # like classic n-gram profiles); the vote is the number of profile
 # trigram OCCURRENCES in the lowercased text.
@@ -1764,6 +1792,7 @@ _QUERIES: dict[str, Callable] = {
     "top_parts_by_size": q_top_parts_by_size,
     "rolling_fingerprint": q_rolling_fingerprint,
     "lang_id_ngram": q_lang_id_ngram,
+    "json_props": q_json_props,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1815,6 +1844,7 @@ _ORACLES: dict[str, str] = {
     "brand_revenue": SQL_BRAND_REVENUE,
     "top_parts_by_size": SQL_TOP_PARTS_BY_SIZE,
     "lang_id_ngram": SQL_LANG_ID_NGRAM,
+    "json_props": SQL_JSON_PROPS,
     # ann_lsh / minhash_lsh_pairs / simhash_docs: intentionally no
     # oracle (approximate or engine-specific hash) → rows-only check;
     # recall/stability asserted in tests/.
