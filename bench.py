@@ -63,14 +63,20 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     _force(qs["pricing_summary"](spark, sf_dir))
 
+    # best-of-2 per query: single-shot timings on a shared machine are
+    # ±30% noisy; the minimum is the reproducible cost of the plan
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        _force(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
