@@ -57,6 +57,7 @@ from smartbots_etl_facturas_spark.functions.text import (
     token_count,
 )
 from smartbots_etl_facturas_spark.sources.multimodal import extract_image_features
+from smartbots_etl_facturas_spark.operators.asof import asof_join
 from smartbots_etl_facturas_spark.operators.reconcile import reconcile
 from smartbots_etl_facturas_spark.operators.similarity import (
     cosine_topk_bruteforce,
@@ -1053,6 +1054,57 @@ GROUP BY 1, 2
 """
 
 
+def q_asof_enrich(spark, sf_dir):
+    """As-of join (temporal operator beyond the reference surface,
+    SURVEY.md §2.3 notes the reference has none): each click event is
+    enriched with the latest purchase by the same user at-or-before
+    the click. Single-shuffle union-window plan (operators/asof.py);
+    oracle is DuckDB's native ASOF LEFT JOIN."""
+    # ts arrives as raw nanos (LongType); micro-truncate to match the
+    # µs resolution DuckDB reads TIMESTAMP(NANOS) at
+    ev = read_events(spark, sf_dir).withColumn("ts", F.expr("ts div 1000"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(clicks, purchases, on="user_id", ts_col="ts",
+                    tiebreak="event_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("ts_us"),
+        F.col("value").cast("decimal(18,4)").cast("double").alias("value"),
+        F.col("matched_ts").alias("purchase_ts_us"),
+        F.col("matched_event_id").alias("purchase_event_id"),
+        F.col("matched_value").cast("decimal(18,4)").cast("double").alias("purchase_value"),
+    )
+
+
+SQL_ASOF_ENRICH = """
+WITH clicks AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+  FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                                     ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase')
+  WHERE rn = 1
+)
+SELECT c.event_id AS event_id,
+       c.user_id AS user_id,
+       CAST(c.ts_us AS BIGINT) AS ts_us,
+       CAST(CAST(c.value AS DECIMAL(18,4)) AS DOUBLE) AS value,
+       CAST(p.ts_us AS BIGINT) AS purchase_ts_us,
+       p.event_id AS purchase_event_id,
+       CAST(CAST(p.value AS DECIMAL(18,4)) AS DOUBLE) AS purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+"""
+
+
 def q_summary_row_filter(spark, sf_dir):
     """P7 keyword row filter (uppercased concat match)."""
     docs = _read(spark, sf_dir, "documents")
@@ -1774,6 +1826,7 @@ _QUERIES: dict[str, Callable] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_docs": q_simhash_docs,
     "events_sliding": q_events_sliding,
+    "asof_enrich": q_asof_enrich,
     "dedup_embedding": q_dedup_embedding,
     "token_count": q_token_count,
     "cube_sales": q_cube_sales,
@@ -1827,6 +1880,7 @@ _ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "events_sliding": SQL_EVENTS_SLIDING,
+    "asof_enrich": SQL_ASOF_ENRICH,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "token_count": SQL_TOKEN_COUNT,
     "cube_sales": SQL_CUBE_SALES,

@@ -39,6 +39,7 @@ HEADLINE = [
     "text_quality",
     "doc_fingerprint",
     "sessions",
+    "asof_enrich",
     "cube_sales",
     "token_count",
     "ngram_jaccard_pairs",
