@@ -58,6 +58,7 @@ from smartbots_etl_facturas_spark.functions.text import (
 )
 from smartbots_etl_facturas_spark.sources.multimodal import extract_image_features
 from smartbots_etl_facturas_spark.operators.asof import asof_join
+from smartbots_etl_facturas_spark.operators.rangejoin import bucketed_range_join
 from smartbots_etl_facturas_spark.operators.reconcile import reconcile
 from smartbots_etl_facturas_spark.operators.similarity import (
     cosine_topk_bruteforce,
@@ -1105,6 +1106,58 @@ FROM clicks c ASOF LEFT JOIN purchases p
 """
 
 
+def q_range_join_counts(spark, sf_dir):
+    """Bucketed range join (non-equi temporal join beyond the
+    reference's hash-equi-only surface): per click, count + sum of the
+    same user's purchases in the 24h up to the click. The bucketed
+    plan keeps it an equi-join shuffle (operators/rangejoin.py);
+    left-outer semantics restored by re-joining the click spine so
+    purchase-less clicks report zero."""
+    ev = read_events(spark, sf_dir).withColumn("ts", F.expr("ts div 1000"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").cast("decimal(18,4)").alias("value")
+    )
+    day_us = 86_400_000_000
+    pairs = bucketed_range_join(
+        clicks, purchases, on="user_id", ts_col="ts", lower=-day_us, upper=0
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("r_value").cast("double").alias("sum_purchases"),
+    )
+    return clicks.join(counts, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("ts_us"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.coalesce("sum_purchases", F.lit(0.0)).alias("sum_purchases"),
+    )
+
+
+SQL_RANGE_JOIN_COUNTS = """
+WITH clicks AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, CAST(value AS DECIMAL(18,4)) AS value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id AS event_id,
+       c.user_id AS user_id,
+       CAST(c.ts_us AS BIGINT) AS ts_us,
+       CAST(count(p.ts_us) AS BIGINT) AS n_purchases,
+       coalesce(CAST(CAST(sum(p.value) AS VARCHAR) AS DOUBLE), 0.0) AS sum_purchases
+FROM clicks c LEFT JOIN purchases p
+  ON c.user_id = p.user_id
+ AND p.ts_us >= c.ts_us - 86400000000
+ AND p.ts_us <= c.ts_us
+GROUP BY c.event_id, c.user_id, c.ts_us
+"""
+
+
 def q_summary_row_filter(spark, sf_dir):
     """P7 keyword row filter (uppercased concat match)."""
     docs = _read(spark, sf_dir, "documents")
@@ -1827,6 +1880,7 @@ _QUERIES: dict[str, Callable] = {
     "simhash_docs": q_simhash_docs,
     "events_sliding": q_events_sliding,
     "asof_enrich": q_asof_enrich,
+    "range_join_counts": q_range_join_counts,
     "dedup_embedding": q_dedup_embedding,
     "token_count": q_token_count,
     "cube_sales": q_cube_sales,
@@ -1881,6 +1935,7 @@ _ORACLES: dict[str, str] = {
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "events_sliding": SQL_EVENTS_SLIDING,
     "asof_enrich": SQL_ASOF_ENRICH,
+    "range_join_counts": SQL_RANGE_JOIN_COUNTS,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "token_count": SQL_TOKEN_COUNT,
     "cube_sales": SQL_CUBE_SALES,

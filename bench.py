@@ -40,6 +40,7 @@ HEADLINE = [
     "doc_fingerprint",
     "sessions",
     "asof_enrich",
+    "range_join_counts",
     "cube_sales",
     "token_count",
     "ngram_jaccard_pairs",

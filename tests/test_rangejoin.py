@@ -1,0 +1,83 @@
+"""Bucketed range join semantics (operators/rangejoin.py):
+boundary inclusivity, bucket-edge pairs, differential vs the O(n·m)
+definition, and the equi-join plan contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from smartbots_etl_facturas_spark.operators.rangejoin import bucketed_range_join
+
+L_SCHEMA = "k string, ts long, lid long"
+R_SCHEMA = "k string, ts long, rid long"
+
+
+def _pairs(spark, left_rows, right_rows, lower, upper):
+    left = spark.createDataFrame(left_rows, L_SCHEMA)
+    right = spark.createDataFrame(right_rows, R_SCHEMA)
+    out = bucketed_range_join(left, right, on="k", ts_col="ts",
+                              lower=lower, upper=upper)
+    return {(r.lid, r.r_rid) for r in out.collect()}
+
+
+def test_window_boundaries_inclusive(spark):
+    # window [ts-10, ts]: both endpoints match, outside does not
+    got = _pairs(
+        spark,
+        [("a", 100, 1)],
+        [("a", 89, 1), ("a", 90, 2), ("a", 95, 3), ("a", 100, 4), ("a", 101, 5)],
+        lower=-10, upper=0,
+    )
+    assert got == {(1, 2), (1, 3), (1, 4)}
+
+
+def test_pairs_across_bucket_edge(spark):
+    # width w=10; left at 99 probes buckets 8 and 9 — right at 91
+    # (bucket 9) and at 90 (bucket 9) and at 89 (bucket 8) all match
+    got = _pairs(
+        spark,
+        [("a", 99, 1)],
+        [("a", 89, 1), ("a", 90, 2), ("a", 91, 3)],
+        lower=-10, upper=0,
+    )
+    assert got == {(1, 1), (1, 2), (1, 3)}
+
+
+def test_key_isolation_and_forward_window(spark):
+    got = _pairs(
+        spark,
+        [("a", 10, 1), ("b", 10, 2)],
+        [("a", 15, 1), ("b", 25, 2)],
+        lower=0, upper=10,
+    )
+    assert got == {(1, 1)}                     # b's right row is out of range
+
+
+def test_lower_gt_upper_rejected(spark):
+    left = spark.createDataFrame([("a", 1, 1)], L_SCHEMA)
+    right = spark.createDataFrame([("a", 1, 1)], R_SCHEMA)
+    with pytest.raises(ValueError):
+        bucketed_range_join(left, right, on="k", lower=5, upper=1)
+
+
+def test_differential_vs_bruteforce(spark):
+    left_rows = [(f"k{i % 4}", (i * 37) % 200, i) for i in range(50)]
+    right_rows = [(f"k{i % 4}", (i * 53) % 200, i) for i in range(70)]
+    lower, upper = -25, 5
+    got = _pairs(spark, left_rows, right_rows, lower, upper)
+    want = {
+        (lid, rid)
+        for lk, lts, lid in left_rows
+        for rk, rts, rid in right_rows
+        if lk == rk and lts + lower <= rts <= lts + upper
+    }
+    assert got == want
+
+
+def test_equi_join_plan_no_nested_loop(spark):
+    left = spark.createDataFrame([("a", 1, 1)], L_SCHEMA)
+    right = spark.createDataFrame([("a", 1, 1)], R_SCHEMA)
+    plan = (
+        bucketed_range_join(left, right, on="k", lower=-10, upper=0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
