@@ -62,6 +62,7 @@ from smartbots_etl_facturas_spark.operators.rangejoin import bucketed_range_join
 from smartbots_etl_facturas_spark.operators.reconcile import reconcile
 from smartbots_etl_facturas_spark.operators.similarity import (
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
     cosine_topk_lsh,
 )
 from smartbots_etl_facturas_spark.operators.rollup import (
@@ -1015,6 +1016,17 @@ def q_ann_lsh(spark, sf_dir):
     return cosine_topk_lsh(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5, bits=8)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """Approximate top-5 cosine via IVF cells from distributed k-means
+    (Lloyd iterations as DataFrame aggs, deterministic hash-ordered
+    seeds) — the data-adaptive scale path (no oracle: iterative
+    algorithm, approximate by design; recall vs brute force asserted
+    in tests/test_similarity.py)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(emb.filter(F.col("vec_id") % 50 == 0), emb,
+                           k=5, n_cells=16, nprobe=6)
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs, exact-Jaccard verified
     (no oracle: xxhash64 bit patterns are engine-specific; recall vs
@@ -1876,6 +1888,7 @@ _QUERIES: dict[str, Callable] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_docs": q_simhash_docs,
     "events_sliding": q_events_sliding,
@@ -1954,9 +1967,10 @@ _ORACLES: dict[str, str] = {
     "top_parts_by_size": SQL_TOP_PARTS_BY_SIZE,
     "lang_id_ngram": SQL_LANG_ID_NGRAM,
     "json_props": SQL_JSON_PROPS,
-    # ann_lsh / minhash_lsh_pairs / simhash_docs: intentionally no
-    # oracle (approximate or engine-specific hash) → rows-only check;
-    # recall/stability asserted in tests/.
+    # ann_lsh / ann_ivf / minhash_lsh_pairs / simhash_docs:
+    # intentionally no oracle (approximate, iterative, or
+    # engine-specific hash) → rows-only check; recall/stability
+    # asserted in tests/.
 }
 
 

@@ -12,10 +12,14 @@ Two tiers (BASELINE.json north star):
   scored. Sub-linear candidate sets at 100 TB, recall bounded by
   bucket collision probability.
 
-An IVF-style variant (nearest-of-k-centroids partitioning) is
-deliberately NOT hand-rolled here: without iterative k-means the
-centroid quality is arbitrary, and hyperplane-LSH gives the same
-bucketing effect with deterministic, data-independent structure.
+- IVF (inverted-file) bucketing: the data-adaptive scale path.
+  Coarse centroids are trained with a real distributed k-means
+  (Lloyd iterations as DataFrame aggregations, deterministic
+  hash-ordered init — an iterative algorithm, deliberately not
+  SQL-expressible); corpus vectors post to their nearest-centroid
+  cell, queries probe the ``nprobe`` nearest cells. Candidate cost
+  |Q|·(nprobe/k)·|C| vs the cross join's |Q|·|C|, and unlike
+  hyperplane-LSH the cells follow the data distribution.
 """
 
 from __future__ import annotations
@@ -153,6 +157,141 @@ def cosine_topk_lsh(
     scored = (
         candidates.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
+        .withColumn("cosine", _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# --- IVF: data-adaptive coarse quantization ---------------------------------
+
+def _dot_lit(vec, centroid):
+    """Dot product of a vector column with a driver-side constant
+    centroid — folds to a codegen'd fused multiply-add chain."""
+    return F.aggregate(
+        F.zip_with(vec, F.array(*[F.lit(float(x)) for x in centroid]),
+                   lambda x, w: x.cast("double") * w),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _unit(c):
+    n = sum(x * x for x in c) ** 0.5 or 1.0
+    return [x / n for x in c]
+
+
+def _cell_scores(vec, centroids):
+    """array<struct<score,cell>> of cosine-proportional scores against
+    unit-normalized centroids (row norm is constant per row, so argmax
+    over dot(v, ĉ_j) IS the nearest-by-cosine cell)."""
+    return F.array(*[
+        F.struct(_dot_lit(vec, c).alias("score"),
+                 F.lit(j).cast("int").alias("cell"))
+        for j, c in enumerate(centroids)
+    ])
+
+
+def nearest_cell(vec, centroids):
+    scored = F.array_sort(_cell_scores(vec, centroids))
+    return F.element_at(scored, -1)["cell"]
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    iters: int = 2,
+) -> list[list[float]]:
+    """Distributed Lloyd k-means returning k unit-normalized centroids.
+
+    Deterministic: seeds are the k corpus vectors with the smallest
+    ``xxhash64(id)`` (a reproducible pseudo-random sample needing one
+    top-k, no RNG state); each iteration assigns every vector to its
+    nearest cell JVM-side and recomputes means via posexplode +
+    groupBy(cell, dim) avg — two narrow shuffles per iteration, no
+    driver-side data beyond the k×d centroid matrix. Empty cells keep
+    their previous centroid.
+    """
+    seeds = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(k)
+        .collect()
+    )
+    centroids = [_unit([float(x) for x in r.v]) for r in seeds]
+    for _ in range(iters):
+        assigned = corpus.select(
+            nearest_cell(F.col(vec_col), centroids).alias("cell"),
+            F.col(vec_col).alias("v"),
+        )
+        sums = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("mean"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cell.setdefault(r.cell, {})[r.pos] = r.mean
+        centroids = [
+            _unit([by_cell[j][p] for p in sorted(by_cell[j])])
+            if j in by_cell else centroids[j]
+            for j in range(k)
+        ]
+    return centroids
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    centroids: list[list[float]] | None = None,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF: score only corpus vectors whose cell
+    is among the query's ``nprobe`` nearest cells.
+
+    Corpus posts once to its nearest cell; queries explode onto
+    nprobe cells; candidates come from a plain equi-join on ``cell``
+    (shuffled hash join — no cross join), then exact cosine + window
+    top-k. Recall grows with nprobe/n_cells; nprobe = n_cells
+    degenerates to exact brute force.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, vec_col, id_col, k=n_cells)
+    qn = with_norm(queries, vec_col)
+    cn = with_norm(corpus, vec_col)
+    c = cn.select(
+        F.col(id_col).alias("neighbor_id"),
+        nearest_cell(F.col(vec_col), centroids).alias("cell"),
+        F.col(vec_col).alias("__cv"),
+        F.col("__norm").alias("__cn"),
+    )
+    probes = F.slice(F.reverse(F.array_sort(_cell_scores(F.col(vec_col), centroids))),
+                     1, nprobe)
+    q = qn.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probes).alias("__probe"),
+        F.col(vec_col).alias("__qv"),
+        F.col("__norm").alias("__qn"),
+    ).select(
+        "query_id",
+        F.col("__probe.cell").alias("cell"),
+        "__qv",
+        "__qn",
+    )
+    scored = (
+        q.join(c, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))

@@ -68,3 +68,41 @@ def test_hyperplane_sketch_deterministic(spark, emb):
     b = {r.vec_id: r.bucket for r in hyperplane_sketch(emb, bits=8).select("vec_id", "bucket").collect()}
     assert a == b
     assert all(0 <= v < 256 for v in a.values())
+
+
+def test_kmeans_centroids_deterministic_and_unit(spark, emb):
+    from smartbots_etl_facturas_spark.operators.similarity import kmeans_centroids
+    a = kmeans_centroids(emb, k=8, iters=1)
+    b = kmeans_centroids(emb, k=8, iters=1)
+    assert a == b                                  # reproducible end-to-end
+    assert len(a) == 8
+    for c in a:
+        assert math.isclose(sum(x * x for x in c), 1.0, rel_tol=1e-9)
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    from smartbots_etl_facturas_spark.operators.similarity import cosine_topk_ivf
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk_bruteforce(queries, emb, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in cosine_topk_ivf(queries, emb, k=5, n_cells=8, nprobe=3).collect()}
+    # probing 3/8 data-adaptive cells: true neighbors share the
+    # query's cell far more often than 3/8 of the time
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
+    assert all(q != n for q, n in approx)
+
+
+def test_ivf_full_probe_is_exact(spark):
+    from smartbots_etl_facturas_spark.operators.similarity import cosine_topk_ivf
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = cosine_topk_ivf(df.filter("vec_id = 0"), df, k=3, n_cells=2, nprobe=2).collect()
+    ranked = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [1, 2, 3]                    # nprobe=n_cells ≡ brute force
