@@ -58,6 +58,7 @@ from smartbots_etl_facturas_spark.functions.text import (
 )
 from smartbots_etl_facturas_spark.sources.multimodal import extract_image_features
 from smartbots_etl_facturas_spark.operators.asof import asof_join
+from smartbots_etl_facturas_spark.operators.skew import salted_agg
 from smartbots_etl_facturas_spark.operators.rangejoin import bucketed_range_join
 from smartbots_etl_facturas_spark.operators.reconcile import reconcile
 from smartbots_etl_facturas_spark.operators.similarity import (
@@ -1170,6 +1171,89 @@ GROUP BY c.event_id, c.user_id, c.ts_us
 """
 
 
+def q_skew_salted_agg(spark, sf_dir):
+    """Two-stage salted aggregation (operators/skew.py) over the
+    3-key l_returnflag grouping — the hot-key shape where one reducer
+    would otherwise absorb a third of the table. The oracle is the
+    PLAIN group-by: salting must be a pure physical rewrite with
+    bit-identical results."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_partkey",
+        F.col("l_quantity").cast(DEC).alias("qty_dec"),
+        F.col("l_extendedprice").cast(DEC).alias("price_dec"),
+    )
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": ("qty_dec", "sum"),
+            "n": ("qty_dec", "count"),
+            "max_price": ("price_dec", "max"),
+        },
+        salt_buckets=16,
+        salt_col="l_partkey",
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("n").cast("long").alias("n"),
+        F.col("max_price").cast("double").alias("max_price"),
+    )
+
+
+SQL_SKEW_SALTED_AGG = """
+SELECT l_returnflag,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       CAST(count(l_quantity) AS BIGINT) AS n,
+       CAST(CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_group_percentiles(spark, sf_dir):
+    """Discrete per-group percentiles (p50/p90 of extendedprice by
+    returnflag) — value-at-rank via window row_number + conditional
+    min, integer rank arithmetic only (rn*2 >= n ⇔ rn >= ceil(n/2)),
+    so Spark and DuckDB agree bit-for-bit with no float interpolation."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast(DEC).alias("price")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("price")
+    ranked = li.select(
+        "l_returnflag",
+        "price",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("rn") * 2 >= F.col("n"), F.col("price")))
+        .cast("double").alias("p50"),
+        F.min(F.when(F.col("rn") * 10 >= F.col("n") * 9, F.col("price")))
+        .cast("double").alias("p90"),
+    )
+
+
+SQL_GROUP_PERCENTILES = """
+WITH ranked AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY CAST(l_extendedprice AS DECIMAL(18,2))) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(min(CASE WHEN rn * 2 >= n THEN price END) AS DOUBLE) AS p50,
+       CAST(min(CASE WHEN rn * 10 >= n * 9 THEN price END) AS DOUBLE) AS p90
+FROM ranked
+GROUP BY l_returnflag
+"""
+
+
 def q_summary_row_filter(spark, sf_dir):
     """P7 keyword row filter (uppercased concat match)."""
     docs = _read(spark, sf_dir, "documents")
@@ -1894,6 +1978,8 @@ _QUERIES: dict[str, Callable] = {
     "events_sliding": q_events_sliding,
     "asof_enrich": q_asof_enrich,
     "range_join_counts": q_range_join_counts,
+    "skew_salted_agg": q_skew_salted_agg,
+    "group_percentiles": q_group_percentiles,
     "dedup_embedding": q_dedup_embedding,
     "token_count": q_token_count,
     "cube_sales": q_cube_sales,
@@ -1949,6 +2035,8 @@ _ORACLES: dict[str, str] = {
     "events_sliding": SQL_EVENTS_SLIDING,
     "asof_enrich": SQL_ASOF_ENRICH,
     "range_join_counts": SQL_RANGE_JOIN_COUNTS,
+    "skew_salted_agg": SQL_SKEW_SALTED_AGG,
+    "group_percentiles": SQL_GROUP_PERCENTILES,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "token_count": SQL_TOKEN_COUNT,
     "cube_sales": SQL_CUBE_SALES,
