@@ -691,6 +691,55 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped shipping priority: selective filters on BOTH
+    fact inputs (date pushdown to the scans), customer dim broadcast,
+    orders⋈lineitem left to AQE, top-10 by revenue with a total
+    order. The canonical 3-way join + agg + top-k plan shape."""
+    cutoff = F.lit("1998-03-15").cast("date")
+    cust = _read(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < cutoff
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > cutoff
+    ).select(
+        "l_orderkey",
+        (F.col("l_extendedprice").cast("decimal(12,2)")
+         * (1 - F.col("l_discount").cast("decimal(8,4)"))).alias("amt"),
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"),
+                 "o_orderpriority")
+        .agg(F.sum("amt").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l.l_orderkey,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       o.o_orderpriority,
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS VARCHAR)
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
+  AND CAST(l.l_shipdate AS DATE) > DATE '1998-03-15'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
 def q_top_customers(spark, sf_dir):
     """Star join through customer→nation→region + top-k by revenue.
     nation/region are broadcast (small dims); customer join left to AQE."""
@@ -1960,6 +2009,7 @@ _QUERIES: dict[str, Callable] = {
     "idempotency_pending": q_idempotency_pending,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
+    "shipping_priority": q_shipping_priority,
     "window_rank": q_window_rank,
     "rollup_sales": q_rollup_sales,
     "distinct_parts": q_distinct_parts,
@@ -2021,6 +2071,7 @@ _ORACLES: dict[str, str] = {
     "idempotency_pending": SQL_IDEMPOTENCY_PENDING,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_customers": SQL_TOP_CUSTOMERS,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
     "window_rank": SQL_WINDOW_RANK,
     "rollup_sales": SQL_ROLLUP_SALES,
     "distinct_parts": SQL_DISTINCT_PARTS,
