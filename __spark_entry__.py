@@ -1982,6 +1982,80 @@ WHERE rk <= 2
 """
 
 
+# Two golden workbooks (inline-string and shared-string encodings)
+# covering numerics, accents, sparse cells — written fresh per call,
+# parsed on EXECUTORS via binaryFile + mapInPandas.
+_XLSX_GOLDEN = {
+    "inv_a.xlsx": [
+        ["invoice_number", "carrier", "total"],
+        ["F-001", "ACME", 1500],
+        ["F-002", "TRANSPORTES LTDA", 2500.5],
+        [None, "sin factura", None],
+        ["F-003", "söñé & cía", 99],
+    ],
+    "inv_b.xlsx": [
+        ["invoice_number", "carrier", "total"],
+        ["G-001", "NIPPON", 7],
+        ["G-002", None, 0.25],
+    ],
+}
+
+
+def q_xlsx_distributed(spark, sf_dir):
+    """S1/S2 distributed XLSX scan (the reference's native format,
+    official_format_extractor.py:354-453): workbook bytes read by the
+    binaryFile source on executors, parsed per-file inside
+    mapInPandas, emitting (file, row_idx, declared columns) with the
+    per-file row-order invariant. sf_dir is unused — inputs are the
+    golden workbooks (XLSX has no sf-scaled testdata)."""
+    import tempfile
+
+    from smartbots_etl_facturas_spark.sources.xlsx import (
+        read_xlsx_distributed,
+        write_xlsx,
+    )
+
+    d = tempfile.mkdtemp(prefix="xlsx_golden_")
+    for i, (name, rows) in enumerate(sorted(_XLSX_GOLDEN.items())):
+        write_xlsx(os.path.join(d, name), rows, use_shared_strings=bool(i % 2))
+    df = read_xlsx_distributed(
+        spark, os.path.join(d, "*.xlsx"), ["invoice_number", "carrier", "total"]
+    )
+    return df.select(
+        F.element_at(F.split("source_file", "/"), -1).alias("file"),
+        "row_idx",
+        "invoice_number",
+        "carrier",
+        "total",
+    )
+
+
+def _xlsx_cell_sql(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return f"'{v!r}'"
+    if isinstance(v, int):
+        return f"'{v}'"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+_XLSX_VALUES = ", ".join(
+    "(" + ", ".join(
+        [f"'{name}'", str(ri)] + [_xlsx_cell_sql(v) for v in row]
+    ) + ")"
+    for name, rows in sorted(_XLSX_GOLDEN.items())
+    for ri, row in enumerate(rows[1:])
+)
+
+SQL_XLSX_DISTRIBUTED = f"""
+SELECT file, CAST(row_idx AS BIGINT) AS row_idx,
+       invoice_number, carrier, total
+FROM (VALUES {_XLSX_VALUES})
+     AS t(file, row_idx, invoice_number, carrier, total)
+"""
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2049,6 +2123,7 @@ _QUERIES: dict[str, Callable] = {
     "rolling_fingerprint": q_rolling_fingerprint,
     "lang_id_ngram": q_lang_id_ngram,
     "json_props": q_json_props,
+    "xlsx_distributed": q_xlsx_distributed,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2106,6 +2181,7 @@ _ORACLES: dict[str, str] = {
     "top_parts_by_size": SQL_TOP_PARTS_BY_SIZE,
     "lang_id_ngram": SQL_LANG_ID_NGRAM,
     "json_props": SQL_JSON_PROPS,
+    "xlsx_distributed": SQL_XLSX_DISTRIBUTED,
     # ann_lsh / ann_ivf / minhash_lsh_pairs / simhash_docs:
     # intentionally no oracle (approximate, iterative, or
     # engine-specific hash) → rows-only check; recall/stability

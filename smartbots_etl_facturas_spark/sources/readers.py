@@ -155,21 +155,26 @@ def read_json_table(spark, path: str, schema, permissive: bool = True,
 
 
 def read_xlsx_table(spark, path: str, sheet_name=0, header_row: int = 1):
-    """S1/S2 for real XLSX via a pandas shim (the reference's native
-    format). Gated: raises NotImplementedError when no Excel engine
-    (openpyxl/calamine) is importable in the environment — the
-    testdata is parquet, so this path is exercised only where an
-    engine exists. One driver-side file at a time, mirroring the
-    reference's per-file loop; rows get an explicit row_idx (the
-    engine's order invariant) before becoming a DataFrame."""
-    import pandas as pd
+    """S1/S2 single-workbook XLSX read, driver-side (the reference's
+    per-file loop shape, official_format_extractor.py:354-453). Parses
+    via the engine chain in :mod:`.xlsx` (openpyxl -> calamine ->
+    stdlib OOXML codec, so no external Excel library is required);
+    rows get an explicit row_idx (the engine's order invariant).
 
-    try:
-        pdf = pd.read_excel(path, sheet_name=sheet_name, header=header_row - 1)
-    except ImportError as exc:
-        raise NotImplementedError(
-            "XLSX reading needs openpyxl or python-calamine; install one "
-            "or convert inputs to parquet/CSV"
-        ) from exc
+    For many files use :func:`.xlsx.read_xlsx_distributed` — the
+    ``binaryFile`` + ``mapInPandas`` path that parses on executors.
+    This shim exists for single-file driver-side convenience and as
+    the row-for-row correctness reference for the distributed reader.
+    """
+    from .xlsx import parse_xlsx_to_pdf
+
+    with open(path, "rb") as fh:
+        pdf = parse_xlsx_to_pdf(fh.read(), sheet_name, header_row)
     pdf.insert(0, "row_idx", range(len(pdf)))
-    return spark.createDataFrame(pdf)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("row_idx", T.LongType(), False)]
+        + [T.StructField(str(c), T.StringType(), True) for c in pdf.columns if c != "row_idx"]
+    )
+    return spark.createDataFrame(pdf, schema)

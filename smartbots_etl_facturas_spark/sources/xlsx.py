@@ -1,0 +1,419 @@
+"""S1/S2 — distributed XLSX ingestion (the reference's native input
+format; official_format_extractor.py:354-453, excel_handler.py:40-59).
+
+The reference reads one workbook at a time on a single process through
+an engine fallback chain (fastexcel -> pandas+calamine -> openpyxl).
+Here the same chain exists per *cell parse engine* (openpyxl ->
+python-calamine -> a stdlib zip+XML codec that is always available),
+but the I/O shape is Spark-native: ``spark.read.format("binaryFile")``
+lists and reads the workbook bytes on EXECUTORS, and ``mapInPandas``
+parses each file inside an Arrow batch. The driver never touches
+workbook content, so ingesting 100k workbooks parallelizes across the
+cluster instead of serializing on one pandas loop — the fix for the
+round-1 driver-side shim (VERDICT.md "What's wrong" #2).
+
+Order invariant: every emitted row carries ``source_file`` and a
+0-based per-file ``row_idx`` (sheet row order), feeding the
+order-sensitive operators (P8 take-while, U4 first-wins dedup).
+
+XLSX is ECMA-376 OOXML: a zip of XML parts. The stdlib codec reads
+``xl/workbook.xml`` (+ its rels) to resolve sheets,
+``xl/sharedStrings.xml`` for the shared-string table, and the sheet
+XML's ``<row r=..><c r=.. t=..><v>``/``<is>`` cells. Cells are emitted
+as strings (typing is the projection layer's job — F1/F2/F3 parse
+money/dates/serials downstream), which also makes output identical
+across parse engines.
+
+Scale notes: ``binaryFile`` is non-splittable (one row per workbook —
+correct, a zip can't be split); small files are packed into partitions
+by ``spark.sql.files.maxPartitionBytes``. Keep that sized so a
+partition of workbook payloads fits executor memory.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import zipfile
+from collections.abc import Iterator
+from xml.etree import ElementTree as ET
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+_DOC_REL = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+
+
+# ---------------------------------------------------------------------------
+# stdlib parse engine (always available)
+# ---------------------------------------------------------------------------
+
+def _col_ord(cell_ref: str) -> int:
+    """'BC12' -> 0-based column index (54)."""
+    n = 0
+    for ch in cell_ref:
+        if ch.isalpha():
+            n = n * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return n - 1
+
+
+def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
+    try:
+        data = zf.read("xl/sharedStrings.xml")
+    except KeyError:
+        return []
+    root = ET.fromstring(data)
+    out = []
+    for si in root.findall(f"{_NS}si"):
+        # plain <t> or rich-text runs <r><t>; concatenate all text nodes
+        out.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+    return out
+
+
+def _resolve_sheet_path(zf: zipfile.ZipFile, sheet_name) -> str:
+    """Sheet resolution with the reference's fallback (S2,
+    excel_handler.py:147-166: missing sheet -> first sheet)."""
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    rid_to_target = {
+        rel.get("Id"): rel.get("Target") for rel in rels.findall(f"{_REL_NS}Relationship")
+    }
+    sheets = []  # (name, target) in workbook order
+    for sh in wb.iter(f"{_NS}sheet"):
+        target = rid_to_target.get(sh.get(f"{_DOC_REL}id"), "")
+        if target.startswith("/"):
+            target = target.lstrip("/")
+        elif not target.startswith("xl/"):
+            target = f"xl/{target}"
+        sheets.append((sh.get("name"), target))
+    if not sheets:
+        raise ValueError("workbook has no sheets")
+    if isinstance(sheet_name, int):
+        idx = sheet_name if 0 <= sheet_name < len(sheets) else 0
+        return sheets[idx][1]
+    for name, target in sheets:
+        if name == sheet_name:
+            return target
+    return sheets[0][1]  # reference fallback: first sheet
+
+
+_INT_RE = re.compile(r"^-?\d+$")
+
+
+def _cell_str(cell, shared: list[str]) -> str | None:
+    """Cell -> canonical string (int-collapsed numerics)."""
+    t = cell.get("t", "n")
+    if t == "inlineStr":
+        is_el = cell.find(f"{_NS}is")
+        if is_el is None:
+            return None
+        return "".join(x.text or "" for x in is_el.iter(f"{_NS}t"))
+    v = cell.find(f"{_NS}v")
+    if v is None or v.text is None:
+        return None
+    if t == "s":
+        return shared[int(v.text)]
+    if t == "str":  # cached formula string
+        return v.text
+    if t == "b":
+        return "TRUE" if v.text.strip() == "1" else "FALSE"
+    txt = v.text.strip()
+    if _INT_RE.match(txt):
+        return txt
+    f = float(txt)
+    return str(int(f)) if f.is_integer() else repr(f)
+
+
+def parse_xlsx_grid(content: bytes, sheet_name=0) -> list[list]:
+    """Workbook bytes -> dense row-major grid of canonical-string cells
+    (None for empties), stdlib engine. Sheet rows/cells may be sparse
+    in the XML (`r` attributes carry position); gaps become None."""
+    with zipfile.ZipFile(io.BytesIO(content)) as zf:
+        shared = _shared_strings(zf)
+        root = ET.fromstring(zf.read(_resolve_sheet_path(zf, sheet_name)))
+        rows: dict[int, dict[int, str]] = {}
+        max_col = -1
+        for row_el in root.iter(f"{_NS}row"):
+            r = int(row_el.get("r")) - 1
+            cells: dict[int, str] = {}
+            next_ci = 0
+            for c in row_el.findall(f"{_NS}c"):
+                ref = c.get("r")
+                ci = _col_ord(ref) if ref else next_ci
+                next_ci = ci + 1
+                val = _cell_str(c, shared)
+                if val is not None:
+                    cells[ci] = val
+                    max_col = max(max_col, ci)
+            if cells:
+                rows[r] = cells
+    if not rows:
+        return []
+    n_rows = max(rows) + 1
+    return [
+        [rows.get(ri, {}).get(ci) for ci in range(max_col + 1)] for ri in range(n_rows)
+    ]
+
+
+def parse_xlsx_to_pdf(content: bytes, sheet_name=0, header_row: int = 1):
+    """Workbook bytes -> pandas DataFrame of string cells, via the
+    engine chain openpyxl -> python-calamine -> stdlib codec (the
+    reference's S1 fallback chain, re-pointed at engines that may
+    exist here). All engines normalize to the stdlib's canonical
+    string form so results are engine-independent.
+
+    ``header_row`` is 1-indexed, matching the reference's
+    ``OpenpyxlExcelHandler.read`` contract (excel_handler.py:40-59).
+    """
+    import pandas as pd
+
+    grid = None
+    try:  # preferred engines, when the environment has them
+        import openpyxl  # noqa: F401
+
+        wb = openpyxl.load_workbook(io.BytesIO(content), read_only=True, data_only=True)
+        ws = (
+            wb.worksheets[sheet_name]
+            if isinstance(sheet_name, int) and 0 <= sheet_name < len(wb.worksheets)
+            else (wb[sheet_name] if sheet_name in wb.sheetnames else wb.worksheets[0])
+        )
+        grid = [[_canon_py(v) for v in row] for row in ws.iter_rows(values_only=True)]
+    except ImportError:
+        try:
+            from python_calamine import CalamineWorkbook
+
+            wb = CalamineWorkbook.from_filelike(io.BytesIO(content))
+            names = wb.sheet_names
+            name = (
+                names[sheet_name]
+                if isinstance(sheet_name, int) and 0 <= sheet_name < len(names)
+                else (sheet_name if sheet_name in names else names[0])
+            )
+            grid = [[_canon_py(v) for v in row] for row in wb.get_sheet_by_name(name).to_python()]
+        except ImportError:
+            grid = parse_xlsx_grid(content, sheet_name)
+
+    if len(grid) < header_row:
+        return pd.DataFrame()
+    header = grid[header_row - 1]
+    cols = [h if h is not None else f"col{i}" for i, h in enumerate(header)]
+    data = grid[header_row:]
+    return pd.DataFrame(
+        {c: [row[i] if i < len(row) else None for row in data] for i, c in enumerate(cols)},
+        dtype=object,
+    )
+
+
+def _canon_py(v) -> str | None:
+    """Typed engine value -> the stdlib codec's canonical string."""
+    if v is None or (isinstance(v, str) and v == ""):
+        return None
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return str(int(v)) if v.is_integer() else repr(v)
+    return str(v)
+
+
+# ---------------------------------------------------------------------------
+# distributed reader
+# ---------------------------------------------------------------------------
+
+def xlsx_output_schema(columns: list[str]) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("source_file", T.StringType(), False),
+            T.StructField("row_idx", T.LongType(), False),
+        ]
+        + [T.StructField(c, T.StringType(), True) for c in columns]
+    )
+
+
+def read_xlsx_distributed(
+    spark,
+    path: str,
+    columns: list[str],
+    sheet_name=0,
+    header_row: int = 1,
+    strict: bool = True,
+) -> DataFrame:
+    """Executor-side XLSX scan: ``binaryFile`` source (workbook bytes
+    read where the task runs) + per-file parse inside ``mapInPandas``.
+
+    ``columns`` is the declared schema (config-as-schema, the
+    reference's expected_columns contract, config.py:34-46); with
+    ``strict`` a file missing any declared column fails the job with
+    the U2 SchemaValidationError message shape. Extra columns are
+    pruned. Output: (source_file, row_idx, *columns) all-string —
+    downstream projections type them (F1/F2/F3).
+    """
+    binary = spark.read.format("binaryFile").load(path).select("path", "content")
+    schema = xlsx_output_schema(columns)
+    # Executor workers may not have the package importable (driver
+    # launched from another cwd); inject its root before the import —
+    # the local-mode stand-in for shipping the package via --py-files.
+    pkg_root = _PKG_ROOT
+
+    def _parse(batches: Iterator) -> Iterator:
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        import pandas as pd
+
+        from smartbots_etl_facturas_spark.sources.xlsx import parse_xlsx_to_pdf
+
+        for pdf in batches:
+            for path_val, content in zip(pdf["path"], pdf["content"]):
+                sheet = parse_xlsx_to_pdf(bytes(content), sheet_name, header_row)
+                missing = sorted(c for c in columns if c not in sheet.columns)
+                if missing and strict:
+                    raise ValueError(
+                        f"schema mismatch in {path_val}: missing={missing} "
+                        f"extra={sorted(set(sheet.columns) - set(columns))}"
+                    )
+                out = {
+                    "source_file": [path_val] * len(sheet),
+                    "row_idx": range(len(sheet)),
+                }
+                for c in columns:
+                    out[c] = sheet[c] if c in sheet.columns else [None] * len(sheet)
+                yield pd.DataFrame(out)
+
+    return binary.mapInPandas(_parse, schema)
+
+
+# ---------------------------------------------------------------------------
+# minimal writer (test-fixture + S8-adjacent sink primitive)
+# ---------------------------------------------------------------------------
+
+_CT = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+    "{sheet_overrides}{ss_override}</Types>"
+)
+_SHEET_CT = (
+    '<Override PartName="/xl/worksheets/sheet{i}.xml" '
+    'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+)
+_SS_CT = (
+    '<Override PartName="/xl/sharedStrings.xml" '
+    'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
+)
+_ROOT_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+    "</Relationships>"
+)
+
+
+def _esc(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _ref(ri: int, ci: int) -> str:
+    col = ""
+    ci += 1
+    while ci:
+        ci, rem = divmod(ci - 1, 26)
+        col = chr(65 + rem) + col
+    return f"{col}{ri + 1}"
+
+
+def write_xlsx(path, sheets, use_shared_strings: bool = False) -> None:
+    """Write a minimal ECMA-376 workbook. ``sheets`` is either a list
+    of row-lists (single 'Sheet1') or a dict {sheet_name: rows}.
+    Cell typing: str -> inline/shared string, bool -> b, int/float ->
+    numeric, None -> omitted (sparse). Enough surface to exercise the
+    full read path (shared + inline strings, sparse cells, multiple
+    sheets); presentation features (styles/images) are the declared
+    non-goal from SURVEY §2 S8."""
+    if not isinstance(sheets, dict):
+        sheets = {"Sheet1": sheets}
+    shared: dict[str, int] = {}
+
+    def cell_xml(ri: int, ci: int, v) -> str:
+        ref = _ref(ri, ci)
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        s = str(v)
+        if use_shared_strings:
+            idx = shared.setdefault(s, len(shared))
+            return f'<c r="{ref}" t="s"><v>{idx}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{_esc(s)}</t></is></c>'
+
+    sheet_parts = []
+    for rows in sheets.values():
+        body = "".join(
+            f'<row r="{ri + 1}">' + "".join(cell_xml(ri, ci, v) for ci, v in enumerate(row)) + "</row>"
+            for ri, row in enumerate(rows)
+        )
+        sheet_parts.append(
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<worksheet xmlns="{_NS[1:-1]}"><sheetData>{body}</sheetData></worksheet>'
+        )
+
+    wb_sheets = "".join(
+        f'<sheet name="{_esc(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, n in enumerate(sheets)
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{_NS[1:-1]}" xmlns:r="{_DOC_REL[1:-1]}">'
+        f"<sheets>{wb_sheets}</sheets></workbook>"
+    )
+    rels = "".join(
+        f'<Relationship Id="rId{i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet{i + 1}.xml"/>'
+        for i in range(len(sheets))
+    )
+    if use_shared_strings:
+        rels += (
+            f'<Relationship Id="rId{len(sheets) + 1}" '
+            'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" '
+            'Target="sharedStrings.xml"/>'
+        )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_REL_NS[1:-1]}">{rels}</Relationships>'
+    )
+
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            _CT.format(
+                sheet_overrides="".join(_SHEET_CT.format(i=i + 1) for i in range(len(sheets))),
+                ss_override=_SS_CT if use_shared_strings else "",
+            ),
+        )
+        zf.writestr("_rels/.rels", _ROOT_RELS)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        for i, part in enumerate(sheet_parts):
+            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", part)
+        if use_shared_strings:
+            items = "".join(
+                f'<si><t xml:space="preserve">{_esc(s)}</t></si>'
+                for s, _ in sorted(shared.items(), key=lambda kv: kv[1])
+            )
+            zf.writestr(
+                "xl/sharedStrings.xml",
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                f'<sst xmlns="{_NS[1:-1]}" count="{len(shared)}" uniqueCount="{len(shared)}">{items}</sst>',
+            )

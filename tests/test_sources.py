@@ -43,13 +43,8 @@ def test_json_lines(spark, tmp_path):
     assert df.filter(F.col("_corrupt_record").isNotNull()).count() == 1
 
 
-def test_xlsx_gated(spark, tmp_path):
-    # container has no Excel engine: the shim must raise the marked
-    # NotImplementedError (or succeed where an engine exists)
-    try:
-        import openpyxl  # noqa: F401
-        pytest.skip("engine present; gating not exercisable")
-    except ImportError:
-        pass
-    with pytest.raises((NotImplementedError, FileNotFoundError)):
+def test_xlsx_missing_file(spark, tmp_path):
+    # the shim is no longer env-gated (stdlib OOXML codec always
+    # available); a missing file is a plain FileNotFoundError
+    with pytest.raises(FileNotFoundError):
         read_xlsx_table(spark, str(tmp_path / "x.xlsx"))

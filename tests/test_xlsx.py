@@ -1,0 +1,125 @@
+"""Distributed XLSX ingestion (S1/S2): stdlib OOXML codec + binaryFile
++ mapInPandas executor-side parse, vs the driver-side shim."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from smartbots_etl_facturas_spark.sources.readers import read_xlsx_table
+from smartbots_etl_facturas_spark.sources.xlsx import (
+    parse_xlsx_grid,
+    parse_xlsx_to_pdf,
+    read_xlsx_distributed,
+    write_xlsx,
+)
+
+ROWS_A = [
+    ["invoice_number", "carrier", "total"],
+    ["F-001", "ACME", 1500],
+    ["F-002", "TRANSPORTES LTDA", 2500.5],
+    [None, None, None],           # sparse row (dropped cells)
+    ["F-003", "ACME", 99],
+]
+ROWS_B = [
+    ["invoice_number", "carrier", "total"],
+    ["G-001", "NIPPON", 7],
+]
+ROWS_C = [
+    ["invoice_number", "carrier", "total"],
+    ["H-001", "söñé & <cia>", 0.25],
+    ["H-002", "ACME", True],
+]
+
+
+def _write_three(tmp_path):
+    write_xlsx(tmp_path / "a.xlsx", ROWS_A)
+    write_xlsx(tmp_path / "b.xlsx", ROWS_B, use_shared_strings=True)
+    write_xlsx(tmp_path / "c.xlsx", ROWS_C)
+    return [tmp_path / n for n in ("a.xlsx", "b.xlsx", "c.xlsx")]
+
+
+def test_grid_roundtrip(tmp_path):
+    p = tmp_path / "g.xlsx"
+    write_xlsx(p, ROWS_A)
+    grid = parse_xlsx_grid(p.read_bytes())
+    assert grid[0] == ["invoice_number", "carrier", "total"]
+    assert grid[1] == ["F-001", "ACME", "1500"]
+    assert grid[2] == ["F-002", "TRANSPORTES LTDA", "2500.5"]
+    assert grid[3] == [None, None, None]
+
+
+def test_shared_strings_and_escaping(tmp_path):
+    p = tmp_path / "s.xlsx"
+    write_xlsx(p, ROWS_C, use_shared_strings=True)
+    grid = parse_xlsx_grid(p.read_bytes())
+    assert grid[1][1] == "söñé & <cia>"
+    assert grid[2][2] == "TRUE"
+
+
+def test_header_row_offset(tmp_path):
+    p = tmp_path / "h.xlsx"
+    write_xlsx(p, [["junk", None], ["junk2", "x"]] + ROWS_B)
+    pdf = parse_xlsx_to_pdf(p.read_bytes(), header_row=3)
+    assert list(pdf.columns) == ["invoice_number", "carrier", "total"]
+    assert pdf.iloc[0].tolist() == ["G-001", "NIPPON", "7"]
+
+
+def test_multi_sheet_resolution(tmp_path):
+    p = tmp_path / "m.xlsx"
+    write_xlsx(p, {"Datos": ROWS_B, "Resumen": ROWS_A})
+    by_name = parse_xlsx_to_pdf(p.read_bytes(), sheet_name="Resumen")
+    assert len(by_name) == 4
+    by_idx = parse_xlsx_to_pdf(p.read_bytes(), sheet_name=0)
+    assert len(by_idx) == 1
+    # reference S2 fallback: unknown sheet -> first sheet
+    fallback = parse_xlsx_to_pdf(p.read_bytes(), sheet_name="NoExiste")
+    assert len(fallback) == 1
+
+
+def test_distributed_matches_driver_shim_row_for_row(spark, tmp_path):
+    paths = _write_three(tmp_path)
+    cols = ["invoice_number", "carrier", "total"]
+    dist = read_xlsx_distributed(spark, str(tmp_path / "*.xlsx"), cols)
+    got = {
+        (r["source_file"].split("/")[-1], r["row_idx"]): tuple(r[c] for c in cols)
+        for r in dist.collect()
+    }
+    expected = {}
+    for p in paths:
+        for r in read_xlsx_table(spark, str(p)).collect():
+            expected[(p.name, r["row_idx"])] = tuple(r[c] for c in cols)
+    assert got == expected
+    assert len(got) == 4 + 1 + 2
+
+
+def test_distributed_row_idx_restarts_per_file(spark, tmp_path):
+    _write_three(tmp_path)
+    dist = read_xlsx_distributed(
+        spark, str(tmp_path / "*.xlsx"), ["invoice_number", "carrier", "total"]
+    )
+    mins = dist.groupBy("source_file").agg(F.min("row_idx").alias("lo")).collect()
+    assert len(mins) == 3 and all(r["lo"] == 0 for r in mins)
+
+
+def test_distributed_strict_schema(spark, tmp_path):
+    write_xlsx(tmp_path / "bad.xlsx", [["other_col"], ["x"]])
+    df = read_xlsx_distributed(spark, str(tmp_path / "bad.xlsx"), ["invoice_number"])
+    with pytest.raises(Exception, match="missing"):
+        df.collect()
+    lax = read_xlsx_distributed(
+        spark, str(tmp_path / "bad.xlsx"), ["invoice_number"], strict=False
+    )
+    rows = lax.collect()
+    assert len(rows) == 1 and rows[0]["invoice_number"] is None
+
+
+def test_distributed_runs_in_executors_not_driver(spark, tmp_path):
+    """The plan must be a binaryFile scan + ArrowEvalPython-style map,
+    with no driver-side collect: assert lazily-built DataFrame exposes
+    the mapInPandas node and only materializes on action."""
+    _write_three(tmp_path)
+    df = read_xlsx_distributed(
+        spark, str(tmp_path / "*.xlsx"), ["invoice_number", "carrier", "total"]
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+    assert df.count() == 7
