@@ -71,6 +71,8 @@ def consolidate(
     files: list[tuple[str, str, DataFrame]],
     consolidated_base: str,
     audit: AuditWriter,
+    checkpoint_every: int = 8,
+    plan_sizes: list[int] | None = None,
 ) -> RunReport:
     """Run the consolidation over ``files`` = [(name, modified_time,
     frame)] and publish the new consolidated version.
@@ -79,6 +81,18 @@ def consolidate(
     version + pointer flip) only when every processed file reconciled
     — a failed file is logged ERROR and its rows excluded, matching
     the reference's per-file rollback unit.
+
+    Lineage is BOUNDED: each iteration stacks an anti-join + union
+    onto the consolidated plan, so every ``checkpoint_every`` files
+    the frame is ``localCheckpoint``-ed (plan truncated to the
+    materialized RDD) and the per-file caches released. Without this,
+    hundreds of files make Catalyst re-analyze an ever-deeper tree
+    and recompute the whole history on each action. On a real cluster
+    at 100 TB, prefer publish-and-reread through the versioned sink
+    (same effect, spill-safe, survives executor loss); localCheckpoint
+    is the right size for the reference's tens-of-files transaction
+    unit. ``plan_sizes``, when a list is supplied, collects
+    len(plan-string) after each processed file (test observability).
     """
     report = RunReport()
     run_uuid = audit.start_run()
@@ -88,6 +102,8 @@ def consolidate(
     except FileNotFoundError:
         consolidated = _empty_consolidated(spark)
 
+    live_caches: list[DataFrame] = []
+    files_since_checkpoint = 0
     for file_name, modified_time, raw in files:
         report.total_files += 1
         # J5 — idempotent skip
@@ -107,13 +123,21 @@ def consolidate(
                 F.col("tax_amount").cast("decimal(18,6)").alias("tax_amount"),
                 F.col("total_amount").cast("decimal(18,6)").alias("total_amount"),
                 F.lit(file_name).alias("source_file"),
-            ).cache()
+            )
 
-            valid, errors = split_valid(with_validation(incoming))
+            validated = with_validation(incoming).cache()
+            live_caches.append(validated)
+            valid, errors = split_valid(validated)
             valid = dedup_first_wins(valid, PK, ["row_idx"]).drop("valid", "error_reason")
 
-            n_total = incoming.count()
-            n_errors = errors.count()
+            # one aggregation job for both per-file counters (A4),
+            # instead of two separate count() jobs
+            counts = validated.agg(
+                F.count(F.lit(1)).alias("n_total"),
+                F.sum(F.when(~F.col("valid"), 1).otherwise(0)).alias("n_errors"),
+            ).collect()[0]
+            n_total = counts.n_total
+            n_errors = int(counts.n_errors or 0)
             result = upsert_insert_only(consolidated, valid.drop("row_idx"), PK)
 
             rec = reconcile(valid, result, PK, amount_type="decimal(27,6)").collect()[0]
@@ -147,15 +171,33 @@ def consolidate(
                     F.lit("VALIDATION_ERROR").alias("action"),
                     F.col("error_reason").alias("error_message"),
                 )
-            )
+            ).cache()
+            # the INSERT-action count IS the A3 inserted counter —
+            # derived from the already-needed audit frame, not a
+            # separate anti-join count job
+            n_inserted = actions.filter(F.col("action") == "INSERT").count()
             audit.log_records(actions)
+            actions.unpersist()
 
-            n_inserted = new_pks.count()
             report.files_ok += 1
             report.total_records += n_total
             report.inserted += n_inserted
             report.validation_errors += n_errors
             consolidated = result
+            files_since_checkpoint += 1
+            if files_since_checkpoint >= checkpoint_every:
+                # truncate lineage; only then are the per-file caches
+                # safe to drop (the checkpointed RDD no longer
+                # references them)
+                consolidated = consolidated.localCheckpoint()
+                for c in live_caches:
+                    c.unpersist()
+                live_caches.clear()
+                files_since_checkpoint = 0
+            if plan_sizes is not None:
+                plan_sizes.append(
+                    len(consolidated._jdf.queryExecution().toString())  # noqa: SLF001
+                )
         except Exception as exc:  # per-file failure unit, like the reference
             report.files_error += 1
             report.messages.append(f"{file_name}: {exc}")
@@ -191,6 +233,9 @@ def consolidate(
 
         publish(consolidated, consolidated_base, check=check)
         report.output_total = str(totals.t)
+
+    for c in live_caches:  # caches pinned since the last checkpoint
+        c.unpersist()
 
     audit.finish_run(
         run_uuid,

@@ -107,6 +107,40 @@ def test_partial_status_on_bad_schema(spark, env):
     assert read_published(spark, base).count() == 1
 
 
+def test_many_files_bounded_lineage(spark, env):
+    """Many-file run: the consolidated plan must stop growing (the
+    localCheckpoint every N files cuts lineage); correctness of the
+    accumulated upsert still holds."""
+    audit, base = env
+    files = [
+        (
+            f"f{i:03d}.xlsx",
+            f"t{i}",
+            _file(spark, [
+                (0, f"F-{i}", "R-1", "TransCo", 10.0, 0.0, 10.0),
+                (1, "F-dup", "R-0", "TransCo", 5.0, 0.0, 5.0),  # same PK every file
+            ]),
+        )
+        for i in range(24)
+    ]
+    sizes: list[int] = []
+    report = consolidate(spark, files, base, audit, checkpoint_every=4, plan_sizes=sizes)
+    assert report.status == "SUCCESS" and report.files_ok == 24
+    # 24 distinct F-i rows + one F-dup (first file wins)
+    out = read_published(spark, base)
+    assert out.count() == 25
+    assert report.inserted == 25
+    # plan size is cyclic with period 4, not monotonically growing:
+    # every post-checkpoint size collapses to the flat baseline, and
+    # the within-cycle peak late in the run is no bigger than the
+    # first cycle's peak
+    early_peak = max(sizes[:4])
+    late_peak = max(sizes[-4:])
+    assert late_peak <= early_peak * 1.5, (early_peak, late_peak, sizes)
+    post_checkpoint = sizes[3::4]  # indices where a checkpoint just ran
+    assert max(post_checkpoint) <= min(post_checkpoint) * 1.5, post_checkpoint
+
+
 def test_no_files(spark, env):
     audit, base = env
     report = consolidate(spark, [], base, audit)
