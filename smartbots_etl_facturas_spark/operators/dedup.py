@@ -62,8 +62,15 @@ def ngram_jaccard_pairs(
     count per-pair intersections, then |A∪B| = |A|+|B|−|A∩B|. Pairs
     sharing nothing never materialize. Hot shingles (stopword runs)
     dominate the join at scale — pair with minhash_lsh_pairs there.
+
+    Deliberately NOT ``.cache()``-d: the result is lazy, so there is no
+    safe point inside this function to ``unpersist`` — a cache here
+    leaks executor memory across repeated calls in a long session.
+    The shingle subtree is referenced three times in one plan; with AQE
+    on, Catalyst's ReuseExchange dedupes the identical shuffle, and the
+    explode itself is cheap narrow work.
     """
-    sh = doc_shingles(df, text_col, id_col, n).cache()
+    sh = doc_shingles(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")

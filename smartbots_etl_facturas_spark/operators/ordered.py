@@ -45,6 +45,7 @@ def take_while(
     order_col: str,
     stop_cond: Column,
     partition_by: Sequence[str] = (),
+    allow_global: bool = False,
 ) -> DataFrame:
     """P8 — keep rows strictly before the first row matching ``stop_cond``
     (in ``order_col`` order, optionally per partition). Rows at or after
@@ -53,7 +54,25 @@ def take_while(
     Implemented as a windowed min-of-stop-position + filter — a single
     shuffle per partition key (none when partition keys align with the
     existing partitioning), no driver-side iteration.
+
+    SCALE GUARD: an empty ``partition_by`` makes the window GLOBAL —
+    Spark moves every row through ONE task to compute the unpartitioned
+    min. That is the correct (inherently global) semantics for a
+    per-file sheet of tens of rows, and a scale-killer for a large
+    table. Callers on per-file-sized frames must say so explicitly with
+    ``allow_global=True``; otherwise a missing ``partition_by`` warns.
     """
+    if not partition_by and not allow_global:
+        import warnings
+
+        warnings.warn(
+            "take_while with empty partition_by uses a GLOBAL window "
+            "(single-task sort/scan of the whole frame). Pass "
+            "partition_by=[...] for large tables, or allow_global=True "
+            "for per-file-sized frames where global semantics are "
+            "intended.",
+            stacklevel=2,
+        )
     stop_at = F.min(F.when(stop_cond, F.col(order_col))).over(
         Window.partitionBy(*[F.col(c) for c in partition_by])
     )

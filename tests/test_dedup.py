@@ -60,6 +60,17 @@ def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
     assert len(lsh) / len(exact) >= 0.9
 
 
+def test_ngram_jaccard_no_cache_leak(spark, docs):
+    """The inverted-index path must not pin cached RDDs across calls —
+    a long session calling it repeatedly would otherwise accumulate
+    executor-memory blocks with no unpersist point (the result is
+    lazy, so the function can never safely unpersist itself)."""
+    before = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    ngram_jaccard_pairs(docs, threshold=0.0).count()
+    after = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert len(after) <= len(before)
+
+
 def test_simhash_near_dup_low_hamming(spark, docs):
     sk = simhash(docs)
     sketches = {r.doc_id: r.simhash for r in sk.collect()}
