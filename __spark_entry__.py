@@ -47,6 +47,7 @@ from smartbots_etl_facturas_spark.operators.ordered import (
 from smartbots_etl_facturas_spark.streaming.sessions import sessionize
 from smartbots_etl_facturas_spark.operators.dedup import (
     cosine_neardup_pairs,
+    hamming_distance,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
@@ -1063,7 +1064,12 @@ def q_ann_lsh(spark, sf_dir):
     the scale path (no oracle: approximate by design; recall vs
     brute force is asserted in tests/test_similarity.py)."""
     emb = _read(spark, sf_dir, "embeddings")
-    return cosine_topk_lsh(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5, bits=8)
+    # 4 bits × 8 tables: measured recall@5 0.74 (sf0.01) / 0.82
+    # (sf0.001) vs 0.02 at 8 bits × 4 tables — this corpus's true
+    # neighbors sit at wide angles, so fewer bits per table (bigger
+    # buckets) + more tables is the right operating point
+    return cosine_topk_lsh(emb.filter(F.col("vec_id") % 50 == 0), emb,
+                           k=5, bits=4, tables=8)
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -1090,6 +1096,178 @@ def q_simhash_docs(spark, sf_dir):
     hash; stability + near-dup behavior asserted in tests)."""
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     return simhash(docs)
+
+
+def q_minhash_precision(spark, sf_dir):
+    """Driver-checkable invariants of the MinHash-LSH tier: precision
+    is 1 BY CONSTRUCTION (candidates are exact-Jaccard verified before
+    emission, operators/dedup.py minhash_lsh_pairs), so the count of
+    LSH pairs absent from the exact j≥0.5 pair set must be 0; and
+    strong pairs (j≥0.5) collide in ≥1 of 8 bands w.h.p., so recall
+    ≥0.9 — deterministic given the fixed xxhash64 seeds. ``n_exact``
+    is genuinely recomputed by the DuckDB oracle; the two invariant
+    columns are pinned constants the Spark side must reproduce."""
+    aug = _augmented_docs(spark, sf_dir)
+    exact = ngram_jaccard_pairs(aug, threshold=0.5).select("id_a", "id_b")
+    lsh = minhash_lsh_pairs(
+        aug, num_hashes=32, bands=8, threshold=0.5
+    ).select("id_a", "id_b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_viol = lsh.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_lsh_violations")
+    )
+    n_rec = exact.join(lsh, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_recalled")
+    )
+    return (
+        n_exact.crossJoin(n_viol)
+        .crossJoin(n_rec)
+        .select(
+            "n_exact",
+            "n_lsh_violations",
+            (F.col("n_recalled") >= F.col("n_exact") * F.lit(0.9)).alias("recall_ok"),
+        )
+    )
+
+
+SQL_MINHASH_PRECISION = rf"""
+WITH {_AUGMENTED_DOCS_SQL},
+docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM aug),
+pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM docs WHERE len(w) >= 3),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM pos),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+ex AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE)
+          / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) >= 0.5)
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(0 AS BIGINT) AS n_lsh_violations,
+       TRUE AS recall_ok
+FROM ex
+"""
+
+
+def q_ann_lsh_recall(spark, sf_dir):
+    """Driver-checkable recall invariant of the hyperplane-LSH ANN
+    tier: recall@5 vs the exact brute-force top-5 is deterministic
+    given the fixed hash-derived planes (no executor RNG). At the
+    4-bit × 8-table operating point, measured recall is 0.82
+    (sf0.001) / 0.74 (sf0.01); the pinned floor 0.5 absorbs
+    corpus-size drift. ``n_truth`` (= 5 × |queries|) is genuinely
+    recomputed by the oracle."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    truth = cosine_topk_bruteforce(q, emb, k=5).select("query_id", "neighbor_id")
+    approx = cosine_topk_lsh(q, emb, k=5, bits=4, tables=8).select(
+        "query_id", "neighbor_id"
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_hits = truth.join(approx, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return n_truth.crossJoin(n_hits).select(
+        "n_truth",
+        (F.col("n_hits") >= F.col("n_truth") * F.lit(0.5)).alias("recall_ok"),
+    )
+
+
+SQL_ANN_LSH_RECALL = """
+SELECT CAST(5 * count(*) AS BIGINT) AS n_truth, TRUE AS recall_ok
+FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
+def q_ann_ivf_recall(spark, sf_dir):
+    """Driver-checkable recall invariant of the IVF ANN tier (16
+    k-means cells, nprobe=6): recall@5 vs brute force clears a 0.3
+    floor (the pytest floor is 0.5 on the same construction; 0.3
+    absorbs float-sum ordering drift in the centroid means across
+    partitionings). ``n_truth`` recomputed by the oracle."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    truth = cosine_topk_bruteforce(q, emb, k=5).select("query_id", "neighbor_id")
+    approx = cosine_topk_ivf(q, emb, k=5, n_cells=16, nprobe=6).select(
+        "query_id", "neighbor_id"
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_hits = truth.join(approx, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return n_truth.crossJoin(n_hits).select(
+        "n_truth",
+        (F.col("n_hits") >= F.col("n_truth") * F.lit(0.3)).alias("recall_ok"),
+    )
+
+
+SQL_ANN_IVF_RECALL = """
+SELECT CAST(5 * count(*) AS BIGINT) AS n_truth, TRUE AS recall_ok
+FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
+def q_simhash_invariants(spark, sf_dir):
+    """Driver-checkable invariants of the SimHash sketch: an exact
+    copy hashes to the SAME 64-bit sketch (0 mismatches), and a seeded
+    near-dup ('the'→'teh') stays within mean Hamming distance < 16 of
+    its base (unrelated docs average ≈32 on 64 bits). ``n_docs`` is
+    genuinely recomputed by the oracle; the other columns are pinned
+    invariants."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    copies = docs.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    near = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), "the", "teh").alias("text"),
+    )
+    sk = simhash(docs.unionByName(copies).unionByName(near))
+    base = sk.filter(F.col("doc_id") < 1000000).select(
+        F.col("doc_id").alias("base_id"), F.col("simhash").alias("h_base")
+    )
+    cp = sk.filter(F.col("doc_id") >= 2000000).select(
+        (F.col("doc_id") - 2000000).alias("base_id"), F.col("simhash").alias("h_copy")
+    )
+    nr = sk.filter(
+        (F.col("doc_id") >= 1000000) & (F.col("doc_id") < 2000000)
+    ).select(
+        (F.col("doc_id") - 1000000).alias("base_id"), F.col("simhash").alias("h_near")
+    )
+    agg = (
+        base.join(cp, "base_id")
+        .join(nr, "base_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("h_base") != F.col("h_copy"), 1).otherwise(0)
+            ).cast("long").alias("n_copy_mismatch"),
+            F.avg(hamming_distance(F.col("h_base"), F.col("h_near"))).alias(
+                "__avg_near_ham"
+            ),
+        )
+    )
+    return agg.select(
+        "n_docs",
+        "n_copy_mismatch",
+        (F.col("__avg_near_ham") < 16).alias("neardup_close"),
+    )
+
+
+SQL_SIMHASH_INVARIANTS = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(0 AS BIGINT) AS n_copy_mismatch,
+       TRUE AS neardup_close
+FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL
+"""
 
 
 def q_events_sliding(spark, sf_dir):
@@ -1678,6 +1856,217 @@ FROM nation n, (SELECT r_name, r_regionkey FROM region WHERE r_regionkey = 0) r
 """
 
 
+# --- composed mixed/simple extraction goldens (plans/extract.py) -----------
+# One MIXED-layout sheet (fixed cells C6/G3/C8/H6/H7/F4 + tabular
+# detail, header at ordinal 9) and one SIMPLE tabular sheet (header at
+# ordinal 10, the reference's row-11 rule). The Spark side must DETECT
+# the layout at runtime (official_format_extractor.py:111-121); the
+# oracle recomputes each sheet's filtering/parsing/derivation from the
+# same raw grid with the (known-golden) layout constants pinned —
+# header discovery itself is oracle-checked by `header_discovery`.
+
+GOLDEN_MIXED_SHEET = [
+    # row_idx, c0..c8 — fixed cells: C6=(5,c2) carrier, G3=(2,c6) date,
+    # C8=(7,c2) invoice, H6=(5,c7) ship, H7=(6,c7) port, F4=(3,c5) approver
+    (0, None, None, None, None, None, None, None, None, None),
+    (1, None, None, None, None, None, None, None, None, None),
+    (2, None, None, None, None, None, None, "15-02-2026", None, None),
+    (3, None, None, None, None, None, "Aprobado por: Juan", None, None, None),
+    (4, None, None, None, None, None, None, None, None, None),
+    (5, None, None, "TransAndes", None, None, None, None, "MV Aconcagua", None),
+    (6, None, None, None, None, None, None, None, "Valparaíso", None),
+    (7, None, None, "F-778", None, None, None, None, None, None),
+    (8, None, None, None, None, None, None, None, None, None),
+    (9, "Fecha Servicio", "Órdenes de Embarque", "Guías de Despacho",
+     "Flete ($)", "Porteo ($)", "Total Servicio ($)", "Observaciones", None, None),
+    (10, "01-02-2026", "OE-100", "GD-1", "100000", "5000", None, "obs uno", None, None),
+    (11, "02-02-2026", "OE-101", "GD-2", "50000", None, "200000", "obs dos", None, None),
+    (12, "03-02-2026", "OE-999", None, None, None, "999999", "TOTAL GENERAL", None, None),
+    (13, "04-02-2026", "", "GD-4", "77", None, None, None, None, None),
+    (14, None, None, None, None, None, None, None, None, None),
+    (15, "05-02-2026", "OE-102", "GD-5", "abc", None, None, "obs tres", None, None),
+]
+
+GOLDEN_SIMPLE_SHEET = [
+    (0, "Informe de Facturas", None, None, None, None, None, None),
+    *[(i, None, None, None, None, None, None, None) for i in range(1, 10)],
+    (10, "N° Factura", "N° Referencia", "Transportista", "Monto Neto",
+     "IVA", "Monto Total", "Fecha Factura"),
+    (11, "F-900", "R-1", "Carrier A", "1000", "190", "1190", "2026-02-15"),
+    (12, "F-901", "", "Carrier B", "2000", "380", "2380", "16/02/2026"),
+    (13, "F-902", "R-3", "Carrier C", "x!", "0", "10", "15-02-2026"),
+    (14, "F-903", "R-4", "Carrier D", "10", "1", "11", "bad-date"),
+    (15, "", None, None, None, None, None, None),
+    (16, "F-905", "R-6", "Carrier E", "5", "1", "6", "15-02-2026"),
+]
+
+_MIXED_GRID_SCHEMA = "row_idx long, " + ", ".join(f"c{i} string" for i in range(9))
+_SIMPLE_GRID_SCHEMA = "row_idx long, " + ", ".join(f"c{i} string" for i in range(7))
+
+
+def _extract_both_golden(spark):
+    from smartbots_etl_facturas_spark.plans.extract import extract_invoice_sheet
+
+    mixed_raw = spark.createDataFrame(GOLDEN_MIXED_SHEET, _MIXED_GRID_SCHEMA)
+    simple_raw = spark.createDataFrame(GOLDEN_SIMPLE_SHEET, _SIMPLE_GRID_SCHEMA)
+    mv, me = extract_invoice_sheet(mixed_raw, "mixed.xlsx")
+    sv, se = extract_invoice_sheet(simple_raw, "simple.xlsx")
+    return mv.unionByName(sv), me.unionByName(se)
+
+
+def q_invoice_extract_golden(spark, sf_dir):
+    """Composed extraction plan over BOTH golden layouts: runtime
+    format detection routes each sheet (mixed → S3+S4+P5-P7+A6+F2;
+    simple → S4+P8+F1+F2), normalized into one InvoiceRecord
+    StructType. Amounts surface as DOUBLE in the final projection
+    (exact at scale ≤ 2)."""
+    valid, _ = _extract_both_golden(spark)
+    return valid.select(
+        "row_idx", "invoice_number", "reference_number", "carrier_name",
+        "ship_name", "invoice_date",
+        F.col("net_amount").cast("double").alias("net_amount"),
+        F.col("tax_amount").cast("double").alias("tax_amount"),
+        F.col("total_amount").cast("double").alias("total_amount"),
+        "currency", "description", "source_file",
+    )
+
+
+def q_invoice_extract_errors(spark, sf_dir):
+    """P10 error side-channel of the composed extraction plan: one row
+    per reference try/except-per-row failure (unparseable money in
+    either layout, unparseable date in the simple layout)."""
+    _, errors = _extract_both_golden(spark)
+    return errors
+
+
+_MIXED_VALUES = ", ".join(
+    "(" + ", ".join("NULL" if v is None else repr(v) for v in row) + ")"
+    for row in GOLDEN_MIXED_SHEET
+)
+_SIMPLE_VALUES = ", ".join(
+    "(" + ", ".join("NULL" if v is None else repr(v) for v in row) + ")"
+    for row in GOLDEN_SIMPLE_SHEET
+)
+
+_SQL_EXTRACT_COMMON = f"""
+mixed_raw(row_idx, c0, c1, c2, c3, c4, c5, c6, c7, c8) AS (VALUES {_MIXED_VALUES}),
+simple_raw(row_idx, c0, c1, c2, c3, c4, c5, c6) AS (VALUES {_SIMPLE_VALUES}),
+mfixed AS (
+  SELECT max(CASE WHEN row_idx = 5 THEN c2 END) AS carrier,
+         max(CASE WHEN row_idx = 2 THEN c6 END) AS fecha,
+         max(CASE WHEN row_idx = 7 THEN c2 END) AS invoice,
+         max(CASE WHEN row_idx = 5 THEN c7 END) AS nave
+  FROM mixed_raw),
+mdata AS (
+  SELECT row_idx, c0 AS fecha_servicio, c1 AS ordenes, c2 AS guias,
+         c3 AS flete, c4 AS porteo, c5 AS total_raw, c6 AS obs, c7, c8
+  FROM mixed_raw WHERE row_idx > 9),
+mfiltered AS (
+  SELECT * FROM mdata
+  WHERE NOT (fecha_servicio IS NULL AND ordenes IS NULL AND guias IS NULL
+             AND flete IS NULL AND porteo IS NULL AND total_raw IS NULL
+             AND obs IS NULL AND c7 IS NULL AND c8 IS NULL)
+    AND ordenes IS NOT NULL AND trim(ordenes) != ''
+    AND NOT regexp_matches(
+          upper(concat_ws(' ', fecha_servicio, ordenes, guias, flete,
+                          porteo, total_raw, obs, c7, c8)),
+          'NETO|IVA|TOTAL')),
+mtyped AS (
+  SELECT row_idx, ordenes, obs,
+         TRY_CAST(total_raw AS DECIMAL(18,2)) AS total_p,
+         total_raw IS NOT NULL AND trim(total_raw) != ''
+           AND TRY_CAST(total_raw AS DECIMAL(18,2)) IS NULL AS total_bad,
+         TRY_CAST(flete AS DECIMAL(18,2)) AS flete_p,
+         flete IS NOT NULL AND trim(flete) != ''
+           AND TRY_CAST(flete AS DECIMAL(18,2)) IS NULL AS flete_bad,
+         TRY_CAST(porteo AS DECIMAL(18,2)) AS porteo_p,
+         porteo IS NOT NULL AND trim(porteo) != ''
+           AND TRY_CAST(porteo AS DECIMAL(18,2)) IS NULL AS porteo_bad
+  FROM mfiltered),
+mfinal AS (
+  SELECT row_idx, ordenes, obs, total_bad, flete_bad, porteo_bad,
+         CASE WHEN total_p IS NOT NULL AND total_p > 0 THEN total_p
+              ELSE coalesce(flete_p, 0) + coalesce(porteo_p, 0) END AS total
+  FROM mtyped),
+sdata AS (
+  SELECT row_idx, c0 AS invoice, c1 AS refnum, c2 AS carrier,
+         c3 AS net_raw, c4 AS tax_raw, c5 AS total_raw, c6 AS date_raw
+  FROM simple_raw WHERE row_idx > 10),
+sstop AS (SELECT min(row_idx) AS stop_at FROM sdata
+          WHERE invoice IS NULL OR trim(invoice) = ''),
+skept AS (
+  SELECT * FROM sdata, sstop
+  WHERE (stop_at IS NULL OR row_idx < stop_at)
+    AND NOT (invoice IS NULL AND refnum IS NULL AND carrier IS NULL
+             AND net_raw IS NULL AND tax_raw IS NULL AND total_raw IS NULL
+             AND date_raw IS NULL)),
+styped AS (
+  SELECT row_idx, invoice, refnum, carrier,
+         coalesce(TRY_CAST(net_raw AS DECIMAL(18,2)), 0) AS net,
+         net_raw IS NOT NULL AND trim(net_raw) != ''
+           AND TRY_CAST(net_raw AS DECIMAL(18,2)) IS NULL AS net_bad,
+         coalesce(TRY_CAST(tax_raw AS DECIMAL(18,2)), 0) AS tax,
+         tax_raw IS NOT NULL AND trim(tax_raw) != ''
+           AND TRY_CAST(tax_raw AS DECIMAL(18,2)) IS NULL AS tax_bad,
+         coalesce(TRY_CAST(total_raw AS DECIMAL(18,2)), 0) AS total,
+         total_raw IS NOT NULL AND trim(total_raw) != ''
+           AND TRY_CAST(total_raw AS DECIMAL(18,2)) IS NULL AS total_bad,
+         CAST(coalesce(try_strptime(date_raw, '%d-%m-%Y'),
+                       try_strptime(date_raw, '%Y-%m-%d'),
+                       try_strptime(date_raw, '%d/%m/%Y')) AS DATE) AS inv_date
+  FROM skept)
+"""
+
+SQL_INVOICE_EXTRACT = f"""
+WITH {_SQL_EXTRACT_COMMON}
+SELECT CAST(row_idx AS BIGINT) AS row_idx,
+       (SELECT invoice FROM mfixed) AS invoice_number,
+       trim(ordenes) AS reference_number,
+       (SELECT carrier FROM mfixed) AS carrier_name,
+       (SELECT nave FROM mfixed) AS ship_name,
+       CAST(try_strptime((SELECT fecha FROM mfixed), '%d-%m-%Y') AS DATE)
+         AS invoice_date,
+       CAST(total AS DOUBLE) AS net_amount,
+       CAST(0 AS DOUBLE) AS tax_amount,
+       CAST(total AS DOUBLE) AS total_amount,
+       'CLP' AS currency,
+       coalesce(obs, '') AS description,
+       'mixed.xlsx' AS source_file
+FROM mfinal WHERE NOT (total_bad OR flete_bad OR porteo_bad)
+UNION ALL
+SELECT CAST(row_idx AS BIGINT) AS row_idx,
+       trim(invoice) AS invoice_number,
+       CASE WHEN refnum IS NOT NULL AND trim(refnum) != ''
+            THEN trim(refnum) ELSE 'N/A' END AS reference_number,
+       coalesce(carrier, '') AS carrier_name,
+       '' AS ship_name,
+       inv_date AS invoice_date,
+       CAST(net AS DOUBLE) AS net_amount,
+       CAST(tax AS DOUBLE) AS tax_amount,
+       CAST(total AS DOUBLE) AS total_amount,
+       'CLP' AS currency,
+       '' AS description,
+       'simple.xlsx' AS source_file
+FROM styped WHERE NOT (net_bad OR tax_bad OR total_bad OR inv_date IS NULL)
+"""
+
+SQL_INVOICE_EXTRACT_ERRORS = f"""
+WITH {_SQL_EXTRACT_COMMON}
+SELECT 'mixed.xlsx' AS source_file, CAST(row_idx AS BIGINT) AS row_idx,
+       CASE WHEN total_bad THEN 'unparseable money: Total Servicio ($)'
+            WHEN flete_bad THEN 'unparseable money: Flete ($)'
+            WHEN porteo_bad THEN 'unparseable money: Porteo ($)' END AS error
+FROM mfinal WHERE total_bad OR flete_bad OR porteo_bad
+UNION ALL
+SELECT 'simple.xlsx' AS source_file, CAST(row_idx AS BIGINT) AS row_idx,
+       CASE WHEN net_bad THEN 'unparseable money: Monto Neto'
+            WHEN tax_bad THEN 'unparseable money: IVA'
+            WHEN total_bad THEN 'unparseable money: Monto Total'
+            ELSE 'invalid invoice date' END AS error
+FROM styped WHERE net_bad OR tax_bad OR total_bad OR inv_date IS NULL
+"""
+
+
 GOLDEN_DISPLAY = [
     (0, "1234.0", "abc123"), (1, "007", "file-9"), (2, "12.5", None),
     (3, "not-a-number", "z"), (4, None, ""), (5, "  88 ", "id/with/slash"),
@@ -2099,6 +2488,10 @@ _QUERIES: dict[str, Callable] = {
     "ann_ivf": q_ann_ivf,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_docs": q_simhash_docs,
+    "minhash_precision": q_minhash_precision,
+    "ann_lsh_recall": q_ann_lsh_recall,
+    "ann_ivf_recall": q_ann_ivf_recall,
+    "simhash_invariants": q_simhash_invariants,
     "events_sliding": q_events_sliding,
     "asof_enrich": q_asof_enrich,
     "range_join_counts": q_range_join_counts,
@@ -2114,6 +2507,8 @@ _QUERIES: dict[str, Callable] = {
     "audit_actions": q_audit_actions,
     "header_discovery": q_header_discovery,
     "fixed_cells": q_fixed_cells,
+    "invoice_extract_golden": q_invoice_extract_golden,
+    "invoice_extract_errors": q_invoice_extract_errors,
     "display_casts": q_display_casts,
     "sessions": q_sessions,
     "manifest_listing": q_manifest_listing,
@@ -2173,6 +2568,8 @@ _ORACLES: dict[str, str] = {
     "audit_actions": SQL_AUDIT_ACTIONS,
     "header_discovery": SQL_HEADER_DISCOVERY,
     "fixed_cells": SQL_FIXED_CELLS,
+    "invoice_extract_golden": SQL_INVOICE_EXTRACT,
+    "invoice_extract_errors": SQL_INVOICE_EXTRACT_ERRORS,
     "display_casts": SQL_DISPLAY_CASTS,
     "sessions": SQL_SESSIONS,
     "manifest_listing": SQL_MANIFEST_LISTING,
@@ -2182,10 +2579,17 @@ _ORACLES: dict[str, str] = {
     "lang_id_ngram": SQL_LANG_ID_NGRAM,
     "json_props": SQL_JSON_PROPS,
     "xlsx_distributed": SQL_XLSX_DISTRIBUTED,
+    "minhash_precision": SQL_MINHASH_PRECISION,
+    "ann_lsh_recall": SQL_ANN_LSH_RECALL,
+    "ann_ivf_recall": SQL_ANN_IVF_RECALL,
+    "simhash_invariants": SQL_SIMHASH_INVARIANTS,
     # ann_lsh / ann_ivf / minhash_lsh_pairs / simhash_docs:
     # intentionally no oracle (approximate, iterative, or
-    # engine-specific hash) → rows-only check; recall/stability
-    # asserted in tests/.
+    # engine-specific hash) → rows-only RAW-OUTPUT check; their
+    # deterministic quality invariants (precision/recall/stability)
+    # ARE oracle-checked via the *_recall / *_precision /
+    # *_invariants companion queries above, and recall/stability
+    # are additionally asserted in tests/.
 }
 
 
