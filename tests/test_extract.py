@@ -1,0 +1,133 @@
+"""Composed mixed/simple extraction plan (plans/extract.py) — runtime
+format detection + both layout paths + the error side-channel."""
+
+import datetime
+
+from smartbots_etl_facturas_spark.plans.extract import (
+    extract_invoice_sheet,
+    read_fixed_cells,
+)
+
+MIXED_SCHEMA = "row_idx long, " + ", ".join(f"c{i} string" for i in range(9))
+SIMPLE_SCHEMA = "row_idx long, " + ", ".join(f"c{i} string" for i in range(7))
+
+
+def _mixed_sheet(spark):
+    rows = [
+        (0, None, None, None, None, None, None, None, None, None),
+        (1, None, None, None, None, None, None, None, None, None),
+        (2, None, None, None, None, None, None, "15-02-2026", None, None),
+        (3, None, None, None, None, None, "Aprobado por: J", None, None, None),
+        (4, None, None, None, None, None, None, None, None, None),
+        (5, None, None, "TransCo", None, None, None, None, "MV Ship", None),
+        (6, None, None, None, None, None, None, None, "Puerto", None),
+        (7, None, None, "F-1", None, None, None, None, None, None),
+        (8, None, None, None, None, None, None, None, None, None),
+        (9, "Fecha Servicio", "Órdenes de Embarque", "Guías de Despacho",
+         "Flete ($)", "Porteo ($)", "Total Servicio ($)", "Observaciones",
+         None, None),
+        (10, "01-02-2026", "OE-1", "GD-1", "100", "5", None, "o1", None, None),
+        (11, "02-02-2026", "OE-2", "GD-2", "50", None, "999", "o2", None, None),
+        (12, "x", "OE-9", None, None, None, "1", "TOTAL GENERAL", None, None),
+        (13, "x", "", "GD-4", "7", None, None, None, None, None),
+        (14, None, None, None, None, None, None, None, None, None),
+        (15, "x", "OE-3", "GD-5", "bad$money$x", None, None, None, None, None),
+    ]
+    return spark.createDataFrame(rows, MIXED_SCHEMA)
+
+
+def _simple_sheet(spark):
+    rows = (
+        [(0, "Titulo", None, None, None, None, None, None)]
+        + [(i, None, None, None, None, None, None, None) for i in range(1, 10)]
+        + [
+            (10, "N° Factura", "N° Referencia", "Transportista", "Monto Neto",
+             "IVA", "Monto Total", "Fecha Factura"),
+            (11, "F-10", "R-1", "CarA", "1000", "190", "1190", "2026-02-15"),
+            (12, "F-11", "", "CarB", "2000", "380", "2380", "16/02/2026"),
+            (13, "F-12", "R-3", "CarC", "no", "0", "10", "15-02-2026"),
+            (14, "F-13", "R-4", "CarD", "10", "1", "11", "nope"),
+            (15, "", None, None, None, None, None, None),
+            (16, "F-15", "R-6", "CarE", "5", "1", "6", "15-02-2026"),
+        ]
+    )
+    return spark.createDataFrame(rows, SIMPLE_SCHEMA)
+
+
+def test_fixed_cells_read(spark):
+    fixed = read_fixed_cells(_mixed_sheet(spark)).collect()[0]
+    assert fixed["empresa_transporte"] == "TransCo"
+    assert fixed["numero_factura"] == "F-1"
+    assert fixed["fecha_emision"] == "15-02-2026"
+    assert fixed["nave"] == "MV Ship"
+    assert fixed["puerto_embarque"] == "Puerto"
+    assert fixed["responsable"] == "Aprobado por: J"
+
+
+def test_mixed_detection_and_extraction(spark):
+    valid, errors = extract_invoice_sheet(_mixed_sheet(spark), "m.xlsx")
+    rows = {r.row_idx: r for r in valid.collect()}
+    # P7 dropped 12 (TOTAL keyword), P6 dropped 13 (blank ordenes),
+    # P5 dropped 14 (all-null), error channel took 15
+    assert sorted(rows) == [10, 11]
+    r10, r11 = rows[10], rows[11]
+    # fixed cells broadcast onto every detail row
+    assert r10.invoice_number == "F-1" and r10.carrier_name == "TransCo"
+    assert r10.ship_name == "MV Ship"
+    assert r10.invoice_date == datetime.date(2026, 2, 15)
+    # A6: no explicit total → component sum; explicit total wins
+    assert float(r10.total_amount) == 105.0
+    assert float(r11.total_amount) == 999.0
+    assert float(r10.tax_amount) == 0.0
+    errs = errors.collect()
+    assert [(e.row_idx, "Flete" in e.error) for e in errs] == [(15, True)]
+    assert errs[0].source_file == "m.xlsx"
+
+
+def test_simple_detection_and_extraction(spark):
+    valid, errors = extract_invoice_sheet(_simple_sheet(spark), "s.xlsx")
+    rows = {r.row_idx: r for r in valid.collect()}
+    # take-while stopped at 15 (blank invoice) → 16 never extracted;
+    # 13 (money) and 14 (date) went to the error channel
+    assert sorted(rows) == [11, 12]
+    assert rows[11].invoice_number == "F-10"
+    assert rows[11].reference_number == "R-1"
+    assert rows[12].reference_number == "N/A"          # blank → N/A
+    assert float(rows[11].net_amount) == 1000.0
+    assert rows[12].invoice_date == datetime.date(2026, 2, 16)
+    assert rows[11].currency == "CLP"                  # Moneda column absent
+    errs = {e.row_idx: e.error for e in errors.collect()}
+    assert set(errs) == {13, 14}
+    assert "Monto Neto" in errs[13]
+    assert "date" in errs[14]
+
+
+def test_simple_sheet_missing_invoice_column(spark):
+    """No recognizable header → discovery falls back to row 11; a grid
+    whose fallback header lacks 'N° Factura' yields empty outputs, not
+    a crash (the reference returns [] when nothing extracts)."""
+    rows = [(i, None, None) for i in range(12)] + [(12, "a", "b")]
+    raw = spark.createDataFrame(rows, "row_idx long, c0 string, c1 string")
+    valid, errors = extract_invoice_sheet(raw, "x.xlsx")
+    assert valid.count() == 0
+    assert errors.count() == 0
+
+
+def test_mixed_bad_fixed_date_errors_every_row(spark):
+    """A bad G3 fixed date errors EVERY surviving detail row, mirroring
+    the reference's per-record _parse_date raise."""
+    sheet = _mixed_sheet(spark)
+    bad = spark.createDataFrame(
+        [(r.row_idx, r.c0, r.c1, r.c2, r.c3, r.c4, r.c5,
+          ("never-a-date" if r.row_idx == 2 else r.c6), r.c7, r.c8)
+         for r in sheet.collect()],
+        MIXED_SCHEMA,
+    )
+    valid, errors = extract_invoice_sheet(bad, "bad.xlsx")
+    assert valid.count() == 0
+    errs = {r.row_idx: r.error for r in errors.collect()}
+    assert sorted(errs) == [10, 11, 15]                # every surviving row
+    assert "date" in errs[10] and "date" in errs[11]
+    # row 15's money error wins the message (the reference's pydantic
+    # coercion raises before the date parse is ever reached)
+    assert "Flete" in errs[15]
