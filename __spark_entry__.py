@@ -46,9 +46,11 @@ from smartbots_etl_facturas_spark.operators.ordered import (
 )
 from smartbots_etl_facturas_spark.streaming.sessions import sessionize
 from smartbots_etl_facturas_spark.operators.dedup import (
+    cluster_representatives,
     cosine_neardup_pairs,
     hamming_distance,
     minhash_lsh_pairs,
+    neardup_clusters,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -1270,6 +1272,68 @@ FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL
 """
 
 
+_EXACT_PAIRS_05_SQL = r"""
+docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM aug),
+pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM docs WHERE len(w) >= 3),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM pos),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+ex AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE)
+          / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) >= 0.5),
+edges AS (SELECT id_a AS src, id_b AS dst FROM ex
+          UNION SELECT id_b, id_a FROM ex),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM aug
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+clusters AS (SELECT node AS doc_id, min(r) AS cluster_id
+             FROM reach GROUP BY 1)
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: connected components over the exact
+    j≥0.5 pair graph via iterative min-label propagation (A~B, B~C
+    collapse to one cluster without A~C ever being scored) — the step
+    between pair detection and keep-one-per-group dedup. Iterative
+    dataflow (like IVF k-means), oracle = DuckDB recursive CTE on the
+    same graph."""
+    aug = _augmented_docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(aug, threshold=0.5)
+    return neardup_clusters(pairs, aug)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_AUGMENTED_DOCS_SQL}, {_EXACT_PAIRS_05_SQL}
+SELECT doc_id, cluster_id FROM clusters
+"""
+
+
+def q_cluster_representatives(spark, sf_dir):
+    """Keep-one-per-cluster dedup decision over the near-dup clusters:
+    (cluster_id, keep_id, n_members)."""
+    aug = _augmented_docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(aug, threshold=0.5)
+    return cluster_representatives(neardup_clusters(pairs, aug))
+
+
+SQL_CLUSTER_REPRESENTATIVES = f"""
+WITH RECURSIVE {_AUGMENTED_DOCS_SQL}, {_EXACT_PAIRS_05_SQL}
+SELECT cluster_id, CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM clusters GROUP BY 1
+"""
+
+
 def q_events_sliding(spark, sf_dir):
     """Sliding window (1h window, 30min slide) over events — each
     event contributes to exactly two windows; tz-independent integer
@@ -1914,6 +1978,113 @@ def _extract_both_golden(spark):
     return mv.unionByName(sv), me.unionByName(se)
 
 
+GOLDEN_CONSOL_F1 = [
+    (0, "F-1", "R-1", "CarA", 100.0, 19.0, 119.0),   # valid
+    (1, "F-1", "R-1", "CarA", 100.0, 19.0, 119.0),   # dup PK → first wins
+    (2, "F-2", "R-2", "CarB", 200.0, 38.0, 238.0),   # valid
+    (3, "",    "R-3", "CarC", 10.0, 0.0, 10.0),      # blank invoice → error
+    (4, "F-3", "R-3", "CarC", 50.0, 9.5, 70.0),      # variance 10.5 → error
+    (5, "F-4", "R-4", "CarD", 10.0, 1.9, 12.5),      # variance 0.6 ≤ 1 → valid
+]
+
+GOLDEN_CONSOL_F2 = [
+    (0, "F-2", "R-2", "CarB", 200.0, 38.0, 238.0),   # re-sent PK → upsert skips
+    (1, "F-5", "R-5", "CarE", 300.0, 57.0, 357.0),   # new valid
+    (2, "F-6", "R-6", "CarF", -5.0, 0.0, -5.0),      # negative total → error
+]
+
+_CONSOL_SCHEMA = (
+    "row_idx long, invoice_number string, reference_number string, "
+    "carrier_name string, net_amount double, tax_amount double, "
+    "total_amount double"
+)
+
+
+def q_consolidation_pipeline(spark, sf_dir):
+    """The COMPOSED per-file consolidation plan (plans/consolidation.py
+    — idempotency → schema validation → validate/split → first-wins
+    dedup → insert-only upsert → reconcile → audit → staged publish)
+    run end-to-end over a deterministic 2-file scenario, returning the
+    PUBLISHED consolidated table. Exercises the pieces *as wired
+    together*, not individually: file 2 re-sends an existing PK (must
+    be skipped), both files carry validation errors (must be excluded
+    but audited), and the publish only happens because both files
+    reconcile."""
+    import tempfile
+
+    from smartbots_etl_facturas_spark.plans.consolidation import consolidate
+    from smartbots_etl_facturas_spark.sinks.audit import AuditWriter
+    from smartbots_etl_facturas_spark.sinks.staged import read_published
+
+    base = tempfile.mkdtemp(prefix="consol_q_")
+    audit = AuditWriter(spark, f"{base}/audit")
+    f1 = spark.createDataFrame(GOLDEN_CONSOL_F1, _CONSOL_SCHEMA)
+    f2 = spark.createDataFrame(GOLDEN_CONSOL_F2, _CONSOL_SCHEMA)
+    report = consolidate(
+        spark, [("f1.xlsx", "t1", f1), ("f2.xlsx", "t2", f2)],
+        f"{base}/consolidated", audit,
+    )
+    assert report.status == "SUCCESS", report
+    out = read_published(spark, f"{base}/consolidated")
+    return out.select(
+        "invoice_number", "reference_number", "carrier_name",
+        F.col("net_amount").cast("double").alias("net_amount"),
+        F.col("tax_amount").cast("double").alias("tax_amount"),
+        F.col("total_amount").cast("double").alias("total_amount"),
+        "source_file",
+    )
+
+
+def _consol_values(rows):
+    return ", ".join(
+        "(" + ", ".join(repr(v) for v in row) + ")" for row in rows
+    )
+
+
+SQL_CONSOLIDATION_PIPELINE = f"""
+WITH f1(row_idx, invoice_number, reference_number, carrier_name,
+        net_amount, tax_amount, total_amount) AS (
+  VALUES {_consol_values(GOLDEN_CONSOL_F1)}),
+f2(row_idx, invoice_number, reference_number, carrier_name,
+   net_amount, tax_amount, total_amount) AS (
+  VALUES {_consol_values(GOLDEN_CONSOL_F2)}),
+v1 AS (SELECT * FROM f1
+       WHERE trim(invoice_number) != '' AND trim(reference_number) != ''
+         AND trim(carrier_name) != ''
+         AND CAST(total_amount AS DECIMAL(18,6)) >= 0
+         AND abs(CAST(total_amount AS DECIMAL(18,6))
+                 - (CAST(net_amount AS DECIMAL(12,2))
+                    + CAST(tax_amount AS DECIMAL(18,6)))) <= 1),
+d1 AS (SELECT *, row_number() OVER (
+         PARTITION BY invoice_number, reference_number
+         ORDER BY row_idx) AS rn FROM v1),
+c1 AS (SELECT invoice_number, reference_number, carrier_name,
+              net_amount, tax_amount, total_amount, 'f1.xlsx' AS source_file
+       FROM d1 WHERE rn = 1),
+v2 AS (SELECT * FROM f2
+       WHERE trim(invoice_number) != '' AND trim(reference_number) != ''
+         AND trim(carrier_name) != ''
+         AND CAST(total_amount AS DECIMAL(18,6)) >= 0
+         AND abs(CAST(total_amount AS DECIMAL(18,6))
+                 - (CAST(net_amount AS DECIMAL(12,2))
+                    + CAST(tax_amount AS DECIMAL(18,6)))) <= 1),
+d2 AS (SELECT *, row_number() OVER (
+         PARTITION BY invoice_number, reference_number
+         ORDER BY row_idx) AS rn FROM v2),
+ins2 AS (SELECT d2.invoice_number, d2.reference_number, d2.carrier_name,
+                d2.net_amount, d2.tax_amount, d2.total_amount,
+                'f2.xlsx' AS source_file
+         FROM d2 LEFT JOIN c1 USING (invoice_number, reference_number)
+         WHERE d2.rn = 1 AND c1.invoice_number IS NULL)
+SELECT invoice_number, reference_number, carrier_name,
+       CAST(CAST(net_amount AS DECIMAL(12,2)) AS DOUBLE) AS net_amount,
+       CAST(CAST(tax_amount AS DECIMAL(18,6)) AS DOUBLE) AS tax_amount,
+       CAST(CAST(total_amount AS DECIMAL(18,6)) AS DOUBLE) AS total_amount,
+       source_file
+FROM (SELECT * FROM c1 UNION ALL SELECT * FROM ins2)
+"""
+
+
 def q_invoice_extract_golden(spark, sf_dir):
     """Composed extraction plan over BOTH golden layouts: runtime
     format detection routes each sheet (mixed → S3+S4+P5-P7+A6+F2;
@@ -2488,6 +2659,8 @@ _QUERIES: dict[str, Callable] = {
     "ann_ivf": q_ann_ivf,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_docs": q_simhash_docs,
+    "dedup_clusters": q_dedup_clusters,
+    "cluster_representatives": q_cluster_representatives,
     "minhash_precision": q_minhash_precision,
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
@@ -2509,6 +2682,7 @@ _QUERIES: dict[str, Callable] = {
     "fixed_cells": q_fixed_cells,
     "invoice_extract_golden": q_invoice_extract_golden,
     "invoice_extract_errors": q_invoice_extract_errors,
+    "consolidation_pipeline": q_consolidation_pipeline,
     "display_casts": q_display_casts,
     "sessions": q_sessions,
     "manifest_listing": q_manifest_listing,
@@ -2570,6 +2744,7 @@ _ORACLES: dict[str, str] = {
     "fixed_cells": SQL_FIXED_CELLS,
     "invoice_extract_golden": SQL_INVOICE_EXTRACT,
     "invoice_extract_errors": SQL_INVOICE_EXTRACT_ERRORS,
+    "consolidation_pipeline": SQL_CONSOLIDATION_PIPELINE,
     "display_casts": SQL_DISPLAY_CASTS,
     "sessions": SQL_SESSIONS,
     "manifest_listing": SQL_MANIFEST_LISTING,
@@ -2579,6 +2754,8 @@ _ORACLES: dict[str, str] = {
     "lang_id_ngram": SQL_LANG_ID_NGRAM,
     "json_props": SQL_JSON_PROPS,
     "xlsx_distributed": SQL_XLSX_DISTRIBUTED,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "cluster_representatives": SQL_CLUSTER_REPRESENTATIVES,
     "minhash_precision": SQL_MINHASH_PRECISION,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "ann_ivf_recall": SQL_ANN_IVF_RECALL,
