@@ -217,6 +217,73 @@ def hamming_distance(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def neardup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph → one
+    ``cluster_id`` (the component's minimum id) per node. The step a
+    real dedup pipeline needs between "pairs found" and "keep one per
+    group": A~B and B~C must collapse to ONE cluster even though A~C
+    was never scored.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converged when no
+    label changes. Each round is one join + one groupBy (shuffles on
+    the node id, AQE-coalesced); the frame is localCheckpoint-ed per
+    round so lineage stays flat (the same bounded-iteration pattern as
+    kmeans_centroids — a deliberately non-SQL-expressible dataflow,
+    oracle-checked against DuckDB's recursive CTE on the same graph).
+    Rounds needed = graph diameter; near-dup components are shallow
+    (dup groups, not social graphs), so ``max_iters`` is a backstop,
+    not a tuning knob. Singleton nodes keep their own id.
+
+    ``pairs`` needs columns id_a/id_b; ``nodes`` needs ``id_col``.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+                (F.col("nbr_label") < F.col("label")).alias("__changed"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def cluster_representatives(
+    clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep-one-per-cluster selection: (cluster_id, keep_id, n_members)
+    — the final dedup decision over :func:`neardup_clusters` output."""
+    return clusters.groupBy("cluster_id").agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_members")
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

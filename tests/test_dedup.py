@@ -116,6 +116,37 @@ def test_cosine_neardup_exact_and_lsh(spark):
     assert len(lsh & exact) / len(exact) >= 0.5      # collision-prob recall
 
 
+def test_neardup_clusters_transitive(spark):
+    """A~B and B~C must land in ONE cluster even though A~C is not a
+    pair; disconnected nodes stay singletons; the representative
+    selection keeps the min id per cluster."""
+    from smartbots_etl_facturas_spark.operators.dedup import (
+        cluster_representatives,
+        neardup_clusters,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 5-6
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in neardup_clusters(pairs, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+    reps = {r.cluster_id: (r.keep_id, r.n_members)
+            for r in cluster_representatives(neardup_clusters(pairs, nodes)).collect()}
+    assert reps == {1: (1, 4), 5: (5, 2), 7: (7, 1)}
+
+
+def test_neardup_clusters_no_cache_leak(spark):
+    """localCheckpoint per round must not accumulate persistent RDDs
+    beyond the returned frame's own checkpoint."""
+    from smartbots_etl_facturas_spark.operators.dedup import neardup_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    neardup_clusters(pairs, nodes).count()
+
+
 def test_rolling_fingerprint_locality(spark):
     """Winnowing property: an edit near the END leaves the min-window
     fingerprint of the shared prefix region likely intact, and
