@@ -30,6 +30,7 @@ def incremental_file_stream(
     output_dir: str | None = None,
     file_format: str = "parquet",
     output_mode: str | None = None,
+    reader_options: dict | None = None,
 ):
     """Drain all unprocessed files from source_dir exactly once.
 
@@ -37,9 +38,18 @@ def incremental_file_stream(
     - transform: plan applied to the raw stream (projections, window
       aggs — anything unified-batch/streaming-compatible).
     - on_batch: foreachBatch hook (report emission, audit writes).
-    - output_dir: when given (and no on_batch), append as parquet.
+      foreachBatch delivery is at-least-once across crash/restart —
+      EXACTLY-once requires the hook to be idempotent per ``batch_id``
+      (e.g. overwrite a per-batch path), which is what the checkpoint's
+      replayed batch ids make possible.
+    - output_dir: when given (and no on_batch), append as parquet
+      (the file sink commits via the checkpoint log → exactly-once).
+    - reader_options: extra file-source options (e.g.
+      ``maxFilesPerTrigger`` to slice the drain into micro-batches).
     """
     reader = spark.readStream.schema(schema).format(file_format)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
     stream = reader.load(source_dir)
     if transform is not None:
         stream = transform(stream)
