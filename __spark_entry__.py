@@ -1300,6 +1300,52 @@ clusters AS (SELECT node AS doc_id, min(r) AS cluster_id
 """
 
 
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub before training (redact emails/URLs/phone shapes with
+    placeholder tokens) plus the audit counts — three codegen'd
+    regexp passes, no Python. The corpus has no natural PII, so a
+    deterministic contact line is appended to each sampled doc; the
+    regexes also sweep the natural text on both sides."""
+    from smartbots_etl_facturas_spark.functions.text import pii_counts, redact_pii
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact bob@example.com or https://ex.com/a?b=1 call +56 9 1234 5678"),
+        ).alias("text"),
+    )
+    c = pii_counts(F.col("text"))
+    return seeded.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("clean"),
+        c["n_emails"].alias("n_emails"),
+        c["n_urls"].alias("n_urls"),
+        c["n_phones"].alias("n_phones"),
+    )
+
+
+SQL_PII_REDACTION = r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact bob@example.com or https://ex.com/a?b=1 call +56 9 1234 5678' AS text
+  FROM documents WHERE doc_id % 25 = 0)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\+?[0-9][0-9 ().-]{5,}[0-9]', '<PHONE>', 'g') AS clean,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(text,
+         '\+?[0-9][0-9 ().-]{5,}[0-9]')) AS BIGINT) AS n_phones
+FROM seeded
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERING: connected components over the exact
     j≥0.5 pair graph via iterative min-label propagation (A~B, B~C
@@ -2659,6 +2705,7 @@ _QUERIES: dict[str, Callable] = {
     "ann_ivf": q_ann_ivf,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_docs": q_simhash_docs,
+    "pii_redaction": q_pii_redaction,
     "dedup_clusters": q_dedup_clusters,
     "cluster_representatives": q_cluster_representatives,
     "minhash_precision": q_minhash_precision,
@@ -2754,6 +2801,7 @@ _ORACLES: dict[str, str] = {
     "lang_id_ngram": SQL_LANG_ID_NGRAM,
     "json_props": SQL_JSON_PROPS,
     "xlsx_distributed": SQL_XLSX_DISTRIBUTED,
+    "pii_redaction": SQL_PII_REDACTION,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "cluster_representatives": SQL_CLUSTER_REPRESENTATIVES,
     "minhash_precision": SQL_MINHASH_PRECISION,

@@ -109,3 +109,43 @@ def rolling_fingerprint(text_col: str, k: int = 8) -> Column:
         f"i -> xxhash64(substring({s}, i, {k})))"
     )
     return F.when(F.length(F.expr(s)) >= 1, F.array_min(windows))
+
+
+# --- PII redaction (training-data scrubbing) --------------------------------
+# Conservative, deterministic regexes chosen to be portable between
+# Spark's RE2-ish dialect and an ANSI-SQL oracle: no lookaround, no
+# backreferences. Order matters: emails before bare domains, URLs
+# before hostnames.
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+# 7+ char digit runs with optional separators — the reference locale's
+# phone shapes (+56 9 1234 5678, 9876543, 2-2345-6789); short runs
+# like years (2024) stay untouched
+PHONE_RE = r"\+?[0-9][0-9 ().-]{5,}[0-9]"
+
+
+def redact_pii(text: Column,
+               email_token: str = "<EMAIL>",
+               url_token: str = "<URL>",
+               phone_token: str = "<PHONE>") -> Column:
+    """Replace emails, URLs and phone-number-shaped digit runs with
+    placeholder tokens — the standard scrub step before a corpus goes
+    into training. Pure Column expressions (three regexp_replace
+    passes, whole-stage codegen), no Python in the hot path."""
+    out = F.regexp_replace(text, URL_RE, url_token)
+    out = F.regexp_replace(out, EMAIL_RE, email_token)
+    return F.regexp_replace(out, PHONE_RE, phone_token)
+
+
+def pii_counts(text: Column) -> Column:
+    """struct<n_emails,n_urls,n_phones> found in ``text`` — the audit
+    twin of :func:`redact_pii` (count before you scrub)."""
+    def _n(pattern):
+        return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).cast("long")
+
+    return F.struct(
+        _n(EMAIL_RE).alias("n_emails"),
+        _n(URL_RE).alias("n_urls"),
+        _n(PHONE_RE).alias("n_phones"),
+    )

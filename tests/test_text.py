@@ -1,0 +1,46 @@
+"""Text-analysis functions: PII redaction/audit goldens."""
+
+from pyspark.sql import functions as F
+
+from smartbots_etl_facturas_spark.functions.text import pii_counts, redact_pii
+
+ROWS = [
+    (0, "write to alice.smith+x@sub.example.org today"),
+    (1, "see https://example.com/a/b?q=1#frag for details"),
+    (2, "call +56 9 1234 5678 or 222-333-4444 now"),
+    (3, "no pii here, just the year 2024 and pi 3.14"),
+    (4, "mixed: bob@x.io at https://x.io/b tel 9876543"),
+]
+
+
+def _redacted(spark):
+    df = spark.createDataFrame(ROWS, "i long, text string")
+    c = pii_counts(F.col("text"))
+    return {
+        r.i: r
+        for r in df.select(
+            "i",
+            redact_pii(F.col("text")).alias("clean"),
+            c["n_emails"].alias("e"),
+            c["n_urls"].alias("u"),
+            c["n_phones"].alias("p"),
+        ).collect()
+    }
+
+
+def test_redact_pii_tokens(spark):
+    got = _redacted(spark)
+    assert got[0].clean == "write to <EMAIL> today"
+    assert got[1].clean == "see <URL> for details"
+    assert got[2].clean == "call <PHONE> or <PHONE> now"
+    assert got[3].clean == ROWS[3][1]                      # untouched
+    assert got[4].clean == "mixed: <EMAIL> at <URL> tel <PHONE>"
+
+
+def test_pii_counts(spark):
+    got = _redacted(spark)
+    assert (got[0].e, got[0].u, got[0].p) == (1, 0, 0)
+    assert (got[1].e, got[1].u, got[1].p) == (0, 1, 0)
+    assert (got[2].e, got[2].u, got[2].p) == (0, 0, 2)
+    assert (got[3].e, got[3].u, got[3].p) == (0, 0, 0)
+    assert (got[4].e, got[4].u, got[4].p) == (1, 1, 1)
