@@ -1591,6 +1591,55 @@ GROUP BY l_returnflag
 """
 
 
+def q_approx_percentile_sketch(spark, sf_dir):
+    """Sketch-tier percentile (approx_percentile, a mergeable
+    GK-style quantile sketch — THE percentile path at 100 TB where the
+    exact window rank needs a full per-group sort) checked against the
+    exact value-at-rank computation: the sketch answer for p50 must
+    sit within 0.5% of the exact median. ``p50`` is genuinely
+    recomputed by the oracle; ``sketch_ok`` is the pinned invariant
+    (sketch values themselves are engine-specific)."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast(DEC).alias("price")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("price")
+    ranked = li.select(
+        "l_returnflag", "price",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    exact = ranked.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("rn") * 2 >= F.col("n"), F.col("price")))
+        .cast("double").alias("p50"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("price", 0.5, 10000).cast("double").alias("__p50_sketch")
+    )
+    return exact.join(approx, "l_returnflag").select(
+        "l_returnflag",
+        "p50",
+        (F.abs(F.col("__p50_sketch") - F.col("p50")) <= F.col("p50") * 0.005)
+        .alias("sketch_ok"),
+    )
+
+
+SQL_APPROX_PERCENTILE_SKETCH = """
+WITH ranked AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY CAST(l_extendedprice AS DECIMAL(18,2))) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(min(CASE WHEN rn * 2 >= n THEN price END) AS DOUBLE) AS p50,
+       TRUE AS sketch_ok
+FROM ranked
+GROUP BY l_returnflag
+"""
+
+
 def q_summary_row_filter(spark, sf_dir):
     """P7 keyword row filter (uppercased concat match)."""
     docs = _read(spark, sf_dir, "documents")
@@ -2717,6 +2766,7 @@ _QUERIES: dict[str, Callable] = {
     "range_join_counts": q_range_join_counts,
     "skew_salted_agg": q_skew_salted_agg,
     "group_percentiles": q_group_percentiles,
+    "approx_percentile_sketch": q_approx_percentile_sketch,
     "dedup_embedding": q_dedup_embedding,
     "token_count": q_token_count,
     "cube_sales": q_cube_sales,
@@ -2779,6 +2829,7 @@ _ORACLES: dict[str, str] = {
     "range_join_counts": SQL_RANGE_JOIN_COUNTS,
     "skew_salted_agg": SQL_SKEW_SALTED_AGG,
     "group_percentiles": SQL_GROUP_PERCENTILES,
+    "approx_percentile_sketch": SQL_APPROX_PERCENTILE_SKETCH,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "token_count": SQL_TOKEN_COUNT,
     "cube_sales": SQL_CUBE_SALES,
