@@ -1591,6 +1591,60 @@ GROUP BY l_returnflag
 """
 
 
+def q_pivot_status(spark, sf_dir):
+    """Pivot (long→wide): returnflag rows × linestatus columns of
+    summed quantity. Pivot values are EXPLICIT, so Catalyst compiles
+    one single-pass conditional aggregation — no values-discovery job
+    (an implicit pivot runs a distinct scan first, a needless extra
+    pass at 100 TB)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast(DEC)))
+        .select(
+            "l_returnflag",
+            F.col("F").cast("double").alias("qty_f"),
+            F.col("O").cast("double").alias("qty_o"),
+        )
+    )
+
+
+SQL_PIVOT_STATUS = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+       CAST(sum(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_unpivot_amounts(spark, sf_dir):
+    """Unpivot/melt (wide→long) via stack: the three amount columns
+    become (metric, value) rows — a generator expression inside one
+    projection, no join or shuffle."""
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'extendedprice', CAST(l_extendedprice AS DOUBLE), "
+        "'tax', CAST(l_tax AS DOUBLE), "
+        "'discount', CAST(l_discount AS DOUBLE)) AS (metric, value)",
+    )
+
+
+SQL_UNPIVOT_AMOUNTS = """
+SELECT l_orderkey, l_linenumber, m.metric,
+       CASE m.metric WHEN 'extendedprice' THEN CAST(l_extendedprice AS DOUBLE)
+                     WHEN 'tax' THEN CAST(l_tax AS DOUBLE)
+                     ELSE CAST(l_discount AS DOUBLE) END AS value
+FROM lineitem,
+     (VALUES ('extendedprice'), ('tax'), ('discount')) AS m(metric)
+WHERE l_orderkey % 100 = 0
+"""
+
+
 def q_approx_percentile_sketch(spark, sf_dir):
     """Sketch-tier percentile (approx_percentile, a mergeable
     GK-style quantile sketch — THE percentile path at 100 TB where the
@@ -2767,6 +2821,8 @@ _QUERIES: dict[str, Callable] = {
     "skew_salted_agg": q_skew_salted_agg,
     "group_percentiles": q_group_percentiles,
     "approx_percentile_sketch": q_approx_percentile_sketch,
+    "pivot_status": q_pivot_status,
+    "unpivot_amounts": q_unpivot_amounts,
     "dedup_embedding": q_dedup_embedding,
     "token_count": q_token_count,
     "cube_sales": q_cube_sales,
@@ -2830,6 +2886,8 @@ _ORACLES: dict[str, str] = {
     "skew_salted_agg": SQL_SKEW_SALTED_AGG,
     "group_percentiles": SQL_GROUP_PERCENTILES,
     "approx_percentile_sketch": SQL_APPROX_PERCENTILE_SKETCH,
+    "pivot_status": SQL_PIVOT_STATUS,
+    "unpivot_amounts": SQL_UNPIVOT_AMOUNTS,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "token_count": SQL_TOKEN_COUNT,
     "cube_sales": SQL_CUBE_SALES,
