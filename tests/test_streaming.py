@@ -349,3 +349,73 @@ def test_windowed_agg_crash_resume(spark, tmp_path):
     # events 1-2 twice (replayed batch) would overshoot, dropping 3-4
     # would undershoot
     assert seen == batch
+
+
+def test_sessionize_stateful_crash_resume(spark, tmp_path):
+    """applyInPandasWithState survives a mid-run crash: the per-key
+    open-session state is recovered from the checkpoint, so a session
+    whose events SPAN the crash boundary still comes out as one
+    session, and closed-session emissions are neither dropped nor
+    duplicated (per-batch-id idempotent sink)."""
+    from smartbots_etl_facturas_spark.streaming.sessions import (
+        sessionize,
+        sessionize_stateful,
+    )
+
+    src = str(tmp_path / "stcrash-src")
+    ckpt = str(tmp_path / "stcrash-ckpt")
+    out = str(tmp_path / "stcrash-out")
+    schema = "user_id long, ts timestamp, value double"
+
+    def _slice(rows):
+        df = spark.createDataFrame(rows, "user_id long, ts string, value double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    # user 1's first session spans the two files (10:00 + 10:10);
+    # the 12:00 event in file 2 closes it; user 2's session closes at 16:00
+    _slice([(1, "2024-01-01 10:00:00", 1.0),
+            (2, "2024-01-01 10:05:00", 4.0)])
+    _slice([(1, "2024-01-01 10:10:00", 2.0),
+            (1, "2024-01-01 12:00:00", 3.0),
+            (2, "2024-01-01 16:00:00", 5.0)])
+
+    crashed = {"flag": False}
+
+    def make_on_batch(crash):
+        def on_batch(bdf, batch_id):
+            bdf.write.mode("overwrite").parquet(f"{out}/b{batch_id}")
+            if crash and batch_id >= 1 and not crashed["flag"]:
+                crashed["flag"] = True
+                raise RuntimeError("injected crash")
+        return on_batch
+
+    def start(crash):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src)
+                  .withWatermark("ts", "0 seconds"))
+        return (sessionize_stateful(stream, gap_seconds=3600)
+                .writeStream.foreachBatch(make_on_batch(crash))
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start())
+
+    q = start(crash=True)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    assert crashed["flag"]
+    q2 = start(crash=False)
+    q2.awaitTermination(120)
+
+    got = {(r.user_id, r.session_start.strftime("%H:%M")): (r.n_events, r.sum_value)
+           for r in spark.read.parquet(f"{out}/b*").collect()}
+    batch_df = spark.read.parquet(src)
+    batch = {(r.user_id, r.session_start.strftime("%H:%M")): (r.n_events, r.sum_value)
+             for r in sessionize(batch_df, gap_seconds=3600).collect()}
+    # user 1's first session spans the crash boundary (10:00 from
+    # file 1, 10:10 from file 2) — recovered state must merge them
+    # into ONE session; 12:00 is >gap later and opens a new one
+    assert got[(1, "10:00")] == (2, 3.0)
+    assert got
+    for k, v in got.items():
+        assert batch[k] == v
