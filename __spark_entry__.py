@@ -799,6 +799,98 @@ WHERE rn <= 3
 """
 
 
+def q_window_lead_lag(spark, sf_dir):
+    """Offset window functions: per-customer order timeline with the
+    previous order's date (lag) and the day gap to the next order
+    (lead) — one window sort per customer partition, no self-join."""
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.lag(F.col("o_orderdate").cast("date")).over(w).alias("prev_date"),
+        F.datediff(
+            F.lead(F.col("o_orderdate").cast("date")).over(w),
+            F.col("o_orderdate").cast("date"),
+        ).cast("long").alias("days_to_next"),
+    )
+
+
+SQL_WINDOW_LEAD_LAG = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       lag(CAST(o_orderdate AS DATE)) OVER w AS prev_date,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                      lead(CAST(o_orderdate AS DATE)) OVER w) AS BIGINT)
+         AS days_to_next
+FROM orders WHERE o_custkey % 50 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_array_stats(spark, sf_dir):
+    """Higher-order array functions over the embedding vectors:
+    per-vector min/max/mean/l2 via aggregate/transform folds —
+    JVM-side lambda evaluation inside whole-stage codegen, the
+    pattern every vector feature column reuses."""
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 20 == 0)
+    v = F.col("embedding")
+    total = F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double"))
+    sq = F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.array_min(v).cast("double").alias("v_min"),
+        F.array_max(v).cast("double").alias("v_max"),
+        (total / F.size(v)).alias("v_mean"),
+        F.sqrt(sq).alias("v_l2"),
+        F.size(v).cast("long").alias("dim"),
+    )
+
+
+SQL_ARRAY_STATS = """
+SELECT vec_id,
+       CAST(list_min(embedding) AS DOUBLE) AS v_min,
+       CAST(list_max(embedding) AS DOUBLE) AS v_max,
+       list_sum(CAST(embedding AS DOUBLE[])) / len(embedding) AS v_mean,
+       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[]))) AS v_l2,
+       CAST(len(embedding) AS BIGINT) AS dim
+FROM embeddings WHERE vec_id % 20 = 0
+"""
+
+
+def q_levenshtein_match(spark, sf_dir):
+    """Fuzzy string matching: supplier-name pairs within edit distance
+    4 (JVM levenshtein over a blocked self-join — blocking on the
+    first character keeps the pair space linear-ish, the same
+    candidate-restriction discipline as the LSH dedup tiers)."""
+    s = _read(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 3 == 0).select(
+        "s_suppkey", F.col("s_name").alias("name"),
+        F.substring("s_name", 1, 8).alias("blk"),
+    )
+    a = s.select(F.col("s_suppkey").alias("key_a"), F.col("name").alias("name_a"), "blk")
+    b = s.select(F.col("s_suppkey").alias("key_b"), F.col("name").alias("name_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 4)
+        .select("key_a", "key_b", "name_a", "name_b", "dist")
+    )
+
+
+SQL_LEVENSHTEIN_MATCH = """
+WITH s AS (SELECT s_suppkey, s_name AS name, substr(s_name, 1, 8) AS blk
+           FROM supplier WHERE s_suppkey % 3 = 0)
+SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+       a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM s a JOIN s b ON a.blk = b.blk AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.name, b.name) <= 4
+"""
+
+
 def q_rollup_sales(spark, sf_dir):
     """ROLLUP hierarchy totals with grouping id (engine surface the
     reference lacks; SURVEY §2.4 note)."""
@@ -2794,6 +2886,9 @@ _QUERIES: dict[str, Callable] = {
     "top_customers": q_top_customers,
     "shipping_priority": q_shipping_priority,
     "window_rank": q_window_rank,
+    "window_lead_lag": q_window_lead_lag,
+    "array_stats": q_array_stats,
+    "levenshtein_match": q_levenshtein_match,
     "rollup_sales": q_rollup_sales,
     "distinct_parts": q_distinct_parts,
     "events_hourly": q_events_hourly,
@@ -2870,6 +2965,9 @@ _ORACLES: dict[str, str] = {
     "top_customers": SQL_TOP_CUSTOMERS,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "window_rank": SQL_WINDOW_RANK,
+    "window_lead_lag": SQL_WINDOW_LEAD_LAG,
+    "array_stats": SQL_ARRAY_STATS,
+    "levenshtein_match": SQL_LEVENSHTEIN_MATCH,
     "rollup_sales": SQL_ROLLUP_SALES,
     "distinct_parts": SQL_DISTINCT_PARTS,
     "events_hourly": SQL_EVENTS_HOURLY,
