@@ -419,3 +419,34 @@ def test_sessionize_stateful_crash_resume(spark, tmp_path):
     assert got
     for k, v in got.items():
         assert batch[k] == v
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """Streaming exact dedup: dropDuplicatesWithinWatermark drops a
+    re-sent doc_id across MICRO-BATCHES (state-backed, watermark-
+    bounded — the streaming twin of operators.dedup.exact_dedup for
+    continuous corpus ingestion)."""
+    src = str(tmp_path / "dd-src")
+    ckpt = str(tmp_path / "dd-ckpt")
+    schema = "doc_id long, ts timestamp, text string"
+
+    def _slice(rows):
+        df = spark.createDataFrame(rows, "doc_id long, ts string, text string") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    _slice([(1, "2024-01-01 10:00:00", "a"), (2, "2024-01-01 10:01:00", "b")])
+    _slice([(1, "2024-01-01 10:02:00", "a"),      # dup of batch-1 doc
+            (3, "2024-01-01 10:03:00", "c")])
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src)
+              .withWatermark("ts", "1 hour"))
+    q = (stream.dropDuplicatesWithinWatermark(["doc_id"])
+         .writeStream.format("memory").queryName("dd_out")
+         .outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.sql("select * from dd_out").collect())
+    assert got == [1, 2, 3]                       # re-sent doc 1 dropped once
