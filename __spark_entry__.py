@@ -1683,6 +1683,62 @@ GROUP BY l_returnflag
 """
 
 
+def q_set_ops(spark, sf_dir):
+    """Set operators (INTERSECT / EXCEPT) through the spark.sql
+    surface: customers who ordered in BOTH 1997 and 1998, minus those
+    with any high-priority 1998 order. Catalyst rewrites both set ops
+    to semi/anti joins — no distinct-then-join hand-rolling."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql("""
+        SELECT o_custkey FROM v_orders WHERE year(o_orderdate) = 1997
+        INTERSECT
+        SELECT o_custkey FROM v_orders WHERE year(o_orderdate) = 1998
+        EXCEPT
+        SELECT o_custkey FROM v_orders
+        WHERE year(o_orderdate) = 1998 AND o_orderpriority = '1-URGENT'
+    """)
+
+
+SQL_SET_OPS = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE year(o_orderdate) = 1998 AND o_orderpriority = '1-URGENT'
+"""
+
+
+def q_exists_decorrelated(spark, sf_dir):
+    """Correlated EXISTS subquery: suppliers having at least one
+    lineitem priced above twice their account balance. Catalyst
+    decorrelates to a semi-join (explain shows no per-row subquery
+    execution) — the declarative form a SQL user writes, executing as
+    the join a distributed engine needs."""
+    _read(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql("""
+        SELECT s_suppkey, s_name FROM v_supplier s
+        WHERE EXISTS (
+          SELECT 1 FROM v_lineitem l
+          WHERE l.l_suppkey = s.s_suppkey
+            AND CAST(l.l_extendedprice AS DECIMAL(18,2))
+                > CAST(s.s_acctbal AS DECIMAL(18,2)) * 2
+        )
+    """)
+
+
+SQL_EXISTS_DECORRELATED = """
+SELECT s_suppkey, s_name FROM supplier s
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_suppkey = s.s_suppkey
+    AND CAST(l.l_extendedprice AS DECIMAL(18,2))
+        > CAST(s.s_acctbal AS DECIMAL(18,2)) * 2
+)
+"""
+
+
 def q_pivot_status(spark, sf_dir):
     """Pivot (long→wide): returnflag rows × linestatus columns of
     summed quantity. Pivot values are EXPLICIT, so Catalyst compiles
@@ -2917,6 +2973,8 @@ _QUERIES: dict[str, Callable] = {
     "group_percentiles": q_group_percentiles,
     "approx_percentile_sketch": q_approx_percentile_sketch,
     "pivot_status": q_pivot_status,
+    "set_ops": q_set_ops,
+    "exists_decorrelated": q_exists_decorrelated,
     "unpivot_amounts": q_unpivot_amounts,
     "dedup_embedding": q_dedup_embedding,
     "token_count": q_token_count,
@@ -2985,6 +3043,8 @@ _ORACLES: dict[str, str] = {
     "group_percentiles": SQL_GROUP_PERCENTILES,
     "approx_percentile_sketch": SQL_APPROX_PERCENTILE_SKETCH,
     "pivot_status": SQL_PIVOT_STATUS,
+    "set_ops": SQL_SET_OPS,
+    "exists_decorrelated": SQL_EXISTS_DECORRELATED,
     "unpivot_amounts": SQL_UNPIVOT_AMOUNTS,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "token_count": SQL_TOKEN_COUNT,
