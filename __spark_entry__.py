@@ -1683,6 +1683,43 @@ GROUP BY l_returnflag
 """
 
 
+def q_running_total(spark, sf_dir):
+    """Cumulative window frame (rowsBetween unbounded-preceding →
+    current) + ntile bucketing: per-customer running revenue over the
+    order timeline and the order's revenue quartile within the
+    customer. Decimal running sums (order-independent, exact), total
+    deterministic ordering (date + key tie-break)."""
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_custkey") % 40 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_revenue"),
+        F.ntile(4).over(
+            Window.partitionBy("o_custkey").orderBy(
+                F.col("o_totalprice").cast(DEC), F.col("o_orderkey")
+            )
+        ).cast("long").alias("price_quartile"),
+    )
+
+
+SQL_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_revenue,
+       CAST(ntile(4) OVER (
+         PARTITION BY o_custkey
+         ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS BIGINT)
+         AS price_quartile
+FROM orders WHERE o_custkey % 40 = 0
+"""
+
+
 def q_set_ops(spark, sf_dir):
     """Set operators (INTERSECT / EXCEPT) through the spark.sql
     surface: customers who ordered in BOTH 1997 and 1998, minus those
@@ -2974,6 +3011,7 @@ _QUERIES: dict[str, Callable] = {
     "approx_percentile_sketch": q_approx_percentile_sketch,
     "pivot_status": q_pivot_status,
     "set_ops": q_set_ops,
+    "running_total": q_running_total,
     "exists_decorrelated": q_exists_decorrelated,
     "unpivot_amounts": q_unpivot_amounts,
     "dedup_embedding": q_dedup_embedding,
@@ -3044,6 +3082,7 @@ _ORACLES: dict[str, str] = {
     "approx_percentile_sketch": SQL_APPROX_PERCENTILE_SKETCH,
     "pivot_status": SQL_PIVOT_STATUS,
     "set_ops": SQL_SET_OPS,
+    "running_total": SQL_RUNNING_TOTAL,
     "exists_decorrelated": SQL_EXISTS_DECORRELATED,
     "unpivot_amounts": SQL_UNPIVOT_AMOUNTS,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
