@@ -2436,6 +2436,36 @@ def q_invoice_extract_golden(spark, sf_dir):
     )
 
 
+def q_invoice_extract_multi(spark, sf_dir):
+    """The SET-BASED many-files extraction plan over the same two
+    golden sheets as one union grid: per-file fixed cells, format
+    detection, header discovery, re-headering (as map<header,cell>
+    data), filters, parses and normalization in ONE Catalyst plan with
+    no driver-side per-file loop — the 100 TB shape of the per-file
+    extractor (plans/extract.py extract_invoice_files). Must produce
+    the per-file extractor's exact output, so it shares that oracle."""
+    from smartbots_etl_facturas_spark.plans.extract import extract_invoice_files
+
+    mixed = spark.createDataFrame(GOLDEN_MIXED_SHEET, _MIXED_GRID_SCHEMA)
+    simple = spark.createDataFrame(GOLDEN_SIMPLE_SHEET, _SIMPLE_GRID_SCHEMA).select(
+        "*",
+        F.lit(None).cast("string").alias("c7"),
+        F.lit(None).cast("string").alias("c8"),
+    )
+    multi = mixed.select(F.lit("mixed.xlsx").alias("source_file"), "*").unionByName(
+        simple.select(F.lit("simple.xlsx").alias("source_file"), "*")
+    )
+    valid, _ = extract_invoice_files(multi)
+    return valid.select(
+        "row_idx", "invoice_number", "reference_number", "carrier_name",
+        "ship_name", "invoice_date",
+        F.col("net_amount").cast("double").alias("net_amount"),
+        F.col("tax_amount").cast("double").alias("tax_amount"),
+        F.col("total_amount").cast("double").alias("total_amount"),
+        "currency", "description", "source_file",
+    )
+
+
 def q_invoice_extract_errors(spark, sf_dir):
     """P10 error side-channel of the composed extraction plan: one row
     per reference try/except-per-row failure (unparseable money in
@@ -3026,6 +3056,7 @@ _QUERIES: dict[str, Callable] = {
     "fixed_cells": q_fixed_cells,
     "invoice_extract_golden": q_invoice_extract_golden,
     "invoice_extract_errors": q_invoice_extract_errors,
+    "invoice_extract_multi": q_invoice_extract_multi,
     "consolidation_pipeline": q_consolidation_pipeline,
     "display_casts": q_display_casts,
     "sessions": q_sessions,
@@ -3097,6 +3128,7 @@ _ORACLES: dict[str, str] = {
     "fixed_cells": SQL_FIXED_CELLS,
     "invoice_extract_golden": SQL_INVOICE_EXTRACT,
     "invoice_extract_errors": SQL_INVOICE_EXTRACT_ERRORS,
+    "invoice_extract_multi": SQL_INVOICE_EXTRACT,
     "consolidation_pipeline": SQL_CONSOLIDATION_PIPELINE,
     "display_casts": SQL_DISPLAY_CASTS,
     "sessions": SQL_SESSIONS,

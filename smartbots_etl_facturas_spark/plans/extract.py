@@ -323,6 +323,222 @@ def _empty_valid(raw: DataFrame) -> DataFrame:
     )
 
 
+def extract_invoice_files(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """MANY files through ONE plan — the 100 TB shape of
+    :func:`extract_invoice_sheet`. Input:
+    ``(source_file, row_idx, c0..cN)`` — the union grid of many sheets
+    (e.g. from ``sources.xlsx.read_xlsx_grid_distributed``). Per-file
+    fixed-cell read, format DETECTION, header DISCOVERY, re-headering,
+    filtering, parsing and normalization all happen as set-based
+    dataflow: no driver-side per-file loop, no per-file collect — the
+    only shuffles are groupBys keyed on (source_file[, row_idx]), so
+    adding files adds partitions, not plan depth.
+
+    Schema-on-read becomes DATA: each data row carries a
+    ``map<header_name, cell>`` built by joining cells against their
+    file's discovered header row — the per-file dynamic column layout
+    that a static StructType cannot express.
+
+    Semantics match the per-file :func:`extract_invoice_sheet` (proven
+    row-for-row in tests/test_extract.py); one documented deviation:
+    duplicate header names within one sheet would collide in the map
+    (the positional variant keeps both columns).
+    """
+    cell_cols = [c for c in raw.columns if c not in ("source_file", "row_idx")]
+    cells = raw.select(
+        "source_file",
+        "row_idx",
+        F.posexplode(F.array(*[F.col(c) for c in cell_cols])).alias("col_idx", "val"),
+    )
+
+    # fixed cells + per-file layout detection (one groupBy)
+    fixed_aggs = []
+    for ref, name in FIXED_CELLS.items():
+        r, cname = _cell_ref(ref)
+        ci = int(cname[1:])
+        fixed_aggs.append(
+            F.max(
+                F.when((F.col("row_idx") == r) & (F.col("col_idx") == ci), F.col("val"))
+            ).alias(name)
+        )
+    nonblank = lambda c: c.isNotNull() & (F.trim(c) != "")  # noqa: E731
+    fixed = cells.groupBy("source_file").agg(*fixed_aggs)
+
+    # header discovery per file: known-header hit counts per row, min
+    # qualifying row per file, reference fallback row 10
+    km = [h.upper() for h in MIXED_KNOWN_HEADERS]
+    ks = [h.upper() for h in SIMPLE_KNOWN_HEADERS]
+    up = F.upper(F.trim(F.col("val")))
+    row_hits = cells.groupBy("source_file", "row_idx").agg(
+        F.sum(F.when(up.isin(km), 1).otherwise(0)).alias("hm"),
+        F.sum(F.when(up.isin(ks), 1).otherwise(0)).alias("hs"),
+    )
+    hdr = (
+        row_hits.filter(F.col("row_idx") < 15)
+        .groupBy("source_file")
+        .agg(
+            F.min(F.when(F.col("hm") >= 3, F.col("row_idx"))).alias("hdr_m"),
+            F.min(F.when(F.col("hs") >= 3, F.col("row_idx"))).alias("hdr_s"),
+        )
+    )
+    meta = (
+        fixed.join(hdr, "source_file", "left")
+        .select(
+            "source_file",
+            *[F.col(n) for n in FIXED_CELLS.values()],
+            (nonblank(F.col("numero_factura")) & nonblank(F.col("empresa_transporte")))
+            .alias("is_mixed"),
+            F.coalesce(
+                F.when(
+                    nonblank(F.col("numero_factura"))
+                    & nonblank(F.col("empresa_transporte")),
+                    F.col("hdr_m"),
+                ).otherwise(F.col("hdr_s")),
+                F.lit(10),
+            ).alias("header_idx"),
+        )
+    )
+
+    # header names per (file, col) from the discovered header row
+    hdr_names = (
+        cells.join(F.broadcast(meta.select("source_file", "header_idx")), "source_file")
+        .filter((F.col("row_idx") == F.col("header_idx")) & F.col("val").isNotNull())
+        .select("source_file", "col_idx", F.col("val").alias("hdr_name"))
+    )
+
+    # data rows as map<header_name, cell>; empty map = all-null row
+    # (kept — the simple path's take-while must SEE it to stop there)
+    data_cells = cells.join(
+        F.broadcast(meta.select("source_file", "header_idx")), "source_file"
+    ).filter(F.col("row_idx") > F.col("header_idx"))
+    named = data_cells.join(hdr_names, ["source_file", "col_idx"], "left")
+    rows = named.groupBy("source_file", "row_idx").agg(
+        F.map_from_entries(
+            F.array_compact(
+                F.collect_list(
+                    F.when(
+                        F.col("val").isNotNull() & F.col("hdr_name").isNotNull(),
+                        F.struct(F.col("hdr_name"), F.col("val")),
+                    )
+                )
+            )
+        ).alias("m"),
+        F.sum(F.when(F.col("val").isNotNull(), 1).otherwise(0)).alias("n_nonnull"),
+    )
+    r = rows.join(F.broadcast(meta), "source_file")
+
+    def g(key):  # map getter
+        return F.element_at(F.col("m"), F.lit(key))
+
+    def money_err(key):
+        raw_v = g(key)
+        parsed = parse_money(raw_v)
+        bad = raw_v.isNotNull() & (F.trim(raw_v) != "") & parsed.isNull()
+        return F.coalesce(parsed, F.lit(0).cast(DEC)), bad
+
+    # ---- mixed branch --------------------------------------------------
+    mx = r.filter(F.col("is_mixed"))
+    mx = mx.filter(F.col("n_nonnull") > 0)                              # P5
+    mx = mx.filter(nonblank(g(ORDENES_COL)))                            # P6
+    summary = F.exists(
+        F.map_values(F.col("m")), lambda v: F.upper(v).rlike("NETO|IVA|TOTAL")
+    )
+    mx = mx.filter(~summary)                                            # P7
+    comps, errs = [], []
+    for c in MONEY_COMPONENT_COLS:
+        p, bad = money_err(c)
+        comps.append(p)
+        errs.append((f"unparseable money: {c}", bad))
+    total_raw = parse_money(g(TOTAL_COL))
+    total_bad = (
+        g(TOTAL_COL).isNotNull() & (F.trim(g(TOTAL_COL)) != "") & total_raw.isNull()
+    )
+    total = derived_total(total_raw, comps).cast(DEC)                   # A6
+    date_m = parse_date_multi(F.col("fecha_emision"), EXTRACTOR_FORMATS)  # F2
+    date_bad_m = ~nonblank(F.col("fecha_emision")) | date_m.isNull()
+    err_cond_m = total_bad | date_bad_m
+    err_msg_m = F.when(total_bad, F.lit(f"unparseable money: {TOTAL_COL}"))
+    for msg, bad in errs:
+        err_cond_m = err_cond_m | bad
+        err_msg_m = err_msg_m.when(bad, F.lit(msg))
+    err_msg_m = F.coalesce(
+        err_msg_m,
+        F.when(
+            date_bad_m,
+            F.concat(F.lit("invalid invoice date: "), F.coalesce("fecha_emision", F.lit("None"))),
+        ),
+    )
+    mixed_errors = mx.filter(err_cond_m).select(
+        "source_file", F.col("row_idx").cast("long").alias("row_idx"),
+        err_msg_m.alias("error"),
+    )
+    mixed_valid = mx.filter(~err_cond_m).select(
+        F.col("row_idx").cast("long").alias("row_idx"),
+        F.col("numero_factura").alias("invoice_number"),
+        F.coalesce(
+            F.when(F.trim(g(ORDENES_COL)) != "", F.trim(g(ORDENES_COL))), F.lit("N/A")
+        ).alias("reference_number"),
+        F.col("empresa_transporte").alias("carrier_name"),
+        F.coalesce(F.col("nave"), F.lit("")).alias("ship_name"),
+        date_m.alias("invoice_date"),
+        total.alias("net_amount"),
+        F.lit(0).cast(DEC).alias("tax_amount"),
+        total.alias("total_amount"),
+        F.lit("CLP").alias("currency"),
+        F.coalesce(g("Observaciones"), F.lit("")).alias("description"),
+        "source_file",
+    )
+
+    # ---- simple branch -------------------------------------------------
+    sp = r.filter(~F.col("is_mixed"))
+    inv = g("N° Factura")
+    stop = inv.isNull() | (F.trim(inv) == "")
+    sp = take_while(sp, "row_idx", stop, partition_by=["source_file"])  # P8 per file
+    sp = sp.filter(F.col("n_nonnull") > 0)                              # P5
+    net, net_bad = money_err("Monto Neto")
+    tax, tax_bad = money_err("IVA")
+    stotal, stotal_bad = money_err("Monto Total")
+    date_s = parse_date_multi(g("Fecha Factura"), EXTRACTOR_FORMATS)
+    date_bad_s = date_s.isNull()
+    err_cond_s = net_bad | tax_bad | stotal_bad | date_bad_s
+    err_msg_s = (
+        F.when(net_bad, F.lit("unparseable money: Monto Neto"))
+        .when(tax_bad, F.lit("unparseable money: IVA"))
+        .when(stotal_bad, F.lit("unparseable money: Monto Total"))
+        .when(date_bad_s, F.lit("invalid invoice date"))
+    )
+    simple_errors = sp.filter(err_cond_s).select(
+        "source_file", F.col("row_idx").cast("long").alias("row_idx"),
+        err_msg_s.alias("error"),
+    )
+
+    def opt(key, default=""):
+        return F.coalesce(g(key), F.lit(default))
+
+    simple_valid = sp.filter(~err_cond_s).select(
+        F.col("row_idx").cast("long").alias("row_idx"),
+        F.trim(inv).alias("invoice_number"),
+        F.coalesce(
+            F.when(F.trim(opt("N° Referencia")) != "", F.trim(opt("N° Referencia"))),
+            F.lit("N/A"),
+        ).alias("reference_number"),
+        opt("Transportista").alias("carrier_name"),
+        opt("Nave").alias("ship_name"),
+        date_s.alias("invoice_date"),
+        net.alias("net_amount"),
+        tax.alias("tax_amount"),
+        stotal.alias("total_amount"),
+        opt("Moneda", "CLP").alias("currency"),
+        opt("Descripción").alias("description"),
+        "source_file",
+    )
+
+    return (
+        mixed_valid.unionByName(simple_valid),
+        mixed_errors.unionByName(simple_errors),
+    )
+
+
 def extract_invoice_sheet(
     raw: DataFrame, source_file: str
 ) -> tuple[DataFrame, DataFrame]:

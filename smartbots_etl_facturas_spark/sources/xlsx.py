@@ -292,6 +292,57 @@ def read_xlsx_distributed(
     return binary.mapInPandas(_parse, schema)
 
 
+def read_xlsx_grid_distributed(
+    spark,
+    path: str,
+    n_cols: int,
+    sheet_name=0,
+) -> DataFrame:
+    """Executor-side RAW-GRID XLSX scan: ``binaryFile`` + per-file
+    parse into the positional cell-grid shape
+    ``(source_file, row_idx, c0..c{n_cols-1})`` all-string — the input
+    contract of :mod:`..plans.extract`. Unlike
+    :func:`read_xlsx_distributed` no header row is assumed: header
+    DISCOVERY and format DETECTION happen downstream as set-based
+    dataflow (``extract_invoice_files``), so many files with different
+    layouts go through ONE plan with no driver-side per-file loop.
+
+    ``n_cols`` pads/truncates every sheet to a fixed grid width (the
+    static schema Spark needs); size it to the widest expected layout.
+    """
+    binary = spark.read.format("binaryFile").load(path).select("path", "content")
+    schema = T.StructType(
+        [T.StructField("source_file", T.StringType(), False),
+         T.StructField("row_idx", T.LongType(), False)]
+        + [T.StructField(f"c{i}", T.StringType(), True) for i in range(n_cols)]
+    )
+    pkg_root = _PKG_ROOT
+
+    def _parse(batches: Iterator) -> Iterator:
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        import pandas as pd
+
+        from smartbots_etl_facturas_spark.sources.xlsx import parse_xlsx_grid
+
+        for pdf in batches:
+            for path_val, content in zip(pdf["path"], pdf["content"]):
+                grid = parse_xlsx_grid(bytes(content), sheet_name)
+                out = {
+                    "source_file": [path_val] * len(grid),
+                    "row_idx": range(len(grid)),
+                }
+                for i in range(n_cols):
+                    out[f"c{i}"] = [
+                        (row[i] if i < len(row) else None) for row in grid
+                    ]
+                yield pd.DataFrame(out)
+
+    return binary.mapInPandas(_parse, schema)
+
+
 # ---------------------------------------------------------------------------
 # minimal writer (test-fixture + S8-adjacent sink primitive)
 # ---------------------------------------------------------------------------

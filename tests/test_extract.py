@@ -131,3 +131,70 @@ def test_mixed_bad_fixed_date_errors_every_row(spark):
     # row 15's money error wins the message (the reference's pydantic
     # coercion raises before the date parse is ever reached)
     assert "Flete" in errs[15]
+
+
+def test_multi_file_extract_matches_per_file(spark):
+    """The set-based many-files plan (extract_invoice_files) must
+    reproduce the per-file extractor row-for-row on a union of a
+    mixed-layout and a simple-layout sheet — including per-file format
+    detection, header discovery, take-while and the error channel."""
+    from pyspark.sql import functions as F
+
+    from smartbots_etl_facturas_spark.plans.extract import extract_invoice_files
+
+    mixed, simple = _mixed_sheet(spark), _simple_sheet(spark)
+    # union grid: pad the 7-col simple sheet to the 9-col width
+    simple9 = simple.select(
+        "*", F.lit(None).cast("string").alias("c7"), F.lit(None).cast("string").alias("c8")
+    )
+    multi = (
+        mixed.select(F.lit("m.xlsx").alias("source_file"), "*")
+        .unionByName(simple9.select(F.lit("s.xlsx").alias("source_file"), "*"))
+    )
+    got_valid, got_errors = extract_invoice_files(multi)
+
+    exp_mv, exp_me = extract_invoice_sheet(mixed, "m.xlsx")
+    exp_sv, exp_se = extract_invoice_sheet(simple, "s.xlsx")
+    exp_valid = exp_mv.unionByName(exp_sv)
+
+    def key(df):
+        return sorted(
+            (r.source_file, r.row_idx, r.invoice_number, r.reference_number,
+             r.carrier_name, r.ship_name, str(r.invoice_date),
+             float(r.net_amount), float(r.tax_amount), float(r.total_amount),
+             r.currency, r.description)
+            for r in df.collect()
+        )
+
+    assert key(got_valid) == key(exp_valid)
+    got_e = sorted((r.source_file, r.row_idx) for r in got_errors.collect())
+    exp_e = sorted((r.source_file, r.row_idx)
+                   for r in exp_me.unionByName(exp_se).collect())
+    assert got_e == exp_e
+
+
+def test_multi_file_extract_from_distributed_xlsx(spark, tmp_path):
+    """End-to-end 100TB shape: write real XLSX workbooks, scan them
+    with the binaryFile raw-grid reader (parse on executors), extract
+    with the set-based multi-file plan — one Catalyst plan, no
+    driver-side per-file work."""
+    from smartbots_etl_facturas_spark.plans.extract import extract_invoice_files
+    from smartbots_etl_facturas_spark.sources.xlsx import (
+        read_xlsx_grid_distributed,
+        write_xlsx,
+    )
+
+    # simple-layout workbook ×2 (header at row 11 per the reference)
+    for fname, inv in (("a.xlsx", "F-A"), ("b.xlsx", "F-B")):
+        grid = [[None] * 7 for _ in range(10)]
+        grid.append(["N° Factura", "N° Referencia", "Transportista",
+                     "Monto Neto", "IVA", "Monto Total", "Fecha Factura"])
+        grid.append([inv, "R-1", "Car", "100", "19", "119", "2026-02-15"])
+        write_xlsx(str(tmp_path / fname), {"Hoja1": grid})
+
+    raw = read_xlsx_grid_distributed(spark, str(tmp_path / "*.xlsx"), n_cols=9)
+    valid, errors = extract_invoice_files(raw)
+    rows = {r.invoice_number: r for r in valid.collect()}
+    assert set(rows) == {"F-A", "F-B"}
+    assert all(float(r.total_amount) == 119.0 for r in rows.values())
+    assert errors.count() == 0
