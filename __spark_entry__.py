@@ -1392,6 +1392,42 @@ clusters AS (SELECT node AS doc_id, min(r) AS cluster_id
 """
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split (~80/10/10) by content-
+    independent hash bucketing: first md5 byte of the doc id, compared
+    as lowercase hex. Reproducible across engines, cluster sizes,
+    partitionings and reruns — no RNG state, no sampleBy — the
+    reproducible held-out-split op every training pipeline needs.
+    Value-checked per split via count + id-sum + total token mass (so
+    MEMBERSHIP is verified, not just sizes)."""
+    docs = _read(spark, sf_dir, "documents")
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(hx < "cc", "train").when(hx < "e6", "val").otherwise("test")
+    )
+    return docs.select(
+        split.alias("split"),
+        "doc_id",
+        token_count(F.col("text")).alias("__tok"),
+    ).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("__tok").alias("total_tokens"),
+    )
+
+
+SQL_HASH_SPLIT = r"""
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+         AS total_tokens
+FROM documents GROUP BY 1
+"""
+
+
 def q_pii_redaction(spark, sf_dir):
     """PII scrub before training (redact emails/URLs/phone shapes with
     placeholder tokens) plus the audit counts — three codegen'd
@@ -3027,6 +3063,7 @@ _QUERIES: dict[str, Callable] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_docs": q_simhash_docs,
     "pii_redaction": q_pii_redaction,
+    "hash_split": q_hash_split,
     "dedup_clusters": q_dedup_clusters,
     "cluster_representatives": q_cluster_representatives,
     "minhash_precision": q_minhash_precision,
@@ -3140,6 +3177,7 @@ _ORACLES: dict[str, str] = {
     "json_props": SQL_JSON_PROPS,
     "xlsx_distributed": SQL_XLSX_DISTRIBUTED,
     "pii_redaction": SQL_PII_REDACTION,
+    "hash_split": SQL_HASH_SPLIT,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "cluster_representatives": SQL_CLUSTER_REPRESENTATIVES,
     "minhash_precision": SQL_MINHASH_PRECISION,
