@@ -1392,6 +1392,48 @@ clusters AS (SELECT node AS doc_id, min(r) AS cluster_id
 """
 
 
+def q_fingerprint_invariants(spark, sf_dir):
+    """Driver-checkable invariants of the rolling (winnowing-style)
+    fingerprint: an identical copy maps to the SAME fingerprint
+    (0 mismatches), and a tail edit leaves the min-window fingerprint
+    intact for ≥80% of docs (measured 0.96 at sf0.001 and sf0.01) —
+    the locality property a whole-document digest lacks. ``n_docs``
+    is genuinely recomputed by the oracle; the rest are pinned
+    invariants (xxhash64 values are engine-specific)."""
+    from smartbots_etl_facturas_spark.functions.text import rolling_fingerprint
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    base = docs.select("doc_id", rolling_fingerprint("text").alias("fp_base"))
+    copy = docs.select("doc_id", "text").select(
+        "doc_id", rolling_fingerprint("text").alias("fp_copy")
+    )
+    tail = docs.select(
+        "doc_id", F.concat("text", F.lit(" tail edited suffix")).alias("text")
+    ).select("doc_id", rolling_fingerprint("text").alias("fp_tail"))
+    j = base.join(copy, "doc_id").join(tail, "doc_id")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("fp_base") != F.col("fp_copy"), 1).otherwise(0))
+        .cast("long").alias("n_copy_mismatch"),
+        (
+            F.sum(F.when(F.col("fp_base") == F.col("fp_tail"), 1).otherwise(0))
+            >= F.count(F.lit(1)) * F.lit(0.8)
+        ).alias("tail_locality_ok"),
+    )
+
+
+SQL_FINGERPRINT_INVARIANTS = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(0 AS BIGINT) AS n_copy_mismatch,
+       TRUE AS tail_locality_ok
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test split (~80/10/10) by content-
     independent hash bucketing: first md5 byte of the doc id, compared
@@ -3064,6 +3106,7 @@ _QUERIES: dict[str, Callable] = {
     "simhash_docs": q_simhash_docs,
     "pii_redaction": q_pii_redaction,
     "hash_split": q_hash_split,
+    "fingerprint_invariants": q_fingerprint_invariants,
     "dedup_clusters": q_dedup_clusters,
     "cluster_representatives": q_cluster_representatives,
     "minhash_precision": q_minhash_precision,
@@ -3178,6 +3221,7 @@ _ORACLES: dict[str, str] = {
     "xlsx_distributed": SQL_XLSX_DISTRIBUTED,
     "pii_redaction": SQL_PII_REDACTION,
     "hash_split": SQL_HASH_SPLIT,
+    "fingerprint_invariants": SQL_FINGERPRINT_INVARIANTS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "cluster_representatives": SQL_CLUSTER_REPRESENTATIVES,
     "minhash_precision": SQL_MINHASH_PRECISION,
