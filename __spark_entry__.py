@@ -862,9 +862,13 @@ FROM embeddings WHERE vec_id % 20 = 0
 
 def q_levenshtein_match(spark, sf_dir):
     """Fuzzy string matching: supplier-name pairs within edit distance
-    4 (JVM levenshtein over a blocked self-join — blocking on the
-    first character keeps the pair space linear-ish, the same
-    candidate-restriction discipline as the LSH dedup tiers)."""
+    4 (JVM levenshtein over a prefix-blocked self-join). HONESTY NOTE:
+    on this corpus every supplier shares the 'Supplier' prefix, so the
+    block is degenerate and this runs as an exact all-pairs scorer over
+    the bounded sample — a ground-truth tier, like ann_bruteforce. At
+    real scale, edit-distance candidate generation needs a
+    deletion-neighborhood or q-gram index (the minhash_lsh_pairs
+    discipline), not a prefix block."""
     s = _read(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 3 == 0).select(
         "s_suppkey", F.col("s_name").alias("name"),
         F.substring("s_name", 1, 8).alias("blk"),
@@ -1506,12 +1510,12 @@ SELECT doc_id,
          regexp_replace(
            regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-         '\+?[0-9][0-9 ().-]{5,}[0-9]', '<PHONE>', 'g') AS clean,
+         '\+[0-9][0-9 ().-]{5,}[0-9]|\([0-9]{1,4}\)[0-9 .-]{4,}[0-9]|[0-9]{3}[ -][0-9]{3}[ -][0-9]{4}|[0-9]{1,2}[ -][0-9]{4}[ -][0-9]{4}|[0-9]{7,}', '<PHONE>', 'g') AS clean,
        CAST(len(regexp_extract_all(text,
          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
        CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
        CAST(len(regexp_extract_all(text,
-         '\+?[0-9][0-9 ().-]{5,}[0-9]')) AS BIGINT) AS n_phones
+         '\+[0-9][0-9 ().-]{5,}[0-9]|\([0-9]{1,4}\)[0-9 .-]{4,}[0-9]|[0-9]{3}[ -][0-9]{3}[ -][0-9]{4}|[0-9]{1,2}[ -][0-9]{4}[ -][0-9]{4}|[0-9]{7,}')) AS BIGINT) AS n_phones
 FROM seeded
 """
 

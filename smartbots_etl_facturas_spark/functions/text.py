@@ -119,10 +119,22 @@ def rolling_fingerprint(text_col: str, k: int = 8) -> Column:
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 URL_RE = r"https?://[^\s]+"
-# 7+ char digit runs with optional separators — the reference locale's
-# phone shapes (+56 9 1234 5678, 9876543, 2-2345-6789); short runs
-# like years (2024) stay untouched
-PHONE_RE = r"\+?[0-9][0-9 ().-]{5,}[0-9]"
+# Phone shapes, SHAPE-ANCHORED so dates and thousands-separated
+# amounts survive the scrub (an invoice corpus is full of both):
+#   +<anything phone-ish>      explicit international prefix
+#   (area) number              parenthesized area code
+#   ddd-ddd-dddd               NANP-style (dates are 2-2-4 / 4-2-2)
+#   d{1,2}-dddd-dddd           local long form (2-2345-6789)
+#   7+ bare digits             907654321 / 9876543
+# A naive [0-9 ().-]{5,} run would turn '15-02-2026' and '1.234.567'
+# into <PHONE>.
+PHONE_RE = (
+    r"\+[0-9][0-9 ().-]{5,}[0-9]"
+    r"|\([0-9]{1,4}\)[0-9 .-]{4,}[0-9]"
+    r"|[0-9]{3}[ -][0-9]{3}[ -][0-9]{4}"
+    r"|[0-9]{1,2}[ -][0-9]{4}[ -][0-9]{4}"
+    r"|[0-9]{7,}"
+)
 
 
 def redact_pii(text: Column,

@@ -271,6 +271,16 @@ def neardup_clusters(
         labels = new_labels.drop("__changed")
         if changed == 0:
             break
+    else:
+        # exhausting max_iters without a fixpoint means the labels are
+        # WRONG (one component still carries several cluster ids) —
+        # fail loudly rather than let duplicates silently survive the
+        # keep-one-per-cluster step downstream
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iters} rounds; "
+            "the pair graph has a component with diameter > max_iters "
+            "— raise max_iters"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 

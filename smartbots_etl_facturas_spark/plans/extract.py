@@ -29,11 +29,12 @@ reference's try/except-per-row becomes a predicate split.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from smartbots_etl_facturas_spark.functions.dates import (
     EXTRACTOR_FORMATS,
+    excel_serial_to_date,
     parse_date_multi,
 )
 from smartbots_etl_facturas_spark.functions.money import parse_money
@@ -125,6 +126,24 @@ def _nonblank(v) -> bool:
     return v is not None and str(v).strip() != ""
 
 
+def parse_sheet_date(col: Column) -> Column:
+    """F2 multi-format date parse with an F3 Excel-serial fallback.
+
+    Parse engines disagree on date-STYLED numeric cells: the stdlib
+    OOXML codec surfaces the raw serial string (it cannot see number
+    formats), openpyxl(data_only) a ``YYYY-MM-DD HH:MM:SS`` string,
+    calamine an ISO date — so the extractor accepts all three. Serials
+    are accepted only within 1990-01-01..2100-01-01 (32874..73051), so
+    ordinary small amounts cannot masquerade as dates."""
+    s = F.trim(col.cast("string"))
+    serial = s.try_cast("int")
+    serial_ok = serial.isNotNull() & (serial >= 32874) & (serial <= 73051)
+    return F.coalesce(
+        parse_date_multi(col, EXTRACTOR_FORMATS),
+        F.when(serial_ok, excel_serial_to_date(s)),
+    )
+
+
 OUT_COLS = (
     "row_idx",
     "invoice_number",
@@ -196,7 +215,7 @@ def extract_mixed(raw: DataFrame, fixed, source_file: str) -> tuple[DataFrame, D
         total_raw, total_bad = F.lit(None).cast(DEC), F.lit(False)
     total = derived_total(total_raw, comps).cast(DEC)
 
-    date_lit = parse_date_multi(F.lit(fixed["fecha_emision"]), EXTRACTOR_FORMATS)
+    date_lit = parse_sheet_date(F.lit(fixed["fecha_emision"]))
     date_all_bad = not _nonblank(fixed["fecha_emision"])
 
     err_cond = total_bad
@@ -274,7 +293,7 @@ def extract_simple(raw: DataFrame, source_file: str) -> tuple[DataFrame, DataFra
     tax, tax_bad = _money_or_err(data, "IVA")
     total, total_bad = _money_or_err(data, "Monto Total")
     if "Fecha Factura" in data.columns:
-        date = parse_date_multi(F.col("Fecha Factura"), EXTRACTOR_FORMATS)
+        date = parse_sheet_date(F.col("Fecha Factura"))
         date_bad = date.isNull()  # empty AND unparseable both raise (:500-502)
     else:
         date, date_bad = F.lit(None).cast("date"), F.lit(True)
@@ -341,8 +360,11 @@ def extract_invoice_files(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     Semantics match the per-file :func:`extract_invoice_sheet` (proven
     row-for-row in tests/test_extract.py); one documented deviation:
-    duplicate header names within one sheet would collide in the map
-    (the positional variant keeps both columns).
+    with duplicate header names within one sheet the map keeps the
+    LEFT-MOST column (deterministic first-wins dedup below — without
+    it ``map_from_entries`` would throw under the default
+    ``spark.sql.mapKeyDedupPolicy=EXCEPTION`` and one malformed sheet
+    would abort the whole multi-file job).
     """
     cell_cols = [c for c in raw.columns if c not in ("source_file", "row_idx")]
     cells = raw.select(
@@ -399,11 +421,17 @@ def extract_invoice_files(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
         )
     )
 
-    # header names per (file, col) from the discovered header row
+    # header names per (file, col) from the discovered header row;
+    # duplicate header names keep the left-most column (map keys must
+    # be unique — see docstring)
+    hdr_w = Window.partitionBy("source_file", "hdr_name").orderBy("col_idx")
     hdr_names = (
         cells.join(F.broadcast(meta.select("source_file", "header_idx")), "source_file")
         .filter((F.col("row_idx") == F.col("header_idx")) & F.col("val").isNotNull())
         .select("source_file", "col_idx", F.col("val").alias("hdr_name"))
+        .withColumn("__rn", F.row_number().over(hdr_w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
 
     # data rows as map<header_name, cell>; empty map = all-null row
@@ -424,6 +452,16 @@ def extract_invoice_files(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
             )
         ).alias("m"),
         F.sum(F.when(F.col("val").isNotNull(), 1).otherwise(0)).alias("n_nonnull"),
+        # P7 summary flag over ALL cells — including unheadered
+        # passthrough columns, matching the per-file path's
+        # concat-of-every-column scan
+        F.max(
+            F.when(
+                F.col("val").isNotNull()
+                & F.upper(F.col("val")).rlike("NETO|IVA|TOTAL"),
+                1,
+            ).otherwise(0)
+        ).alias("__summary_hit"),
     )
     r = rows.join(F.broadcast(meta), "source_file")
 
@@ -440,10 +478,7 @@ def extract_invoice_files(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     mx = r.filter(F.col("is_mixed"))
     mx = mx.filter(F.col("n_nonnull") > 0)                              # P5
     mx = mx.filter(nonblank(g(ORDENES_COL)))                            # P6
-    summary = F.exists(
-        F.map_values(F.col("m")), lambda v: F.upper(v).rlike("NETO|IVA|TOTAL")
-    )
-    mx = mx.filter(~summary)                                            # P7
+    mx = mx.filter(F.col("__summary_hit") == 0)                         # P7
     comps, errs = [], []
     for c in MONEY_COMPONENT_COLS:
         p, bad = money_err(c)
@@ -454,19 +489,22 @@ def extract_invoice_files(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
         g(TOTAL_COL).isNotNull() & (F.trim(g(TOTAL_COL)) != "") & total_raw.isNull()
     )
     total = derived_total(total_raw, comps).cast(DEC)                   # A6
-    date_m = parse_date_multi(F.col("fecha_emision"), EXTRACTOR_FORMATS)  # F2
+    date_m = parse_sheet_date(F.col("fecha_emision"))                   # F2+F3
     date_bad_m = ~nonblank(F.col("fecha_emision")) | date_m.isNull()
     err_cond_m = total_bad | date_bad_m
     err_msg_m = F.when(total_bad, F.lit(f"unparseable money: {TOTAL_COL}"))
     for msg, bad in errs:
         err_cond_m = err_cond_m | bad
         err_msg_m = err_msg_m.when(bad, F.lit(msg))
-    err_msg_m = F.coalesce(
-        err_msg_m,
-        F.when(
-            date_bad_m,
-            F.concat(F.lit("invalid invoice date: "), F.coalesce("fecha_emision", F.lit("None"))),
-        ),
+    date_msg = F.concat(
+        F.lit("invalid invoice date: "), F.coalesce("fecha_emision", F.lit("None"))
+    )
+    # a BLANK fixed date takes message priority over per-row money
+    # errors (the per-file path's date_all_bad branch); a merely
+    # unparseable non-blank date ranks after money, like the
+    # reference's pydantic-coercion-raises-first ordering
+    err_msg_m = F.when(~nonblank(F.col("fecha_emision")), date_msg).otherwise(
+        F.coalesce(err_msg_m, F.when(date_bad_m, date_msg))
     )
     mixed_errors = mx.filter(err_cond_m).select(
         "source_file", F.col("row_idx").cast("long").alias("row_idx"),
@@ -498,7 +536,7 @@ def extract_invoice_files(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     net, net_bad = money_err("Monto Neto")
     tax, tax_bad = money_err("IVA")
     stotal, stotal_bad = money_err("Monto Total")
-    date_s = parse_date_multi(g("Fecha Factura"), EXTRACTOR_FORMATS)
+    date_s = parse_sheet_date(g("Fecha Factura"))
     date_bad_s = date_s.isNull()
     err_cond_s = net_bad | tax_bad | stotal_bad | date_bad_s
     err_msg_s = (

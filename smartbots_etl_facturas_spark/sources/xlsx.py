@@ -124,10 +124,19 @@ def _cell_str(cell, shared: list[str]) -> str | None:
         return v.text
     if t == "b":
         return "TRUE" if v.text.strip() == "1" else "FALSE"
+    if t == "e":  # formula error cell (#DIV/0!, #N/A, ...) — keep the text
+        return v.text
+    if t == "d":  # ISO-8601 date-typed cell (rare, spec-legal)
+        return v.text.strip()
     txt = v.text.strip()
     if _INT_RE.match(txt):
         return txt
-    f = float(txt)
+    try:
+        f = float(txt)
+    except ValueError:
+        # defensive: a non-spec cell type/value must not kill a
+        # 100k-file distributed scan — surface the raw text instead
+        return txt
     return str(int(f)) if f.is_integer() else repr(f)
 
 
@@ -204,9 +213,18 @@ def parse_xlsx_to_pdf(content: bytes, sheet_name=0, header_row: int = 1):
         return pd.DataFrame()
     header = grid[header_row - 1]
     cols = [h if h is not None else f"col{i}" for i, h in enumerate(header)]
+    # duplicate header names get pandas-style suffixes ('Monto',
+    # 'Monto.1', ...) — a dict comprehension keyed on the raw name
+    # would silently DROP all but the right-most duplicate column
+    seen: dict[str, int] = {}
+    uniq = []
+    for c in cols:
+        n = seen.get(c, 0)
+        seen[c] = n + 1
+        uniq.append(c if n == 0 else f"{c}.{n}")
     data = grid[header_row:]
     return pd.DataFrame(
-        {c: [row[i] if i < len(row) else None for row in data] for i, c in enumerate(cols)},
+        {c: [row[i] if i < len(row) else None for row in data] for i, c in enumerate(uniq)},
         dtype=object,
     )
 
@@ -275,6 +293,11 @@ def read_xlsx_distributed(
         for pdf in batches:
             for path_val, content in zip(pdf["path"], pdf["content"]):
                 sheet = parse_xlsx_to_pdf(bytes(content), sheet_name, header_row)
+                if sheet.empty and len(sheet.columns) == 0:
+                    # blank/stub workbook: an empty extraction, not a
+                    # schema violation — strict mode must not let one
+                    # empty file among thousands abort the whole scan
+                    continue
                 missing = sorted(c for c in columns if c not in sheet.columns)
                 if missing and strict:
                     raise ValueError(

@@ -161,3 +161,16 @@ def test_rolling_fingerprint_locality(spark):
     assert fp[1] == fp[3]                  # tail edit → min window survives
     assert fp[1] != fp[4]
     assert df.filter(F.trim("text") == "").count() == 0
+
+
+def test_neardup_clusters_nonconvergence_raises(spark):
+    """Exhausting max_iters without a fixpoint must FAIL, not return
+    wrong labels (duplicates would silently survive downstream)."""
+    from smartbots_etl_facturas_spark.operators.dedup import neardup_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+    )  # diameter 5
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_clusters(chain, nodes, max_iters=2).collect()

@@ -198,3 +198,75 @@ def test_multi_file_extract_from_distributed_xlsx(spark, tmp_path):
     assert set(rows) == {"F-A", "F-B"}
     assert all(float(r.total_amount) == 119.0 for r in rows.values())
     assert errors.count() == 0
+
+
+def test_multi_file_duplicate_headers_first_wins(spark):
+    """A sheet with two identical header names must NOT abort the
+    multi-file job (map_from_entries would throw under the default
+    EXCEPTION dedup policy); the left-most column wins."""
+    from pyspark.sql import functions as F
+
+    from smartbots_etl_facturas_spark.plans.extract import extract_invoice_files
+
+    simple = _simple_sheet(spark)
+    # duplicate the 'Monto Neto' header into c5 (was 'Monto Total')
+    dup = spark.createDataFrame(
+        [(r.row_idx, r.c0, r.c1, r.c2, r.c3, r.c4,
+          ("Monto Neto" if r.row_idx == 10 else r.c5), r.c6)
+         for r in simple.collect()],
+        SIMPLE_SCHEMA,
+    )
+    multi = dup.select(F.lit("dup.xlsx").alias("source_file"), "*")
+    valid, errors = extract_invoice_files(multi)
+    rows = {r.row_idx: r for r in valid.collect()}
+    assert sorted(rows) == [11, 12]
+    # left-most duplicate (c3) wins: net 1000, total falls back to 0
+    assert float(rows[11].net_amount) == 1000.0
+    assert float(rows[11].total_amount) == 0.0
+
+
+def test_multi_file_summary_keyword_in_unheadered_column(spark):
+    """P7 must scan ALL columns, including cells under a blank header
+    — parity with the per-file path's every-column concat."""
+    from pyspark.sql import functions as F
+
+    from smartbots_etl_facturas_spark.plans.extract import (
+        extract_invoice_files,
+        extract_invoice_sheet,
+    )
+
+    mixed = _mixed_sheet(spark)
+    # put a summary keyword into unheadered c7 of data row 10
+    edited = spark.createDataFrame(
+        [(r.row_idx, r.c0, r.c1, r.c2, r.c3, r.c4, r.c5, r.c6,
+          ("TOTAL NETO" if r.row_idx == 10 else r.c7), r.c8)
+         for r in mixed.collect()],
+        MIXED_SCHEMA,
+    )
+    per_file_rows = sorted(
+        r.row_idx for r in extract_invoice_sheet(edited, "e.xlsx")[0].collect()
+    )
+    multi_rows = sorted(
+        r.row_idx
+        for r in extract_invoice_files(
+            edited.select(F.lit("e.xlsx").alias("source_file"), "*")
+        )[0].collect()
+    )
+    assert per_file_rows == multi_rows == [11]          # row 10 dropped by both
+
+
+def test_excel_serial_date_accepted(spark):
+    """Date-styled numeric cells surface as serial strings from the
+    stdlib codec — the extractor must decode them (F3 fallback)."""
+    import datetime
+
+    simple = _simple_sheet(spark)
+    serial = spark.createDataFrame(
+        [(r.row_idx, r.c0, r.c1, r.c2, r.c3, r.c4, r.c5,
+          ("46068" if r.row_idx == 11 else r.c6), )  # 2026-02-15
+         for r in simple.collect()],
+        SIMPLE_SCHEMA,
+    )
+    valid, _ = extract_invoice_sheet(serial, "ser.xlsx")
+    rows = {r.row_idx: r for r in valid.collect()}
+    assert rows[11].invoice_date == datetime.date(2026, 2, 15)

@@ -10,6 +10,7 @@ ROWS = [
     (2, "call +56 9 1234 5678 or 222-333-4444 now"),
     (3, "no pii here, just the year 2024 and pi 3.14"),
     (4, "mixed: bob@x.io at https://x.io/b tel 9876543"),
+    (5, "Fecha: 15-02-2026 total 1.234.567 ISO 2026-02-15"),   # NOT pii
 ]
 
 
@@ -35,6 +36,9 @@ def test_redact_pii_tokens(spark):
     assert got[2].clean == "call <PHONE> or <PHONE> now"
     assert got[3].clean == ROWS[3][1]                      # untouched
     assert got[4].clean == "mixed: <EMAIL> at <URL> tel <PHONE>"
+    # dates and thousands-separated amounts must SURVIVE the scrub —
+    # the phone patterns are shape-anchored, not digit-run greedy
+    assert got[5].clean == ROWS[5][1]
 
 
 def test_pii_counts(spark):
@@ -44,3 +48,4 @@ def test_pii_counts(spark):
     assert (got[2].e, got[2].u, got[2].p) == (0, 0, 2)
     assert (got[3].e, got[3].u, got[3].p) == (0, 0, 0)
     assert (got[4].e, got[4].u, got[4].p) == (1, 1, 1)
+    assert (got[5].e, got[5].u, got[5].p) == (0, 0, 0)

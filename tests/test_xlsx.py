@@ -123,3 +123,62 @@ def test_distributed_runs_in_executors_not_driver(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
     assert df.count() == 7
+
+
+def test_error_and_date_typed_cells_do_not_crash():
+    """t="e" (formula error) and t="d" (ISO date) cells must survive
+    the stdlib codec as text, not kill a distributed scan."""
+    import io
+    import zipfile
+
+    from smartbots_etl_facturas_spark.sources.xlsx import parse_xlsx_grid, write_xlsx
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.xlsx")
+        write_xlsx(p, {"Hoja1": [["a", "1"]]})
+        blob = open(p, "rb").read()
+    # splice error- and date-typed cells into the sheet XML
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(blob)) as zin, zipfile.ZipFile(buf, "w") as zout:
+        for item in zin.namelist():
+            data = zin.read(item)
+            if item.endswith("sheet1.xml"):
+                data = data.replace(
+                    b"</sheetData>",
+                    b'<row r="2"><c r="A2" t="e"><v>#DIV/0!</v></c>'
+                    b'<c r="B2" t="d"><v>2026-02-15</v></c></row></sheetData>',
+                )
+            zout.writestr(item, data)
+    grid = parse_xlsx_grid(buf.getvalue())
+    assert grid[1] == ["#DIV/0!", "2026-02-15"]
+
+
+def test_duplicate_headers_suffixed_not_dropped():
+    """Two columns with the same header keep BOTH datasets
+    (pandas-style .1 suffix), instead of silently losing the left."""
+    import tempfile, os
+
+    from smartbots_etl_facturas_spark.sources.xlsx import parse_xlsx_to_pdf, write_xlsx
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.xlsx")
+        write_xlsx(p, {"Hoja1": [["Monto", "Monto"], ["1", "2"]]})
+        pdf = parse_xlsx_to_pdf(open(p, "rb").read())
+    assert list(pdf.columns) == ["Monto", "Monto.1"]
+    assert list(pdf["Monto"]) == ["1"] and list(pdf["Monto.1"]) == ["2"]
+
+
+def test_distributed_scan_skips_blank_workbook(spark, tmp_path):
+    """One blank workbook among many must yield zero rows, not abort
+    the strict-mode scan."""
+    from smartbots_etl_facturas_spark.sources.xlsx import (
+        read_xlsx_distributed,
+        write_xlsx,
+    )
+
+    write_xlsx(str(tmp_path / "ok.xlsx"),
+               {"Hoja1": [["A", "B"], ["1", "2"]]})
+    write_xlsx(str(tmp_path / "blank.xlsx"), {"Hoja1": []})
+    out = read_xlsx_distributed(spark, str(tmp_path / "*.xlsx"), ["A", "B"])
+    assert out.count() == 1
