@@ -1,0 +1,75 @@
+"""Physical data layout for scale: partitioned and bucketed writes.
+
+The two levers that make 100 TB queries cheap BEFORE any execution
+cleverness:
+
+- ``write_partitioned``: hive-style directory partitioning. A filter
+  on the partition column prunes entire directories at planning time
+  (`PartitionFilters` in the scan node) — the scan never lists, opens
+  or reads excluded partitions. The right key is the one queries
+  filter on (ingest date, region), with cardinality low enough that
+  files stay large (avoid small-file explosion: thousands of
+  partitions × tiny files beats neither).
+
+- ``write_bucketed``: pre-shuffled table layout (``bucketBy`` +
+  ``saveAsTable``). Two tables bucketed on the same key with the same
+  bucket count join WITHOUT an Exchange on either side — the shuffle
+  was paid once at write time and amortizes over every subsequent
+  join/aggregation on that key. This is the standing answer to the
+  reference's repeated upsert-by-PK pattern at scale: keep the
+  consolidated table bucketed by the PK, and each incremental upsert
+  joins co-located.
+
+Both are thin wrappers — the value is the CONTRACT tested in
+tests/test_layout.py: partition filters actually prune, bucketed
+joins actually drop the Exchange.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: Sequence[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet write."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 8,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (and optionally sorted) managed table write.
+
+    ``sort_cols`` additionally sorts within each bucket file, letting
+    sort-merge joins skip the per-task sort too.
+    """
+    writer = df.write.mode(mode).bucketBy(int(n_buckets), *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
+def scan_partition_filters(df: DataFrame) -> str:
+    """The PartitionFilters fragment of the frame's scan node —
+    empty string when nothing prunes (test/diagnostic helper)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    for line in plan.splitlines():
+        if "PartitionFilters" in line:
+            start = line.index("PartitionFilters")
+            return line[start:].split("]", 1)[0] + "]"
+    return ""
+
+
+def plan_exchange_count(df: DataFrame) -> int:
+    """Number of Exchange (shuffle) nodes in the physical plan."""
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    return plan.count("Exchange")

@@ -1,0 +1,73 @@
+"""Physical layout contracts: partition pruning prunes, bucketed
+joins drop their shuffles."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from smartbots_etl_facturas_spark.sinks.layout import (
+    plan_exchange_count,
+    scan_partition_filters,
+    write_bucketed,
+    write_partitioned,
+)
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    """A filter on the partition column must appear as a
+    PartitionFilter on the scan (directory-level pruning), and the
+    pruned read must return exactly the partition's rows."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    path = str(tmp_path / "li_part")
+    write_partitioned(li, path, ["l_returnflag"])
+
+    back = spark.read.parquet(path).filter(F.col("l_returnflag") == "A")
+    pf = scan_partition_filters(back)
+    assert "l_returnflag" in pf, pf
+    assert back.count() == li.filter(F.col("l_returnflag") == "A").count()
+    # non-partition filters must NOT show up as partition filters
+    plain = spark.read.parquet(path).filter(F.col("l_quantity") > 10)
+    assert "l_quantity" not in scan_partition_filters(plain)
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts
+    join WITHOUT an Exchange on either side; the unbucketed same join
+    needs shuffles. This is the write-once-join-forever layout for the
+    consolidated-by-PK table."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    # disable broadcast so the join shape is governed by layout alone
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(orders, "t_orders_b", ["o_orderkey"], 8,
+                       sort_cols=["o_orderkey"])
+        write_bucketed(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "t_li_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"],
+        )
+        bo, bl = spark.table("t_orders_b"), spark.table("t_li_b")
+        bucketed = bo.join(bl, "o_orderkey").groupBy("o_custkey").agg(
+            F.sum("l_quantity").alias("q")
+        )
+        plain = orders.join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        ).groupBy("o_custkey").agg(F.sum("l_quantity").alias("q"))
+        # bucketed: only the groupBy aggregation shuffles (1); the join
+        # itself is co-located. plain: both join sides shuffle too (3).
+        assert plan_exchange_count(bucketed) == 1, plan_exchange_count(bucketed)
+        assert plan_exchange_count(plain) >= 3, plan_exchange_count(plain)
+        # same answer either way
+        a = {r.o_custkey: float(r.q) for r in bucketed.collect()}
+        b = {r.o_custkey: float(r.q) for r in plain.collect()}
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
