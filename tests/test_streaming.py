@@ -450,3 +450,42 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.doc_id for r in spark.sql("select * from dd_out").collect())
     assert got == [1, 2, 3]                       # re-sent doc 1 dropped once
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (clicks ↔ conversions within 30min)
+    emits exactly the pairs the batch join computes; the interval
+    bound + watermark is what lets streaming evict join state."""
+    from smartbots_etl_facturas_spark.streaming.joins import interval_join
+
+    clicks_src = str(tmp_path / "clicks")
+    conv_src = str(tmp_path / "convs")
+    clicks = [(1, "2024-01-01 10:00:00", "c1"),
+              (1, "2024-01-01 11:00:00", "c2"),
+              (2, "2024-01-01 10:05:00", "c3")]
+    convs = [(1, "2024-01-01 10:20:00", "v1"),   # ← c1 (20min)
+             (1, "2024-01-01 11:25:00", "v2"),   # ← c2 (25min), not c1
+             (2, "2024-01-01 12:00:00", "v3")]   # no click within 30min
+    for src, rows in ((clicks_src, clicks), (conv_src, convs)):
+        df = spark.createDataFrame(rows, "user_id long, ts string, tag string") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.parquet(src)
+
+    schema = "user_id long, ts timestamp, tag string"
+    sc = spark.readStream.schema(schema).parquet(clicks_src)
+    sv = spark.readStream.schema(schema).parquet(conv_src)
+    q = (interval_join(sc, sv, "user_id", 0, 1800)
+         .writeStream.format("memory").queryName("ssj_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ssj-ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.l_tag, r.r_tag)
+           for r in spark.sql("select * from ssj_out").collect()}
+
+    batch = {(r.user_id, r.l_tag, r.r_tag)
+             for r in interval_join(
+                 spark.read.parquet(clicks_src),
+                 spark.read.parquet(conv_src),
+                 "user_id", 0, 1800).collect()}
+    assert got == batch == {(1, "c1", "v1"), (1, "c2", "v2")}
