@@ -1554,6 +1554,45 @@ FROM clusters GROUP BY 1
 """
 
 
+def q_interval_join_events(spark, sf_dir):
+    """Interval join (click → view within 2 h per user) — the
+    batch face of streaming.joins.interval_join, the SAME function
+    that runs state-bounded on two live streams. Timestamps surface
+    as unix micros (tz-independent integers) for the oracle."""
+    from smartbots_etl_facturas_spark.streaming.joins import interval_join
+
+    ev = read_events(spark, sf_dir).filter(F.col("user_id") % 5 == 0).select(
+        "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "event_type",
+        "value",
+    )
+    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
+    views = ev.filter(F.col("event_type") == "view").drop("event_type")
+    out = interval_join(clicks, views, "user_id", 0, 7200)
+    return out.select(
+        "user_id",
+        F.unix_micros("l_ts").alias("l_us"),
+        F.unix_micros("r_ts").alias("r_us"),
+        F.col("l_value").cast("double").alias("l_value"),
+        F.col("r_value").cast("double").alias("r_value"),
+    )
+
+
+SQL_INTERVAL_JOIN_EVENTS = """
+WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type, value
+           FROM events WHERE user_id % 5 = 0),
+c AS (SELECT user_id, us AS l_us, value AS l_value FROM e
+      WHERE event_type = 'click'),
+v AS (SELECT user_id, us AS r_us, value AS r_value FROM e
+      WHERE event_type = 'view')
+SELECT c.user_id, CAST(l_us AS BIGINT) AS l_us, CAST(r_us AS BIGINT) AS r_us,
+       CAST(l_value AS DOUBLE) AS l_value, CAST(r_value AS DOUBLE) AS r_value
+FROM c JOIN v ON c.user_id = v.user_id
+              AND v.r_us >= c.l_us AND v.r_us <= c.l_us + 7200000000
+"""
+
+
 def q_events_sliding(spark, sf_dir):
     """Sliding window (1h window, 30min slide) over events — each
     event contributes to exactly two windows; tz-independent integer
@@ -3118,6 +3157,7 @@ _QUERIES: dict[str, Callable] = {
     "ann_ivf_recall": q_ann_ivf_recall,
     "simhash_invariants": q_simhash_invariants,
     "events_sliding": q_events_sliding,
+    "interval_join_events": q_interval_join_events,
     "asof_enrich": q_asof_enrich,
     "range_join_counts": q_range_join_counts,
     "skew_salted_agg": q_skew_salted_agg,
@@ -3190,6 +3230,7 @@ _ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "events_sliding": SQL_EVENTS_SLIDING,
+    "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,
     "asof_enrich": SQL_ASOF_ENRICH,
     "range_join_counts": SQL_RANGE_JOIN_COUNTS,
     "skew_salted_agg": SQL_SKEW_SALTED_AGG,
