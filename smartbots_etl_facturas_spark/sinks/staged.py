@@ -87,3 +87,47 @@ def rollback(base: str) -> str:
         raise RuntimeError(f"no snapshot to roll back to under {base}")
     _flip_pointer(base, prior[-1])
     return prior[-1]
+
+
+def compact_published(
+    spark: SparkSession,
+    base: str,
+    target_files: int | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+    check=None,
+) -> str:
+    """Small-file compaction THROUGH the versioned sink: re-publish the
+    current version coalesced to ``target_files`` parquet files
+    (default: sized from the current version's on-disk bytes at
+    ``target_bytes`` per file, the scan-split sweet spot).
+
+    Readers are never disturbed — the pointer flips atomically to the
+    compacted version, the fragmented one stays as a snapshot. This is
+    the maintenance loop a long-running incremental pipeline needs:
+    every per-file append adds small files; periodic compaction
+    restores large scan splits without pausing ingestion or readers.
+    ``coalesce`` (not repartition) keeps it shuffle-free: compaction
+    only ever REDUCES file count, so map-side merge suffices.
+    """
+    version = current_version(base)
+    if version is None:
+        raise FileNotFoundError(f"no published version under {base}")
+    if target_files is None:
+        vdir = os.path.join(base, version)
+        size = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(vdir) for f in fs
+        )
+        target_files = max(1, -(-size // target_bytes))
+    df = read_published(spark, base).coalesce(int(target_files))
+    return publish(df, base, check=check)
+
+
+def parquet_file_count(base: str) -> int:
+    """Data-file count of the CURRENT published version (diagnostic)."""
+    version = current_version(base)
+    vdir = os.path.join(base, version or "")
+    return sum(
+        1 for r, _, fs in os.walk(vdir) for f in fs
+        if f.endswith(".parquet")
+    )

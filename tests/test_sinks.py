@@ -96,3 +96,46 @@ def test_publish_check_aborts_before_pointer_flip(spark, tmp_path):
 def test_read_unpublished_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_published(spark, str(tmp_path / "nothing"))
+
+
+def test_compact_published_reduces_files_keeps_rows(spark, tmp_path):
+    """Compaction re-publishes the current version with fewer parquet
+    files and identical rows; the fragmented version survives as a
+    snapshot and the pointer flip is what readers see."""
+    from smartbots_etl_facturas_spark.sinks.staged import (
+        compact_published,
+        list_versions,
+        parquet_file_count,
+        publish,
+        read_published,
+    )
+
+    base = str(tmp_path / "tbl")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    publish(df.repartition(16), base)              # fragmented: 16 files
+    assert parquet_file_count(base) == 16
+    before = {(r.k, r.v) for r in read_published(spark, base).collect()}
+
+    compact_published(spark, base, target_files=2)
+    assert parquet_file_count(base) == 2
+    after = {(r.k, r.v) for r in read_published(spark, base).collect()}
+    assert after == before
+    assert len(list_versions(base)) == 2           # snapshot retained
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Appended data with an ADDED column reads back as the superset
+    schema under mergeSchema; old rows surface NULL for the new column
+    — the additive-evolution contract an append-only audit/ingest
+    table relies on."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string") \
+        .write.mode("append").parquet(path)
+    spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double") \
+        .write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[2] == 9.5 and rows[1] is None
