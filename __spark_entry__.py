@@ -1897,6 +1897,61 @@ WHERE EXISTS (
 """
 
 
+def q_group_median_udaf(spark, sf_dir):
+    """GROUPED_AGG pandas UDAF (Arrow whole-group vector → scalar):
+    exact per-priority median order price. Exists as the §2.9 UDAF
+    shape — an exact median cannot compute partials, so the group's
+    values gather to one task; approx_percentile_sketch is the
+    scale-path twin."""
+    from smartbots_etl_facturas_spark.functions.udx import median_udaf
+
+    med = median_udaf()
+    orders = _read(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        med(F.col("o_totalprice").cast("double")).alias("median_price")
+    )
+
+
+SQL_GROUP_MEDIAN_UDAF = """
+SELECT o_orderpriority,
+       quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS median_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_udtf_sentences(spark, sf_dir):
+    """Python UDTF (Spark 4) in a LATERAL join: one output row per
+    sentence of each sampled document, with ordinal and token count —
+    the §2.9 UDTF shape (row → N typed rows). The split pattern is
+    RE2-safe so the oracle reproduces it exactly."""
+    from smartbots_etl_facturas_spark.functions.udx import split_sentences_udtf
+
+    spark.udtf.register("split_sentences", split_sentences_udtf())
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
+    docs.createOrReplaceTempView("v_docs_udtf")
+    return spark.sql(
+        "SELECT s.doc_id, s.sent_idx, s.sentence, s.n_tokens "
+        "FROM v_docs_udtf, LATERAL split_sentences(doc_id, text) s"
+    )
+
+
+SQL_UDTF_SENTENCES = r"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0),
+parts AS (SELECT doc_id,
+                 string_split_regex(trim(text), '[.!?]+\s+') AS ps
+          FROM d),
+idx AS (SELECT doc_id, unnest(generate_series(1, len(ps))) AS i, ps
+        FROM parts),
+s AS (SELECT doc_id, i, trim(ps[i]) AS sentence FROM idx)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS BIGINT)
+         AS sent_idx,
+       sentence,
+       CAST(len(string_split_regex(sentence, '\s+')) AS BIGINT) AS n_tokens
+FROM s WHERE sentence != ''
+"""
+
+
 def q_pivot_status(spark, sf_dir):
     """Pivot (long→wide): returnflag rows × linestatus columns of
     summed quantity. Pivot values are EXPLICIT, so Catalyst compiles
@@ -3166,6 +3221,8 @@ _QUERIES: dict[str, Callable] = {
     "pivot_status": q_pivot_status,
     "set_ops": q_set_ops,
     "running_total": q_running_total,
+    "group_median_udaf": q_group_median_udaf,
+    "udtf_sentences": q_udtf_sentences,
     "exists_decorrelated": q_exists_decorrelated,
     "unpivot_amounts": q_unpivot_amounts,
     "dedup_embedding": q_dedup_embedding,
@@ -3239,6 +3296,8 @@ _ORACLES: dict[str, str] = {
     "pivot_status": SQL_PIVOT_STATUS,
     "set_ops": SQL_SET_OPS,
     "running_total": SQL_RUNNING_TOTAL,
+    "group_median_udaf": SQL_GROUP_MEDIAN_UDAF,
+    "udtf_sentences": SQL_UDTF_SENTENCES,
     "exists_decorrelated": SQL_EXISTS_DECORRELATED,
     "unpivot_amounts": SQL_UNPIVOT_AMOUNTS,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,

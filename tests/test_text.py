@@ -49,3 +49,34 @@ def test_pii_counts(spark):
     assert (got[3].e, got[3].u, got[3].p) == (0, 0, 0)
     assert (got[4].e, got[4].u, got[4].p) == (1, 1, 1)
     assert (got[5].e, got[5].u, got[5].p) == (0, 0, 0)
+
+
+def test_udtf_matches_expression_twin(spark):
+    """The sentence-splitter UDTF and its built-in-expression twin
+    (posexplode of a computed split array) must agree."""
+    from pyspark.sql import functions as F
+
+    from smartbots_etl_facturas_spark.functions.udx import (
+        split_sentences_expr,
+        split_sentences_udtf,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "One. Two sentences! And a   spaced one? tail"),
+         (2, "No terminator here"),
+         (3, None)],
+        "doc_id long, text string",
+    )
+    spark.udtf.register("split_sentences_t", split_sentences_udtf())
+    docs.createOrReplaceTempView("v_udtf_docs")
+    via_udtf = {(r.doc_id, r.sent_idx, r.sentence, r.n_tokens)
+                for r in spark.sql(
+                    "SELECT s.* FROM v_udtf_docs, "
+                    "LATERAL split_sentences_t(doc_id, text) s").collect()}
+    via_expr = {(r.doc_id, r.i, r.s, len(r.s.split()))
+                for r in docs.filter(F.col("text").isNotNull()).select(
+                    "doc_id",
+                    F.posexplode(split_sentences_expr(F.col("text"))).alias("i", "s"),
+                ).collect()}
+    assert via_udtf == via_expr
+    assert (1, 2, "And a   spaced one", 4) in via_udtf
