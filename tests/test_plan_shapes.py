@@ -1,0 +1,69 @@
+"""Physical-plan regression contracts (PERF.md checklist, executable).
+
+These assert the SHAPE of key plans, not their output — the properties
+that make the queries scale: filters reaching the parquet scan, pruned
+read schemas, broadcast build sides, per-partition window limits,
+single-pass pivots. A refactor that silently loses one of these keeps
+every correctness test green while getting catastrophically slower at
+100 TB; this suite is the tripwire."""
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+def _plan(spark, sf_dir, name):
+    df = entry.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
+def test_validation_scan_is_pruned(spark, sf_dir):
+    """The dirty-invoice validation scan must read a pruned column set
+    (6 of lineitem's 16 columns), not SELECT *. Its validation
+    predicate is a computed CASE expression — not PUSHABLE by design —
+    so pruning is the scan contract here; pushdown is asserted on the
+    flagship scan below."""
+    plan = _plan(spark, sf_dir, "validation_valid")
+    scan = [l for l in plan.splitlines() if "FileScan parquet" in l][0]
+    cols = scan.split("FileScan parquet [", 1)[1].split("]", 1)[0]
+    assert len(cols.split(",")) <= 8, cols       # pruned, not 16 columns
+
+
+def test_dedup_compiles_to_window_group_limit(spark, sf_dir):
+    """First-wins dedup must use WindowGroupLimit (per-partition top-1
+    before the shuffle), not a full sort + filter."""
+    assert "WindowGroupLimit" in _plan(spark, sf_dir, "dedup_first_wins")
+
+
+def test_upsert_anti_join_broadcasts_existing_keys(spark, sf_dir):
+    """Insert-only upsert: the existing-PK side is the distinct
+    projection BROADCAST to the incoming side — the big side must not
+    shuffle for the anti join."""
+    plan = _plan(spark, sf_dir, "upsert_insert_only")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_pivot_is_single_pass(spark, sf_dir):
+    """Explicit pivot values → one conditional aggregation; no Expand
+    node and no values-discovery pass."""
+    plan = _plan(spark, sf_dir, "pivot_status")
+    assert "Expand" not in plan
+
+
+def test_pii_redaction_is_pure_projection(spark, sf_dir):
+    """Three regexp passes must stay inside one projection over the
+    scan — zero shuffles."""
+    assert "Exchange" not in _plan(spark, sf_dir, "pii_redaction")
+
+
+def test_flagship_filters_reach_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "flagship_consolidation")
+    assert "PushedFilters: [" in plan
+
+
+def test_minhash_join_keys_are_band_buckets(spark, sf_dir):
+    """The LSH candidate join must key on (band, bucket) — the whole
+    point of banding; a join on doc ids would mean the bucketing got
+    lost somewhere."""
+    plan = _plan(spark, sf_dir, "minhash_lsh_pairs")
+    assert "bucket" in plan and "band" in plan
