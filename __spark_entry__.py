@@ -1841,6 +1841,38 @@ FROM orders WHERE o_custkey % 40 = 0
 """
 
 
+GOLDEN_NULLSAFE = [
+    (0, None, 10.0), (1, "K1", 11.0), (2, None, 12.0), (3, "K2", 13.0),
+]
+
+
+def q_nullsafe_join(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other — the semantics a dedup-by-maybe-null-business-key
+    needs, where plain = silently drops every NULL-keyed row."""
+    df = spark.createDataFrame(GOLDEN_NULLSAFE, "idx long, k string, v double")
+    a = df.select(F.col("idx").alias("idx_a"), F.col("k"), F.col("v").alias("v_a"))
+    b = df.select(F.col("idx").alias("idx_b"), F.col("k").alias("k_b"),
+                  F.col("v").alias("v_b"))
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k_b"]) & (a["idx_a"] < b["idx_b"]))
+        .select("idx_a", "idx_b", "k", "v_a", "v_b")
+    )
+
+
+_NULLSAFE_VALUES = ", ".join(
+    "(" + ", ".join("NULL" if v is None else repr(v) for v in row) + ")"
+    for row in GOLDEN_NULLSAFE
+)
+
+SQL_NULLSAFE_JOIN = f"""
+WITH d(idx, k, v) AS (VALUES {_NULLSAFE_VALUES})
+SELECT CAST(a.idx AS BIGINT) AS idx_a, CAST(b.idx AS BIGINT) AS idx_b,
+       a.k, a.v AS v_a, b.v AS v_b
+FROM d a JOIN d b ON a.k IS NOT DISTINCT FROM b.k AND a.idx < b.idx
+"""
+
+
 def q_set_ops(spark, sf_dir):
     """Set operators (INTERSECT / EXCEPT) through the spark.sql
     surface: customers who ordered in BOTH 1997 and 1998, minus those
@@ -3220,6 +3252,7 @@ _QUERIES: dict[str, Callable] = {
     "approx_percentile_sketch": q_approx_percentile_sketch,
     "pivot_status": q_pivot_status,
     "set_ops": q_set_ops,
+    "nullsafe_join": q_nullsafe_join,
     "running_total": q_running_total,
     "group_median_udaf": q_group_median_udaf,
     "udtf_sentences": q_udtf_sentences,
@@ -3295,6 +3328,7 @@ _ORACLES: dict[str, str] = {
     "approx_percentile_sketch": SQL_APPROX_PERCENTILE_SKETCH,
     "pivot_status": SQL_PIVOT_STATUS,
     "set_ops": SQL_SET_OPS,
+    "nullsafe_join": SQL_NULLSAFE_JOIN,
     "running_total": SQL_RUNNING_TOTAL,
     "group_median_udaf": SQL_GROUP_MEDIAN_UDAF,
     "udtf_sentences": SQL_UDTF_SENTENCES,

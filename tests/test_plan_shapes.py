@@ -61,6 +61,16 @@ def test_flagship_filters_reach_scan(spark, sf_dir):
     assert "PushedFilters: [" in plan
 
 
+def test_top_customers_avoids_global_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject
+    (per-partition top-N + merge), never a full global Sort — the
+    difference between O(N log k) on every partition and a one-task
+    whole-table sort at 100 TB."""
+    plan = _plan(spark, sf_dir, "top_customers")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan
+
+
 def test_minhash_join_keys_are_band_buckets(spark, sf_dir):
     """The LSH candidate join must key on (band, bucket) — the whole
     point of banding; a join on doc ids would mean the bucketing got
