@@ -1841,6 +1841,51 @@ FROM orders WHERE o_custkey % 40 = 0
 """
 
 
+GOLDEN_TEMPLATES = [
+    (0, "<h1>Run {status}</h1><br/>Total: {total}<br><BR>trailer", "SUCCESS", "1.190"),
+    (1, "<style>body { margin: 0 }</style><p>{status} of {unknown}</p>", "PARTIAL", "0"),
+    (2, "No placeholders <b>here</b>", "X", "Y"),
+]
+
+
+def q_report_render(spark, sf_dir):
+    """F5 template substitution + F6 HTML→text strip as ONE dataflow:
+    {word} placeholders replaced (unknown placeholders and CSS-style
+    braces pass through, the reference's contract), then <br>→newline,
+    tag strip, blank-line collapse — all codegen'd string expressions
+    (oauth_gmail_notifier.py:123-144)."""
+    from smartbots_etl_facturas_spark.functions.templating import html_to_text
+
+    df = spark.createDataFrame(
+        GOLDEN_TEMPLATES, "idx long, template string, status string, total string"
+    )
+    rendered = F.replace(
+        F.replace(F.col("template"), F.lit("{status}"), F.col("status")),
+        F.lit("{total}"),
+        F.col("total"),
+    )
+    return df.select("idx", html_to_text(rendered).alias("body"))
+
+
+_TEMPLATE_VALUES = ", ".join(
+    "(" + ", ".join(repr(v) for v in row) + ")" for row in GOLDEN_TEMPLATES
+)
+
+SQL_REPORT_RENDER = r"""
+WITH t(idx, template, status, total) AS (VALUES {values})
+SELECT CAST(idx AS BIGINT) AS idx,
+       trim(regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             replace(replace(template, '{status}', status),
+                     '{total}', total),
+             '(?i)<br\s*/?>', chr(10), 'g'),
+           '<[^>]+>', '', 'g'),
+         chr(10) || '\s*' || chr(10) || '+', chr(10), 'g')) AS body
+FROM t
+""".replace("{values}", _TEMPLATE_VALUES)
+
+
 GOLDEN_NULLSAFE = [
     (0, None, 10.0), (1, "K1", 11.0), (2, None, 12.0), (3, "K2", 13.0),
 ]
@@ -3253,6 +3298,7 @@ _QUERIES: dict[str, Callable] = {
     "pivot_status": q_pivot_status,
     "set_ops": q_set_ops,
     "nullsafe_join": q_nullsafe_join,
+    "report_render": q_report_render,
     "running_total": q_running_total,
     "group_median_udaf": q_group_median_udaf,
     "udtf_sentences": q_udtf_sentences,
@@ -3329,6 +3375,7 @@ _ORACLES: dict[str, str] = {
     "pivot_status": SQL_PIVOT_STATUS,
     "set_ops": SQL_SET_OPS,
     "nullsafe_join": SQL_NULLSAFE_JOIN,
+    "report_render": SQL_REPORT_RENDER,
     "running_total": SQL_RUNNING_TOTAL,
     "group_median_udaf": SQL_GROUP_MEDIAN_UDAF,
     "udtf_sentences": SQL_UDTF_SENTENCES,
