@@ -935,11 +935,26 @@ GROUP BY l_returnflag
 
 
 def read_events(spark, sf_dir):
-    """The events parquet uses TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read it as raw nanos-since-epoch (LongType) and
-    derive tz-independent buckets with integer arithmetic."""
+    """Load events with ``ts`` normalized to LongType nanos-since-epoch
+    (the contract every downstream bucket/window/as-of computation and
+    every DuckDB oracle — all written against ``epoch_ns(ts)`` — uses).
+
+    The driver has shipped this table with two physical types across
+    rounds: TIMESTAMP(NANOS) (readable only as raw longs via
+    ``nanosAsLong``) and timestamp[us] (read as TIMESTAMP_NTZ). Both
+    are naive UTC wall clocks; normalize either to the same nanos long
+    so bucket arithmetic stays integer-exact and tz-independent."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type != "bigint":
+        # naive wall clock == UTC instant (session tz pinned to UTC so
+        # the NTZ→TIMESTAMP cast cannot shift the epoch)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ev = ev.withColumn(
+            "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")
+        )
+    return ev
 
 
 def q_events_hourly(spark, sf_dir):
