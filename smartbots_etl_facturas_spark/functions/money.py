@@ -31,22 +31,40 @@ DECIMAL_T = "decimal(18,2)"
 
 
 def _normalized_money_string(col: Column) -> Column:
+    # Codegen-size note: every reference to ``s`` below inlines the
+    # whole strip subtree into the generated Java (Spark's codegen CSE
+    # skips expressions under conditional branches), and this tree is
+    # instantiated once per money column per consuming operator in the
+    # invoice-extract plans. The branch structure is therefore written
+    # to touch ``s`` as few times as possible (~9 refs; a naive
+    # count-based formulation needs ~18 and pushed the extract stages
+    # past janino's 64 KB method limit, silently disabling whole-stage
+    # codegen on the hottest path).
     s = F.regexp_replace(F.trim(col.cast("string")), r"[$ ]", "")
     has_dot = s.contains(".")
     has_comma = s.contains(",")
-    n_dots = F.length(s) - F.length(F.regexp_replace(s, r"\.", ""))
-    n_commas = F.length(s) - F.length(F.regexp_replace(s, ",", ""))
-    rev = F.reverse(s)
-    # rindex(".") > rindex(",")  ⇔  the last dot sits closer to the end
-    us_format = has_dot & has_comma & (F.instr(rev, ".") < F.instr(rev, ","))
-    eu_format = has_dot & has_comma & (F.instr(rev, ".") > F.instr(rev, ","))
     return (
-        F.when(us_format, F.regexp_replace(s, ",", ""))
-        .when(eu_format, F.regexp_replace(F.regexp_replace(s, r"\.", ""), ",", "."))
-        .when(has_comma & (n_commas == 1), F.regexp_replace(s, ",", "."))
-        .when(has_dot & (n_dots > 1), F.regexp_replace(s, r"\.", ""))
-        .when(has_dot & (n_dots == 1) & s.rlike(r"^[^.]*\..{3}$"), F.regexp_replace(s, r"\.", ""))
-        .otherwise(s)
+        # no dot: exactly one comma → decimal comma. The anchored
+        # regex rewrites iff it matches, so zero or 2+ commas pass
+        # through unchanged (2+ yields an unparseable string, like the
+        # reference's Decimal() raise).
+        F.when(~has_dot, F.regexp_replace(s, r"^([^,]*),([^,]*)$", "$1.$2"))
+        # dot only: thousands dots (2+ dots, or one dot with exactly
+        # three trailing chars) are dropped; a lone decimal dot stays.
+        .when(
+            ~has_comma,
+            F.when(
+                s.rlike(r"^[^.]*\.(.*\..*|.{3})$"),
+                F.regexp_replace(s, r"\.", ""),
+            ).otherwise(s),
+        )
+        # both present: the later separator is the decimal mark
+        # (rindex compare in the reference ⇔ which separator ends the
+        # final run). US keeps dots, drops commas; EU drops dots and
+        # turns every comma into a dot (2+ commas → unparseable, as in
+        # the reference).
+        .when(s.rlike(r"\.[^.,]*$"), F.regexp_replace(s, ",", ""))
+        .otherwise(F.regexp_replace(F.regexp_replace(s, r"\.", ""), ",", "."))
     )
 
 

@@ -16,7 +16,16 @@ Detection (official_format_extractor.py:111-121): both the
 ``numero_factura`` (C8) and ``empresa_transporte`` (C6) fixed cells
 non-blank → MIXED layout (fixed header cells broadcast onto the
 tabular detail); otherwise SIMPLE tabular (header discovered/row 11,
-stop at first blank invoice). The fixed-cell read is ONE 1-row
+stop at first blank invoice).
+
+DOCUMENTED DEVIATION — whitespace-only fixed cells: the reference
+tests only ``is not None`` (official_format_extractor.py:111-113), so
+a whitespace-only C8/C6 cell routes it to the MIXED path, where every
+detail row then errors on the blank invoice metadata. This engine
+treats whitespace-only as blank (``trim != ''``) and routes such
+sheets to the SIMPLE path instead — deliberately stricter, since an
+all-whitespace invoice number can never produce a valid mixed-layout
+record. The fixed-cell read is ONE 1-row
 aggregation job and the detection branch is a driver-side decision on
 that row — the same schema-metadata contract as
 ``readers.discover_header`` (per-file scalars, never data rows).
@@ -168,15 +177,39 @@ def _error_frame(df: DataFrame, source_file: str, cond: Column, msg: Column) -> 
     )
 
 
+def _project_parsed_money(data: DataFrame, cols: list[str]) -> DataFrame:
+    """Project each money column's parse ONCE as ``__parsed::<col>``.
+
+    The parse tree (functions/money.py:33-58) is large; inlining it
+    twice per column (value + is-parseable predicate) times 8 columns
+    used to push the generated whole-stage method past janino's 64 KB
+    bytecode limit, silently dropping the extract plans to interpreted
+    mode. Staging the parse in its own projection keeps every
+    downstream reference a cheap attribute: CollapseProject will not
+    re-inline a non-trivial alias that is consumed more than once, so
+    the tree is generated exactly once per column.
+    """
+    aliases = [
+        parse_money(F.col(c)).alias(f"__parsed::{c}")
+        for c in cols
+        if c in data.columns
+    ]
+    return data.select("*", *aliases) if aliases else data
+
+
 def _money_or_err(data: DataFrame, col: str) -> tuple[Column, Column]:
     """(parsed decimal, error predicate) for one money column: missing
     column or NULL cell → 0 (official_format_extractor.py:275-281
     to_decimal default); non-blank unparseable → per-row error, like
-    the reference's Decimal(str(v)) InvalidOperation."""
+    the reference's Decimal(str(v)) InvalidOperation.
+
+    Requires :func:`_project_parsed_money` to have staged
+    ``__parsed::<col>`` (falls back to inlining when it has not)."""
     if col not in data.columns:
         return F.lit(0).cast(DEC), F.lit(False)
     raw = F.col(col)
-    parsed = parse_money(raw)
+    staged = f"__parsed::{col}"
+    parsed = F.col(staged) if staged in data.columns else parse_money(raw)
     bad = raw.isNotNull() & (F.trim(raw) != "") & parsed.isNull()
     return F.coalesce(parsed, F.lit(0).cast(DEC)), bad
 
@@ -198,6 +231,7 @@ def extract_mixed(raw: DataFrame, fixed, source_file: str) -> tuple[DataFrame, D
         return _empty_valid(raw), empty
     data = filter_nonblank_key(data, ORDENES_COL)
     data = filter_summary_rows(data, cols)
+    data = _project_parsed_money(data, [*MONEY_COMPONENT_COLS, TOTAL_COL])
 
     comps, money_errs = [], []
     for c in MONEY_COMPONENT_COLS:
@@ -205,7 +239,7 @@ def extract_mixed(raw: DataFrame, fixed, source_file: str) -> tuple[DataFrame, D
         comps.append(parsed)
         money_errs.append((c, bad))
     if TOTAL_COL in data.columns:
-        total_raw = parse_money(F.col(TOTAL_COL))
+        total_raw = F.col(f"__parsed::{TOTAL_COL}")
         total_bad = (
             F.col(TOTAL_COL).isNotNull()
             & (F.trim(F.col(TOTAL_COL)) != "")
@@ -288,12 +322,18 @@ def extract_simple(raw: DataFrame, source_file: str) -> tuple[DataFrame, DataFra
     data = take_while(data, "row_idx", stop, allow_global=True)
     cols = [c for c in data.columns if c != "row_idx"]
     data = drop_all_null_rows(data, cols)
+    data = _project_parsed_money(data, ["Monto Neto", "IVA", "Monto Total"])
+    if "Fecha Factura" in data.columns:
+        # stage the multi-format date parse once, like the money parses
+        data = data.select(
+            "*", parse_sheet_date(F.col("Fecha Factura")).alias("__parsed::date")
+        )
 
     net, net_bad = _money_or_err(data, "Monto Neto")
     tax, tax_bad = _money_or_err(data, "IVA")
     total, total_bad = _money_or_err(data, "Monto Total")
     if "Fecha Factura" in data.columns:
-        date = parse_sheet_date(F.col("Fecha Factura"))
+        date = F.col("__parsed::date")
         date_bad = date.isNull()  # empty AND unparseable both raise (:500-502)
     else:
         date, date_bad = F.lit(None).cast("date"), F.lit(True)
@@ -408,6 +448,9 @@ def extract_invoice_files(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select(
             "source_file",
             *[F.col(n) for n in FIXED_CELLS.values()],
+            # F2+F3 parse of the G3 fixed date, ONCE per file on the
+            # (tiny, pre-broadcast) meta side — never per data row
+            parse_sheet_date(F.col("fecha_emision")).alias("fecha_parsed"),
             (nonblank(F.col("numero_factura")) & nonblank(F.col("empresa_transporte")))
             .alias("is_mixed"),
             F.coalesce(
@@ -440,13 +483,43 @@ def extract_invoice_files(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.broadcast(meta.select("source_file", "header_idx")), "source_file"
     ).filter(F.col("row_idx") > F.col("header_idx"))
     named = data_cells.join(hdr_names, ["source_file", "col_idx"], "left")
-    rows = named.groupBy("source_file", "row_idx").agg(
+
+    # Parse at the EXPLODED per-cell level, BEFORE the row-assembly
+    # shuffle: ONE parse_money and ONE parse_sheet_date expression
+    # tree serve every money/date cell in the dataset, and the map
+    # carries typed struct values downstream. Besides being the right
+    # 100 TB shape (map-side parse, partial work before the shuffle),
+    # this is the janino-64 KB guard for this plan: per-column parse
+    # trees downstream of the map (8 money columns × ~27 KB of
+    # generated Java each, uncollapsible once filter pushdown
+    # re-inlines them) blew the whole-stage method limit and silently
+    # dropped the hottest path to interpreted mode.
+    money_keys = list(
+        dict.fromkeys([*MONEY_COMPONENT_COLS, TOTAL_COL, "Monto Neto", "IVA", "Monto Total"])
+    )
+    typed = named.select(
+        "*",
+        F.when(F.col("hdr_name").isin(money_keys), parse_money(F.col("val"))).alias(
+            "__pmoney"
+        ),
+        F.when(
+            F.col("hdr_name") == "Fecha Factura", parse_sheet_date(F.col("val"))
+        ).alias("__pdate"),
+    )
+    rows = typed.groupBy("source_file", "row_idx").agg(
         F.map_from_entries(
             F.array_compact(
                 F.collect_list(
                     F.when(
                         F.col("val").isNotNull() & F.col("hdr_name").isNotNull(),
-                        F.struct(F.col("hdr_name"), F.col("val")),
+                        F.struct(
+                            F.col("hdr_name"),
+                            F.struct(
+                                F.col("val").alias("v"),
+                                F.col("__pmoney").alias("money"),
+                                F.col("__pdate").alias("date"),
+                            ),
+                        ),
                     )
                 )
             )
@@ -465,12 +538,14 @@ def extract_invoice_files(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
     r = rows.join(F.broadcast(meta), "source_file")
 
-    def g(key):  # map getter
-        return F.element_at(F.col("m"), F.lit(key))
+    def g(key):  # raw-cell getter (absent key → NULL struct → NULL)
+        return F.element_at(F.col("m"), F.lit(key)).getField("v")
+
+    def gp(key):  # parsed-money getter
+        return F.element_at(F.col("m"), F.lit(key)).getField("money")
 
     def money_err(key):
-        raw_v = g(key)
-        parsed = parse_money(raw_v)
+        raw_v, parsed = g(key), gp(key)
         bad = raw_v.isNotNull() & (F.trim(raw_v) != "") & parsed.isNull()
         return F.coalesce(parsed, F.lit(0).cast(DEC)), bad
 
@@ -484,12 +559,13 @@ def extract_invoice_files(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
         p, bad = money_err(c)
         comps.append(p)
         errs.append((f"unparseable money: {c}", bad))
-    total_raw = parse_money(g(TOTAL_COL))
+    total_raw = gp(TOTAL_COL)
+    total_cell = g(TOTAL_COL)
     total_bad = (
-        g(TOTAL_COL).isNotNull() & (F.trim(g(TOTAL_COL)) != "") & total_raw.isNull()
+        total_cell.isNotNull() & (F.trim(total_cell) != "") & total_raw.isNull()
     )
     total = derived_total(total_raw, comps).cast(DEC)                   # A6
-    date_m = parse_sheet_date(F.col("fecha_emision"))                   # F2+F3
+    date_m = F.col("fecha_parsed")  # F2+F3, parsed once in `meta`
     date_bad_m = ~nonblank(F.col("fecha_emision")) | date_m.isNull()
     err_cond_m = total_bad | date_bad_m
     err_msg_m = F.when(total_bad, F.lit(f"unparseable money: {TOTAL_COL}"))
@@ -536,7 +612,7 @@ def extract_invoice_files(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     net, net_bad = money_err("Monto Neto")
     tax, tax_bad = money_err("IVA")
     stotal, stotal_bad = money_err("Monto Total")
-    date_s = parse_sheet_date(g("Fecha Factura"))
+    date_s = F.element_at(F.col("m"), F.lit("Fecha Factura")).getField("date")
     date_bad_s = date_s.isNull()
     err_cond_s = net_bad | tax_bad | stotal_bad | date_bad_s
     err_msg_s = (

@@ -77,3 +77,34 @@ def test_minhash_join_keys_are_band_buckets(spark, sf_dir):
     lost somewhere."""
     plan = _plan(spark, sf_dir, "minhash_lsh_pairs")
     assert "bucket" in plan and "band" in plan
+
+
+def test_extract_plans_compile_under_janino_limit(spark, sf_dir):
+    """The invoice-extract family must keep whole-stage codegen ALIVE:
+    the money-parse expression tree used to push generated methods
+    past janino's 64 KB bytecode limit, silently dropping the
+    reference's hottest path to interpreted mode (round-2 verdict's
+    one real defect). debugCodegen reports maxMethodCodeSize=-1 for a
+    subtree whose compile failed; assert every subtree of every
+    extract plan compiled. AQE is disabled for the probe because an
+    unexecuted AdaptiveSparkPlan exposes no codegen subtrees."""
+    import re
+
+    dbg = spark._jvm.org.apache.spark.sql.execution.debug.package  # noqa: SLF001
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("invoice_extract_golden", "invoice_extract_errors",
+                     "invoice_extract_multi", "validation_valid",
+                     "validation_errors", "money_parse_golden"):
+            df = entry.queries()[name](spark, sf_dir)
+            out = dbg.codegenString(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+            sizes = [int(m) for m in re.findall(r"maxMethodCodeSize:(-?\d+)", out)]
+            assert sizes, f"{name}: no codegen subtrees found"
+            assert all(s != -1 for s in sizes), (
+                f"{name}: a whole-stage codegen subtree failed to compile "
+                f"(maxMethodCodeSize {sizes})"
+            )
+            assert max(s for s in sizes) < 65536, (name, sizes)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
