@@ -24,8 +24,11 @@ Conventions that keep Spark and DuckDB hash-identical:
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import sys
+import tempfile
 from collections.abc import Callable
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
@@ -294,6 +297,23 @@ rt AS (SELECT coalesce(sum(CAST(total_amount AS DECIMAL(27,6))), 0) AS t FROM re
                        AND s.reference_number = r.reference_number))
 {_RECONCILE_SELECT_SQL}
 """
+
+
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Per-process scratch dir for queries that must materialize
+    tables (publish/audit sinks, golden XLSX files). Removed at
+    interpreter exit — the returned DataFrames read from it LAZILY,
+    so cleanup cannot happen inside the query call itself; parking
+    every run under one atexit-reaped root keeps repeated harness and
+    bench invocations from accumulating disk garbage."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark_entry_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
 
 
 # --- flagship: the whole reference pipeline in one plan ---------------------
@@ -1523,14 +1543,16 @@ WITH seeded AS (
 SELECT doc_id,
        regexp_replace(
          regexp_replace(
-           regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
-           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-         '\+[0-9][0-9 ().-]{5,}[0-9]|\([0-9]{1,4}\)[0-9 .-]{4,}[0-9]|[0-9]{3}[ -][0-9]{3}[ -][0-9]{4}|[0-9]{1,2}[ -][0-9]{4}[ -][0-9]{4}|[0-9]{7,}', '<PHONE>', 'g') AS clean,
+           regexp_replace(
+             regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\+[0-9][0-9 ().-]{5,}[0-9]|\([0-9]{1,4}\)[0-9 .-]{4,}[0-9]|[0-9]{3}[ -][0-9]{3}[ -][0-9]{4}|[0-9]{1,2}[ -][0-9]{4}[ -][0-9]{4}', '<PHONE>', 'g'),
+         '(^|[^0-9.,-])([0-9]{7,})($|[^0-9.,-])', '\1<PHONE>\3', 'g') AS clean,
        CAST(len(regexp_extract_all(text,
          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
        CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
        CAST(len(regexp_extract_all(text,
-         '\+[0-9][0-9 ().-]{5,}[0-9]|\([0-9]{1,4}\)[0-9 .-]{4,}[0-9]|[0-9]{3}[ -][0-9]{3}[ -][0-9]{4}|[0-9]{1,2}[ -][0-9]{4}[ -][0-9]{4}|[0-9]{7,}')) AS BIGINT) AS n_phones
+         '\+[0-9][0-9 ().-]{5,}[0-9]|\([0-9]{1,4}\)[0-9 .-]{4,}[0-9]|[0-9]{3}[ -][0-9]{3}[ -][0-9]{4}|[0-9]{1,2}[ -][0-9]{4}[ -][0-9]{4}|(^|[^0-9.,-])([0-9]{7,})($|[^0-9.,-])')) AS BIGINT) AS n_phones
 FROM seeded
 """
 
@@ -2612,13 +2634,11 @@ def q_consolidation_pipeline(spark, sf_dir):
     be skipped), both files carry validation errors (must be excluded
     but audited), and the publish only happens because both files
     reconcile."""
-    import tempfile
-
     from smartbots_etl_facturas_spark.plans.consolidation import consolidate
     from smartbots_etl_facturas_spark.sinks.audit import AuditWriter
     from smartbots_etl_facturas_spark.sinks.staged import read_published
 
-    base = tempfile.mkdtemp(prefix="consol_q_")
+    base = _scratch_dir("consol_q_")
     audit = AuditWriter(spark, f"{base}/audit")
     f1 = spark.createDataFrame(GOLDEN_CONSOL_F1, _CONSOL_SCHEMA)
     f2 = spark.createDataFrame(GOLDEN_CONSOL_F2, _CONSOL_SCHEMA)
@@ -3200,14 +3220,12 @@ def q_xlsx_distributed(spark, sf_dir):
     mapInPandas, emitting (file, row_idx, declared columns) with the
     per-file row-order invariant. sf_dir is unused — inputs are the
     golden workbooks (XLSX has no sf-scaled testdata)."""
-    import tempfile
-
     from smartbots_etl_facturas_spark.sources.xlsx import (
         read_xlsx_distributed,
         write_xlsx,
     )
 
-    d = tempfile.mkdtemp(prefix="xlsx_golden_")
+    d = _scratch_dir("xlsx_golden_")
     for i, (name, rows) in enumerate(sorted(_XLSX_GOLDEN.items())):
         write_xlsx(os.path.join(d, name), rows, use_shared_strings=bool(i % 2))
     df = read_xlsx_distributed(

@@ -128,13 +128,22 @@ URL_RE = r"https?://[^\s]+"
 #   7+ bare digits             907654321 / 9876543
 # A naive [0-9 ().-]{5,} run would turn '15-02-2026' and '1.234.567'
 # into <PHONE>.
-PHONE_RE = (
+PHONE_SHAPED_RE = (
     r"\+[0-9][0-9 ().-]{5,}[0-9]"
     r"|\([0-9]{1,4}\)[0-9 .-]{4,}[0-9]"
     r"|[0-9]{3}[ -][0-9]{3}[ -][0-9]{4}"
     r"|[0-9]{1,2}[ -][0-9]{4}[ -][0-9]{4}"
-    r"|[0-9]{7,}"
 )
+# Bare 7+ digit runs are phone-like ONLY when not glued to a
+# separator: the captured one-char boundaries exclude [.,-]-adjacent
+# runs, so '1234567.89' and '2024-1234567' keep their digits.
+# Capture groups (not lookaround) so the DuckDB oracle (RE2 — no
+# lookbehind) can express the identical rule.
+# KNOWN FALSE-POSITIVE CLASS (recall-biased by design): a standalone
+# unseparated 7+ digit amount ('total 1500000') is indistinguishable
+# from a local phone number and IS redacted.
+PHONE_BARE_RE = r"(^|[^0-9.,-])([0-9]{7,})($|[^0-9.,-])"
+PHONE_RE = f"{PHONE_SHAPED_RE}|{PHONE_BARE_RE}"  # counting twin, see pii_counts
 
 
 def redact_pii(text: Column,
@@ -143,11 +152,12 @@ def redact_pii(text: Column,
                phone_token: str = "<PHONE>") -> Column:
     """Replace emails, URLs and phone-number-shaped digit runs with
     placeholder tokens — the standard scrub step before a corpus goes
-    into training. Pure Column expressions (three regexp_replace
+    into training. Pure Column expressions (four regexp_replace
     passes, whole-stage codegen), no Python in the hot path."""
     out = F.regexp_replace(text, URL_RE, url_token)
     out = F.regexp_replace(out, EMAIL_RE, email_token)
-    return F.regexp_replace(out, PHONE_RE, phone_token)
+    out = F.regexp_replace(out, PHONE_SHAPED_RE, phone_token)
+    return F.regexp_replace(out, PHONE_BARE_RE, f"$1{phone_token}$3")
 
 
 def pii_counts(text: Column) -> Column:

@@ -45,12 +45,40 @@ def _scan_info(line: str) -> dict:
     }
 
 
+def _window_is_global(line: str) -> bool:
+    """True when a ``Window`` plan line has an EMPTY partition spec.
+
+    The physical node renders as ``Window [exprs], [partSpec],
+    [orderSpec]`` when partitioned and ``Window [exprs], [orderSpec]``
+    when global (the empty partition list is omitted). Matching the
+    node's TRAILING spec lists is robust against anything inside the
+    expression list — order keys that are casts/expressions render as
+    ``_w0#123 ASC`` or ``cast(x#1 as ...) ASC`` and defeated the old
+    first-argument regex (round-3 advice)."""
+    m = re.search(r"\], \[([^\[\]]*)\](?:, \[([^\[\]]*)\])?\s*$", line)
+    if not m:
+        # no trailing spec group at all: both partition and order
+        # specs are empty — an unpartitioned whole-input window
+        return True
+    if m.group(2) is not None:
+        # two trailing groups: group 1 is the partition spec
+        return m.group(1).strip() == ""
+    # one trailing group: it is the order spec (sort direction always
+    # prints) iff ASC/DESC present; a lone partition spec has neither
+    return bool(re.search(r"\b(ASC|DESC)\b", m.group(1)))
+
+
 def plan_report(df: DataFrame) -> PlanReport:
     """Structured audit of the frame's executed physical plan."""
     plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    # node-anchored counts: ReusedExchange re-reads an existing
+    # exchange output (no new shuffle/broadcast), and a shuffle
+    # Exchange must not be conflated with BroadcastExchange
+    shuffle_exchanges = len(re.findall(r"\bExchange ", plan))
+    broadcast_exchanges = len(re.findall(r"\bBroadcastExchange\b", plan))
     r = PlanReport(
-        exchanges=plan.count("Exchange"),
-        broadcasts=plan.count("Broadcast"),
+        exchanges=shuffle_exchanges,
+        broadcasts=broadcast_exchanges,
         cartesian_products=plan.count("CartesianProduct"),
         broadcast_nested_loop_joins=plan.count("BroadcastNestedLoopJoin"),
     )
@@ -59,9 +87,7 @@ def plan_report(df: DataFrame) -> PlanReport:
             r.scans.append(_scan_info(line))
         # a Window whose partition spec is empty funnels every row
         # through one task (the take_while guard, at plan level)
-        if re.search(r"Window .*windowspecdefinition\(", line) and re.search(
-            r"windowspecdefinition\([a-z_]+#\d+[L]?\s+(ASC|DESC)", line
-        ):
+        if re.search(r"\bWindow \[", line) and _window_is_global(line):
             r.global_windows += 1
     if r.cartesian_products:
         r.warnings.append(
