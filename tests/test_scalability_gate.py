@@ -1,0 +1,100 @@
+"""Registry-wide deploy gate: every registered query's physical plan
+must pass the plan doctor (plans/doctor.py) — no cartesian products,
+no unpartitioned windows, no nested-loop joins — except the
+explicitly-allowlisted cases below, each with its design
+justification. A new query (or a refactor of an old one) that
+introduces a scale anti-pattern fails here even while its correctness
+oracle stays green."""
+
+import pytest
+
+import __spark_entry__ as entry
+from smartbots_etl_facturas_spark.plans.doctor import plan_report
+
+# query name -> (allowed flags, why this is intentional)
+ALLOW: dict[str, tuple[set, str]] = {
+    "ann_bruteforce": (
+        {"bnlj"},
+        "exact-scoring tier: repartitioned broadcast crossJoin IS the "
+        "algorithm (oracle-checkable ground truth; LSH/IVF are the scale path)",
+    ),
+    "dedup_embedding": (
+        {"bnlj"},
+        "exact all-pairs tier kept solely as oracle ground truth; "
+        "bucket_bits>0 flips to the hyperplane-bucket join",
+    ),
+    "ann_lsh_recall": (
+        {"bnlj"},
+        "recall HARNESS: compares the bucketed ANN against the "
+        "brute-force ground truth, which needs the exact tier",
+    ),
+    "ann_ivf_recall": (
+        {"bnlj"},
+        "recall harness vs brute-force ground truth (see ann_lsh_recall)",
+    ),
+    "minhash_precision": (
+        {"bnlj"},
+        "precision harness: joins LSH candidates against the exact "
+        "n-gram-Jaccard ground truth",
+    ),
+    "minhash_lsh_pairs": (
+        {"bnlj"},
+        "broadcast of the 1-row hash-seed grid (IdentityBroadcastMode "
+        "crossJoin); the candidate join itself is keyed on (band, bucket) "
+        "— asserted by test_minhash_join_keys_are_band_buckets",
+    ),
+    "events_sliding": (
+        {"bnlj"},
+        "broadcast of the k-offsets seed frame (window multiplicity); "
+        "the aggregation is hash-partitioned on the window key",
+    ),
+    "fixed_cells": (
+        {"bnlj"},
+        "S3 fixed-cell scan: broadcast 1-row crossJoin by design "
+        "(SURVEY §2.1)",
+    ),
+    "invoice_extract_golden": (
+        {"gwin"},
+        "P8 take-while over ONE sheet: the global window IS the "
+        "reference's sequential break semantics; the multi-file plan "
+        "(invoice_extract_multi) partitions it by source_file",
+    ),
+    "invoice_extract_errors": (
+        {"gwin"},
+        "error side-channel of the same one-sheet take-while",
+    ),
+}
+
+
+def _flags(report) -> set:
+    flags = set()
+    if report.cartesian_products:
+        flags.add("cart")
+    if report.global_windows:
+        flags.add("gwin")
+    if report.broadcast_nested_loop_joins:
+        flags.add("bnlj")
+    return flags
+
+
+@pytest.mark.parametrize("name", sorted(entry.queries()))
+def test_query_plan_is_scalable(spark, sf_dir, name):
+    df = entry.queries()[name](spark, sf_dir)
+    flags = _flags(plan_report(df))
+    allowed = ALLOW.get(name, (set(), ""))[0]
+    assert flags <= allowed, (
+        f"{name}: plan contains scale anti-patterns {sorted(flags - allowed)} "
+        f"(allowed: {sorted(allowed) or 'none'}) — fix the plan or add an "
+        "explicit allowlist entry with its design justification"
+    )
+
+
+def test_allowlist_has_no_stale_entries(spark, sf_dir):
+    """An allowlist entry whose query no longer trips the flag is
+    stale — prune it so the gate stays tight."""
+    stale = []
+    for name, (allowed, _why) in ALLOW.items():
+        flags = _flags(plan_report(entry.queries()[name](spark, sf_dir)))
+        if not (allowed & flags):
+            stale.append((name, sorted(allowed), sorted(flags)))
+    assert not stale, f"stale allowlist entries: {stale}"
