@@ -1197,12 +1197,15 @@ def q_ann_lsh(spark, sf_dir):
     the scale path (no oracle: approximate by design; recall vs
     brute force is asserted in tests/test_similarity.py)."""
     emb = _read(spark, sf_dir, "embeddings")
-    # 4 bits × 8 tables: measured recall@5 0.74 (sf0.01) / 0.82
-    # (sf0.001) vs 0.02 at 8 bits × 4 tables — this corpus's true
-    # neighbors sit at wide angles, so fewer bits per table (bigger
-    # buckets) + more tables is the right operating point
+    # 4 bits × 8 tables × Hamming-1 multiprobe: measured recall@5
+    # 0.98 (sf0.001) / 0.98 (sf0.01), up from 0.82/0.74 exact-bucket.
+    # This corpus's true neighbors sit at wide angles, so fewer bits
+    # per table (bigger buckets) + more tables is the right operating
+    # point, and flipping one sign bit on the QUERY side recovers the
+    # neighbors that straddle a single hyperplane at no corpus-side
+    # shuffle cost.
     return cosine_topk_lsh(emb.filter(F.col("vec_id") % 50 == 0), emb,
-                           k=5, bits=4, tables=8)
+                           k=5, bits=4, tables=8, probe_flips=1)
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -1212,8 +1215,10 @@ def q_ann_ivf(spark, sf_dir):
     algorithm, approximate by design; recall vs brute force asserted
     in tests/test_similarity.py)."""
     emb = _read(spark, sf_dir, "embeddings")
+    # 16 cells × nprobe=10 × 3 Lloyd iterations: measured recall@5
+    # 0.90 (sf0.001) / 0.92 (sf0.01)
     return cosine_topk_ivf(emb.filter(F.col("vec_id") % 50 == 0), emb,
-                           k=5, n_cells=16, nprobe=6)
+                           k=5, n_cells=16, nprobe=10, train_iters=3)
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -1292,14 +1297,14 @@ def q_ann_lsh_recall(spark, sf_dir):
     """Driver-checkable recall invariant of the hyperplane-LSH ANN
     tier: recall@5 vs the exact brute-force top-5 is deterministic
     given the fixed hash-derived planes (no executor RNG). At the
-    4-bit × 8-table operating point, measured recall is 0.82
-    (sf0.001) / 0.74 (sf0.01); the pinned floor 0.5 absorbs
-    corpus-size drift. ``n_truth`` (= 5 × |queries|) is genuinely
-    recomputed by the oracle."""
+    4-bit × 8-table × Hamming-1-multiprobe operating point, measured
+    recall is 0.98 (sf0.001) / 0.98 (sf0.01); the pinned floor 0.8
+    absorbs corpus-size drift. ``n_truth`` (= 5 × |queries|) is
+    genuinely recomputed by the oracle."""
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 50 == 0)
     truth = cosine_topk_bruteforce(q, emb, k=5).select("query_id", "neighbor_id")
-    approx = cosine_topk_lsh(q, emb, k=5, bits=4, tables=8).select(
+    approx = cosine_topk_lsh(q, emb, k=5, bits=4, tables=8, probe_flips=1).select(
         "query_id", "neighbor_id"
     )
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
@@ -1308,7 +1313,7 @@ def q_ann_lsh_recall(spark, sf_dir):
     )
     return n_truth.crossJoin(n_hits).select(
         "n_truth",
-        (F.col("n_hits") >= F.col("n_truth") * F.lit(0.5)).alias("recall_ok"),
+        (F.col("n_hits") >= F.col("n_truth") * F.lit(0.8)).alias("recall_ok"),
     )
 
 
@@ -1320,23 +1325,25 @@ FROM embeddings WHERE vec_id % 50 = 0
 
 def q_ann_ivf_recall(spark, sf_dir):
     """Driver-checkable recall invariant of the IVF ANN tier (16
-    k-means cells, nprobe=6): recall@5 vs brute force clears a 0.3
-    floor (the pytest floor is 0.5 on the same construction; 0.3
-    absorbs float-sum ordering drift in the centroid means across
-    partitionings). ``n_truth`` recomputed by the oracle."""
+    k-means cells, nprobe=10, 3 Lloyd iterations): recall@5 vs brute
+    force clears a 0.8 floor (measured 0.90 sf0.001 / 0.92 sf0.01).
+    Centroid means are rounded to 6 decimals inside kmeans_centroids,
+    which makes the centroids — hence assignment, hence recall —
+    bit-identical across partition orderings, so the old float-drift
+    hedge (0.3 floor) is no longer needed. ``n_truth`` recomputed by
+    the oracle."""
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 50 == 0)
     truth = cosine_topk_bruteforce(q, emb, k=5).select("query_id", "neighbor_id")
-    approx = cosine_topk_ivf(q, emb, k=5, n_cells=16, nprobe=6).select(
-        "query_id", "neighbor_id"
-    )
+    approx = cosine_topk_ivf(q, emb, k=5, n_cells=16, nprobe=10,
+                             train_iters=3).select("query_id", "neighbor_id")
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     n_hits = truth.join(approx, ["query_id", "neighbor_id"], "left_semi").agg(
         F.count(F.lit(1)).alias("n_hits")
     )
     return n_truth.crossJoin(n_hits).select(
         "n_truth",
-        (F.col("n_hits") >= F.col("n_truth") * F.lit(0.3)).alias("recall_ok"),
+        (F.col("n_hits") >= F.col("n_truth") * F.lit(0.8)).alias("recall_ok"),
     )
 
 

@@ -124,6 +124,7 @@ def cosine_topk_lsh(
     bits: int = 8,
     dim: int = 64,
     tables: int = 4,
+    probe_flips: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing a bucket in at
     least one of ``tables`` independent hash tables.
@@ -133,7 +134,19 @@ def cosine_topk_lsh(
     join stays bucket-partitioned (narrow shuffle) instead of a cross
     join. Tune (bits, tables) for the recall/cost point: more bits →
     smaller buckets, more tables → higher recall.
+
+    ``probe_flips=1`` enables MULTIPROBE: each query additionally
+    probes the ``bits`` buckets at Hamming distance 1 (one sign bit
+    flipped — the buckets a near neighbor most likely landed in when
+    it straddles one hyperplane). Only the QUERY side fans out (×(b+1)
+    bucket keys); the corpus still posts each vector to exactly one
+    bucket per table, so the join stays an equi join on bucket and the
+    corpus-side shuffle volume is unchanged — the standard
+    recall-vs-tables trade (Lv et al., multi-probe LSH), worth ~2
+    tables of recall per flip at a fraction of the sketch cost.
     """
+    if probe_flips not in (0, 1):
+        raise ValueError("probe_flips supports 0 (exact bucket) or 1 (Hamming-1)")
     qn = with_norm(queries, vec_col)
     cn = with_norm(corpus, vec_col)
     cand_parts = []
@@ -141,6 +154,19 @@ def cosine_topk_lsh(
         q = hyperplane_sketch(qn, vec_col, bits, dim, table=t).select(
             F.col(id_col).alias("query_id"), "bucket"
         )
+        if probe_flips:
+            q = q.select(
+                "query_id",
+                F.explode(
+                    F.array(
+                        F.col("bucket"),
+                        *[
+                            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                            for i in range(bits)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
         c = hyperplane_sketch(cn, vec_col, bits, dim, table=t).select(
             F.col(id_col).alias("neighbor_id"), "bucket"
         )
@@ -238,7 +264,10 @@ def kmeans_centroids(
         )
         by_cell: dict[int, dict[int, float]] = {}
         for r in sums:
-            by_cell.setdefault(r.cell, {})[r.pos] = r.mean
+            # round far below data precision but far above float-sum
+            # ULP drift: makes the centroids (hence cell assignment,
+            # hence recall) bit-identical across partition orderings
+            by_cell.setdefault(r.cell, {})[r.pos] = round(r.mean, 6)
         centroids = [
             _unit([by_cell[j][p] for p in sorted(by_cell[j])])
             if j in by_cell else centroids[j]
@@ -256,6 +285,7 @@ def cosine_topk_ivf(
     centroids: list[list[float]] | None = None,
     n_cells: int = 16,
     nprobe: int = 4,
+    train_iters: int = 2,
 ) -> DataFrame:
     """Approximate top-k via IVF: score only corpus vectors whose cell
     is among the query's ``nprobe`` nearest cells.
@@ -267,7 +297,8 @@ def cosine_topk_ivf(
     degenerates to exact brute force.
     """
     if centroids is None:
-        centroids = kmeans_centroids(corpus, vec_col, id_col, k=n_cells)
+        centroids = kmeans_centroids(corpus, vec_col, id_col, k=n_cells,
+                                     iters=train_iters)
     qn = with_norm(queries, vec_col)
     cn = with_norm(corpus, vec_col)
     c = cn.select(

@@ -54,13 +54,29 @@ def test_lsh_recall_vs_bruteforce(spark, emb):
     exact = {(r.query_id, r.neighbor_id)
              for r in cosine_topk_bruteforce(queries, emb, k=5).collect()}
     approx = {(r.query_id, r.neighbor_id)
-              for r in cosine_topk_lsh(queries, emb, k=5, bits=4, tables=4).collect()}
-    # 4 tables × 4 bits: candidate coverage ≈ 1-(15/16)^4 ≈ 23% of the
-    # corpus for a RANDOM vector; true neighbors collide far more often
+              for r in cosine_topk_lsh(queries, emb, k=5, bits=4, tables=8,
+                                       probe_flips=1).collect()}
+    # registered operating point (4 bits × 8 tables × Hamming-1
+    # multiprobe): measured recall@5 0.98 at both sf0.001 and sf0.01
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3, f"recall {recall}"
+    assert recall >= 0.8, f"recall {recall}"
     # no self-matches, correct k bound
     assert all(q != n for q, n in approx)
+
+
+def test_lsh_multiprobe_dominates_exact_bucket(spark, emb):
+    """Hamming-1 multiprobe can only ADD candidate buckets, so its
+    result set recall must dominate the exact-bucket variant at the
+    same (bits, tables)."""
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk_bruteforce(queries, emb, k=5).collect()}
+    base = {(r.query_id, r.neighbor_id)
+            for r in cosine_topk_lsh(queries, emb, k=5, bits=4, tables=4).collect()}
+    multi = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk_lsh(queries, emb, k=5, bits=4, tables=4,
+                                      probe_flips=1).collect()}
+    assert len(exact & multi) >= len(exact & base)
 
 
 def test_hyperplane_sketch_deterministic(spark, emb):
@@ -86,11 +102,12 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     exact = {(r.query_id, r.neighbor_id)
              for r in cosine_topk_bruteforce(queries, emb, k=5).collect()}
     approx = {(r.query_id, r.neighbor_id)
-              for r in cosine_topk_ivf(queries, emb, k=5, n_cells=8, nprobe=3).collect()}
-    # probing 3/8 data-adaptive cells: true neighbors share the
-    # query's cell far more often than 3/8 of the time
+              for r in cosine_topk_ivf(queries, emb, k=5, n_cells=16, nprobe=10,
+                                       train_iters=3).collect()}
+    # registered operating point (16 cells, nprobe=10, 3 Lloyd
+    # iterations): measured recall@5 0.90 (sf0.001) / 0.92 (sf0.01)
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"recall {recall}"
+    assert recall >= 0.8, f"recall {recall}"
     assert all(q != n for q, n in approx)
 
 
