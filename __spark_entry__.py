@@ -3247,6 +3247,117 @@ def q_xlsx_distributed(spark, sf_dir):
     )
 
 
+def q_xlsx_to_consolidated(spark, sf_dir):
+    """The reference's WHOLE entry point
+    (scripts/run_consolidation.py:50-126) as one wired pipeline:
+    golden workbooks written as real OOXML files → binaryFile +
+    mapInPandas raw-grid scan (sources/xlsx.py) → SET-BASED
+    multi-file extraction (per-file fixed cells, format detection,
+    header discovery, parsing — plans/extract.py
+    extract_invoice_files, one Catalyst plan, no driver loop) →
+    consolidation (schema validation, validate/split, first-wins
+    dedup, insert-only upsert, reconcile, 3-table audit, staged
+    publish — plans/consolidation.py). Returns the PUBLISHED
+    consolidated table. sf_dir unused: XLSX has no sf-scaled
+    testdata, the golden sheets are the fixture."""
+    from smartbots_etl_facturas_spark.plans.consolidation import consolidate
+    from smartbots_etl_facturas_spark.plans.extract import extract_invoice_files
+    from smartbots_etl_facturas_spark.sinks.audit import AuditWriter
+    from smartbots_etl_facturas_spark.sinks.staged import read_published
+    from smartbots_etl_facturas_spark.sources.xlsx import (
+        read_xlsx_grid_distributed,
+        write_xlsx,
+    )
+
+    base = _scratch_dir("x2c_")
+    inbox = os.path.join(base, "inbox")
+    os.makedirs(inbox)
+    write_xlsx(os.path.join(inbox, "mixed.xlsx"),
+               [list(r[1:]) for r in GOLDEN_MIXED_SHEET])
+    write_xlsx(os.path.join(inbox, "simple.xlsx"),
+               [list(r[1:]) for r in GOLDEN_SIMPLE_SHEET],
+               use_shared_strings=True)
+
+    grid = read_xlsx_grid_distributed(spark, os.path.join(inbox, "*.xlsx"), n_cols=9)
+    grid = grid.withColumn(
+        "source_file", F.element_at(F.split("source_file", "/"), -1)
+    )
+    valid, _errors = extract_invoice_files(grid)
+    # consolidate()'s per-file loop IS the reference's transaction
+    # unit (per-file reconcile + rollback); each file's frame is a
+    # filter over the ONE extraction dataflow above
+    files = [
+        (
+            name,
+            "t1",
+            valid.filter(F.col("source_file") == name).select(
+                "row_idx", "invoice_number", "reference_number",
+                "carrier_name", "net_amount", "tax_amount", "total_amount",
+            ),
+        )
+        for name in ("mixed.xlsx", "simple.xlsx")
+    ]
+    audit = AuditWriter(spark, f"{base}/audit")
+    report = consolidate(spark, files, f"{base}/consolidated", audit)
+    assert report.status == "SUCCESS", report
+    out = read_published(spark, f"{base}/consolidated")
+    return out.select(
+        "invoice_number", "reference_number", "carrier_name",
+        F.col("net_amount").cast("double").alias("net_amount"),
+        F.col("tax_amount").cast("double").alias("tax_amount"),
+        F.col("total_amount").cast("double").alias("total_amount"),
+        "source_file",
+    )
+
+
+SQL_XLSX_TO_CONSOLIDATED = f"""
+WITH {_SQL_EXTRACT_COMMON},
+ex AS (
+  SELECT CAST(row_idx AS BIGINT) AS row_idx,
+         trim((SELECT invoice FROM mfixed)) AS invoice_number,
+         trim(ordenes) AS reference_number,
+         trim((SELECT carrier FROM mfixed)) AS carrier_name,
+         CAST(total AS DECIMAL(18,2)) AS net_amount,
+         CAST(0 AS DECIMAL(18,2)) AS tax_amount,
+         CAST(total AS DECIMAL(18,2)) AS total_amount,
+         'mixed.xlsx' AS source_file
+  FROM mfinal WHERE NOT (total_bad OR flete_bad OR porteo_bad)
+  UNION ALL
+  SELECT CAST(row_idx AS BIGINT),
+         trim(invoice),
+         CASE WHEN refnum IS NOT NULL AND trim(refnum) != ''
+              THEN trim(refnum) ELSE 'N/A' END,
+         trim(coalesce(carrier, '')),
+         net, tax, total, 'simple.xlsx'
+  FROM styped WHERE NOT (net_bad OR tax_bad OR total_bad OR inv_date IS NULL)),
+v AS (
+  SELECT * FROM ex
+  WHERE trim(invoice_number) != '' AND trim(reference_number) != ''
+    AND trim(carrier_name) != ''
+    AND CAST(total_amount AS DECIMAL(18,6)) >= 0
+    AND abs(CAST(total_amount AS DECIMAL(18,6))
+            - (CAST(net_amount AS DECIMAL(12,2))
+               + CAST(tax_amount AS DECIMAL(18,6)))) <= 1),
+d AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source_file, invoice_number, reference_number
+    ORDER BY row_idx) AS rn
+  FROM v),
+m AS (SELECT * FROM d WHERE source_file = 'mixed.xlsx' AND rn = 1),
+s AS (SELECT d.* FROM d LEFT JOIN m
+        ON d.invoice_number = m.invoice_number
+       AND d.reference_number = m.reference_number
+      WHERE d.source_file = 'simple.xlsx' AND d.rn = 1
+        AND m.invoice_number IS NULL)
+SELECT invoice_number, reference_number, carrier_name,
+       CAST(CAST(net_amount AS DECIMAL(12,2)) AS DOUBLE) AS net_amount,
+       CAST(CAST(tax_amount AS DECIMAL(18,6)) AS DOUBLE) AS tax_amount,
+       CAST(CAST(total_amount AS DECIMAL(18,6)) AS DOUBLE) AS total_amount,
+       source_file
+FROM (SELECT * FROM m UNION ALL SELECT * FROM s)
+"""
+
+
 def _xlsx_cell_sql(v):
     if v is None:
         return "NULL"
@@ -3368,6 +3479,7 @@ _QUERIES: dict[str, Callable] = {
     "lang_id_ngram": q_lang_id_ngram,
     "json_props": q_json_props,
     "xlsx_distributed": q_xlsx_distributed,
+    "xlsx_to_consolidated": q_xlsx_to_consolidated,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3444,6 +3556,7 @@ _ORACLES: dict[str, str] = {
     "lang_id_ngram": SQL_LANG_ID_NGRAM,
     "json_props": SQL_JSON_PROPS,
     "xlsx_distributed": SQL_XLSX_DISTRIBUTED,
+    "xlsx_to_consolidated": SQL_XLSX_TO_CONSOLIDATED,
     "pii_redaction": SQL_PII_REDACTION,
     "hash_split": SQL_HASH_SPLIT,
     "fingerprint_invariants": SQL_FINGERPRINT_INVARIANTS,
