@@ -222,6 +222,8 @@ def neardup_clusters(
     nodes: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 25,
+    checkpoint: str = "local",
+    publish_base: str | None = None,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph → one
     ``cluster_id`` (the component's minimum id) per node. The step a
@@ -240,24 +242,52 @@ def neardup_clusters(
     (dup groups, not social graphs), so ``max_iters`` is a backstop,
     not a tuning knob. Singleton nodes keep their own id.
 
+    ``checkpoint`` selects the per-round plan-truncation strategy:
+
+    - ``"local"`` (default): ``localCheckpoint`` — right for the
+      tens-of-millions-of-nodes range; blocks live on executors, so
+      executor loss forfeits the round chain.
+    - ``"publish"``: write each round's labels through the versioned
+      sink at ``publish_base`` and RE-READ them — the 100 TB shape:
+      spill-safe, survives executor loss, each round restartable from
+      the last published version, and the round history is inspectable
+      (one version dir per round, pointer always at the newest).
+
     ``pairs`` needs columns id_a/id_b; ``nodes`` needs ``id_col``.
     """
-    edges = (
+    if checkpoint not in ("local", "publish"):
+        raise ValueError(f"checkpoint must be 'local' or 'publish', got {checkpoint!r}")
+    if checkpoint == "publish" and not publish_base:
+        raise ValueError("checkpoint='publish' requires publish_base")
+
+    if checkpoint == "publish":
+        from smartbots_etl_facturas_spark.sinks.staged import publish, read_published
+
+        def _truncate(df: DataFrame, tag: str) -> DataFrame:
+            base = f"{publish_base}/{tag}"
+            publish(df, base)
+            return read_published(df.sparkSession, base)
+    else:
+        def _truncate(df: DataFrame, tag: str) -> DataFrame:
+            return df.localCheckpoint()
+
+    edges = _truncate(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        "edges",
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    labels = _truncate(
+        nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label")),
+        "labels",
+    )
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = _truncate(
             labels.join(neighbor_min, on="node", how="left")
             .select(
                 "node",
@@ -265,8 +295,9 @@ def neardup_clusters(
                     "label"
                 ),
                 (F.col("nbr_label") < F.col("label")).alias("__changed"),
-            )
-        ).localCheckpoint()
+            ),
+            "labels",
+        )
         changed = new_labels.filter(F.col("__changed")).limit(1).count()
         labels = new_labels.drop("__changed")
         if changed == 0:

@@ -174,3 +174,57 @@ def test_neardup_clusters_nonconvergence_raises(spark):
     )  # diameter 5
     with pytest.raises(RuntimeError, match="did not converge"):
         neardup_clusters(chain, nodes, max_iters=2).collect()
+
+
+def test_neardup_clusters_deep_chain_converges(spark):
+    """Stress: a 40-node path graph (diameter 39 — far deeper than any
+    real dup group) converges to ONE cluster when max_iters covers the
+    diameter, and the iteration count actually needed equals the
+    min-label propagation distance, not the backstop."""
+    from smartbots_etl_facturas_spark.operators.dedup import neardup_clusters
+
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = neardup_clusters(chain, nodes, max_iters=n + 2).collect()
+    assert len(out) == n
+    assert {r.cluster_id for r in out} == {0}
+
+
+def test_neardup_clusters_publish_checkpoint(tmp_path, spark):
+    """The 100 TB checkpoint strategy: each round's labels go through
+    the versioned sink and are RE-READ (spill-safe, survives executor
+    loss, restartable). Same labels as the local variant, one version
+    dir per round plus the seed, pointer at the newest."""
+    import os
+
+    from smartbots_etl_facturas_spark.operators.dedup import neardup_clusters
+    from smartbots_etl_facturas_spark.sinks.staged import current_version
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    # two components: a 6-chain and a triangle (plus a singleton 9)
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (6, 7), (7, 8), (6, 8)],
+        "id_a long, id_b long",
+    )
+    base = str(tmp_path / "cc")
+    out = neardup_clusters(
+        pairs, nodes, max_iters=10, checkpoint="publish", publish_base=base
+    )
+    got = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: 6, 7: 6, 8: 6, 9: 9}
+    # versioned history: seed + one per round, pointer resolves
+    versions = [v for v in os.listdir(f"{base}/labels") if v.startswith("v")]
+    assert len(versions) >= 3
+    assert current_version(f"{base}/labels") in versions
+
+
+def test_neardup_clusters_publish_requires_base(spark):
+    from smartbots_etl_facturas_spark.operators.dedup import neardup_clusters
+
+    nodes = spark.createDataFrame([(1,)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="publish_base"):
+        neardup_clusters(pairs, nodes, checkpoint="publish")
