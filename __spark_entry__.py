@@ -2427,6 +2427,81 @@ FROM b
 """
 
 
+def q_png_image_pipeline(spark, sf_dir):
+    """REAL image decode through the multimodal pipeline: gradient
+    PNGs encoded with the stdlib codec (sources/multimodal.py
+    png_encode), shipped as binary payloads, decoded inside
+    mapInPandas (decoder='png' — actual IHDR + unfiltered pixels, no
+    image library), then resized (nearest-neighbor numpy gather) and
+    re-decoded to verify the emitted PNG. Dimensions are
+    deterministic, so the oracle pins exact values."""
+    import numpy as np
+
+    from smartbots_etl_facturas_spark.sources.multimodal import (
+        extract_image_features,
+        png_decode,
+        png_encode,
+        resize_images,
+    )
+
+    def gradient(h, w, ch):
+        y = np.arange(h, dtype=np.uint32)[:, None, None]
+        x = np.arange(w, dtype=np.uint32)[None, :, None]
+        c = np.arange(ch, dtype=np.uint32)[None, None, :]
+        return ((y * 7 + x * 13 + c * 101) % 256).astype(np.uint8)
+
+    rows = [
+        (i, "image", bytearray(png_encode(gradient(16 + i, 10 + 2 * i, 3))),
+         "image/png", f"mem://{i}")
+        for i in range(6)
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, media_type string, content binary, "
+        "mime string, source_uri string",
+    )
+    feats = extract_image_features(media, decoder="png").select(
+        "media_id", "width", "height", "channels"
+    )
+    # round-trip the resize stage: decode the emitted PNG again and
+    # report ITS dimensions (proves the bytes out are a valid PNG of
+    # the target size, not just a passthrough)
+    resized = resize_images(media, width=8, height=6, decoder="png")
+    schema = "media_id long, rw int, rh int, rch int"
+
+    def _verify(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            dims = pdf["resized"].map(lambda b: png_decode(bytes(b)).shape)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "rw": dims.map(lambda s: s[1]).astype("Int32"),
+                "rh": dims.map(lambda s: s[0]).astype("Int32"),
+                "rch": dims.map(lambda s: s[2]).astype("Int32"),
+            })
+
+    rdims = resized.mapInPandas(_verify, schema)
+    return feats.join(rdims, "media_id").select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        F.col("rw").cast("long").alias("resized_w"),
+        F.col("rh").cast("long").alias("resized_h"),
+        F.col("rch").cast("long").alias("resized_ch"),
+    )
+
+
+SQL_PNG_IMAGE_PIPELINE = "\nUNION ALL\n".join(
+    f"SELECT CAST({i} AS BIGINT) AS media_id, CAST({10 + 2 * i} AS BIGINT) AS width, "
+    f"CAST({16 + i} AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels, "
+    "CAST(8 AS BIGINT) AS resized_w, CAST(6 AS BIGINT) AS resized_h, "
+    "CAST(3 AS BIGINT) AS resized_ch"
+    for i in range(6)
+)
+
+
 def q_audit_actions(spark, sf_dir):
     """J6 status-lookup join (consolidate_invoices.py:517-548): each
     incoming row mapped to its post-upsert INSERT/UPDATE/UNCHANGED
@@ -3480,6 +3555,7 @@ _QUERIES: dict[str, Callable] = {
     "json_props": q_json_props,
     "xlsx_distributed": q_xlsx_distributed,
     "xlsx_to_consolidated": q_xlsx_to_consolidated,
+    "png_image_pipeline": q_png_image_pipeline,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3557,6 +3633,7 @@ _ORACLES: dict[str, str] = {
     "json_props": SQL_JSON_PROPS,
     "xlsx_distributed": SQL_XLSX_DISTRIBUTED,
     "xlsx_to_consolidated": SQL_XLSX_TO_CONSOLIDATED,
+    "png_image_pipeline": SQL_PNG_IMAGE_PIPELINE,
     "pii_redaction": SQL_PII_REDACTION,
     "hash_split": SQL_HASH_SPLIT,
     "fingerprint_invariants": SQL_FINGERPRINT_INVARIANTS,

@@ -2,12 +2,18 @@
 metadata, with Arrow-batched decode/feature plumbing (BASELINE.json
 north star).
 
-The container has no image/audio libraries, so the actual byte →
-pixels decode is STUBBED: by default a deterministic fake decoder
-derives metadata from the bytes themselves (so the whole Spark-side
-pipeline — schema, partition sizing, mapInPandas batch shape — is
-real and tested); ``decoder="pil"`` uses Pillow when importable and
-raises NotImplementedError otherwise.
+Decoder tiers (image path):
+
+- ``decoder="png"`` — REAL decode with the stdlib PNG codec below
+  (zlib is always available): actual pixels in, resized pixels out.
+- ``decoder="pil"`` — Pillow, any format; raises NotImplementedError
+  when Pillow is absent (optional-dependency guard, not a stub).
+- ``decoder="fake"`` — deterministic digest-derived metadata, for
+  exercising the Spark plumbing (schema, partition sizing,
+  mapInPandas batch shape) with arbitrary bytes.
+
+Audio/video decode remains stubbed (no codec is expressible with the
+stdlib); their Spark-side plumbing is real and tested.
 
 Scale notes: binary payloads ride the same DataFrame as their
 metadata; keep ``spark.sql.files.maxPartitionBytes`` sized so a
@@ -19,11 +25,129 @@ binary column unread for filtered-out rows.
 from __future__ import annotations
 
 import hashlib
+import os
+import struct
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# --- stdlib PNG codec -------------------------------------------------------
+# The container ships no image libraries, but PNG needs only zlib: a
+# minimal ISO/IEC 15948 codec (8-bit gray/RGB/RGBA, non-interlaced,
+# all 5 scanline filters on decode, filter-0 on encode) makes the
+# image path REAL — actual pixels decoded, resized and re-encoded —
+# with Pillow as the optional full-format tier.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}       # colortype -> samples/pixel
+_PNG_COLORTYPE = {1: 0, 3: 2, 4: 6}
+
+
+def _unfilter_row(f: int, row: bytearray, prev: bytes, ch: int) -> bytearray:
+    if f == 0:
+        return row
+    n = len(row)
+    if f == 1:                                   # Sub
+        for i in range(ch, n):
+            row[i] = (row[i] + row[i - ch]) & 0xFF
+    elif f == 2:                                 # Up
+        for i in range(n):
+            row[i] = (row[i] + prev[i]) & 0xFF
+    elif f == 3:                                 # Average
+        for i in range(n):
+            a = row[i - ch] if i >= ch else 0
+            row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+    elif f == 4:                                 # Paeth
+        for i in range(n):
+            a = row[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            row[i] = (row[i] + pred) & 0xFF
+    else:
+        raise ValueError(f"invalid PNG filter type {f}")
+    return row
+
+
+def png_decode(data: bytes):
+    """PNG bytes → numpy uint8 array (h, w, channels). Supports 8-bit
+    gray / RGB / RGBA, non-interlaced (the overwhelmingly common
+    shapes); anything else raises ValueError."""
+    import numpy as np
+
+    if bytes(data[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat = 8, bytearray()
+    w = h = colortype = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = bytes(data[pos + 4:pos + 8])
+        chunk = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w, h, depth, colortype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if depth != 8 or interlace != 0 or colortype not in _PNG_CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth} colortype={colortype} "
+                    f"interlace={interlace}); use decoder='pil'"
+                )
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    ch = _PNG_CHANNELS[colortype]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    rows, prev = [], bytes(stride)
+    for y in range(h):
+        off = y * (stride + 1)
+        prev = bytes(_unfilter_row(raw[off], bytearray(raw[off + 1:off + 1 + stride]), prev, ch))
+        rows.append(prev)
+    return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, w, ch)
+
+
+def png_encode(arr) -> bytes:
+    """numpy uint8 array (h, w[, channels]) → PNG bytes (filter 0)."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(np.asarray(arr, dtype=np.uint8))
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if ch not in _PNG_COLORTYPE:
+        raise ValueError(f"unsupported channel count {ch}")
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLORTYPE[ch], 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def resize_nearest(arr, width: int, height: int):
+    """Nearest-neighbor resample via numpy index gather (no loops)."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    yi = (np.arange(height) * h) // height
+    xi = (np.arange(width) * w) // width
+    return arr[yi][:, xi]
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
@@ -60,23 +184,53 @@ def extract_image_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
 
     One Python worker call per Arrow batch — payload bytes cross the
     JVM↔Python boundary once, vectorized, never row-at-a-time.
+
+    ``decoder``: ``"fake"`` derives dimensions from the digest (pure
+    plumbing test); ``"png"`` REALLY decodes PNG payloads with the
+    stdlib codec above; ``"pil"`` uses Pillow (any format) and raises
+    NotImplementedError when Pillow is absent.
     """
+    if decoder not in ("fake", "png", "pil"):
+        raise ValueError(f"unknown decoder {decoder!r}")
     if decoder == "pil":
         try:
             import PIL.Image  # noqa: F401
         except ImportError as exc:  # pragma: no cover - env-dependent
             raise NotImplementedError(
                 "decoder='pil' requires Pillow, which this environment lacks; "
-                "use decoder='fake' for pipeline testing"
+                "use decoder='png' (stdlib codec) or 'fake'"
             ) from exc
+    pkg_root = _PKG_ROOT
 
     def _batches(batches: Iterator) -> Iterator:
+        import sys
+
         import pandas as pd
 
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        from smartbots_etl_facturas_spark.sources.multimodal import (
+            _fake_decode,
+            png_decode,
+        )
+
+        def dims(b):
+            if b is None:
+                return (None, None, None)
+            if decoder == "fake":
+                return _fake_decode(bytes(b))
+            if decoder == "png":
+                arr = png_decode(bytes(b))
+                return (arr.shape[1], arr.shape[0], arr.shape[2])
+            import io
+
+            import PIL.Image
+
+            with PIL.Image.open(io.BytesIO(bytes(b))) as im:
+                return (im.width, im.height, len(im.getbands()))
+
         for pdf in batches:
-            feats = pdf["content"].map(
-                lambda b: _fake_decode(bytes(b)) if b is not None else (None, None, None)
-            )
+            feats = pdf["content"].map(dims)
             pdf = pdf.assign(
                 width=feats.map(lambda t: t[0]).astype("Int32"),
                 height=feats.map(lambda t: t[1]).astype("Int32"),
@@ -125,10 +279,17 @@ RESIZED_SCHEMA = T.StructType(
 
 def resize_images(df: DataFrame, width: int = 224, height: int = 224,
                   decoder: str = "fake") -> DataFrame:
-    """Resize stage via mapInPandas. The pixel resample is STUBBED
-    (deterministic byte-fold standing in for the real kernel; a
-    Pillow-backed body slots into the same batch shape) — the Spark
-    plumbing (schema, Arrow batches, binary pass-through) is real."""
+    """Resize stage via mapInPandas.
+
+    ``decoder="png"`` is a REAL resize: stdlib PNG decode →
+    nearest-neighbor numpy resample → PNG re-encode. ``"pil"`` uses
+    Pillow's resampler (any input format, PNG out) when importable.
+    ``"fake"`` folds the payload to a deterministic size-proportional
+    digest chain — pipeline-shape testing without decodable inputs.
+    The Spark plumbing (schema, Arrow batches, binary pass-through)
+    is identical for all three."""
+    if decoder not in ("fake", "png", "pil"):
+        raise ValueError(f"unknown decoder {decoder!r}")
     if decoder == "pil":
         try:
             import PIL.Image  # noqa: F401
@@ -136,23 +297,48 @@ def resize_images(df: DataFrame, width: int = 224, height: int = 224,
             raise NotImplementedError("decoder='pil' requires Pillow") from exc
 
     target = width * height // 64  # fake: fold payload to a size-proportional digest chain
+    pkg_root = _PKG_ROOT
 
     def _batches(batches: Iterator) -> Iterator:
+        import sys
+
         import pandas as pd
 
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        from smartbots_etl_facturas_spark.sources.multimodal import (
+            png_decode,
+            png_encode,
+            resize_nearest,
+        )
+
         def fake_resize(b):
-            if b is None:
-                return None
             out = hashlib.sha256(bytes(b)).digest()
             while len(out) < target:
                 out += hashlib.sha256(out).digest()
             return out[:target]
 
+        def do_resize(b):
+            if b is None:
+                return None
+            if decoder == "fake":
+                return fake_resize(b)
+            if decoder == "png":
+                return png_encode(resize_nearest(png_decode(bytes(b)), width, height))
+            import io
+
+            import PIL.Image
+
+            with PIL.Image.open(io.BytesIO(bytes(b))) as im:
+                buf = io.BytesIO()
+                im.resize((width, height)).save(buf, format="PNG")
+                return buf.getvalue()
+
         for pdf in batches:
             yield pdf.assign(
                 out_width=pd.Series([width] * len(pdf), dtype="Int32"),
                 out_height=pd.Series([height] * len(pdf), dtype="Int32"),
-                resized=pdf["content"].map(fake_resize),
+                resized=pdf["content"].map(do_resize),
             )
 
     return df.mapInPandas(_batches, RESIZED_SCHEMA)
