@@ -489,3 +489,60 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
                  spark.read.parquet(conv_src),
                  "user_id", 0, 1800).collect()}
     assert got == batch == {(1, "c1", "v1"), (1, "c2", "v2")}
+
+
+def test_sessionize_stateful_state_bounded_by_watermark(spark, tmp_path):
+    """PROOF that watermark timeouts actually bound the stateful
+    sessionizer's state: four query cycles over one checkpoint, each
+    bringing K brand-new keys two gaps later than the previous cycle
+    (so every earlier session has timed out). Without eviction,
+    numRowsTotal would climb to cycles*K; with EventTimeTimeout it
+    must plateau around the one live cycle's K sessions."""
+    from smartbots_etl_facturas_spark.streaming.sessions import sessionize_stateful
+
+    K = 5
+    gap_s = 600
+    base = 1_700_000_000  # epoch seconds
+    src = str(tmp_path / "bounded-src")
+    ckpt = str(tmp_path / "bounded-ckpt")
+    schema = "user_id long, ts timestamp, value double"
+
+    out = str(tmp_path / "bounded-out")
+
+    def on_batch(bdf, batch_id):
+        bdf.write.mode("overwrite").parquet(f"{out}/b{batch_id}")
+
+    state_rows = []
+    for cycle in range(4):
+        t0 = base + cycle * 3 * gap_s          # 3 gaps apart: all prior time out
+        rows = [
+            (cycle * K + k, float(t0 + 30 * j), 1.0)
+            for k in range(K)
+            for j in range(3)
+        ]
+        (spark.createDataFrame(rows, "user_id long, ts double, value double")
+         .withColumn("ts", F.col("ts").cast("timestamp"))
+         .coalesce(1).write.mode("append").parquet(src))
+
+        stream = (spark.readStream.schema(schema).parquet(src)
+                  .withWatermark("ts", "0 seconds"))
+        q = (sessionize_stateful(stream, gap_seconds=gap_s)
+             .writeStream.foreachBatch(on_batch)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        progress = [p for p in q.recentProgress if p.get("stateOperators")]
+        assert progress, f"cycle {cycle}: no state operator progress"
+        state_rows.append(progress[-1]["stateOperators"][0]["numRowsTotal"])
+    emitted_total = spark.read.parquet(f"{out}/b*").count()
+
+    # 4 cycles x K keys = 20 sessions ever; unbounded state would show
+    # 10/15/20 by cycles 2/3/4. Eviction keeps it at the live cycle's
+    # K (+K during the timeout-handoff batch at most).
+    assert state_rows[0] <= 2 * K
+    assert all(s <= 2 * K for s in state_rows), state_rows
+    assert state_rows[-1] < 3 * K < 4 * K  # nowhere near the unbounded total
+    # and the evicted sessions were EMITTED, not dropped: every closed
+    # cycle's K sessions surfaced by the final cycle
+    assert emitted_total >= 3 * K
