@@ -147,6 +147,54 @@ def main() -> None:
     skew = bench_skew(spark)
 
     total = round(sum(timings.values()), 3)
+    skew_speedup = (round(skew["skew_join_plain"] / skew["skew_join_salted"], 2)
+                    if skew.get("skew_join_salted") else None)
+
+    # regression pin: compare against the committed floor (recorded
+    # round-2 times). The shared machine's absolute speed drifts
+    # >1.3x between sessions (observed: an idle box running EVERY
+    # query — including untouched ones — uniformly ~1.4x the recorded
+    # floor), so a per-query absolute threshold false-positives.
+    # Instead, normalize by the run's MEDIAN ratio-to-floor (the
+    # machine factor): a genuine per-query regression is an OUTLIER
+    # against the run's own uniform drift. Reported in the JSON
+    # always; exits nonzero only in strict mode so the driver's
+    # one-JSON-line contract never breaks.
+    regressions = []
+    machine_factor = None
+    floor_path = os.path.join(REPO, "BENCH_FLOOR.json")
+    if os.path.exists(floor_path) and abs(sf - 0.1) < 1e-9:
+        with open(floor_path) as f:
+            floor = json.load(f)
+        tol = floor.get("tolerance", 1.3)
+        ratios = {
+            name: secs / floor["queries"][name]
+            for name, secs in timings.items()
+            if floor.get("queries", {}).get(name)
+        }
+        if ratios:
+            ordered = sorted(ratios.values())
+            machine_factor = round(ordered[len(ordered) // 2], 3)
+            # relative outlier bar is looser than the absolute one:
+            # individual queries drift up to ~1.4x against the median
+            # across machine states (e.g. broadcast-crossJoin scoring
+            # gains more from idle cores than the median query), so
+            # 1.3x-vs-median would false-positive on a clean tree
+            rel_tol = floor.get("relative_tolerance", 1.5)
+            for name, ratio in ratios.items():
+                if ratio > max(tol, machine_factor * rel_tol):
+                    regressions.append(
+                        {"query": name, "sec": timings[name],
+                         "floor": floor["queries"][name],
+                         "ratio": round(ratio, 2),
+                         "vs_machine": round(ratio / machine_factor, 2)}
+                    )
+        if skew_speedup is not None and skew_speedup < floor.get("min_skew_speedup", 2.0):
+            regressions.append(
+                {"query": "skew_speedup", "sec": skew_speedup,
+                 "floor": floor.get("min_skew_speedup", 2.0), "ratio": None}
+            )
+
     timings.update(skew)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
@@ -154,9 +202,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "skew_speedup": round(skew["skew_join_plain"] / skew["skew_join_salted"], 2)
-        if skew.get("skew_join_salted") else None,
+        "skew_speedup": skew_speedup,
+        "machine_factor": machine_factor,
+        "regressions": regressions,
     }))
+    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+        sys.exit(1)
 
 
 if __name__ == "__main__":
