@@ -98,20 +98,51 @@ def main():
         spark = get_spark("parity-check", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failed = []
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         if name not in oracles:
             n = fn(spark, sf_dir).count()
             print(f"SKIP  {name}  (no oracle; rows={n})")
+            results[name] = {"status": "no_oracle_rows_only", "rows": n}
             continue
         try:
-            if compare(name, spark, fn, oracles[name], sf_dir):
+            problems = compare(name, spark, fn, oracles[name], sf_dir)
+            results[name] = (
+                {"status": "pass"} if not problems
+                else {"status": "fail", "problems": problems}
+            )
+            if problems:
                 failed.append(name)
         except Exception as e:  # noqa: BLE001
             print(f"ERROR {name}: {type(e).__name__}: {str(e)[:300]}")
+            results[name] = {"status": "error",
+                             "error": f"{type(e).__name__}: {str(e)[:300]}"}
             failed.append(name)
     print(f"\n{len(qs) - len(failed)}/{len(qs)} queries match the oracle")
+    out_path = os.environ.get("SPARK_GRAFT_PARITY_OUT")
+    if out_path:
+        import json
+
+        with_oracle = [n for n in results if results[n]["status"] != "no_oracle_rows_only"]
+        json.dump(
+            {
+                "sf_dir": sf_dir,
+                "total_registered": len(qs),
+                "checked": len(results),
+                "with_oracle": len(with_oracle),
+                "oracle_pass": sum(
+                    1 for n in with_oracle if results[n]["status"] == "pass"
+                ),
+                "failed": failed,
+                "results": results,
+            },
+            open(out_path, "w"),
+            indent=1,
+            sort_keys=True,
+        )
+        print(f"wrote {out_path}")
     if failed:
         print("failed:", ", ".join(failed))
         sys.exit(1)
