@@ -2427,6 +2427,206 @@ FROM b
 """
 
 
+def q_sequence_packing(spark, sf_dir):
+    """Sequence packing (operators/packing.py): greedy token-budget
+    bin packing of documents into fixed-size training sequences,
+    hash-bucketed so each bucket packs independently in one
+    applyInPandas group — the distributed formulation real pretraining
+    pipelines use (global bin packing is NP-hard and serial). The
+    oracle replays the exact next-fit walk with a DuckDB RECURSIVE
+    CTE, so per-doc pack assignment AND running fill are value-checked
+    end to end. Bucket = doc_id % 8 here (cross-engine-identical; the
+    operator defaults to xxhash64 for skewed id spaces)."""
+    from smartbots_etl_facturas_spark.operators.packing import pack_greedy
+
+    docs = _read(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        (F.col("doc_id") % 8).cast("int").alias("bucket"),
+    )
+    return pack_greedy(with_tokens, budget=512, bucket_col="bucket")
+
+
+SQL_SEQUENCE_PACKING = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(doc_id % 8 AS INT) AS bucket,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents),
+walk AS (
+  SELECT bucket, rn, doc_id, n_tokens, 0 AS pack, n_tokens AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN w.fill + d.n_tokens > 512 THEN w.pack + 1 ELSE w.pack END,
+         CASE WHEN w.fill + d.n_tokens > 512 THEN d.n_tokens
+              ELSE w.fill + d.n_tokens END
+  FROM t d JOIN walk w ON d.bucket = w.bucket AND d.rn = w.rn + 1)
+SELECT doc_id, bucket,
+       CAST(bucket * 4294967296 + pack AS BIGINT) AS pack_id,
+       n_tokens, CAST(fill AS BIGINT) AS pack_fill
+FROM walk
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: per-language keep rates
+    applied via a content-independent hash uniform (first 4 md5 hex
+    chars of the doc id as a 16-bit uniform) — reproducible across
+    engines, partitionings and reruns, no RNG state, unlike
+    sampleBy/rand. The per-stratum report value-checks MEMBERSHIP
+    (id sums), not just sample sizes."""
+    docs = _read(spark, sf_dir, "documents")
+    u16 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(0.5))
+        .when(F.col("lang") == "es", F.lit(0.25))
+        .otherwise(F.lit(1.0))
+    )
+    kept = docs.filter(u16 < rate * 65536)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum(F.length("text")).alias("chars_kept"),
+    )
+
+
+_SQL_U16 = ("((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096"
+            " + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256"
+            " + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16"
+            " + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1))")
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, text, md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+kept AS (
+  SELECT * FROM d
+  WHERE {_SQL_U16} < (CASE WHEN lang = 'en' THEN 0.5
+                           WHEN lang = 'es' THEN 0.25
+                           ELSE 1.0 END) * 65536)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(length(text)) AS BIGINT) AS chars_kept
+FROM kept GROUP BY lang
+"""
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Per-vector symmetric int8 quantization of the embedding column
+    — the storage/serving compression step of an embedding pipeline.
+    scale = max|x|/127; q_i = clamp(floor(x_i/scale + 0.5), ±127)
+    (floor(x+0.5), not round(): a tie rule both Spark and the DuckDB
+    oracle evaluate identically in IEEE doubles). Pure Column
+    expressions over the array — JVM-side, no UDF. The FULL quantized
+    array is value-checked, plus the reconstruction error bound."""
+    emb = _read(spark, sf_dir, "embeddings")
+    absmax = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, F.abs(x.cast("double"))),
+    )
+    scale = (absmax / F.lit(127.0)).alias("scale")
+    e = emb.select("vec_id", "embedding", scale)
+    q = F.transform(
+        "embedding",
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)).cast("int"),
+            ),
+        ),
+    )
+    out = e.select("vec_id", "scale", q.alias("q"))
+    err = F.aggregate(
+        F.zip_with(
+            "embedding", "q",
+            lambda x, qq: F.abs(x.cast("double") - qq.cast("double") * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, x),
+    )
+    return out.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        "vec_id",
+        F.round("scale", 9).alias("scale_r"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        (err <= F.col("scale") * 0.5 + 1e-12).alias("err_bounded"),
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings),
+q AS (
+  SELECT vec_id, embedding, scale,
+         list_transform(embedding,
+           x -> greatest(-127, least(127, CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT))))
+           AS qv
+  FROM e)
+SELECT vec_id, round(scale, 9) AS scale_r,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_min(qv) AS INT) AS q_min,
+       CAST(list_max(qv) AS INT) AS q_max,
+       list_max(list_transform(range(1, len(embedding) + 1),
+         i -> abs(CAST(embedding[i] AS DOUBLE) - qv[i] * scale)))
+         <= scale * 0.5 + 1e-12 AS err_bounded
+FROM q
+"""
+
+
+def q_benchmark_contamination(spark, sf_dir):
+    """Decontamination check: which corpus documents share a word
+    4-gram with the held-out benchmark set (docs with id % 97 = 0 —
+    stand-in for an eval suite)? Exact-match shingle join: per-doc
+    DISTINCT 4-grams exploded, inner-joined against the broadcast
+    benchmark gram set, grouped back per doc with the shared-gram
+    count. At 100 TB the benchmark side stays tiny (broadcast) and
+    the corpus side is a narrow (doc_id, gram-hash) explode."""
+    from smartbots_etl_facturas_spark.functions.text import (
+        shingles_from_tokens,
+        tokens,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    )
+    grams = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles_from_tokens("w", 4))).alias("g")
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("g").alias("bg")
+    ).distinct()
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), grams.g == bench.bg)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+SQL_BENCHMARK_CONTAMINATION = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[CAST(i AS INT):CAST(i AS INT)+3], ' ') AS g
+  FROM toks, UNNEST(range(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 4),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+SELECT g2.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM grams g2 JOIN bench USING (g)
+WHERE g2.doc_id % 97 != 0
+GROUP BY g2.doc_id
+"""
+
+
 def q_png_image_pipeline(spark, sf_dir):
     """REAL image decode through the multimodal pipeline: gradient
     PNGs encoded with the stdlib codec (sources/multimodal.py
@@ -3556,6 +3756,10 @@ _QUERIES: dict[str, Callable] = {
     "xlsx_distributed": q_xlsx_distributed,
     "xlsx_to_consolidated": q_xlsx_to_consolidated,
     "png_image_pipeline": q_png_image_pipeline,
+    "sequence_packing": q_sequence_packing,
+    "stratified_sample": q_stratified_sample,
+    "embedding_quantize": q_embedding_quantize,
+    "benchmark_contamination": q_benchmark_contamination,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3634,6 +3838,10 @@ _ORACLES: dict[str, str] = {
     "xlsx_distributed": SQL_XLSX_DISTRIBUTED,
     "xlsx_to_consolidated": SQL_XLSX_TO_CONSOLIDATED,
     "png_image_pipeline": SQL_PNG_IMAGE_PIPELINE,
+    "sequence_packing": SQL_SEQUENCE_PACKING,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
+    "benchmark_contamination": SQL_BENCHMARK_CONTAMINATION,
     "pii_redaction": SQL_PII_REDACTION,
     "hash_split": SQL_HASH_SPLIT,
     "fingerprint_invariants": SQL_FINGERPRINT_INVARIANTS,
