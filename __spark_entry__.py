@@ -2427,6 +2427,75 @@ FROM b
 """
 
 
+_CATALOG_FOLDERS = [
+    # (folder_id, parent_id, name) — a small Drive-like tree
+    (1, None, "Facturas"),
+    (2, None, "Reportes"),
+    (3, 1, "2025"),
+    (4, 1, "2026"),
+    (5, 4, "Enero"),
+    (6, 4, "Febrero"),
+    (7, 2, "2026"),
+    (8, 7, "Enero"),
+    (9, 6, "Pendientes"),
+]
+
+_CATALOG_PATHS = [
+    "Facturas",
+    "Facturas/2026",
+    "Facturas/2026/Febrero",
+    "Facturas/2026/Febrero/Pendientes",
+    "Reportes/2026/Enero",
+    "Facturas/2027",               # missing leaf
+    "Inexistente/2026",            # missing root
+    "Facturas/2026/Enero",
+]
+
+
+def q_path_resolve(spark, sf_dir):
+    """S7 — the reference's Drive path resolver
+    (drive_path_resolver.py:51-72) as set-based dataflow: a batch of
+    '/'-separated paths walks a folders catalog one segment level at a
+    time (one broadcast join per level), unresolvable paths yielding
+    NULL folder_id instead of the reference's per-path raise. The
+    driver-side prefix memo cache lives in sources/catalog.py
+    PathResolver (tests/test_catalog.py)."""
+    from smartbots_etl_facturas_spark.sources.catalog import resolve_paths
+
+    folders = spark.createDataFrame(
+        _CATALOG_FOLDERS, "folder_id long, parent_id long, name string"
+    )
+    paths = spark.createDataFrame([(p,) for p in _CATALOG_PATHS], "path string")
+    return resolve_paths(folders, paths)
+
+
+_CATALOG_FOLDER_VALUES = ", ".join(
+    f"({fid}, {'NULL' if pid is None else pid}, '{name}')"
+    for fid, pid, name in _CATALOG_FOLDERS
+)
+_CATALOG_PATH_VALUES = ", ".join(f"('{p}')" for p in _CATALOG_PATHS)
+
+SQL_PATH_RESOLVE = f"""
+WITH RECURSIVE folders(folder_id, parent_id, name) AS (
+  VALUES {_CATALOG_FOLDER_VALUES}),
+p(path) AS (VALUES {_CATALOG_PATH_VALUES}),
+seg AS (SELECT path, string_split(path, '/') AS parts FROM p),
+walk AS (
+  SELECT s.path, s.parts, 1 AS lvl, f.folder_id AS cur
+  FROM seg s JOIN folders f ON f.parent_id IS NULL AND f.name = s.parts[1]
+  UNION ALL
+  SELECT w.path, w.parts, w.lvl + 1, f.folder_id
+  FROM walk w JOIN folders f
+    ON f.parent_id = w.cur AND f.name = w.parts[w.lvl + 1]
+  WHERE w.lvl < len(w.parts))
+SELECT p.path,
+       (SELECT w.cur FROM walk w
+        WHERE w.path = p.path AND w.lvl = len(string_split(p.path, '/')))
+         AS folder_id
+FROM p
+"""
+
+
 def q_sequence_packing(spark, sf_dir):
     """Sequence packing (operators/packing.py): greedy token-budget
     bin packing of documents into fixed-size training sequences,
@@ -3756,6 +3825,7 @@ _QUERIES: dict[str, Callable] = {
     "xlsx_distributed": q_xlsx_distributed,
     "xlsx_to_consolidated": q_xlsx_to_consolidated,
     "png_image_pipeline": q_png_image_pipeline,
+    "path_resolve": q_path_resolve,
     "sequence_packing": q_sequence_packing,
     "stratified_sample": q_stratified_sample,
     "embedding_quantize": q_embedding_quantize,
@@ -3838,6 +3908,7 @@ _ORACLES: dict[str, str] = {
     "xlsx_distributed": SQL_XLSX_DISTRIBUTED,
     "xlsx_to_consolidated": SQL_XLSX_TO_CONSOLIDATED,
     "png_image_pipeline": SQL_PNG_IMAGE_PIPELINE,
+    "path_resolve": SQL_PATH_RESOLVE,
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,

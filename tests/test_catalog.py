@@ -1,0 +1,58 @@
+"""S7 path-catalog resolution + the memoizing resolver facade."""
+
+from pyspark.sql import functions as F
+
+from smartbots_etl_facturas_spark.sources.catalog import PathResolver, resolve_paths
+
+FOLDERS = [
+    (1, None, "A"),
+    (2, 1, "B"),
+    (3, 2, "C"),
+    (4, None, "X"),
+    (5, 1, "C"),   # same name under a different parent
+]
+
+
+def _folders(spark):
+    return spark.createDataFrame(FOLDERS, "folder_id long, parent_id long, name string")
+
+
+def test_resolve_paths_walk_and_misses(spark):
+    paths = ["A", "A/B", "A/B/C", "A/C", "X", "A/missing", "nope", "X/B"]
+    out = {
+        r.path: r.folder_id
+        for r in resolve_paths(
+            _folders(spark),
+            spark.createDataFrame([(p,) for p in paths], "path string"),
+        ).collect()
+    }
+    assert out == {
+        "A": 1, "A/B": 2, "A/B/C": 3, "A/C": 5, "X": 4,
+        "A/missing": None, "nope": None, "X/B": None,
+    }
+
+
+def test_same_name_disambiguated_by_parent(spark):
+    out = {
+        r.path: r.folder_id
+        for r in resolve_paths(
+            _folders(spark),
+            spark.createDataFrame([("A/B/C",), ("A/C",)], "path string"),
+        ).collect()
+    }
+    assert out == {"A/B/C": 3, "A/C": 5}  # both 'C' folders, right parents
+
+
+def test_path_resolver_memoizes(spark):
+    r = PathResolver(_folders(spark))
+    first = r.resolve(["A/B", "A/missing"])
+    assert first == {"A/B": 2, "A/missing": None}
+    assert r.cache == {"A/B": 2, "A/missing": None}
+
+    # cache hit: poison the folders frame — a re-walk would now fail,
+    # so a correct answer proves no dataflow ran
+    r._folders = r._folders.filter(F.lit(False))
+    assert r.resolve(["A/B"]) == {"A/B": 2}
+
+    # a new path DOES hit the (now empty) catalog and resolves to None
+    assert r.resolve(["X"]) == {"X": None}
