@@ -2696,6 +2696,60 @@ GROUP BY g2.doc_id
 """
 
 
+def q_repetition_filter(spark, sf_dir):
+    """Intra-document repetition quality filters (Gopher §A1.1):
+    most-frequent-token fraction and duplicate-2-gram fraction per
+    document, with the boilerplate flag a corpus pass would filter
+    on. Array higher-order functions only — no shuffle, no Python."""
+    from smartbots_etl_facturas_spark.functions.text import (
+        repetition_metrics,
+        shingles_from_tokens,
+        tokens,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    )
+    docs = docs.select("doc_id", "w", shingles_from_tokens("w", 2).alias("g"))
+    m = repetition_metrics("w", "g")
+    return docs.select(
+        "doc_id",
+        m.getField("n_tokens").alias("n_tokens"),
+        F.round(m.getField("top_token_frac"), 9).alias("top_token_frac"),
+        F.round(m.getField("dup_2gram_frac"), 9).alias("dup_2gram_frac"),
+        (
+            (m.getField("top_token_frac") > 0.2)
+            | (m.getField("dup_2gram_frac") > 0.5)
+        ).alias("repetitive"),
+    )
+
+
+SQL_REPETITION_FILTER = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+g AS (
+  SELECT doc_id, w,
+         list_transform(range(1, len(w)),
+                        i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]) AS grams
+  FROM t),
+m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(list_max(list_transform(list_distinct(w),
+                tkn -> len(list_filter(w, x -> x = tkn)))) AS DOUBLE)
+           / len(w) AS top_token_frac,
+         CASE WHEN len(grams) > 0
+              THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+              ELSE 0.0 END AS dup_2gram_frac
+  FROM g)
+SELECT doc_id, n_tokens,
+       round(top_token_frac, 9) AS top_token_frac,
+       round(dup_2gram_frac, 9) AS dup_2gram_frac,
+       (top_token_frac > 0.2 OR dup_2gram_frac > 0.5) AS repetitive
+FROM m
+"""
+
+
 def q_png_image_pipeline(spark, sf_dir):
     """REAL image decode through the multimodal pipeline: gradient
     PNGs encoded with the stdlib codec (sources/multimodal.py
@@ -3826,6 +3880,7 @@ _QUERIES: dict[str, Callable] = {
     "xlsx_to_consolidated": q_xlsx_to_consolidated,
     "png_image_pipeline": q_png_image_pipeline,
     "path_resolve": q_path_resolve,
+    "repetition_filter": q_repetition_filter,
     "sequence_packing": q_sequence_packing,
     "stratified_sample": q_stratified_sample,
     "embedding_quantize": q_embedding_quantize,
@@ -3909,6 +3964,7 @@ _ORACLES: dict[str, str] = {
     "xlsx_to_consolidated": SQL_XLSX_TO_CONSOLIDATED,
     "png_image_pipeline": SQL_PNG_IMAGE_PIPELINE,
     "path_resolve": SQL_PATH_RESOLVE,
+    "repetition_filter": SQL_REPETITION_FILTER,
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,

@@ -171,3 +171,38 @@ def pii_counts(text: Column) -> Column:
         _n(URL_RE).alias("n_urls"),
         _n(PHONE_RE).alias("n_phones"),
     )
+
+
+def repetition_metrics(tokens_col: str, shingles_col: str) -> Column:
+    """Gopher-style intra-document repetition filters (Rae et al.
+    2021, §A1.1 — the "repetition removal" rules every pretraining
+    corpus pass applies), word-level over a tokens array column and a
+    word-2-gram shingles column (both by name):
+
+    - ``top_token_frac``: occurrences of the most frequent token /
+      total tokens (a page dominated by one token is boilerplate);
+    - ``dup_2gram_frac``: fraction of 2-grams that are repeats of an
+      earlier 2-gram (template/spam pages repeat phrases).
+
+    Array higher-order functions only — per-document O(distinct·n)
+    with no shuffle and no Python; documents are short relative to
+    partitions, so this stays embarrassingly parallel at any scale.
+    """
+    w = F.col(tokens_col)
+    g = F.col(shingles_col)
+    n = F.size(w)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda t: F.size(F.filter(w, lambda x: x == t)),
+        )
+    )
+    n_g = F.size(g)
+    dup_g = n_g - F.size(F.array_distinct(g))
+    return F.struct(
+        n.cast("long").alias("n_tokens"),
+        (top.cast("double") / n.cast("double")).alias("top_token_frac"),
+        F.when(n_g > 0, dup_g.cast("double") / n_g.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_2gram_frac"),
+    )
