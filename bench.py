@@ -48,6 +48,18 @@ HEADLINE = [
     "ann_bruteforce",
     "dedup_embedding",
     "multimodal_features",
+    # round-3 additions, sf-scaled only (no committed floor yet — the
+    # regression pin starts covering them the round after their first
+    # recording). The golden-fixture pipelines (xlsx_to_consolidated,
+    # invoice_extract_multi, png_image_pipeline) are deliberately NOT
+    # here: their runtime is constant fixture/jobs overhead, not
+    # data-scale throughput, and would drown the sf signal.
+    "ann_lsh",
+    "ann_ivf",
+    "sequence_packing",
+    "repetition_filter",
+    "embedding_quantize",
+    "benchmark_contamination",
 ]
 
 
