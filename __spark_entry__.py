@@ -2696,6 +2696,68 @@ GROUP BY g2.doc_id
 """
 
 
+def q_source_mixture(spark, sf_dir):
+    """Training-mixture balancing (the Pile/ROOTS-style source
+    weighting step): given target token-mass proportions over source
+    groups, derive per-group keep rates that take ALL of the most
+    under-represented group and hash-downsample the rest —
+    r_g = C·p_g/T_g with C = min_g(T_g/p_g) — then apply them with
+    the same deterministic md5 16-bit uniform as stratified_sample.
+    Entirely dataflow: group masses are a groupBy agg, C a 1-row agg
+    broadcast back, rates a broadcast join onto the corpus — no
+    driver-side collect, so the same plan runs at any corpus size.
+    Report: per-group kept docs/tokens + the applied rate."""
+    docs = _read(spark, sf_dir, "documents")
+    grp = (F.substring("source", 4, 10).cast("int") % 3).alias("grp")
+    p = (
+        F.when(F.col("grp") == 0, 0.6)
+        .when(F.col("grp") == 1, 0.3)
+        .otherwise(0.1)
+    )
+    u16 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+    d = docs.select(
+        "doc_id", grp, token_count(F.col("text")).alias("n_tokens"), u16.alias("u16")
+    )
+    mass = d.groupBy("grp").agg(F.sum("n_tokens").alias("T")).withColumn("p", p)
+    c = mass.agg(F.min(F.col("T") / F.col("p")).alias("C"))
+    rates = mass.crossJoin(F.broadcast(c)).select(
+        "grp",
+        F.least(F.lit(1.0), F.col("C") * F.col("p") / F.col("T")).alias("r"),
+    )
+    kept = d.join(F.broadcast(rates), "grp").filter(
+        F.col("u16") < F.col("r") * 65536
+    )
+    return kept.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+        F.round(F.first("r"), 9).alias("rate"),
+    )
+
+
+SQL_SOURCE_MIXTURE = r"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(substr(source, 4) AS INT) % 3 AS grp,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+          + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+          + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) AS u16
+  FROM documents),
+mass AS (
+  SELECT grp, sum(n_tokens) AS T,
+         CASE grp WHEN 0 THEN 0.6 WHEN 1 THEN 0.3 ELSE 0.1 END AS p
+  FROM d GROUP BY grp),
+c AS (SELECT min(T / p) AS C FROM mass),
+rates AS (SELECT grp, least(1.0, c.C * p / T) AS r FROM mass, c),
+kept AS (SELECT d.*, r FROM d JOIN rates USING (grp) WHERE u16 < r * 65536)
+SELECT grp, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+       round(any_value(r), 9) AS rate
+FROM kept GROUP BY grp
+"""
+
+
 def q_repetition_filter(spark, sf_dir):
     """Intra-document repetition quality filters (Gopher §A1.1):
     most-frequent-token fraction and duplicate-2-gram fraction per
@@ -3881,6 +3943,7 @@ _QUERIES: dict[str, Callable] = {
     "png_image_pipeline": q_png_image_pipeline,
     "path_resolve": q_path_resolve,
     "repetition_filter": q_repetition_filter,
+    "source_mixture": q_source_mixture,
     "sequence_packing": q_sequence_packing,
     "stratified_sample": q_stratified_sample,
     "embedding_quantize": q_embedding_quantize,
@@ -3965,6 +4028,7 @@ _ORACLES: dict[str, str] = {
     "png_image_pipeline": SQL_PNG_IMAGE_PIPELINE,
     "path_resolve": SQL_PATH_RESOLVE,
     "repetition_filter": SQL_REPETITION_FILTER,
+    "source_mixture": SQL_SOURCE_MIXTURE,
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,

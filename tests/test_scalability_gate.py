@@ -53,6 +53,12 @@ ALLOW: dict[str, tuple[set, str]] = {
         "S3 fixed-cell scan: broadcast 1-row crossJoin by design "
         "(SURVEY §2.1)",
     ),
+    "source_mixture": (
+        {"bnlj"},
+        "broadcast of the 1-row global normalizer C onto the per-group "
+        "mass frame (group count rows); the corpus-side join is a "
+        "broadcast equi join on grp",
+    ),
     "invoice_extract_golden": (
         {"gwin"},
         "P8 take-while over ONE sheet: the global window IS the "
