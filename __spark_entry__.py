@@ -1547,20 +1547,33 @@ WITH seeded AS (
   SELECT doc_id,
          text || ' contact bob@example.com or https://ex.com/a?b=1 call +56 9 1234 5678' AS text
   FROM documents WHERE doc_id % 25 = 0)
-SELECT doc_id,
-       regexp_replace(
-         regexp_replace(
-           regexp_replace(
-             regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-           '\+[0-9][0-9 ().-]{5,}[0-9]|\([0-9]{1,4}\)[0-9 .-]{4,}[0-9]|[0-9]{3}[ -][0-9]{3}[ -][0-9]{4}|[0-9]{1,2}[ -][0-9]{4}[ -][0-9]{4}', '<PHONE>', 'g'),
-         '(^|[^0-9.,-])([0-9]{7,})($|[^0-9.,-])', '\1<PHONE>\3', 'g') AS clean,
+SELECT doc_id, clean,
        CAST(len(regexp_extract_all(text,
          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
        CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
-       CAST(len(regexp_extract_all(text,
-         '\+[0-9][0-9 ().-]{5,}[0-9]|\([0-9]{1,4}\)[0-9 .-]{4,}[0-9]|[0-9]{3}[ -][0-9]{3}[ -][0-9]{4}|[0-9]{1,2}[ -][0-9]{4}[ -][0-9]{4}|(^|[^0-9.,-])([0-9]{7,})($|[^0-9.,-])')) AS BIGINT) AS n_phones
-FROM seeded
+       CAST((length(nophone) - length(replace(nophone, '<PHONE>', ''))) / 7
+            AS BIGINT) AS n_phones
+FROM (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+[0-9][0-9 ().-]{5,}[0-9]|\([0-9]{1,4}\)[0-9 .-]{4,}[0-9]|[0-9]{3}[ -][0-9]{3}[ -][0-9]{4}|[0-9]{1,2}[ -][0-9]{4}[ -][0-9]{4}', '<PHONE>', 'g'),
+             '(^|[^0-9.,-])([0-9]{7,})($|[^0-9.,-])', '\1<PHONE>\3', 'g'),
+           '(^|[^0-9.,-])([0-9]{7,})($|[^0-9.,-])', '\1<PHONE>\3', 'g') AS clean,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, 'https?://[^\s]+', '', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'),
+               '\+[0-9][0-9 ().-]{5,}[0-9]|\([0-9]{1,4}\)[0-9 .-]{4,}[0-9]|[0-9]{3}[ -][0-9]{3}[ -][0-9]{4}|[0-9]{1,2}[ -][0-9]{4}[ -][0-9]{4}', '<PHONE>', 'g'),
+             '(^|[^0-9.,-])([0-9]{7,})($|[^0-9.,-])', '\1<PHONE>\3', 'g'),
+           '(^|[^0-9.,-])([0-9]{7,})($|[^0-9.,-])', '\1<PHONE>\3', 'g') AS nophone
+  FROM seeded)
 """
 
 

@@ -178,7 +178,6 @@ def main() -> None:
     if os.path.exists(floor_path) and abs(sf - 0.1) < 1e-9:
         with open(floor_path) as f:
             floor = json.load(f)
-        tol = floor.get("tolerance", 1.3)
         ratios = {
             name: secs / floor["queries"][name]
             for name, secs in timings.items()
@@ -187,14 +186,19 @@ def main() -> None:
         if ratios:
             ordered = sorted(ratios.values())
             machine_factor = round(ordered[len(ordered) // 2], 3)
-            # relative outlier bar is looser than the absolute one:
-            # individual queries drift up to ~1.4x against the median
-            # across machine states (e.g. broadcast-crossJoin scoring
-            # gains more from idle cores than the median query), so
-            # 1.3x-vs-median would false-positive on a clean tree
+            # The trigger is RELATIVE (ratio vs the run's median): on
+            # a session faster than the recording, machine_factor < 1
+            # and an absolute bar would mask a genuine 2x per-query
+            # regression. rel_tol is looser than the absolute
+            # tolerance because individual queries drift up to ~1.4x
+            # against the median across machine states (e.g.
+            # broadcast-crossJoin scoring gains more from idle cores
+            # than the median query). hard_cap backstops pathological
+            # absolute blowups regardless of the median.
             rel_tol = floor.get("relative_tolerance", 1.5)
+            hard_cap = floor.get("hard_cap", 3.0)
             for name, ratio in ratios.items():
-                if ratio > max(tol, machine_factor * rel_tol):
+                if ratio / machine_factor > rel_tol or ratio > hard_cap:
                     regressions.append(
                         {"query": name, "sec": timings[name],
                          "floor": floor["queries"][name],

@@ -32,12 +32,18 @@ FALLBACK_RE = re.compile(
 
 
 def main() -> int:
-    # Redirect fd 2 (shared with the JVM) into a pipe we can read.
+    # Redirect fd 2 (shared with the JVM) into a file we can read
+    # afterwards (NamedTemporaryFile, removed on exit — no /tmp litter
+    # and no mktemp name race).
     import tempfile
 
-    log_path = tempfile.mktemp(prefix="codegen_log_")
+    log_file = tempfile.NamedTemporaryFile(
+        prefix="codegen_log_", delete=False
+    )
+    log_path = log_file.name
+    log_file.close()
     saved_stderr = os.dup(2)
-    log_fd = os.open(log_path, os.O_CREAT | os.O_WRONLY | os.O_TRUNC)
+    log_fd = os.open(log_path, os.O_WRONLY | os.O_TRUNC)
     os.dup2(log_fd, 2)
     try:
         from pyspark.sql import SparkSession
@@ -64,6 +70,7 @@ def main() -> int:
 
     with open(log_path, errors="replace") as f:
         log = f.read()
+    os.unlink(log_path)
     hits = [ln for ln in log.splitlines() if FALLBACK_RE.search(ln)]
     print(f"codegen fallback lines: {len(hits)}")
     for ln in hits[:20]:

@@ -143,7 +143,6 @@ PHONE_SHAPED_RE = (
 # unseparated 7+ digit amount ('total 1500000') is indistinguishable
 # from a local phone number and IS redacted.
 PHONE_BARE_RE = r"(^|[^0-9.,-])([0-9]{7,})($|[^0-9.,-])"
-PHONE_RE = f"{PHONE_SHAPED_RE}|{PHONE_BARE_RE}"  # counting twin, see pii_counts
 
 
 def redact_pii(text: Column,
@@ -152,24 +151,47 @@ def redact_pii(text: Column,
                phone_token: str = "<PHONE>") -> Column:
     """Replace emails, URLs and phone-number-shaped digit runs with
     placeholder tokens — the standard scrub step before a corpus goes
-    into training. Pure Column expressions (four regexp_replace
-    passes, whole-stage codegen), no Python in the hot path."""
+    into training. Pure Column expressions (five regexp_replace
+    passes, whole-stage codegen), no Python in the hot path.
+
+    The bare-digits rule runs TWICE: a match consumes its trailing
+    boundary character, so of two digit runs separated by one
+    boundary ('call 1234567 7654321') a single pass redacts only the
+    odd-numbered runs. Pass one leaves no two adjacent unredacted
+    runs, so pass two — where every leftover run now borders a
+    replacement token — catches the rest."""
     out = F.regexp_replace(text, URL_RE, url_token)
     out = F.regexp_replace(out, EMAIL_RE, email_token)
     out = F.regexp_replace(out, PHONE_SHAPED_RE, phone_token)
-    return F.regexp_replace(out, PHONE_BARE_RE, f"$1{phone_token}$3")
+    bare = f"$1{phone_token}$3"
+    out = F.regexp_replace(out, PHONE_BARE_RE, bare)
+    return F.regexp_replace(out, PHONE_BARE_RE, bare)
 
 
 def pii_counts(text: Column) -> Column:
     """struct<n_emails,n_urls,n_phones> found in ``text`` — the audit
-    twin of :func:`redact_pii` (count before you scrub)."""
+    twin of :func:`redact_pii` (count before you scrub).
+
+    ``n_phones`` counts the tokens the scrub actually emits (length
+    delta of stripping ``<PHONE>`` from the redacted text) so count
+    and redaction can never disagree — a single-pass
+    ``regexp_extract_all`` undercounts adjacent bare runs for the
+    same boundary-consumption reason documented on
+    :func:`redact_pii`."""
     def _n(pattern):
         return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).cast("long")
 
+    phone_token = "<PHONE>"
+    redacted = redact_pii(text, email_token="", url_token="",
+                          phone_token=phone_token)
+    n_phones = (
+        (F.length(redacted) - F.length(F.replace(redacted, F.lit(phone_token), F.lit(""))))
+        / F.lit(len(phone_token))
+    ).cast("long")
     return F.struct(
         _n(EMAIL_RE).alias("n_emails"),
         _n(URL_RE).alias("n_urls"),
-        _n(PHONE_RE).alias("n_phones"),
+        n_phones.alias("n_phones"),
     )
 
 

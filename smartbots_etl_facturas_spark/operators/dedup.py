@@ -247,11 +247,14 @@ def neardup_clusters(
     - ``"local"`` (default): ``localCheckpoint`` — right for the
       tens-of-millions-of-nodes range; blocks live on executors, so
       executor loss forfeits the round chain.
-    - ``"publish"``: write each round's labels through the versioned
-      sink at ``publish_base`` and RE-READ them — the 100 TB shape:
-      spill-safe, survives executor loss, each round restartable from
-      the last published version, and the round history is inspectable
-      (one version dir per round, pointer always at the newest).
+    - ``"publish"``: write each round's working state through the
+      versioned sink under ``{publish_base}/labels_work`` and RE-READ
+      it — the 100 TB shape: spill-safe, survives executor loss, each
+      round restartable from the last published version, round
+      history inspectable (one version dir per round, pointer always
+      at the newest). The CONVERGED result is additionally published
+      once, clean (node, label only — no per-round bookkeeping
+      columns), to ``{publish_base}/labels``.
 
     ``pairs`` needs columns id_a/id_b; ``nodes`` needs ``id_col``.
     """
@@ -279,7 +282,7 @@ def neardup_clusters(
     )
     labels = _truncate(
         nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label")),
-        "labels",
+        "labels_work",
     )
     for _ in range(max_iters):
         neighbor_min = (
@@ -296,7 +299,7 @@ def neardup_clusters(
                 ),
                 (F.col("nbr_label") < F.col("label")).alias("__changed"),
             ),
-            "labels",
+            "labels_work",
         )
         changed = new_labels.filter(F.col("__changed")).limit(1).count()
         labels = new_labels.drop("__changed")
@@ -312,7 +315,11 @@ def neardup_clusters(
             "the pair graph has a component with diameter > max_iters "
             "— raise max_iters"
         )
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    out = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    if checkpoint == "publish":
+        # the consumable artifact: converged labels, clean schema
+        out = _truncate(out, "labels")
+    return out
 
 
 def cluster_representatives(

@@ -43,16 +43,55 @@ def test_same_name_disambiguated_by_parent(spark):
     assert out == {"A/B/C": 3, "A/C": 5}  # both 'C' folders, right parents
 
 
-def test_path_resolver_memoizes(spark):
+def test_path_resolver_memoizes_every_prefix(spark):
     r = PathResolver(_folders(spark))
     first = r.resolve(["A/B", "A/missing"])
     assert first == {"A/B": 2, "A/missing": None}
-    assert r.cache == {"A/B": 2, "A/missing": None}
+    # reference semantics: every resolved PREFIX is cached too
+    assert r.cache == {"A": 1, "A/B": 2, "A/missing": None}
+
+    # child of a cached prefix resolves by walking only the suffix
+    assert r.resolve(["A/B/C"]) == {"A/B/C": 3}
+    assert r.cache["A/B/C"] == 3
 
     # cache hit: poison the folders frame — a re-walk would now fail,
     # so a correct answer proves no dataflow ran
     r._folders = r._folders.filter(F.lit(False))
-    assert r.resolve(["A/B"]) == {"A/B": 2}
+    assert r.resolve(["A/B", "A/B/C"]) == {"A/B": 2, "A/B/C": 3}
 
     # a new path DOES hit the (now empty) catalog and resolves to None
     assert r.resolve(["X"]) == {"X": None}
+
+
+def test_path_resolver_dead_prefix_short_circuits(spark):
+    r = PathResolver(_folders(spark))
+    assert r.resolve(["nope/deeper"]) == {"nope/deeper": None}
+    assert r.cache["nope"] is None
+    # children of a dead cached prefix resolve to None without dataflow
+    r._folders = r._folders.filter(F.lit(False))
+    assert r.resolve(["nope/deeper/still"]) == {"nope/deeper/still": None}
+
+
+def test_resolve_paths_deep_path_linear_plan(spark):
+    """A 40-segment path must build a LINEAR plan (one join per
+    level), not fork a union per level (2^40 nodes would hang
+    analysis long before execution)."""
+    deep = "/".join(["A"] + ["x"] * 39)
+    out = resolve_paths(
+        _folders(spark),
+        spark.createDataFrame([(deep,), ("A/B",)], "path string"),
+    ).collect()
+    got = {r.path: r.folder_id for r in out}
+    assert got == {deep: None, "A/B": 2}
+
+
+def test_resolve_paths_duplicate_catalog_rows_first_wins(spark):
+    dup = _folders(spark).unionByName(
+        spark.createDataFrame([(99, 1, "B")],
+                              "folder_id long, parent_id long, name string")
+    )
+    out = resolve_paths(
+        dup, spark.createDataFrame([("A/B",)], "path string")
+    ).collect()
+    # exactly ONE row per input path; min folder_id wins deterministically
+    assert [(r.path, r.folder_id) for r in out] == [("A/B", 2)]

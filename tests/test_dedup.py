@@ -215,10 +215,17 @@ def test_neardup_clusters_publish_checkpoint(tmp_path, spark):
     )
     got = {r.doc_id: r.cluster_id for r in out.collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: 6, 7: 6, 8: 6, 9: 9}
-    # versioned history: seed + one per round, pointer resolves
-    versions = [v for v in os.listdir(f"{base}/labels") if v.startswith("v")]
+    # per-round working history: seed + one per round, pointer resolves
+    versions = [v for v in os.listdir(f"{base}/labels_work") if v.startswith("v")]
     assert len(versions) >= 3
-    assert current_version(f"{base}/labels") in versions
+    assert current_version(f"{base}/labels_work") in versions
+    # the consumable artifact is published CLEAN — converged labels
+    # only, no per-round bookkeeping columns
+    from smartbots_etl_facturas_spark.sinks.staged import read_published
+
+    final = read_published(spark, f"{base}/labels")
+    assert sorted(final.columns) == ["cluster_id", "doc_id"]
+    assert {r.doc_id: r.cluster_id for r in final.collect()} == got
 
 
 def test_neardup_clusters_publish_requires_base(spark):

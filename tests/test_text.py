@@ -80,3 +80,25 @@ def test_udtf_matches_expression_twin(spark):
                 ).collect()}
     assert via_udtf == via_expr
     assert (1, 2, "And a   spaced one", 4) in via_udtf
+
+
+def test_pii_adjacent_bare_runs_all_redacted(spark):
+    """A bare-digits match consumes its trailing boundary, so a single
+    pass misses every other adjacent run — the two-pass rule must
+    catch them all, and pii_counts must agree with what the scrub
+    emits."""
+    from smartbots_etl_facturas_spark.functions.text import pii_counts, redact_pii
+
+    rows = [(1, "call 1234567 7654321"),
+            (2, "1111111 2222222 3333333 4444444"),
+            (3, "total 1.234.567 and 1234567.89")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: (r.clean, r.c.n_phones)
+           for r in df.select(
+               "id",
+               redact_pii(F.col("text")).alias("clean"),
+               pii_counts(F.col("text")).alias("c"),
+           ).collect()}
+    assert out[1] == ("call <PHONE> <PHONE>", 2)
+    assert out[2] == ("<PHONE> <PHONE> <PHONE> <PHONE>", 4)
+    assert out[3] == ("total 1.234.567 and 1234567.89", 0)  # separators survive
