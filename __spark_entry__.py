@@ -2509,6 +2509,83 @@ FROM p
 """
 
 
+def q_stats_summary(spark, sf_dir):
+    """Statistical aggregate surface: per-group sample stddev
+    (reported as the scale-free coefficient of variation), Pearson
+    correlation, and exact median over lineitem. Moment merges are
+    float-order-dependent across partitions at ~1e-13 relative, so
+    the O(1)-magnitude statistics are rounded at 1e-6 — seven orders
+    of margin — keeping the cross-engine value hash exact."""
+    li = _read(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("double")
+    price = F.col("l_extendedprice").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_samp(qty) / F.avg(qty), 6).alias("cv_qty"),
+        F.round(F.corr(qty, price), 6).alias("corr_qty_price"),
+        F.round(F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)"), 6).alias(
+            "median_qty"
+        ),
+    )
+
+
+SQL_STATS_SUMMARY = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(stddev_samp(CAST(l_quantity AS DOUBLE))
+             / avg(CAST(l_quantity AS DOUBLE)), 6) AS cv_qty,
+       round(corr(CAST(l_quantity AS DOUBLE),
+                  CAST(l_extendedprice AS DOUBLE)), 6) AS corr_qty_price,
+       round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS median_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_gap_fill(spark, sf_dir):
+    """Time-series gap filling (resample-to-dense): hourly event
+    counts per event_type with MISSING hours materialized as zero
+    rows — the step between a sparse event stream and any
+    fixed-step window model. The dense hour spine is a
+    sequence+explode over the global [min,max] bucket range (one
+    1-row aggregate broadcast onto the distinct-type frame — rows
+    generated executor-side, never a driver loop), left-joined
+    against the sparse counts."""
+    ev = read_events(spark, sf_dir)
+    bucket = (F.expr("ts div 3600000000000") * 3600).cast("long")
+    sparse = ev.groupBy(bucket.alias("h"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = sparse.agg(
+        F.min("h").alias("h_min"), F.max("h").alias("h_max")
+    )
+    types = sparse.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("h_min"), F.col("h_max"), F.lit(3600))).alias("h"),
+    )
+    return spine.join(sparse, ["event_type", "h"], "left").select(
+        "event_type",
+        F.col("h").alias("bucket_epoch"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+    )
+
+
+SQL_GAP_FILL = """
+WITH sparse AS (
+  SELECT CAST((epoch_ns(ts) // 3600000000000) * 3600 AS BIGINT) AS h,
+         event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT min(h) AS h_min, max(h) AS h_max FROM sparse),
+spine AS (
+  SELECT t.event_type,
+         CAST(unnest(range(b.h_min, b.h_max + 1, 3600)) AS BIGINT) AS h
+  FROM (SELECT DISTINCT event_type FROM sparse) t, bounds b)
+SELECT s.event_type, s.h AS bucket_epoch,
+       CAST(coalesce(sp.n, 0) AS BIGINT) AS n
+FROM spine s LEFT JOIN sparse sp
+  ON s.event_type = sp.event_type AND s.h = sp.h
+"""
+
+
 def q_sequence_packing(spark, sf_dir):
     """Sequence packing (operators/packing.py): greedy token-budget
     bin packing of documents into fixed-size training sequences,
@@ -3957,6 +4034,8 @@ _QUERIES: dict[str, Callable] = {
     "path_resolve": q_path_resolve,
     "repetition_filter": q_repetition_filter,
     "source_mixture": q_source_mixture,
+    "stats_summary": q_stats_summary,
+    "gap_fill": q_gap_fill,
     "sequence_packing": q_sequence_packing,
     "stratified_sample": q_stratified_sample,
     "embedding_quantize": q_embedding_quantize,
@@ -4042,6 +4121,8 @@ _ORACLES: dict[str, str] = {
     "path_resolve": SQL_PATH_RESOLVE,
     "repetition_filter": SQL_REPETITION_FILTER,
     "source_mixture": SQL_SOURCE_MIXTURE,
+    "stats_summary": SQL_STATS_SUMMARY,
+    "gap_fill": SQL_GAP_FILL,
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,

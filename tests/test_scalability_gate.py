@@ -59,6 +59,12 @@ ALLOW: dict[str, tuple[set, str]] = {
         "mass frame (group count rows); the corpus-side join is a "
         "broadcast equi join on grp",
     ),
+    "gap_fill": (
+        {"bnlj"},
+        "broadcast of the 1-row [min,max] bucket bounds onto the "
+        "distinct-type frame to generate the dense hour spine; the "
+        "sparse-counts join is a hash equi join on (type, hour)",
+    ),
     "invoice_extract_golden": (
         {"gwin"},
         "P8 take-while over ONE sheet: the global window IS the "
