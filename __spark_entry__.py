@@ -2540,6 +2540,43 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_approx_aggregates(spark, sf_dir):
+    """Sketch-based approximate aggregates with driver-checkable error
+    invariants (the ann_*_recall pattern): HyperLogLog++ distinct
+    users within 3x the configured rsd of the exact count, and the
+    KLL/GK approximate median landing inside the exact p40..p60 rank
+    band. The booleans hold for ANY sketch merge order, so the row is
+    stable under partitioning even though the sketch internals are
+    not; the oracle recomputes the exact sides."""
+    ev = read_events(spark, sf_dir)
+    qty = F.col("value").cast("double")
+    agg = ev.agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("n_hll"),
+        F.expr("percentile(CAST(value AS DOUBLE), 0.4)").alias("p40"),
+        F.expr("percentile(CAST(value AS DOUBLE), 0.6)").alias("p60"),
+        F.percentile_approx(qty, F.lit(0.5), F.lit(1000)).alias("p50_approx"),
+    )
+    return agg.select(
+        "n_exact",
+        (
+            F.abs(F.col("n_hll") - F.col("n_exact"))
+            <= F.col("n_exact") * F.lit(0.15)
+        ).alias("hll_ok"),
+        (
+            (F.col("p50_approx") >= F.col("p40"))
+            & (F.col("p50_approx") <= F.col("p60"))
+        ).alias("p50_ok"),
+    )
+
+
+SQL_APPROX_AGGREGATES = """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS hll_ok, TRUE AS p50_ok
+FROM events
+"""
+
+
 def q_gap_fill(spark, sf_dir):
     """Time-series gap filling (resample-to-dense): hourly event
     counts per event_type with MISSING hours materialized as zero
@@ -4035,6 +4072,7 @@ _QUERIES: dict[str, Callable] = {
     "repetition_filter": q_repetition_filter,
     "source_mixture": q_source_mixture,
     "stats_summary": q_stats_summary,
+    "approx_aggregates": q_approx_aggregates,
     "gap_fill": q_gap_fill,
     "sequence_packing": q_sequence_packing,
     "stratified_sample": q_stratified_sample,
@@ -4122,6 +4160,7 @@ _ORACLES: dict[str, str] = {
     "repetition_filter": SQL_REPETITION_FILTER,
     "source_mixture": SQL_SOURCE_MIXTURE,
     "stats_summary": SQL_STATS_SUMMARY,
+    "approx_aggregates": SQL_APPROX_AGGREGATES,
     "gap_fill": SQL_GAP_FILL,
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
