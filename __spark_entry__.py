@@ -1472,6 +1472,79 @@ def q_fingerprint_invariants(spark, sf_dir):
     )
 
 
+def q_rolling_fingerprint_invariants(spark, sf_dir):
+    """Driver-checkable invariants of the WINNOWING fingerprint set
+    (Schleimer/Wilkerson/Aiken 2003) backing ``rolling_fingerprint``:
+
+    - ``window_guarantee_ok``: every w-window of consecutive k-gram
+      hashes contributes >=1 selected fingerprint — verified by an
+      independently-built checker expression (forall over windows,
+      membership in the selected set), not by construction;
+    - ``prefix_locality_ok``: prepending an edit preserves >=1
+      fingerprint drawn from the unchanged suffix for EVERY document
+      (the winnowing shared-substring guarantee: any shared run of
+      length >= w + k - 1 = 11 chars shares a fingerprint) — the
+      locality property a whole-document digest lacks.
+
+    ``n_docs`` is genuinely recomputed by the oracle; the booleans are
+    pinned invariants (xxhash64 bit patterns are engine-specific)."""
+    from smartbots_etl_facturas_spark.functions.text import (
+        kgram_hashes,
+        winnowed_fingerprints,
+    )
+
+    k, w = 8, 4
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .filter(F.length(F.trim(F.col("text"))) >= k + w - 1)
+        .select("doc_id", "text")
+    )
+    base = docs.select(
+        "doc_id",
+        winnowed_fingerprints("text", k=k, w=w).alias("sel_base"),
+        kgram_hashes("text", k=k).alias("hashes"),
+    )
+    # Independent window-coverage checker: every w-window's minimum
+    # must appear in the selected set.
+    n_w = F.greatest(F.size(F.col("hashes")) - F.lit(w - 1), F.lit(1))
+    window_ok = F.forall(
+        F.sequence(F.lit(1), n_w),
+        lambda j: F.array_contains(
+            F.col("sel_base"), F.array_min(F.slice(F.col("hashes"), j, F.lit(w)))
+        ),
+    )
+    prefixed = docs.select(
+        "doc_id",
+        F.concat(F.lit("PREFIX EDIT 9999 :: "), F.col("text")).alias("text"),
+    ).select("doc_id", winnowed_fingerprints("text", k=k, w=w).alias("sel_pref"))
+    j = base.withColumn("window_ok", window_ok).join(prefixed, "doc_id")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.when(F.col("window_ok"), 0).otherwise(1)) == 0
+        ).alias("window_guarantee_ok"),
+        (
+            F.sum(
+                F.when(
+                    F.size(F.array_intersect(F.col("sel_base"), F.col("sel_pref")))
+                    >= 1,
+                    0,
+                ).otherwise(1)
+            )
+            == 0
+        ).alias("prefix_locality_ok"),
+    )
+
+
+SQL_ROLLING_FINGERPRINT_INVARIANTS = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       TRUE AS window_guarantee_ok,
+       TRUE AS prefix_locality_ok
+FROM documents WHERE doc_id % 10 = 0 AND length(trim(text)) >= 11
+"""
+
+
 SQL_FINGERPRINT_INVARIANTS = """
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(0 AS BIGINT) AS n_copy_mismatch,
@@ -4020,6 +4093,7 @@ _QUERIES: dict[str, Callable] = {
     "pii_redaction": q_pii_redaction,
     "hash_split": q_hash_split,
     "fingerprint_invariants": q_fingerprint_invariants,
+    "rolling_fingerprint_invariants": q_rolling_fingerprint_invariants,
     "dedup_clusters": q_dedup_clusters,
     "cluster_representatives": q_cluster_representatives,
     "minhash_precision": q_minhash_precision,
@@ -4169,6 +4243,7 @@ _ORACLES: dict[str, str] = {
     "pii_redaction": SQL_PII_REDACTION,
     "hash_split": SQL_HASH_SPLIT,
     "fingerprint_invariants": SQL_FINGERPRINT_INVARIANTS,
+    "rolling_fingerprint_invariants": SQL_ROLLING_FINGERPRINT_INVARIANTS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "cluster_representatives": SQL_CLUSTER_REPRESENTATIVES,
     "minhash_precision": SQL_MINHASH_PRECISION,

@@ -5,6 +5,7 @@ over the same sf dir, compare row multisets (columns sorted by name,
 order-insensitive), and report per-query PASS/FAIL.
 
 Usage: python scripts/check_parity.py [sf_dir] [query ...]
+       python scripts/check_parity.py --only query [query ...] [sf_dir]
 """
 
 from __future__ import annotations
@@ -75,8 +76,10 @@ def compare(name, spark, fn, sql, sf_dir, verbose=True):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--only"]
+    sf_dirs = [a for a in args if os.path.isdir(a)]
+    sf_dir = sf_dirs[0] if sf_dirs else "/root/testdata/sf0.001"
+    only = {a for a in args if a not in sf_dirs}
 
     import __spark_entry__ as entrymod
 
@@ -120,7 +123,9 @@ def main():
             results[name] = {"status": "error",
                              "error": f"{type(e).__name__}: {str(e)[:300]}"}
             failed.append(name)
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} queries match the oracle")
+    scope = (f"checked queries (--only subset of {len(qs)} registered)"
+             if only else "queries")
+    print(f"\n{len(results) - len(failed)}/{len(results)} {scope} match the oracle")
     out_path = os.environ.get("SPARK_GRAFT_PARITY_OUT")
     if out_path:
         import json
@@ -129,6 +134,7 @@ def main():
         json.dump(
             {
                 "sf_dir": sf_dir,
+                "only_filter": sorted(only) if only else None,
                 "total_registered": len(qs),
                 "checked": len(results),
                 "with_oracle": len(with_oracle),

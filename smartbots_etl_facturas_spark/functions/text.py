@@ -111,6 +111,49 @@ def rolling_fingerprint(text_col: str, k: int = 8) -> Column:
     return F.when(F.length(F.expr(s)) >= 1, F.array_min(windows))
 
 
+def kgram_hashes(text_col: str, k: int = 8) -> Column:
+    """Array of xxhash64 hashes of every k-char window of the trimmed
+    text (the raw material of winnowing). Pure Column expression."""
+    s = F.trim(F.col(text_col))
+    n_h = F.greatest(F.length(s) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_h),
+        lambda i: F.xxhash64(F.substring(s, i, F.lit(k))),
+    )
+
+
+def winnowed_fingerprints(text_col: str, k: int = 8, w: int = 4) -> Column:
+    """Full winnowing fingerprint SET (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003, "Winnowing: local algorithms for document
+    fingerprinting"): hash every k-char window with xxhash64, then
+    select the minimum of each w-window of consecutive hashes; the
+    distinct selected minima are the document's fingerprints.
+
+    Guarantees (both driver-checked by the registry query
+    ``rolling_fingerprint_invariants``):
+
+    - **window coverage**: every w-window of consecutive k-gram hashes
+      contributes at least one selected fingerprint;
+    - **edit locality**: any substring of length >= w + k - 1 shared
+      between two documents yields at least one shared fingerprint —
+      so a prefix edit preserves fingerprints drawn from the unchanged
+      suffix, unlike a whole-document digest.
+
+    Pure Column expressions (sequence/transform/slice/array_min), one
+    projection pass, no shuffle, no Python.
+    """
+    s = F.trim(F.col(text_col))
+    hashes = kgram_hashes(text_col, k)
+    n_w = F.greatest(F.size(hashes) - F.lit(w - 1), F.lit(1))
+    selected = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_w),
+            lambda j: F.array_min(F.slice(hashes, j, F.lit(w))),
+        )
+    )
+    return F.when(F.length(s) >= 1, selected)
+
+
 # --- PII redaction (training-data scrubbing) --------------------------------
 # Conservative, deterministic regexes chosen to be portable between
 # Spark's RE2-ish dialect and an ANSI-SQL oracle: no lookaround, no

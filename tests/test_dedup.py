@@ -163,6 +163,44 @@ def test_rolling_fingerprint_locality(spark):
     assert df.filter(F.trim("text") == "").count() == 0
 
 
+def test_winnowed_fingerprints_guarantees(spark):
+    """Winnowing (Schleimer et al. 2003) guarantees, checked exactly:
+    (1) every w-window of k-gram hashes contributes >=1 selected
+    fingerprint; (2) any shared substring of length >= w + k - 1
+    yields >=1 shared fingerprint — so prefix AND suffix edits each
+    preserve overlap; (3) identical texts give identical sets."""
+    from smartbots_etl_facturas_spark.functions.text import (
+        kgram_hashes,
+        winnowed_fingerprints,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [
+        (1, base),
+        (2, base),
+        (3, "PREFIX-9876543210 :: " + base),
+        (4, base + " :: SUFFIX-0123456789"),
+        (5, "completely other words entirely unrelated"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (set(r.sel), list(r.h))
+        for r in df.select(
+            "doc_id",
+            winnowed_fingerprints("text").alias("sel"),
+            kgram_hashes("text").alias("h"),
+        ).collect()
+    }
+    k, w = 8, 4
+    for doc_id, (sel, hashes) in out.items():
+        for j in range(max(len(hashes) - w + 1, 1)):
+            assert min(hashes[j:j + w]) in sel, (doc_id, j)
+    assert out[1][0] == out[2][0]
+    assert out[1][0] & out[3][0], "prefix edit must share a fingerprint"
+    assert out[1][0] & out[4][0], "suffix edit must share a fingerprint"
+    assert len(out[1][0] & out[5][0]) <= 1
+
+
 def test_neardup_clusters_nonconvergence_raises(spark):
     """Exhausting max_iters without a fixpoint must FAIL, not return
     wrong labels (duplicates would silently survive downstream)."""
