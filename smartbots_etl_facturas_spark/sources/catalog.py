@@ -118,11 +118,12 @@ class PathResolver:
         per-level joins are shared across the whole batch, so cost
         stays max_depth joins regardless of batch size."""
         rows: list[tuple[str, str, int | None]] = []
+        pending: set[str] = set()  # O(1) dedup — keeps resolve() linear
         for p in sorted({q for q in paths if q not in self._cache}):
             segs = p.split("/")
             for i in range(1, len(segs) + 1):
                 pref = "/".join(segs[:i])
-                if pref in self._cache or any(r[0] == pref for r in rows):
+                if pref in self._cache or pref in pending:
                     continue
                 # longest PREVIOUSLY cached proper prefix of `pref`
                 start_id, start_len = None, 0
@@ -134,6 +135,7 @@ class PathResolver:
                 if start_len and start_id is None:
                     self._cache[pref] = None  # dead prefix → dead child
                     continue
+                pending.add(pref)
                 rows.append((pref, "/".join(segs[start_len:i]), start_id))
         if rows:
             spark = self._folders.sparkSession

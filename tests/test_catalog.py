@@ -95,3 +95,24 @@ def test_resolve_paths_duplicate_catalog_rows_first_wins(spark):
     ).collect()
     # exactly ONE row per input path; min folder_id wins deterministically
     assert [(r.path, r.folder_id) for r in out] == [("A/B", 2)]
+
+
+def test_path_resolver_large_batch_linear_time(spark):
+    """The docstring advertises million-path batches: driver-side
+    batch prep must be O(P), not O(P^2) (the old per-prefix linear
+    scan of the pending list took minutes at 10k paths). 10k distinct
+    uncached 2-level paths -> 20k prefixes; generous absolute bound
+    catches only a quadratic blow-up, not machine noise."""
+    import time
+
+    r = PathResolver(_folders(spark))
+    paths = [f"A/child{i:05d}" for i in range(5000)] + [
+        f"root{i:05d}/leaf" for i in range(5000)
+    ]
+    t0 = time.monotonic()
+    out = r.resolve(paths)
+    elapsed = time.monotonic() - t0
+    assert len(out) == 10000
+    assert out["A/child00000"] is None and out["root00000/leaf"] is None
+    assert len(r.cache) >= 10001  # every prefix cached (incl. 'A')
+    assert elapsed < 120, f"large-batch resolve took {elapsed:.1f}s"
