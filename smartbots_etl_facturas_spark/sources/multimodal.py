@@ -48,6 +48,69 @@ _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}       # colortype -> samples/pixel
 _PNG_COLORTYPE = {1: 0, 3: 2, 4: 6}
 
 
+def _unfilter_image(raw: bytes, h: int, stride: int, ch: int):
+    """Vectorized scanline unfiltering: numpy row ops for filters
+    0 (None), 1 (Sub: per-lane modular prefix sum), 2 (Up: wrapped
+    add); filters 3/4 (Average/Paeth) carry a true sequential
+    dependency along x, so they run a per-PIXEL loop with the
+    channel lanes vectorized (w iterations, not w*ch). An image whose
+    rows are all filter 0 — e.g. anything :func:`png_encode` wrote —
+    short-circuits to a single reshape. Returns (h, stride) uint8.
+
+    Differential-tested against :func:`_unfilter_row` (the scalar
+    reference) over random rows of every filter type."""
+    import numpy as np
+
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = a[:, 0]
+    data = a[:, 1:]
+    if not filters.any():
+        return data.copy()
+    w = stride // ch
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        row = data[y]
+        if f == 0:
+            rec = row.copy()
+        elif f == 1:                             # Sub
+            rec = np.cumsum(row.reshape(w, ch), axis=0,
+                            dtype=np.uint8).reshape(stride)
+        elif f == 2:                             # Up
+            rec = row + prev                     # uint8 wraps mod 256
+        elif f == 3:                             # Average
+            rowpx = row.reshape(w, ch).astype(np.int16)
+            prevpx = prev.reshape(w, ch).astype(np.int16)
+            rec2 = np.empty((w, ch), dtype=np.int16)
+            left = np.zeros(ch, dtype=np.int16)
+            for x in range(w):
+                left = (rowpx[x] + ((left + prevpx[x]) >> 1)) & 0xFF
+                rec2[x] = left
+            rec = rec2.astype(np.uint8).reshape(stride)
+        elif f == 4:                             # Paeth
+            rowpx = row.reshape(w, ch).astype(np.int16)
+            prevpx = prev.reshape(w, ch).astype(np.int16)
+            rec2 = np.empty((w, ch), dtype=np.int16)
+            left = np.zeros(ch, dtype=np.int16)
+            upleft = np.zeros(ch, dtype=np.int16)
+            for x in range(w):
+                up = prevpx[x]
+                p = left + up - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, up, upleft))
+                left = (rowpx[x] + pred) & 0xFF
+                rec2[x] = left
+                upleft = up
+            rec = rec2.astype(np.uint8).reshape(stride)
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
 def _unfilter_row(f: int, row: bytearray, prev: bytes, ch: int) -> bytearray:
     if f == 0:
         return row
@@ -111,12 +174,7 @@ def png_decode(data: bytes):
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline data size mismatch")
-    rows, prev = [], bytes(stride)
-    for y in range(h):
-        off = y * (stride + 1)
-        prev = bytes(_unfilter_row(raw[off], bytearray(raw[off + 1:off + 1 + stride]), prev, ch))
-        rows.append(prev)
-    return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, w, ch)
+    return _unfilter_image(raw, h, stride, ch).reshape(h, w, ch)
 
 
 def png_encode(arr) -> bytes:
