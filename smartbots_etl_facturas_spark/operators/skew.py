@@ -14,18 +14,71 @@ equal to the unsalted plans in tests/test_skew.py.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def auto_salt_buckets(
+    df: DataFrame,
+    keys: Sequence[str],
+    target_parallelism: int | None = None,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> int:
+    """Derive the salt width from the OBSERVED key histogram, so the
+    same call is correct at any skew instead of trusting a fixed
+    guess.
+
+    With the hottest key holding share ``s`` of the rows, an unsalted
+    shuffle hands one reducer ``s·N`` rows against the ideal ``N/P``
+    (P = target parallelism) — so the hot key needs to spread over
+    ``ceil(s·P)`` reducers to even out, clamped to [1, P]. A uniform
+    key distribution yields 1 (no salting — don't pay the fan-out when
+    there is no straggler).
+
+    The histogram is a ``groupBy(keys).count()`` — itself skew-safe
+    (map-side partial aggregation collapses the hot key before the
+    shuffle), so tuning never hits the straggler it is sizing.
+    ``sample_fraction`` bounds the tuning pass at very large N
+    (deterministic: fixed ``seed``); share estimates only need ~1%
+    precision, which a 1% sample of any realistically hot key gives.
+    """
+    keys = list(keys)
+    sdf = df.select(*keys)
+    if sample_fraction is not None:
+        sdf = sdf.sample(fraction=sample_fraction, seed=seed)
+    p = target_parallelism or df.sparkSession.sparkContext.defaultParallelism
+    row = (
+        sdf.groupBy(*keys)
+        .count()
+        .agg(F.max("count").alias("top"), F.sum("count").alias("total"))
+        .collect()[0]
+    )
+    if not row.total:
+        return 1
+    share = row.top / row.total
+    return max(1, min(math.ceil(share * p), p))
+
+
+def _resolve_buckets(salt_buckets, df, keys, sample_fraction=None) -> int:
+    if salt_buckets == "auto":
+        return auto_salt_buckets(df, keys, sample_fraction=sample_fraction)
+    if not isinstance(salt_buckets, int) or salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be a positive int or 'auto', "
+                         f"got {salt_buckets!r}")
+    return salt_buckets
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
     aggs: dict[str, tuple[str, str]],
-    salt_buckets: int = 16,
+    salt_buckets: int | str = 16,
     salt_col: str | None = None,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """Two-stage aggregation: (keys, salt) partial → keys final.
 
@@ -39,8 +92,14 @@ def salted_agg(
     e.g. a line number); default derives the salt from a hash of the
     whole row via ``spark_partition_id``-free stable expression so
     results stay reproducible under retries.
+
+    ``salt_buckets="auto"`` sizes the width from the observed key
+    histogram (:func:`auto_salt_buckets`, optionally sampled via
+    ``sample_fraction``) — 1 (no fan-out) on uniform keys, ~share×P
+    on hot ones.
     """
     keys = list(keys)
+    salt_buckets = _resolve_buckets(salt_buckets, df, keys, sample_fraction)
     salt = (
         F.col(salt_col) % salt_buckets
         if salt_col
@@ -72,8 +131,9 @@ def salted_join(
     skewed: DataFrame,
     small: DataFrame,
     keys: Sequence[str],
-    salt_buckets: int = 16,
+    salt_buckets: int | str = 16,
     how: str = "inner",
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """Equi-join with the skewed side salted and the other side
     replicated ``salt_buckets``× (explode), so each hot key's rows
@@ -82,8 +142,13 @@ def salted_join(
     Use when the small side is too big to broadcast but small enough
     to replicate; for genuinely large-large skew, prefer AQE skew-join
     splitting. Only the listed equi ``keys`` are supported.
+
+    ``salt_buckets="auto"`` sizes the width from the skewed side's
+    observed key histogram (:func:`auto_salt_buckets`) — replication
+    cost is only paid in proportion to the measured skew.
     """
     keys = list(keys)
+    salt_buckets = _resolve_buckets(salt_buckets, skewed, keys, sample_fraction)
     lhs = skewed.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(k) for k in skewed.columns]), F.lit(salt_buckets))
     )

@@ -52,3 +52,64 @@ def test_salted_join_left_keeps_unmatched(spark):
     out = salted_join(big, dim, ["k"], 4, how="left")
     assert out.count() == big.count()
     assert out.filter(F.col("label").isNull()).count() == 2000
+
+
+def test_auto_salt_buckets_pinned_on_skew_fixture(spark):
+    """Auto width on the committed bench fixture shape (one key = 30%
+    of rows, 10k-key tail): ceil(0.3 * P). Pinned at P=32 -> 10; a
+    uniform distribution must yield 1 (no fan-out without a
+    straggler)."""
+    from smartbots_etl_facturas_spark.operators.skew import auto_salt_buckets
+
+    n = 100_000
+    fact = spark.range(n, numPartitions=8).select(
+        F.when(F.col("id") % 10 < 3, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(10_000)))
+        .alias("key"),
+        F.col("id").alias("val"),
+    )
+    assert auto_salt_buckets(fact, ["key"], target_parallelism=32) == 10
+    # sampled histogram lands on the same width (deterministic seed)
+    assert auto_salt_buckets(fact, ["key"], target_parallelism=32,
+                             sample_fraction=0.05) == 10
+    uniform = spark.range(n).select(
+        F.pmod(F.xxhash64("id"), F.lit(10_000)).alias("key")
+    )
+    assert auto_salt_buckets(uniform, ["key"], target_parallelism=32) == 1
+    # degenerate: every row one key -> full parallelism, clamped to P
+    one_key = spark.range(1_000).select(F.lit(7).alias("key"))
+    assert auto_salt_buckets(one_key, ["key"], target_parallelism=32) == 32
+    assert auto_salt_buckets(one_key.filter("key > 99"), ["key"],
+                             target_parallelism=32) == 1   # empty input
+
+
+def test_salted_join_auto_equals_plain(spark):
+    """salt_buckets='auto' stays a pure physical rewrite — results
+    bit-identical to the plain join on the skew fixture shape."""
+    from smartbots_etl_facturas_spark.operators.skew import salted_join
+
+    fact = spark.range(20_000).select(
+        F.when(F.col("id") % 10 < 3, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(500)))
+        .alias("key"),
+        F.col("id").alias("val"),
+    )
+    dim = spark.range(500).select(F.col("id").alias("key"),
+                                  (F.col("id") * 2).alias("w"))
+    plain = sorted((r.key, r.val, r.w) for r in fact.join(dim, "key").collect())
+    salted = sorted(
+        (r.key, r.val, r.w)
+        for r in salted_join(fact, dim, ["key"], salt_buckets="auto").collect()
+    )
+    assert salted == plain
+
+
+def test_salted_agg_rejects_bad_width(spark):
+    from smartbots_etl_facturas_spark.operators.skew import salted_agg
+
+    df = spark.range(10).select(F.lit("a").alias("k"), F.col("id").alias("v"))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        salted_agg(df, ["k"], {"s": ("v", "sum")}, salt_buckets=0)
+    with _pytest.raises(ValueError):
+        salted_agg(df, ["k"], {"s": ("v", "sum")}, salt_buckets="wide")
