@@ -546,3 +546,60 @@ def test_sessionize_stateful_state_bounded_by_watermark(spark, tmp_path):
     # and the evicted sessions were EMITTED, not dropped: every closed
     # cycle's K sessions surfaced by the final cycle
     assert emitted_total >= 3 * K
+
+
+def test_interval_join_state_bounded_by_watermark(spark, tmp_path):
+    """PROOF that the watermark + interval bound actually EVICT
+    stream-stream join state (streaming/joins.py): four query cycles
+    over one checkpoint, each bringing K brand-new keys three
+    intervals later than the previous cycle, so every earlier row is
+    outside any future match window. Without eviction numRowsTotal
+    climbs ~2K per cycle (both sides keep state); with it the total
+    plateaus around the last two cycles (eviction uses the watermark
+    as of the PREVIOUS batch end, so one cycle of lag is expected)."""
+    from smartbots_etl_facturas_spark.streaming.joins import interval_join
+
+    K = 6
+    upper_s = 1800
+    base = 1_700_000_000
+    clicks_src = str(tmp_path / "ij-clicks")
+    conv_src = str(tmp_path / "ij-convs")
+    ckpt = str(tmp_path / "ij-ckpt")
+    schema = "user_id long, ts timestamp, tag string"
+
+    out = str(tmp_path / "ij-out")
+
+    def on_batch(bdf, batch_id):
+        bdf.write.mode("overwrite").parquet(f"{out}/b{batch_id}")
+
+    state_rows = []
+    for cycle in range(4):
+        t0 = base + cycle * 3 * upper_s
+        keys = [cycle * K + k for k in range(K)]
+        click_rows = [(u, float(t0), f"c{cycle}") for u in keys]
+        conv_rows = [(u, float(t0 + 60), f"v{cycle}") for u in keys]
+        for src, rows in ((clicks_src, click_rows), (conv_src, conv_rows)):
+            (spark.createDataFrame(rows, "user_id long, ts double, tag string")
+             .withColumn("ts", F.col("ts").cast("timestamp"))
+             .coalesce(1).write.mode("append").parquet(src))
+
+        sc = spark.readStream.schema(schema).parquet(clicks_src)
+        sv = spark.readStream.schema(schema).parquet(conv_src)
+        q = (interval_join(sc, sv, "user_id", 0, upper_s)
+             .writeStream.foreachBatch(on_batch)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        progress = [p for p in q.recentProgress if p.get("stateOperators")]
+        assert progress, f"cycle {cycle}: no state operator progress"
+        state_rows.append(progress[-1]["stateOperators"][0]["numRowsTotal"])
+
+    # every cycle's K pairs matched and were emitted across the runs
+    emitted = spark.read.parquet(f"{out}/b*").count()
+    assert emitted == 4 * K
+    # 4 cycles x 2K state rows ever => unbounded shows 4K/6K/8K by
+    # cycles 2/3/4; eviction (1 cycle of watermark lag) caps at ~2
+    # cycles' worth
+    assert all(s <= 2 * 2 * K for s in state_rows), state_rows
+    assert state_rows[-1] < 3 * 2 * K < 4 * 2 * K
