@@ -967,12 +967,24 @@ def read_events(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(ev.dtypes).get("ts")
-    if ts_type != "bigint":
-        # naive wall clock == UTC instant (session tz pinned to UTC so
-        # the NTZ→TIMESTAMP cast cannot shift the epoch)
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if ts_type == "timestamp_ntz":
+        # naive wall clock == UTC instant. timestampdiff on NTZ
+        # operands is pure wall-clock arithmetic — no session-timezone
+        # dependence, so no global conf needs mutating (an earlier
+        # version pinned spark.sql.session.timeZone here, leaking an
+        # execution-order dependence into unrelated tz-sensitive
+        # queries run later in the same session)
         ev = ev.withColumn(
-            "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")
+            "ts",
+            (F.expr("timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+             * F.lit(1000)).cast("long"),
+        )
+    elif ts_type == "timestamp":
+        # instant type: unix_micros reads the absolute epoch directly
+        # (tz-independent by construction)
+        ev = ev.withColumn(
+            "ts", (F.unix_micros(F.col("ts")) * F.lit(1000)).cast("long")
         )
     return ev
 
@@ -1641,8 +1653,8 @@ FROM (
            regexp_replace(
              regexp_replace(
                regexp_replace(
-                 regexp_replace(text, 'https?://[^\s]+', '', 'g'),
-                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'),
+                 regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                '\+[0-9][0-9 ().-]{5,}[0-9]|\([0-9]{1,4}\)[0-9 .-]{4,}[0-9]|[0-9]{3}[ -][0-9]{3}[ -][0-9]{4}|[0-9]{1,2}[ -][0-9]{4}[ -][0-9]{4}', '<PHONE>', 'g'),
              '(^|[^0-9.,-])([0-9]{7,})($|[^0-9.,-])', '\1<PHONE>\3', 'g'),
            '(^|[^0-9.,-])([0-9]{7,})($|[^0-9.,-])', '\1<PHONE>\3', 'g') AS nophone

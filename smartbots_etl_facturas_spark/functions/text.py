@@ -220,13 +220,16 @@ def pii_counts(text: Column) -> Column:
     and redaction can never disagree — a single-pass
     ``regexp_extract_all`` undercounts adjacent bare runs for the
     same boundary-consumption reason documented on
-    :func:`redact_pii`."""
+    :func:`redact_pii`. The counting redaction uses the scrub's own
+    DEFAULT tokens (an earlier variant blanked email/url tokens to
+    '', which changed the boundary class next to a removed email/URL
+    and could disagree with the real scrub on inputs like
+    'user@x.com1234567')."""
     def _n(pattern):
         return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).cast("long")
 
     phone_token = "<PHONE>"
-    redacted = redact_pii(text, email_token="", url_token="",
-                          phone_token=phone_token)
+    redacted = redact_pii(text, phone_token=phone_token)
     n_phones = (
         (F.length(redacted) - F.length(F.replace(redacted, F.lit(phone_token), F.lit(""))))
         / F.lit(len(phone_token))

@@ -47,10 +47,13 @@ def pack_greedy(
 
     ``bucket_col`` overrides the default xxhash64 bucketing with a
     caller-supplied bucket column (e.g. a hash both an oracle engine
-    and Spark can compute identically).
+    and Spark can compute identically). It must be NON-NEGATIVE —
+    ``pack_id = bucket * 2^32 + local index`` needs that for global
+    uniqueness, and a plain ``hash % B`` can go negative — so the
+    column is pmod'd into [0, 2^31) defensively rather than trusted.
     """
     bucket = (
-        F.col(bucket_col).cast("int")
+        F.pmod(F.col(bucket_col).cast("long"), F.lit(1 << 31)).cast("int")
         if bucket_col is not None
         else F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_buckets)).cast("int")
     )

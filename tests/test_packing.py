@@ -53,3 +53,20 @@ def test_next_fit_walk_order_is_id_order(spark):
     packed = pack_greedy(_mk(spark, rows), budget=100, num_buckets=1).collect()
     by_doc = {r.doc_id: r.pack_id for r in packed}
     assert [by_doc[i] for i in range(6)] == sorted(by_doc[i] for i in range(6))
+
+
+def test_negative_caller_bucket_still_globally_unique(spark):
+    """ADVICE regression: a caller bucket_col from plain hash % B can
+    be negative; pack_greedy must pmod it so pack_ids stay
+    non-negative and globally unique across buckets."""
+    rows = [(i, 100, (-1) ** i * (i % 3)) for i in range(12)]  # buckets -2..2
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, b int")
+    out = pack_greedy(df, budget=250, bucket_col="b").collect()
+    assert len(out) == 12
+    assert all(r.pack_id >= 0 for r in out)
+    assert all(r.bucket >= 0 for r in out)
+    # same pack_id never spans two distinct source buckets
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault(r.pack_id, set()).add(r.bucket)
+    assert all(len(v) == 1 for v in by_pack.values())

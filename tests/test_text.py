@@ -102,3 +102,24 @@ def test_pii_adjacent_bare_runs_all_redacted(spark):
     assert out[1] == ("call <PHONE> <PHONE>", 2)
     assert out[2] == ("<PHONE> <PHONE> <PHONE> <PHONE>", 4)
     assert out[3] == ("total 1.234.567 and 1234567.89", 0)  # separators survive
+
+
+def test_pii_counts_agree_next_to_email_url_tokens(spark):
+    """ADVICE regression: a bare digit run glued to an email/URL must
+    produce the same n_phones the real scrub emits — the counting
+    redaction uses the scrub's own tokens, so the boundary class next
+    to a replaced email/URL is identical in both."""
+    from smartbots_etl_facturas_spark.functions.text import pii_counts, redact_pii
+
+    rows = [(1, "x,user@x.com1234567"),
+            (2, "9876543https://ex.com/a"),
+            (3, "a@b.com 1234567 c@d.net")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: (r.clean, r.c.n_phones)
+           for r in df.select(
+               "id",
+               redact_pii(F.col("text")).alias("clean"),
+               pii_counts(F.col("text")).alias("c"),
+           ).collect()}
+    for i, (clean, n_phones) in out.items():
+        assert clean.count("<PHONE>") == n_phones, (i, clean, n_phones)
