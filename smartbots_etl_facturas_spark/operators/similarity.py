@@ -115,6 +115,87 @@ def hyperplane_sketch(df: DataFrame, vec_col: str = "embedding",
     return df.withColumn("bucket", sketch)
 
 
+_PLANE_CACHE: dict[tuple[int, int, int], "object"] = {}
+
+
+def _plane_matrix(spark, bits: int, dim: int, tables: int):
+    """(tables·bits) × dim ±1 weight matrix, derived ON SPARK with the
+    exact expression :func:`hyperplane_sketch` uses (xxhash64(j, i)
+    parity), so the matmul tier scores against the identical planes.
+    tables·bits·dim doubles collected once per geometry and memoized —
+    driver-side metadata, like the IVF centroid matrix."""
+    import numpy as np
+
+    key = (bits, dim, tables)
+    if key not in _PLANE_CACHE:
+        js = [t * 1024 + jj for t in range(tables) for jj in range(bits)]
+        pairs = spark.createDataFrame(
+            [(j, i) for j in js for i in range(dim)], "j int, i int"
+        )
+        got = {
+            (r.j, r.i): r.w
+            for r in pairs.select(
+                "j", "i",
+                F.expr("CAST(IF(xxhash64(j, i) % 2 = 0, 1.0, -1.0) AS DOUBLE)")
+                .alias("w"),
+            ).collect()
+        }
+        _PLANE_CACHE[key] = np.array(
+            [[got[(j, i)] for i in range(dim)] for j in js], dtype=np.float64
+        )
+    return _PLANE_CACHE[key]
+
+
+def hyperplane_buckets_matmul(
+    df: DataFrame,
+    planes,
+    bits: int,
+    tables: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_id: str = "vec_id",
+) -> DataFrame:
+    """All ``tables`` bucket sketches in ONE Arrow-batched matmul:
+    (n×d) batch against the (tables·bits × d) plane matrix, sign-bits
+    packed per table. Long format out: (out_id, table, bucket) — one
+    row per (vector, table), so the candidate join is a single
+    equi-join on (table, bucket) instead of ``tables`` unioned joins.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    W = planes
+    out_schema = T.StructType([
+        T.StructField(out_id, T.LongType(), False),
+        T.StructField("table", T.IntegerType(), False),
+        T.StructField("bucket", T.LongType(), False),
+    ])
+    shifts = (1 << np.arange(bits)).astype(np.int64)
+
+    def _batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            P = V @ W.T                                  # n × (tables·bits)
+            bitm = (P >= 0).astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            n = len(ids)
+            buckets = np.empty((n, tables), dtype=np.int64)
+            for t in range(tables):
+                buckets[:, t] = bitm[:, t * bits:(t + 1) * bits] @ shifts
+            yield pd.DataFrame({
+                out_id: np.repeat(ids, tables),
+                "table": np.tile(np.arange(tables, dtype=np.int32), n),
+                "bucket": buckets.ravel(),
+            })
+
+    return df.mapInPandas(_batches, out_schema)
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -125,6 +206,7 @@ def cosine_topk_lsh(
     dim: int = 64,
     tables: int = 4,
     probe_flips: int = 0,
+    sketch_mode: str = "auto",
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing a bucket in at
     least one of ``tables`` independent hash tables.
@@ -144,19 +226,32 @@ def cosine_topk_lsh(
     corpus-side shuffle volume is unchanged — the standard
     recall-vs-tables trade (Lv et al., multi-probe LSH), worth ~2
     tables of recall per flip at a fraction of the sketch cost.
+
+    ``sketch_mode``: ``"expr"`` computes each sign bit as a JVM
+    expression fold (tables unioned bucket joins); ``"matmul"``
+    computes ALL tables' sketches in one Arrow-batched matmul and
+    joins once on (table, bucket); ``"auto"`` picks by total score
+    terms (tables·bits·dim) vs :data:`MATMUL_CROSSOVER_TERMS`. Same
+    planes in both tiers (the matmul weights are derived with the
+    identical Spark expression); only float summation order differs,
+    which can flip a near-zero projection's sign — recall floors
+    hold in both.
     """
     if probe_flips not in (0, 1):
         raise ValueError("probe_flips supports 0 (exact bucket) or 1 (Hamming-1)")
+    mode = _resolve_assign_mode(sketch_mode, tables * bits, dim)
     qn = with_norm(queries, vec_col)
     cn = with_norm(corpus, vec_col)
-    cand_parts = []
-    for t in range(tables):
-        q = hyperplane_sketch(qn, vec_col, bits, dim, table=t).select(
-            F.col(id_col).alias("query_id"), "bucket"
+    if mode == "matmul":
+        planes = _plane_matrix(corpus.sparkSession, bits, dim, tables)
+        q = hyperplane_buckets_matmul(
+            qn.select(F.col(id_col), F.col(vec_col)), planes, bits, tables,
+            vec_col, id_col, out_id="query_id",
         )
         if probe_flips:
             q = q.select(
                 "query_id",
+                "table",
                 F.explode(
                     F.array(
                         F.col("bucket"),
@@ -167,13 +262,39 @@ def cosine_topk_lsh(
                     )
                 ).alias("bucket"),
             )
-        c = hyperplane_sketch(cn, vec_col, bits, dim, table=t).select(
-            F.col(id_col).alias("neighbor_id"), "bucket"
+        c = hyperplane_buckets_matmul(
+            cn.select(F.col(id_col), F.col(vec_col)), planes, bits, tables,
+            vec_col, id_col, out_id="neighbor_id",
         )
-        cand_parts.append(q.join(c, on="bucket").select("query_id", "neighbor_id"))
-    candidates = cand_parts[0]
-    for p in cand_parts[1:]:
-        candidates = candidates.unionByName(p)
+        candidates = q.join(c, on=["table", "bucket"]).select(
+            "query_id", "neighbor_id"
+        )
+    else:
+        cand_parts = []
+        for t in range(tables):
+            q = hyperplane_sketch(qn, vec_col, bits, dim, table=t).select(
+                F.col(id_col).alias("query_id"), "bucket"
+            )
+            if probe_flips:
+                q = q.select(
+                    "query_id",
+                    F.explode(
+                        F.array(
+                            F.col("bucket"),
+                            *[
+                                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                                for i in range(bits)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+            c = hyperplane_sketch(cn, vec_col, bits, dim, table=t).select(
+                F.col(id_col).alias("neighbor_id"), "bucket"
+            )
+            cand_parts.append(q.join(c, on="bucket").select("query_id", "neighbor_id"))
+        candidates = cand_parts[0]
+        for p in cand_parts[1:]:
+            candidates = candidates.unionByName(p)
     candidates = candidates.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
 
     qv = qn.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),

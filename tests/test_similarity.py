@@ -220,3 +220,45 @@ def test_assign_mode_auto_crossover():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         _resolve_assign_mode("nope", 1, 1)
+
+
+def test_lsh_sketch_matmul_matches_expr_buckets(spark):
+    """On integer-valued vectors every projection is exact in float64,
+    so the matmul sketch must land every vector in exactly the bucket
+    the expression tier computes, for every table."""
+    from smartbots_etl_facturas_spark.operators.similarity import (
+        _plane_matrix,
+        hyperplane_buckets_matmul,
+        hyperplane_sketch,
+    )
+
+    bits, dim, tables = 4, 64, 3
+    vecs = [(i, [float((i * 13 + j * 7) % 9 - 4) for j in range(dim)])
+            for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    expr_buckets = {}
+    for t in range(tables):
+        for r in hyperplane_sketch(df, bits=bits, dim=dim, table=t).select(
+                "vec_id", "bucket").collect():
+            expr_buckets[(r.vec_id, t)] = r.bucket
+    planes = _plane_matrix(spark, bits, dim, tables)
+    mm_buckets = {
+        (r.vec_id, r.table): r.bucket
+        for r in hyperplane_buckets_matmul(df, planes, bits, tables).collect()
+    }
+    assert mm_buckets == expr_buckets
+
+
+@pytest.mark.parametrize("mode", ["expr", "matmul"])
+def test_lsh_recall_both_sketch_modes(spark, emb, mode):
+    """Both sketch tiers clear the recall floor at the registered
+    operating point (auto resolves to matmul at 8 tables x 4 bits)."""
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk_bruteforce(queries, emb, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in cosine_topk_lsh(queries, emb, k=5, bits=4, tables=8,
+                                       probe_flips=1,
+                                       sketch_mode=mode).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"{mode}-mode recall {recall}"
