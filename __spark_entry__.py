@@ -1662,6 +1662,107 @@ FROM (
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """Cross-document LINE dedup (CCNet §3.1 preprocessing: drop
+    paragraphs duplicated across the corpus before LM filtering) —
+    the corpus has no natural multi-line docs, so a boilerplate
+    header/footer pair is seeded around each sampled text; the
+    operator must strip exactly the corpus-repeated lines (the seeded
+    boilerplate plus any naturally-duplicated document body) and
+    reassemble the survivors in order. Counts shuffle on the line's
+    md5 digest with map-side combine, so the hot boilerplate line
+    never straggles (operators/dedup.py:line_dedup)."""
+    from smartbots_etl_facturas_spark.operators.dedup import line_dedup
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("subscribe to our newsletter today\n"),
+            F.col("text"),
+            F.lit("\ncookie banner accept all"),
+        ).alias("text"),
+    )
+    return line_dedup(seeded, max_occurrences=1)
+
+
+SQL_LINE_DEDUP = """
+WITH seeded AS (
+  SELECT doc_id,
+         'subscribe to our newsletter today' || chr(10) || text
+           || chr(10) || 'cookie banner accept all' AS text
+  FROM documents WHERE doc_id % 5 = 0),
+parts AS (SELECT doc_id, string_split(text, chr(10)) AS p FROM seeded),
+lines AS (SELECT doc_id, i AS pos, p[i] AS line
+          FROM parts, unnest(generate_series(1, len(p))) AS g(i)),
+counts AS (SELECT line, count(*) AS n FROM lines GROUP BY 1),
+j AS (SELECT l.doc_id, l.pos, l.line, c.n FROM lines l JOIN counts c USING (line))
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN n <= 1 THEN line END, chr(10) ORDER BY pos), '')
+         AS clean_text,
+       CAST(count(CASE WHEN n <= 1 THEN 1 END) AS BIGINT) AS n_kept,
+       CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT) AS n_dropped
+FROM j GROUP BY doc_id
+"""
+
+
+def q_lm_quality(spark, sf_dir):
+    """Perplexity-style quality scoring without an external model —
+    the CCNet filter step (Wenzek et al. 2020) re-expressed as a
+    distributed count-table LM with stupid backoff (Brants et al.
+    2007): train bigram/unigram counts on the even-doc_id half of the
+    corpus, score a held-out sample against them. The integer columns
+    audit the count-join pipeline exactly; avg_logprob is per-row
+    rounded then decimal-summed, so it is accumulation-order-free
+    (operators/lm.py)."""
+    from smartbots_etl_facturas_spark.operators.lm import (
+        score_bigram_lm,
+        train_bigram_lm,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 10 == 1)
+    uni, bi = train_bigram_lm(train)
+    return score_bigram_lm(test, uni, bi)
+
+
+SQL_LM_QUALITY = r"""
+WITH tr AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents WHERE doc_id % 2 = 0),
+uni AS (SELECT t AS w1, count(*) AS c1 FROM tr, unnest(w) AS u(t) GROUP BY 1),
+tot AS (SELECT sum(c1) AS t FROM uni),
+big AS (SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS c12
+        FROM tr, unnest(generate_series(1, len(w) - 1)) AS g(i) GROUP BY 1, 2),
+te AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+       FROM documents WHERE doc_id % 10 = 1),
+db AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+       FROM te, unnest(generate_series(1, len(w) - 1)) AS g(i)),
+sc AS (SELECT d.doc_id, b.c12, u.c1, u2.c1 AS c2, tot.t
+       FROM db d
+       LEFT JOIN big b ON b.w1 = d.w1 AND b.w2 = d.w2
+       LEFT JOIN uni u ON u.w1 = d.w1
+       LEFT JOIN uni u2 ON u2.w1 = d.w2
+       CROSS JOIN tot),
+lp AS (SELECT doc_id, c12, c2,
+         CAST(round(ln(CASE
+             WHEN c12 IS NOT NULL THEN CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)
+             WHEN c2 IS NOT NULL THEN 0.4 * CAST(c2 AS DOUBLE) / CAST(t AS DOUBLE)
+             ELSE 0.4 / CAST(t AS DOUBLE) END), 6) AS DECIMAL(28,6)) AS l
+       FROM sc)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_bigrams,
+  CAST(sum(CASE WHEN c12 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+  CAST(sum(CASE WHEN c12 IS NULL AND c2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_backoff,
+  CAST(sum(CASE WHEN c12 IS NULL AND c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_oov,
+  CAST(sum(coalesce(c12, 0)) AS BIGINT) AS sum_c12,
+  CAST(CAST(sum(l) AS VARCHAR) AS DOUBLE) / count(*) AS avg_logprob
+FROM lp GROUP BY doc_id
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERING: connected components over the exact
     j≥0.5 pair graph via iterative min-label propagation (A~B, B~C
@@ -4106,6 +4207,8 @@ _QUERIES: dict[str, Callable] = {
     "hash_split": q_hash_split,
     "fingerprint_invariants": q_fingerprint_invariants,
     "rolling_fingerprint_invariants": q_rolling_fingerprint_invariants,
+    "line_dedup": q_line_dedup,
+    "lm_quality": q_lm_quality,
     "dedup_clusters": q_dedup_clusters,
     "cluster_representatives": q_cluster_representatives,
     "minhash_precision": q_minhash_precision,
@@ -4256,6 +4359,8 @@ _ORACLES: dict[str, str] = {
     "hash_split": SQL_HASH_SPLIT,
     "fingerprint_invariants": SQL_FINGERPRINT_INVARIANTS,
     "rolling_fingerprint_invariants": SQL_ROLLING_FINGERPRINT_INVARIANTS,
+    "line_dedup": SQL_LINE_DEDUP,
+    "lm_quality": SQL_LM_QUALITY,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "cluster_representatives": SQL_CLUSTER_REPRESENTATIVES,
     "minhash_precision": SQL_MINHASH_PRECISION,

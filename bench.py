@@ -60,6 +60,9 @@ HEADLINE = [
     "repetition_filter",
     "embedding_quantize",
     "benchmark_contamination",
+    # round-4 additions (floors recorded next round)
+    "line_dedup",
+    "lm_quality",
 ]
 
 

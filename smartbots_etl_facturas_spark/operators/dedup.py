@@ -389,3 +389,52 @@ def cosine_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_occurrences: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-document LINE deduplication — the CCNet preprocessing
+    step (Wenzek et al. 2020 §3.1 drop duplicated paragraphs before
+    LM filtering): boilerplate lines (headers, nav bars, cookie
+    banners) repeat across millions of pages and survive
+    document-level dedup, so they are removed line-wise when their
+    corpus-wide occurrence count exceeds ``max_occurrences``.
+
+    Output: (id_col, clean_text, n_kept, n_dropped) with surviving
+    lines rejoined in original order (empty string when nothing
+    survives).
+
+    Scale shape: posexplode → count on the line's md5 DIGEST (narrow
+    32-char shuffle key, map-side combine collapses hot boilerplate
+    before the shuffle — the hot key never straggles) → equi-join
+    lines to counts on digest → per-document ordered reassembly via
+    array_sort(collect_list(struct(pos, line))). No driver-side data,
+    no all-pairs anything.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("__d", F.md5(F.encode(F.col("line"), "UTF-8")))
+    counts = lines.groupBy("__d").agg(F.count(F.lit(1)).alias("__n"))
+    joined = lines.join(counts, "__d")
+    keep = F.col("__n") <= max_occurrences
+    assembled = joined.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.when(keep, F.struct("pos", "line")))
+        ).alias("__kept"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias("n_dropped"),
+    )
+    return assembled.select(
+        id_col,
+        F.array_join(
+            F.transform(F.col("__kept"), lambda s: s["line"]), sep
+        ).alias("clean_text"),
+        "n_kept",
+        "n_dropped",
+    )

@@ -273,3 +273,29 @@ def test_neardup_clusters_publish_requires_base(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     with pytest.raises(ValueError, match="publish_base"):
         neardup_clusters(pairs, nodes, checkpoint="publish")
+
+
+def test_line_dedup_strips_boilerplate_keeps_order(spark):
+    """CCNet line dedup: corpus-repeated lines drop, unique lines
+    survive in original order; a doc of pure boilerplate reduces to
+    the empty string (kept, not lost)."""
+    from smartbots_etl_facturas_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame([
+        (1, "HEADER\nalpha beta\nPROMO twice\nFOOTER"),
+        (2, "HEADER\ngamma delta\nPROMO twice\nFOOTER"),
+        (3, "HEADER\nFOOTER"),
+        (4, "standalone document"),
+    ], "doc_id long, text string")
+    out = {r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+           for r in line_dedup(docs).collect()}
+    assert out[1] == ("alpha beta", 1, 3)
+    assert out[2] == ("gamma delta", 1, 3)
+    assert out[3] == ("", 0, 2)
+    assert out[4] == ("standalone document", 1, 0)
+    # max_occurrences=2 keeps the exactly-twice PROMO line but still
+    # drops the 3x HEADER/FOOTER
+    out2 = {r.doc_id: (r.clean_text, r.n_dropped)
+            for r in line_dedup(docs, max_occurrences=2).collect()}
+    assert out2[1] == ("alpha beta\nPROMO twice", 2)
+    assert out2[3] == ("", 2)

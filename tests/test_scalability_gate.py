@@ -53,6 +53,13 @@ ALLOW: dict[str, tuple[set, str]] = {
         "S3 fixed-cell scan: broadcast 1-row crossJoin by design "
         "(SURVEY §2.1)",
     ),
+    "lm_quality": (
+        {"bnlj"},
+        "broadcast of the 1-row training-corpus token total T onto the "
+        "per-bigram score frame (the stupid-backoff denominator); the "
+        "count-table joins themselves are shuffled equi joins on token "
+        "keys",
+    ),
     "source_mixture": (
         {"bnlj"},
         "broadcast of the 1-row global normalizer C onto the per-group "
