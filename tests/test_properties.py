@@ -115,3 +115,101 @@ def test_take_while_matches_python_model(spark, rows):
     for g, items in by_grp.items():
         expected += [(g, p) for p, _ in takewhile(lambda t: not t[1], sorted(items))]
     assert got == sorted(expected)
+
+
+_line_pool = ["header", "body one", "body two", "promo", "footer", "x y z", ""]
+_docsets = st.lists(
+    st.lists(st.sampled_from(_line_pool), min_size=1, max_size=5),
+    min_size=1, max_size=10,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(docs=_docsets, max_occ=st.integers(1, 3))
+def test_line_dedup_matches_python_model(spark, docs, max_occ):
+    """line_dedup differential vs an exact Python model: global line
+    counts, per-doc ordered filtering, kept/dropped tallies — for any
+    doc set (including repeated empty lines) and any threshold."""
+    from collections import Counter
+
+    from smartbots_etl_facturas_spark.operators.dedup import line_dedup
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    counts = Counter(line for _, text in rows for line in text.split("\n"))
+    expected = {}
+    for i, text in rows:
+        lines = text.split("\n")
+        kept = [ln for ln in lines if counts[ln] <= max_occ]
+        expected[i] = ("\n".join(kept), len(kept), len(lines) - len(kept))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+           for r in line_dedup(df, max_occurrences=max_occ).collect()}
+    assert got == expected
+
+
+_word = st.sampled_from(["a", "b", "c", "dd", "ee"])
+_texts = st.lists(
+    st.lists(_word, min_size=1, max_size=6).map(" ".join),
+    min_size=1, max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(train_texts=_texts, test_texts=_texts)
+def test_bigram_lm_matches_python_model(spark, train_texts, test_texts):
+    """score_bigram_lm differential vs an exact Python stupid-backoff
+    model over arbitrary tiny corpora: integer audit columns equal,
+    avg_logprob equal to 1e-12."""
+    import math
+    from collections import Counter
+
+    from smartbots_etl_facturas_spark.operators.lm import (
+        score_bigram_lm,
+        train_bigram_lm,
+    )
+
+    alpha = 0.4
+    uni_c = Counter(w for t in train_texts for w in t.split())
+    bi_c = Counter(
+        (ws[i], ws[i + 1])
+        for t in train_texts
+        for ws in [t.split()]
+        for i in range(len(ws) - 1)
+    )
+    total = sum(uni_c.values())
+    expected = {}
+    for i, t in enumerate(test_texts):
+        ws = t.split()
+        if len(ws) < 2:
+            continue
+        n_seen = n_backoff = n_oov = sum_c12 = 0
+        lp = 0.0
+        for w1, w2 in zip(ws, ws[1:]):
+            if (w1, w2) in bi_c:
+                n_seen += 1
+                sum_c12 += bi_c[(w1, w2)]
+                p = bi_c[(w1, w2)] / uni_c[w1]
+            elif w2 in uni_c:
+                n_backoff += 1
+                p = alpha * uni_c[w2] / total
+            else:
+                n_oov += 1
+                p = alpha / total
+            lp += round(math.log(p), 6)
+        n = len(ws) - 1
+        expected[i] = (n, n_seen, n_backoff, n_oov, sum_c12, round(lp, 6) / n)
+
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], "doc_id long, text string")
+    test = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(test_texts)], "doc_id long, text string")
+    uni, bi = train_bigram_lm(train)
+    got = {}
+    for r in score_bigram_lm(test, uni, bi, alpha=alpha).collect():
+        got[r.doc_id] = (r.n_bigrams, r.n_seen, r.n_backoff, r.n_oov,
+                         r.sum_c12, r.avg_logprob)
+    assert set(got) == set(expected)
+    for i in expected:
+        assert got[i][:5] == expected[i][:5], (i, got[i], expected[i])
+        assert math.isclose(got[i][5], expected[i][5], rel_tol=0, abs_tol=1e-12), i
