@@ -1763,6 +1763,46 @@ FROM lp GROUP BY doc_id
 """
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer-merge training (Sennrich et al.
+    2016) on the corpus word-frequency table — 8 merges, ties broken
+    lexicographically so the table is a pure function of the corpus
+    (no oracle: iterative algorithm, like IVF k-means; the FIRST
+    iteration is fully oracle-checked by ``bpe_first_merge`` and the
+    whole loop is differential-tested against a pure-Python BPE in
+    tests/test_bpe.py)."""
+    from smartbots_etl_facturas_spark.operators.bpe import train_bpe_merges
+
+    docs = _read(spark, sf_dir, "documents")
+    return train_bpe_merges(docs, num_merges=8)
+
+
+def q_bpe_first_merge(spark, sf_dir):
+    """First BPE merge round only — the one iteration ANSI SQL can
+    express: the frequency-weighted argmax adjacent character pair
+    over the word-frequency table, genuinely recomputed by the
+    oracle including the deterministic tie-break."""
+    from smartbots_etl_facturas_spark.operators.bpe import train_bpe_merges
+
+    docs = _read(spark, sf_dir, "documents")
+    return train_bpe_merges(docs, num_merges=1)
+
+
+SQL_BPE_FIRST_MERGE = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents),
+w AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM toks
+      WHERE length(word) > 0 GROUP BY 1),
+prs AS (SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
+               sum(wc) AS n
+        FROM w, unnest(generate_series(1, length(word) - 1)) AS g(i)
+        GROUP BY 1, 2)
+SELECT CAST(0 AS INT) AS rank, l AS "left", r AS "right",
+       l || r AS merged, CAST(n AS BIGINT) AS pair_count
+FROM prs ORDER BY n DESC, l, r LIMIT 1
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERING: connected components over the exact
     j≥0.5 pair graph via iterative min-label propagation (A~B, B~C
@@ -4209,6 +4249,8 @@ _QUERIES: dict[str, Callable] = {
     "rolling_fingerprint_invariants": q_rolling_fingerprint_invariants,
     "line_dedup": q_line_dedup,
     "lm_quality": q_lm_quality,
+    "bpe_merges": q_bpe_merges,
+    "bpe_first_merge": q_bpe_first_merge,
     "dedup_clusters": q_dedup_clusters,
     "cluster_representatives": q_cluster_representatives,
     "minhash_precision": q_minhash_precision,
@@ -4361,19 +4403,20 @@ _ORACLES: dict[str, str] = {
     "rolling_fingerprint_invariants": SQL_ROLLING_FINGERPRINT_INVARIANTS,
     "line_dedup": SQL_LINE_DEDUP,
     "lm_quality": SQL_LM_QUALITY,
+    "bpe_first_merge": SQL_BPE_FIRST_MERGE,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "cluster_representatives": SQL_CLUSTER_REPRESENTATIVES,
     "minhash_precision": SQL_MINHASH_PRECISION,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "ann_ivf_recall": SQL_ANN_IVF_RECALL,
     "simhash_invariants": SQL_SIMHASH_INVARIANTS,
-    # ann_lsh / ann_ivf / minhash_lsh_pairs / simhash_docs:
-    # intentionally no oracle (approximate, iterative, or
+    # ann_lsh / ann_ivf / minhash_lsh_pairs / simhash_docs /
+    # bpe_merges: intentionally no oracle (approximate, iterative, or
     # engine-specific hash) → rows-only RAW-OUTPUT check; their
-    # deterministic quality invariants (precision/recall/stability)
-    # ARE oracle-checked via the *_recall / *_precision /
-    # *_invariants companion queries above, and recall/stability
-    # are additionally asserted in tests/.
+    # deterministic quality invariants (precision/recall/stability/
+    # first-iteration parity) ARE oracle-checked via the *_recall /
+    # *_precision / *_invariants / bpe_first_merge companion queries
+    # above, and recall/stability are additionally asserted in tests/.
 }
 
 
