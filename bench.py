@@ -63,6 +63,7 @@ HEADLINE = [
     # round-4 additions (floors recorded next round)
     "line_dedup",
     "lm_quality",
+    "bpe_merges",
 ]
 
 

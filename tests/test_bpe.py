@@ -107,3 +107,20 @@ def test_segment_words_applies_merges_in_rank_order(spark, sf_dir):
         if len(r.pieces) < len(r.word):
             compressed += 1
     assert compressed > 0
+
+
+def test_bpe_empty_and_degenerate_corpora(spark):
+    """Empty corpus or nothing above min_pair_count yields an EMPTY
+    merge table with the declared schema, not an error."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = train_bpe_merges(empty, num_merges=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "rank", "left", "right", "merged", "pair_count"]
+    # single-char words have no adjacent pairs
+    chars = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert train_bpe_merges(chars, num_merges=3).count() == 0
+    # unique pairs below min_pair_count stop the loop
+    once = spark.createDataFrame([(1, "xy")], "doc_id long, text string")
+    assert train_bpe_merges(once, num_merges=3, min_pair_count=2).count() == 0
+    assert train_bpe_merges(once, num_merges=3, min_pair_count=1).count() >= 1

@@ -49,3 +49,18 @@ def test_lm_score_ranks_reference_like_text_higher(spark, sf_dir):
     noi = [r.avg_logprob for r in rows if r.doc_id >= 1_000_000]
     assert nat and noi
     assert sum(nat) / len(nat) > sum(noi) / len(noi) + 1.0
+
+
+def test_lm_empty_inputs(spark):
+    """Empty test set scores to an empty frame; a test doc whose every
+    word is OOV still scores (alpha/T tier), it is not dropped."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    train = spark.createDataFrame([(0, "a b c a b")], "doc_id long, text string")
+    uni, bi = train_bigram_lm(train)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert score_bigram_lm(empty, uni, bi).count() == 0
+    oov = spark.createDataFrame([(9, "zz qq zz")], "doc_id long, text string")
+    row = score_bigram_lm(oov, uni, bi).collect()[0]
+    assert (row.n_bigrams, row.n_oov, row.n_seen) == (2, 2, 0)
+    assert row.avg_logprob < 0
