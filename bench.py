@@ -60,7 +60,7 @@ HEADLINE = [
     "repetition_filter",
     "embedding_quantize",
     "benchmark_contamination",
-    # round-4 additions (floors recorded next round)
+    # round-4 additions (floors recorded from the r04 session, normalized by its machine factor)
     "line_dedup",
     "lm_quality",
     "bpe_merges",
