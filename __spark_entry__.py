@@ -1763,6 +1763,47 @@ FROM lp GROUP BY doc_id
 """
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Span-level exact-substring duplicate detection (Lee et al.
+    2021) — verbatim 8-token runs repeated across the corpus, the
+    memorization-hazard granularity document- and line-level dedup
+    miss. A shared slogan is seeded onto every 7th doc (plus whatever
+    naturally-duplicated docs the corpus carries) and every flagged
+    span is recomputed by the oracle, hash and occurrence count
+    included (operators/dedup.py:duplicate_spans)."""
+    from smartbots_etl_facturas_spark.operators.dedup import duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" grab this limited time offer before midnight tonight friends"),
+        ).alias("text"),
+    )
+    return duplicate_spans(seeded, window=8, min_occurrences=2)
+
+
+SQL_DUPLICATE_SPANS = r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' grab this limited time offer before midnight tonight friends'
+           AS text
+  FROM documents WHERE doc_id % 7 = 0),
+toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM seeded),
+spans AS (
+  SELECT doc_id, i - 1 AS start_pos,
+         md5(array_to_string(w[i:i+7], ' ')) AS span_hash
+  FROM toks, unnest(generate_series(1, len(w) - 7)) AS g(i)
+  WHERE len(w) >= 8),
+counts AS (SELECT span_hash, count(*) AS n FROM spans GROUP BY 1)
+SELECT s.doc_id, CAST(s.start_pos AS INT) AS start_pos, s.span_hash,
+       CAST(c.n AS BIGINT) AS n_occurrences
+FROM spans s JOIN counts c USING (span_hash)
+WHERE c.n >= 2
+"""
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer-merge training (Sennrich et al.
     2016) on the corpus word-frequency table — 8 merges, ties broken
@@ -4251,6 +4292,7 @@ _QUERIES: dict[str, Callable] = {
     "lm_quality": q_lm_quality,
     "bpe_merges": q_bpe_merges,
     "bpe_first_merge": q_bpe_first_merge,
+    "duplicate_spans": q_duplicate_spans,
     "dedup_clusters": q_dedup_clusters,
     "cluster_representatives": q_cluster_representatives,
     "minhash_precision": q_minhash_precision,
@@ -4404,6 +4446,7 @@ _ORACLES: dict[str, str] = {
     "line_dedup": SQL_LINE_DEDUP,
     "lm_quality": SQL_LM_QUALITY,
     "bpe_first_merge": SQL_BPE_FIRST_MERGE,
+    "duplicate_spans": SQL_DUPLICATE_SPANS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "cluster_representatives": SQL_CLUSTER_REPRESENTATIVES,
     "minhash_precision": SQL_MINHASH_PRECISION,

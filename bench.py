@@ -64,6 +64,7 @@ HEADLINE = [
     "line_dedup",
     "lm_quality",
     "bpe_merges",
+    "duplicate_spans",
 ]
 
 

@@ -438,3 +438,58 @@ def line_dedup(
         "n_kept",
         "n_dropped",
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact-substring (span-level) duplicate detection — the third
+    granularity of the dedup family (document-level: exact_dedup /
+    minhash; line-level: line_dedup; span-level: this), after Lee et
+    al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better"): verbatim token runs repeated across the corpus are
+    memorization hazards even when documents and lines are unique.
+
+    Every ``window``-token span (stride 1) is hashed (md5 of the
+    space-joined tokens); spans whose hash occurs at least
+    ``min_occurrences`` times corpus-wide are reported as
+    (id, start_pos, span_hash, n_occurrences) with start_pos 0-based
+    — the downstream cut/redact choice is the caller's.
+
+    Scale shape: span generation is a pure Column expression
+    (transform over positions + slice + concat_ws — no Python); the
+    occurrence count shuffles on the 32-char digest with map-side
+    combine, so a corpus-hot span (the exact case this exists for)
+    collapses per partition before the shuffle; flagged spans come
+    back from one equi-join on the digest. Span volume is ~one row
+    per token — linear, no pairwise anything.
+    """
+    toks = tokens(F.col(text_col))
+    spans = F.expr(
+        f"CASE WHEN size(__toks) >= {window} THEN "
+        f"transform(sequence(1, size(__toks) - {window - 1}), "
+        f"i -> struct(i - 1 AS start_pos, "
+        f"md5(concat_ws(' ', slice(__toks, i, {window}))) AS span_hash)) "
+        f"ELSE array() END"
+    )
+    exploded = (
+        docs.select(F.col(id_col), toks.alias("__toks"))
+        .select(id_col, F.explode(spans).alias("__s"))
+        .select(
+            id_col,
+            F.col("__s.start_pos").alias("start_pos"),
+            F.col("__s.span_hash").alias("span_hash"),
+        )
+    )
+    counts = exploded.groupBy("span_hash").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    return (
+        exploded.join(counts, "span_hash")
+        .filter(F.col("n_occurrences") >= min_occurrences)
+        .select(id_col, "start_pos", "span_hash", "n_occurrences")
+    )

@@ -299,3 +299,31 @@ def test_line_dedup_strips_boilerplate_keeps_order(spark):
             for r in line_dedup(docs, max_occurrences=2).collect()}
     assert out2[1] == ("alpha beta\nPROMO twice", 2)
     assert out2[3] == ("", 2)
+
+
+def test_duplicate_spans_exact_substring(spark):
+    """Lee et al. 2021 span dedup: an 8-token run shared by two docs
+    is flagged at the right start positions in BOTH docs with the
+    right corpus-wide count; unique spans and sub-window docs are
+    silent."""
+    from smartbots_etl_facturas_spark.operators.dedup import duplicate_spans
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame([
+        (1, "intro words here " + shared + " tail a"),
+        (2, shared + " other completely different ending text"),
+        (3, "nothing repeated in this document at all thanks"),
+        (4, "short doc"),
+    ], "doc_id long, text string")
+    out = duplicate_spans(docs, window=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.start_pos, r.n_occurrences))
+    # doc 1: shared run starts at token 3; doc 2: at token 0
+    assert (3, 2) in by_doc[1]
+    assert (0, 2) in by_doc[2]
+    assert 3 not in by_doc and 4 not in by_doc
+    # every flagged hash occurs >= 2 times and hashes agree across docs
+    h1 = {r.span_hash for r in out if r.doc_id == 1 and r.start_pos == 3}
+    h2 = {r.span_hash for r in out if r.doc_id == 2 and r.start_pos == 0}
+    assert h1 == h2 and len(h1) == 1
