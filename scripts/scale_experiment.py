@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Scale-up experiment: replicate the sf0.1 tables K× (facts get
+shifted primary keys so uniqueness and join consistency hold; dims
+stay fixed — fact growth against a stable dimension set, the
+realistic shape) into a scratch dir, then run a subset of headline
+queries at both scales and report the runtime ratio per query.
+
+A scale-SAFE operator grows ≤~K× (most grow sublinearly thanks to
+fixed overheads); anything superlinear is a red flag the plan gate
+missed. Results print as one JSON line and feed PERF.md.
+
+Usage: python scripts/scale_experiment.py [K] [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entrymod
+from pyspark.sql import functions as F
+
+from smartbots_etl_facturas_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.1"
+# facts: (table, [key columns to shift per replica]); keys shifted by
+# replica*OFFSET so PKs stay unique and intra-fact joins (orders ⋈
+# lineitem on orderkey; events by event_id) stay consistent
+FACTS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+OFFSET = 1_000_000_000
+
+QUERIES = [
+    "flagship_consolidation",
+    "reconciliation",
+    "dedup_exact_docs",
+    "line_dedup",
+    "duplicate_spans",
+    "lm_quality",
+    "minhash_lsh_pairs",
+    "ann_lsh",
+    "events_hourly",
+    "bpe_merges",
+]
+
+
+def build_scaled(spark, k: int, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for t in DIMS:
+        shutil.copyfile(f"{BASE}/{t}.parquet", f"{out_dir}/{t}.parquet")
+    for t, keys in FACTS.items():
+        df = spark.read.parquet(f"{BASE}/{t}.parquet")
+        rep = df.withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        for kcol in keys:
+            rep = rep.withColumn(
+                kcol, (F.col(kcol) + F.col("__r").cast("long") * OFFSET)
+                .cast(dict(df.dtypes)[kcol])
+            )
+        (rep.drop("__r").repartition(8)
+         .write.mode("overwrite").parquet(f"{out_dir}/{t}.tmp"))
+        # single-file layout like the generated testdata (keeps the
+        # structural scan shape comparable between the two scales)
+        one = spark.read.parquet(f"{out_dir}/{t}.tmp").coalesce(1)
+        one.write.mode("overwrite").parquet(f"{out_dir}/{t}.dir")
+        part = [f for f in os.listdir(f"{out_dir}/{t}.dir")
+                if f.endswith(".parquet")][0]
+        shutil.move(f"{out_dir}/{t}.dir/{part}", f"{out_dir}/{t}.parquet")
+        shutil.rmtree(f"{out_dir}/{t}.tmp")
+        shutil.rmtree(f"{out_dir}/{t}.dir")
+
+
+def best_of_2(fn, spark, sf_dir) -> float:
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scale"
+    spark = get_spark("scale-experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(f"{out_dir}/lineitem.parquet"):
+        build_scaled(spark, k, out_dir)
+    qs = entrymod.queries()
+    # warmup
+    best_of_2(qs["pricing_summary"], spark, BASE)
+    results = {}
+    for name in QUERIES:
+        base_s = best_of_2(qs[name], spark, BASE)
+        big_s = best_of_2(qs[name], spark, out_dir)
+        results[name] = {
+            "base_sec": base_s,
+            f"x{k}_sec": big_s,
+            "ratio": round(big_s / base_s, 2),
+        }
+        print(f"## {name}: {base_s}s -> {big_s}s  ratio {results[name]['ratio']}"
+              f" (data x{k})", flush=True)
+    print(json.dumps({"k": k, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
