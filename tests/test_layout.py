@@ -71,3 +71,28 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_li_b")
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    """DPP: a selective filter on the DIM side of a join against a
+    partition-keyed fact must prune fact partitions at RUNTIME
+    (dynamicpruning subquery in the scan's partition filters) — the
+    Catalyst feature that turns star-schema joins over a partitioned
+    lake into partial scans without any hand-written predicate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    path = str(tmp_path / "li_dpp")
+    write_partitioned(li, path, ["l_returnflag"])
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("A", "keep"), ("N", "drop"), ("R", "drop")], "flag string, verdict string"
+    )
+    joined = fact.join(
+        dim.filter(F.col("verdict") == "keep"),
+        fact.l_returnflag == dim.flag,
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the pruned join returns exactly the A-partition rows
+    assert joined.count() == li.filter(F.col("l_returnflag") == "A").count()
