@@ -61,6 +61,7 @@ from smartbots_etl_facturas_spark.functions.text import (
     BPE_ISH_PATTERN,
     bpe_ish_token_count,
     token_count,
+    tokens,
 )
 from smartbots_etl_facturas_spark.sources.multimodal import extract_image_features
 from smartbots_etl_facturas_spark.operators.asof import asof_join
@@ -3090,6 +3091,302 @@ GROUP BY g2.doc_id
 """
 
 
+def q_funnel_counts(spark, sf_dir):
+    """Ordered funnel conversion (view -> click -> purchase): users
+    completing each step strictly after their previous-step time —
+    k per-user aggregation stages joined on user_id, no global
+    windows (operators/events.py:funnel_stages). n_users is
+    non-increasing by construction; the oracle re-derives the same
+    sequential min-after-min walk with correlated aggregates."""
+    from smartbots_etl_facturas_spark.operators.events import funnel_stages
+
+    ev = read_events(spark, sf_dir)
+    return funnel_stages(ev, ["view", "click", "purchase"])
+
+
+SQL_FUNNEL_COUNTS = """
+WITH s1 AS (
+  SELECT user_id, min(epoch_ns(ts)) AS t
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(epoch_ns(e.ts)) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s1.t GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, min(epoch_ns(e.ts)) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s2.t GROUP BY 1)
+SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step_event,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by first-activity week,
+    counted in each later week they were active — two keyed
+    aggregations plus one equi-join on user_id; the week index uses
+    int64 division on the nanos timestamp (float division would
+    misbucket past double's exact range)
+    (operators/events.py:cohort_retention)."""
+    from smartbots_etl_facturas_spark.operators.events import cohort_retention
+
+    return cohort_retention(read_events(spark, sf_dir))
+
+
+SQL_COHORT_RETENTION = """
+WITH activity AS (
+  SELECT DISTINCT user_id,
+         epoch_ns(ts) // 604800000000000 AS bucket
+  FROM events),
+cohorts AS (
+  SELECT user_id, min(bucket) AS cohort_bucket FROM activity GROUP BY 1)
+SELECT CAST(cohort_bucket AS BIGINT) AS cohort_bucket,
+       CAST(bucket - cohort_bucket AS BIGINT) AS bucket_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+def q_scd2_history(spark, sf_dir):
+    """SCD type-2 history from the events change log: per-user
+    ``value`` observations collapsed into validity intervals
+    (valid_from, valid_to, is_current) with consecutive duplicates
+    merged — all windows PARTITIONED BY user_id, total-ordered by
+    (ts, event_id) (operators/scd.py:scd2_from_changelog). The raw
+    double ``value`` is carried through untouched on both sides, so
+    the interval boundaries and the collapse rule are value-checked
+    exactly."""
+    from smartbots_etl_facturas_spark.operators.scd import scd2_from_changelog
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id",
+        # quantize to a small label set so consecutive-duplicate
+        # collapse actually triggers on this data
+        (F.col("value").cast("decimal(18,4)") % 5).cast("string").alias("tier"),
+    )
+    return scd2_from_changelog(
+        ev, ["user_id"], "ts", ["tier"], "event_id"
+    )
+
+
+SQL_SCD2_HISTORY = """
+WITH log AS (
+  SELECT user_id, epoch_ns(ts) AS ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,4)) % 5 AS VARCHAR) AS tier
+  FROM events),
+flagged AS (
+  SELECT *,
+         (lag(tier) OVER w IS DISTINCT FROM tier
+          OR row_number() OVER w = 1) AS chg
+  FROM log
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+changes AS (SELECT * FROM flagged WHERE chg)
+SELECT user_id, tier,
+       CAST(ts AS BIGINT) AS valid_from,
+       CAST(lead(ts) OVER w2 AS BIGINT) AS valid_to,
+       (lead(ts) OVER w2 IS NULL) AS is_current
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Sliding-window token chunking (context-window preparation, the
+    stage between cleaning and sequence packing): 32-token windows,
+    stride 24 (8-token overlap), start positions generated
+    executor-side with sequence/explode — one narrow projection, no
+    shuffle, no Python (operators/chunking.py). The FULL chunk text is
+    value-checked, so window boundaries, overlap and the short final
+    chunk are all pinned."""
+    from smartbots_etl_facturas_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _read(spark, sf_dir, "documents"), chunk_tokens=32, stride=24
+    )
+
+
+SQL_DOC_CHUNKS = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+s AS (SELECT doc_id, w, len(w) AS n FROM t),
+idx AS (
+  SELECT doc_id, w, CAST(i AS INT) AS start
+  FROM s, unnest(generate_series(1, greatest(n - 8, 1), 24)) AS g(i))
+SELECT doc_id,
+       CAST((start - 1) // 24 AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(w, start, start + 31)) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(w, start, start + 31), ' ') AS chunk_text
+FROM idx
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document term salience: top-3 terms by tf/df (the monotone
+    log-free core of tf-idf — exact-integer counts divided once as
+    doubles, so the score is bit-identical across engines; see
+    operators/textstats.py). Counting is groupBy with map-side
+    combine; the doc-frequency join is a plain equi-join on the term
+    key that AQE broadcasts when the vocabulary is small."""
+    from smartbots_etl_facturas_spark.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_read(spark, sf_dir, "documents"), k=3)
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH tok AS (
+  SELECT doc_id, u.term
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents) t,
+       unnest(t.w) AS u(term)),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS salience
+  FROM tf JOIN dfreq USING (term)),
+r AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY salience DESC, term ASC) AS rk
+  FROM scored)
+SELECT doc_id, term, tf, df, salience, CAST(rk AS BIGINT) AS rank
+FROM r WHERE rk <= 3
+"""
+
+
+def q_bigram_pmi(spark, sf_dir):
+    """Collocation mining: adjacent word pairs ranked by PMI lift
+    P(xy)/(P(x)P(y)), computed as exact int64 products divided once as
+    doubles (ln of the lift — PMI proper — is a monotone map, so the
+    ranking is identical; see operators/textstats.py for the exact
+    arithmetic and its valid corpus-size range). Top-50 with a total
+    (lift, w1, w2) order."""
+    from smartbots_etl_facturas_spark.operators.textstats import bigram_pmi
+
+    return bigram_pmi(_read(spark, sf_dir, "documents"), min_count=5, top=50)
+
+
+SQL_BIGRAM_PMI = r"""
+WITH t AS (
+  SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
+uni AS (SELECT u.x AS wd, CAST(count(*) AS BIGINT) AS c
+        FROM t, unnest(t.w) AS u(x) GROUP BY 1),
+pairs AS (
+  SELECT w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+  FROM t, unnest(range(1, len(w))) AS g(i)
+  WHERE len(w) >= 2),
+big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+        FROM pairs GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(len(w)) AS BIGINT) AS u_total,
+               CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) AS t_total
+        FROM t),
+scored AS (
+  SELECT w1, w2, c_xy, cx.c AS c_x, cy.c AS c_y,
+         CAST(c_xy * u_total * u_total AS DOUBLE)
+           / CAST(t_total * cx.c * cy.c AS DOUBLE) AS lift
+  FROM big CROSS JOIN tot
+  JOIN uni cx ON big.w1 = cx.wd
+  JOIN uni cy ON big.w2 = cy.wd
+  WHERE c_xy >= 5)
+SELECT w1, w2, c_xy, c_x, c_y, lift
+FROM scored ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 50
+"""
+
+
+def q_c4_filters(spark, sf_dir):
+    """C4-style length/shape quality gate (Raffel et al. 2020 §2.2):
+    word-count band + mean-word-length band as pure array expressions
+    (functions/text.py:c4_filter_flags) — the repetition rules are the
+    separate repetition_filter query. Per-document flags are
+    value-checked, so both thresholds and the exact mean arithmetic
+    are pinned."""
+    from smartbots_etl_facturas_spark.functions.text import c4_filter_flags
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    )
+    fl = c4_filter_flags("w")
+    return docs.select(
+        "doc_id",
+        fl["n_words"].alias("n_words"),
+        fl["mean_word_len"].alias("mean_word_len"),
+        fl["words_ok"].alias("words_ok"),
+        fl["mean_len_ok"].alias("mean_len_ok"),
+        fl["keep"].alias("keep"),
+    )
+
+
+SQL_C4_FILTERS = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+              AS DOUBLE) / CAST(len(w) AS DOUBLE) AS mean_word_len
+  FROM t)
+SELECT doc_id, n_words, mean_word_len,
+       (n_words >= 40 AND n_words <= 100000) AS words_ok,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS mean_len_ok,
+       ((n_words >= 40 AND n_words <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)) AS keep
+FROM m
+"""
+
+
+def q_temperature_resample(spark, sf_dir):
+    """Temperature-0.5 source rebalancing (the multilingual-corpus
+    mixture-flattening step): per-source acceptance rates from
+    sqrt-flattened shares, applied via a 52-bit md5-hash uniform —
+    deterministic membership, no RNG state
+    (operators/sampling.py:temperature_resample; sqrt is IEEE
+    correctly-rounded, unlike pow, which is why T is fixed at 0.5).
+    Membership value-checked per source via count + id sums."""
+    from smartbots_etl_facturas_spark.operators.sampling import temperature_resample
+
+    kept = temperature_resample(
+        _read(spark, sf_dir, "documents"), target_frac=0.5
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+        F.round(F.min("accept_prob"), 9).alias("accept_prob_r"),
+    )
+
+
+SQL_TEMPERATURE_RESAMPLE = r"""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY 1),
+wts AS (
+  SELECT source, n_s,
+         CAST(round(sqrt(CAST(n_s AS DOUBLE)), 6) AS DECIMAL(38,6)) AS w_s
+  FROM counts),
+norm AS (SELECT sum(w_s) AS w_sum, CAST(sum(n_s) AS BIGINT) AS n_total
+         FROM wts),
+rates AS (
+  SELECT source,
+         least(CAST(1.0 AS DOUBLE),
+               ((0.5 * CAST(n_total AS DOUBLE))
+                * (CAST(w_s AS DOUBLE) / CAST(w_sum AS DOUBLE)))
+               / CAST(n_s AS DOUBLE)) AS accept_prob
+  FROM wts CROSS JOIN norm),
+kept AS (
+  SELECT d.doc_id, d.source, r.accept_prob
+  FROM documents d JOIN rates r USING (source)
+  WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13))
+             AS BIGINT) / 4503599627370496.0 < r.accept_prob)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       round(accept_prob, 9) AS accept_prob_r
+FROM kept GROUP BY source, accept_prob
+"""
+
+
 def q_source_mixture(spark, sf_dir):
     """Training-mixture balancing (the Pile/ROOTS-style source
     weighting step): given target token-mass proportions over source
@@ -4351,6 +4648,14 @@ _QUERIES: dict[str, Callable] = {
     "stratified_sample": q_stratified_sample,
     "embedding_quantize": q_embedding_quantize,
     "benchmark_contamination": q_benchmark_contamination,
+    "doc_chunks": q_doc_chunks,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "bigram_pmi": q_bigram_pmi,
+    "c4_filters": q_c4_filters,
+    "temperature_resample": q_temperature_resample,
+    "funnel_counts": q_funnel_counts,
+    "cohort_retention": q_cohort_retention,
+    "scd2_history": q_scd2_history,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4453,6 +4758,14 @@ _ORACLES: dict[str, str] = {
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "ann_ivf_recall": SQL_ANN_IVF_RECALL,
     "simhash_invariants": SQL_SIMHASH_INVARIANTS,
+    "doc_chunks": SQL_DOC_CHUNKS,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "bigram_pmi": SQL_BIGRAM_PMI,
+    "c4_filters": SQL_C4_FILTERS,
+    "temperature_resample": SQL_TEMPERATURE_RESAMPLE,
+    "funnel_counts": SQL_FUNNEL_COUNTS,
+    "cohort_retention": SQL_COHORT_RETENTION,
+    "scd2_history": SQL_SCD2_HISTORY,
     # ann_lsh / ann_ivf / minhash_lsh_pairs / simhash_docs /
     # bpe_merges: intentionally no oracle (approximate, iterative, or
     # engine-specific hash) → rows-only RAW-OUTPUT check; their

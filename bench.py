@@ -65,6 +65,12 @@ HEADLINE = [
     "lm_quality",
     "bpe_merges",
     "duplicate_spans",
+    "doc_chunks",
+    "tfidf_top_terms",
+    "bigram_pmi",
+    "temperature_resample",
+    "scd2_history",
+    "cohort_retention",
 ]
 
 

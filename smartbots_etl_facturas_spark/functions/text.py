@@ -241,6 +241,45 @@ def pii_counts(text: Column) -> Column:
     )
 
 
+def c4_filter_flags(
+    tokens_col: str,
+    min_words: int = 40,
+    max_words: int = 100_000,
+    mean_len_lo: float = 3.0,
+    mean_len_hi: float = 10.0,
+) -> Column:
+    """C4-style document quality gate (Raffel et al. 2020, §2.2 — the
+    length/shape rules; the repetition rules live in
+    :func:`repetition_metrics`), word-level over a tokens array column
+    (by name):
+
+    - ``n_words`` in [min_words, max_words] (too-short pages are
+      navigation stubs, too-long ones are logs/dumps);
+    - ``mean_word_len`` in [mean_len_lo, mean_len_hi] (gibberish and
+      minified blobs fall outside the natural-language band);
+    - ``keep`` = conjunction of both flags.
+
+    ``mean_word_len`` is an exact-integer character sum divided once
+    as doubles (IEEE correctly-rounded, hence engine-portable — see
+    module determinism notes). Pure array expressions, no shuffle.
+    """
+    w = F.col(tokens_col)
+    n = F.size(w).cast("long")
+    char_sum = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+    )
+    mean_len = char_sum.cast("double") / n.cast("double")
+    words_ok = (n >= min_words) & (n <= max_words)
+    len_ok = (mean_len >= mean_len_lo) & (mean_len <= mean_len_hi)
+    return F.struct(
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        words_ok.alias("words_ok"),
+        len_ok.alias("mean_len_ok"),
+        (words_ok & len_ok).alias("keep"),
+    )
+
+
 def repetition_metrics(tokens_col: str, shingles_col: str) -> Column:
     """Gopher-style intra-document repetition filters (Rae et al.
     2021, §A1.1 — the "repetition removal" rules every pretraining

@@ -72,6 +72,18 @@ ALLOW: dict[str, tuple[set, str]] = {
         "distinct-type frame to generate the dense hour spine; the "
         "sparse-counts join is a hash equi join on (type, hour)",
     ),
+    "bigram_pmi": (
+        {"bnlj"},
+        "broadcast of the 1-row corpus totals (U, T) onto the filtered "
+        "bigram-count frame (the PMI normalizer); the unigram joins are "
+        "shuffled equi joins on the word key",
+    ),
+    "temperature_resample": (
+        {"bnlj"},
+        "broadcast of the 1-row (sum(w_s), N) normalizer onto the "
+        "per-source count frame (one row per source); the corpus-side "
+        "join is a broadcast equi join on source",
+    ),
     "invoice_extract_golden": (
         {"gwin"},
         "P8 take-while over ONE sheet: the global window IS the "
