@@ -3387,6 +3387,57 @@ FROM kept GROUP BY source, accept_prob
 """
 
 
+def q_wav_audio_pipeline(spark, sf_dir):
+    """REAL audio decode through the multimodal pipeline (the audio
+    twin of png_image_pipeline): square-wave PCM16 clips encoded with
+    the stdlib WAV codec (sources/multimodal.py wav_encode), shipped
+    as binary payloads, decoded inside mapInPandas (decoder='wav' —
+    actual RIFF parse + int16 samples, no audio library), then
+    featurized. Square waves make every feature an exact literal the
+    oracle pins: rms == amplitude (|x| constant), zero_crossings ==
+    half-periods - 1, duration == n/sr (IEEE exact division)."""
+    import numpy as np
+
+    from smartbots_etl_facturas_spark.sources.multimodal import (
+        extract_audio_features,
+        wav_encode,
+    )
+
+    rows = []
+    for i in range(5):
+        amp = 1000 * (i + 1)
+        half = 8 * (i + 1)
+        k = 10 + i                      # half-periods
+        n = half * k
+        sr = 8000 if i % 2 == 0 else 16000
+        ch0 = np.where((np.arange(n) // half) % 2 == 0, amp, -amp).astype("<i2")
+        if i == 4:                      # one stereo clip (ch1 = -ch0)
+            frames = np.column_stack([ch0, -ch0])
+            payload = wav_encode(frames.reshape(-1), sr, n_channels=2)
+        else:
+            payload = wav_encode(ch0, sr, n_channels=1)
+        rows.append((i, "audio", bytearray(payload), "audio/wav", f"mem://{i}"))
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, media_type string, content binary, "
+        "mime string, source_uri string",
+    )
+    return extract_audio_features(media, decoder="wav")
+
+
+SQL_WAV_AUDIO_PIPELINE = "\nUNION ALL\n".join(
+    f"SELECT CAST({i} AS BIGINT) AS media_id, "
+    f"CAST({8000 if i % 2 == 0 else 16000} AS BIGINT) AS sample_rate, "
+    f"CAST({2 if i == 4 else 1} AS BIGINT) AS n_channels, "
+    f"CAST({8 * (i + 1) * (10 + i)} AS BIGINT) AS n_samples, "
+    f"CAST({8 * (i + 1) * (10 + i)} AS DOUBLE) / {8000 if i % 2 == 0 else 16000} AS duration_s, "
+    f"CAST({1000 * (i + 1)} AS DOUBLE) AS rms, "
+    f"CAST({1000 * (i + 1)} AS BIGINT) AS peak, "
+    f"CAST({10 + i - 1} AS BIGINT) AS zero_crossings"
+    for i in range(5)
+)
+
+
 def q_source_mixture(spark, sf_dir):
     """Training-mixture balancing (the Pile/ROOTS-style source
     weighting step): given target token-mass proportions over source
@@ -4656,6 +4707,7 @@ _QUERIES: dict[str, Callable] = {
     "funnel_counts": q_funnel_counts,
     "cohort_retention": q_cohort_retention,
     "scd2_history": q_scd2_history,
+    "wav_audio_pipeline": q_wav_audio_pipeline,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4766,6 +4818,7 @@ _ORACLES: dict[str, str] = {
     "funnel_counts": SQL_FUNNEL_COUNTS,
     "cohort_retention": SQL_COHORT_RETENTION,
     "scd2_history": SQL_SCD2_HISTORY,
+    "wav_audio_pipeline": SQL_WAV_AUDIO_PIPELINE,
     # ann_lsh / ann_ivf / minhash_lsh_pairs / simhash_docs /
     # bpe_merges: intentionally no oracle (approximate, iterative, or
     # engine-specific hash) → rows-only RAW-OUTPUT check; their

@@ -12,8 +12,12 @@ Decoder tiers (image path):
   exercising the Spark plumbing (schema, partition sizing,
   mapInPandas batch shape) with arbitrary bytes.
 
-Audio/video decode remains stubbed (no codec is expressible with the
-stdlib); their Spark-side plumbing is real and tested.
+Audio path: REAL WAV/PCM decode via the stdlib ``wave`` module
+(``extract_audio_features(decoder="wav")`` — actual samples in,
+spectral-free time-domain features out); ``decoder="int8"`` keeps the
+byte-interpretation stub for arbitrary payloads. Video decode remains
+stubbed (no codec is expressible with the stdlib); its Spark-side
+plumbing is real and tested.
 
 Scale notes: binary payloads ride the same DataFrame as their
 metadata; keep ``spark.sql.files.maxPartitionBytes`` sized so a
@@ -402,40 +406,124 @@ def resize_images(df: DataFrame, width: int = 224, height: int = 224,
     return df.mapInPandas(_batches, RESIZED_SCHEMA)
 
 
+# --- stdlib WAV codec -------------------------------------------------------
+# Like the PNG path above: the container ships no audio libraries,
+# but RIFF/WAVE PCM needs only the stdlib ``wave`` module, so the
+# audio decode tier is REAL — actual int16 samples decoded and
+# featurized — with the int8 byte-interpretation stub kept for
+# arbitrary (non-WAV) payloads.
+
+
+def wav_encode(samples, sample_rate: int = 16000, n_channels: int = 1) -> bytes:
+    """Encode an int16 numpy array (interleaved if multi-channel) as
+    a RIFF/WAVE PCM16 payload. Deterministic byte output."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    try:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    finally:
+        w.close()
+    return buf.getvalue()
+
+
+def wav_decode(data: bytes):
+    """Decode a RIFF/WAVE PCM16 payload to (samples int16 ndarray
+    with shape (n_frames, n_channels), sample_rate)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    r = wave.open(io.BytesIO(bytes(data)), "rb")
+    try:
+        if r.getsampwidth() != 2:
+            raise ValueError("wav_decode supports PCM16 only")
+        raw = r.readframes(r.getnframes())
+        arr = np.frombuffer(raw, dtype="<i2").reshape(-1, r.getnchannels())
+        return arr, r.getframerate()
+    finally:
+        r.close()
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
+    T.StructField("sample_rate", T.LongType(), True),
+    T.StructField("n_channels", T.LongType(), True),
+    T.StructField("n_samples", T.LongType(), True),
     T.StructField("duration_s", T.DoubleType(), True),
     T.StructField("rms", T.DoubleType(), True),
-    T.StructField("n_samples", T.LongType(), True),
+    T.StructField("peak", T.LongType(), True),
+    T.StructField("zero_crossings", T.LongType(), True),
 ])
 
 
-def extract_audio_features(df: DataFrame, sample_rate: int = 16000) -> DataFrame:
-    """Audio feature stub: payload bytes interpreted as int8 samples
-    (a real decoder would produce PCM here); duration/RMS computed
-    vectorized with numpy inside mapInPandas."""
+def extract_audio_features(
+    df: DataFrame, sample_rate: int = 16000, decoder: str = "int8"
+) -> DataFrame:
+    """Audio feature extraction via mapInPandas.
+
+    ``decoder="wav"`` is a REAL decode: stdlib RIFF/WAVE PCM16 parse →
+    time-domain features over the actual samples (channel 0 for the
+    sample-wise features). ``decoder="int8"`` interprets arbitrary
+    payload bytes as int8 samples at the given ``sample_rate`` — the
+    plumbing-shape tier for non-WAV bytes. Features are
+    engine-portable exact values: counts/peaks are integers; duration
+    and RMS are exact-integer sums passed once through IEEE division/
+    sqrt (both correctly rounded), so an oracle can pin them.
+    """
+    if decoder not in ("int8", "wav"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    pkg_root = _PKG_ROOT
 
     def _batches(batches: Iterator) -> Iterator:
+        import sys
+
         import numpy as np
         import pandas as pd
 
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        from smartbots_etl_facturas_spark.sources.multimodal import wav_decode
+
+        def feats(b):
+            if b is None:
+                return (None,) * 7
+            if decoder == "wav":
+                arr, sr = wav_decode(b)
+                ch0 = arr[:, 0].astype(np.int64)
+                n_ch = arr.shape[1]
+            else:
+                ch0 = np.frombuffer(bytes(b), dtype=np.int8).astype(np.int64)
+                sr, n_ch = sample_rate, 1
+            n = len(ch0)
+            if n == 0:
+                return (sr, n_ch, 0, 0.0, 0.0, 0, 0)
+            # exact int64 sum of squares -> one division + one sqrt,
+            # both IEEE correctly-rounded (engine-portable)
+            sq = int((ch0 * ch0).sum())
+            rms = float(np.sqrt(sq / n))
+            zc = int(((ch0[:-1] >= 0) != (ch0[1:] >= 0)).sum())
+            return (sr, n_ch, n, n / sr, rms, int(np.abs(ch0).max()), zc)
+
         for pdf in batches:
-            feats = []
-            for b in pdf["content"]:
-                if b is None:
-                    feats.append((None, None, None))
-                    continue
-                samples = np.frombuffer(bytes(b), dtype=np.int8).astype(np.float64)
-                feats.append((
-                    len(samples) / sample_rate,
-                    float(np.sqrt(np.mean(samples ** 2))) if len(samples) else 0.0,
-                    len(samples),
-                ))
+            out = [feats(b) for b in pdf["content"]]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "duration_s": [f[0] for f in feats],
-                "rms": [f[1] for f in feats],
-                "n_samples": pd.Series([f[2] for f in feats], dtype="Int64"),
+                "sample_rate": pd.Series([o[0] for o in out], dtype="Int64"),
+                "n_channels": pd.Series([o[1] for o in out], dtype="Int64"),
+                "n_samples": pd.Series([o[2] for o in out], dtype="Int64"),
+                "duration_s": [o[3] for o in out],
+                "rms": [o[4] for o in out],
+                "peak": pd.Series([o[5] for o in out], dtype="Int64"),
+                "zero_crossings": pd.Series([o[6] for o in out], dtype="Int64"),
             })
 
     return df.filter(F.col("media_type") == "audio").mapInPandas(_batches, AUDIO_FEATURES_SCHEMA)

@@ -287,3 +287,82 @@ def test_png_decode_throughput_floor():
         assert png_decode(b).shape == (64, 64, 3)
     elapsed = time.monotonic() - t0
     assert elapsed < 10, f"200x 64x64 RGB decodes took {elapsed:.1f}s"
+
+
+# --- real WAV path ----------------------------------------------------------
+
+def test_wav_roundtrip():
+    import numpy as np
+
+    from smartbots_etl_facturas_spark.sources.multimodal import (
+        wav_decode,
+        wav_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    mono = rng.integers(-30000, 30000, size=500, dtype=np.int16)
+    arr, sr = wav_decode(wav_encode(mono, 22050))
+    assert sr == 22050 and arr.shape == (500, 1)
+    assert (arr[:, 0] == mono).all()
+
+    stereo = rng.integers(-30000, 30000, size=(300, 2), dtype=np.int16)
+    arr2, sr2 = wav_decode(wav_encode(stereo.reshape(-1), 8000, n_channels=2))
+    assert sr2 == 8000 and arr2.shape == (300, 2)
+    assert (arr2 == stereo).all()
+
+
+def test_wav_decode_rejects_non_pcm16():
+    import io
+    import wave
+
+    import numpy as np
+    import pytest as _pytest
+
+    from smartbots_etl_facturas_spark.sources.multimodal import wav_decode
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(1)  # PCM8
+    w.setframerate(8000)
+    w.writeframes(np.zeros(10, dtype=np.uint8).tobytes())
+    w.close()
+    with _pytest.raises(ValueError):
+        wav_decode(buf.getvalue())
+
+
+def test_extract_audio_features_wav_tier(spark):
+    import numpy as np
+
+    from smartbots_etl_facturas_spark.sources.multimodal import (
+        extract_audio_features,
+        wav_encode,
+    )
+
+    # 100 Hz square wave at 8 kHz: 40-sample half-period, amp 5000,
+    # 12 half-periods -> rms == amp, zc == 11, peak == amp
+    n, half, amp = 480, 40, 5000
+    ch0 = np.where((np.arange(n) // half) % 2 == 0, amp, -amp).astype("<i2")
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(wav_encode(ch0, 8000)), "audio/wav", "mem://1"),
+         (2, "video", bytearray(b"xx"), "video/mp4", "mem://2")],
+        "media_id long, media_type string, content binary, mime string, source_uri string",
+    )
+    rows = extract_audio_features(media, decoder="wav").collect()
+    assert len(rows) == 1  # video row filtered out
+    r = rows[0]
+    assert (r.sample_rate, r.n_channels, r.n_samples) == (8000, 1, 480)
+    assert r.duration_s == 480 / 8000
+    assert r.rms == float(amp) and r.peak == amp and r.zero_crossings == 11
+
+
+def test_extract_audio_features_bad_decoder(spark):
+    import pytest as _pytest
+
+    from smartbots_etl_facturas_spark.sources.multimodal import (
+        extract_audio_features,
+        synthetic_media,
+    )
+
+    with _pytest.raises(ValueError):
+        extract_audio_features(synthetic_media(spark, 3), decoder="mp3")
