@@ -71,6 +71,7 @@ from smartbots_etl_facturas_spark.operators.reconcile import reconcile
 from smartbots_etl_facturas_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
+    cosine_topk_ivfpq,
     cosine_topk_lsh,
 )
 from smartbots_etl_facturas_spark.operators.rollup import (
@@ -1331,6 +1332,48 @@ def q_ann_lsh_recall(spark, sf_dir):
 
 
 SQL_ANN_LSH_RECALL = """
+SELECT CAST(5 * count(*) AS BIGINT) AS n_truth, TRUE AS recall_ok
+FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
+def q_ann_pq(spark, sf_dir):
+    """IVF-PQ ANN (FAISS-style two-stage): coarse IVF cells prune
+    candidates, product-quantization codes (m=16 subspaces × 16
+    codewords — 16 bytes per corpus vector instead of 256) score them
+    in the compressed domain via per-query ADC lookup tables, and the
+    top-64 per query are re-ranked exactly
+    (operators/similarity.py:cosine_topk_ivfpq). Approximate by
+    design → rows-only; its deterministic recall invariant is the
+    oracle-checked ann_pq_recall companion."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk_ivfpq(q, emb, k=5, nprobe=10, rerank=64, m=16)
+
+
+def q_ann_pq_recall(spark, sf_dir):
+    """Driver-checkable recall invariant of the IVF-PQ tier (16
+    coarse cells nprobe=10, PQ m=16×16 codes, exact rerank of top-64):
+    recall@5 vs brute force clears a 0.8 floor (measured 0.86
+    sf0.001 / 0.94 sf0.01; both trainings round their means to 6
+    decimals, so codebooks — hence codes, hence recall — are
+    bit-identical across partition orderings). ``n_truth`` recomputed
+    by the oracle."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    truth = cosine_topk_bruteforce(q, emb, k=5).select("query_id", "neighbor_id")
+    approx = q_ann_pq(spark, sf_dir).select("query_id", "neighbor_id")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_hits = truth.join(approx, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return n_truth.crossJoin(n_hits).select(
+        "n_truth",
+        (F.col("n_hits") >= F.col("n_truth") * F.lit(0.8)).alias("recall_ok"),
+    )
+
+
+SQL_ANN_PQ_RECALL = """
 SELECT CAST(5 * count(*) AS BIGINT) AS n_truth, TRUE AS recall_ok
 FROM embeddings WHERE vec_id % 50 = 0
 """
@@ -4708,6 +4751,8 @@ _QUERIES: dict[str, Callable] = {
     "cohort_retention": q_cohort_retention,
     "scd2_history": q_scd2_history,
     "wav_audio_pipeline": q_wav_audio_pipeline,
+    "ann_pq": q_ann_pq,
+    "ann_pq_recall": q_ann_pq_recall,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4819,7 +4864,8 @@ _ORACLES: dict[str, str] = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "scd2_history": SQL_SCD2_HISTORY,
     "wav_audio_pipeline": SQL_WAV_AUDIO_PIPELINE,
-    # ann_lsh / ann_ivf / minhash_lsh_pairs / simhash_docs /
+    "ann_pq_recall": SQL_ANN_PQ_RECALL,
+    # ann_lsh / ann_ivf / ann_pq / minhash_lsh_pairs / simhash_docs /
     # bpe_merges: intentionally no oracle (approximate, iterative, or
     # engine-specific hash) → rows-only RAW-OUTPUT check; their
     # deterministic quality invariants (precision/recall/stability/

@@ -71,6 +71,7 @@ HEADLINE = [
     "temperature_resample",
     "scd2_history",
     "cohort_retention",
+    "ann_pq",
 ]
 
 
