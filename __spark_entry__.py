@@ -3481,6 +3481,44 @@ SQL_WAV_AUDIO_PIPELINE = "\nUNION ALL\n".join(
 )
 
 
+# One SQL string serves BOTH engines (Spark 4 ships native WITH
+# RECURSIVE — SPARK-24497): a synthetic binary BOM tree over part
+# (parent = id div 2), walked from the root accumulating exact
+# decimal path costs. The view name differs (v_part vs part); the
+# statement is otherwise identical.
+_RECURSIVE_BOM_SQL = """
+WITH RECURSIVE tree(id, depth, path_cost) AS (
+  SELECT CAST(p_partkey AS BIGINT), CAST(0 AS BIGINT),
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DECIMAL(27,2))
+  FROM {part} WHERE p_partkey = 1
+  UNION ALL
+  SELECT CAST(p.p_partkey AS BIGINT), t.depth + 1,
+         CAST(t.path_cost + CAST(p.p_retailprice AS DECIMAL(18,2))
+              AS DECIMAL(27,2))
+  FROM tree t JOIN {part} p
+    ON (p.p_partkey = t.id * 2 OR p.p_partkey = t.id * 2 + 1)
+  WHERE p.p_partkey <= 511
+)
+SELECT id, depth, CAST(path_cost AS DOUBLE) AS path_cost FROM tree
+"""
+
+
+def q_recursive_bom(spark, sf_dir):
+    """Native recursive CTE (Spark 4 WITH RECURSIVE): a binary
+    BOM-style tree over part (children of id are 2·id and 2·id+1,
+    capped at 511 nodes), walked from the root with depth and an
+    exact-decimal root-path cost per node — the classic hierarchy
+    traversal a pre-4.0 engine needed driver-side loops for
+    (sources/catalog.py does the level-wise-join equivalent; this is
+    the one-statement native form). The DuckDB oracle runs the
+    IDENTICAL statement."""
+    _read(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    return spark.sql(_RECURSIVE_BOM_SQL.format(part="v_part"))
+
+
+SQL_RECURSIVE_BOM = _RECURSIVE_BOM_SQL.format(part="part")
+
+
 def q_source_mixture(spark, sf_dir):
     """Training-mixture balancing (the Pile/ROOTS-style source
     weighting step): given target token-mass proportions over source
@@ -4753,6 +4791,7 @@ _QUERIES: dict[str, Callable] = {
     "wav_audio_pipeline": q_wav_audio_pipeline,
     "ann_pq": q_ann_pq,
     "ann_pq_recall": q_ann_pq_recall,
+    "recursive_bom": q_recursive_bom,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4865,6 +4904,7 @@ _ORACLES: dict[str, str] = {
     "scd2_history": SQL_SCD2_HISTORY,
     "wav_audio_pipeline": SQL_WAV_AUDIO_PIPELINE,
     "ann_pq_recall": SQL_ANN_PQ_RECALL,
+    "recursive_bom": SQL_RECURSIVE_BOM,
     # ann_lsh / ann_ivf / ann_pq / minhash_lsh_pairs / simhash_docs /
     # bpe_merges: intentionally no oracle (approximate, iterative, or
     # engine-specific hash) → rows-only RAW-OUTPUT check; their
