@@ -3519,6 +3519,57 @@ def q_recursive_bom(spark, sf_dir):
 SQL_RECURSIVE_BOM = _RECURSIVE_BOM_SQL.format(part="part")
 
 
+def q_incremental_agg(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance
+    (operators/incremental.py): monoid state (cnt / decimal sums /
+    min / max) built from the base partition of lineitem, then a
+    disjoint delta batch merged in with ONE equi-join on the group
+    keys — the full base is never re-read; cost is O(|delta| +
+    touched keys) at any state size. The DuckDB oracle is a FULL
+    recompute over base ∪ delta, so the check proves the incremental
+    path is algebraically exact, not just shaped right."""
+    from smartbots_etl_facturas_spark.operators.incremental import (
+        aggregate_state,
+        incremental_agg,
+    )
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_linenumber",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    base = li.filter(F.col("l_linenumber") >= 3)
+    delta = li.filter(F.col("l_linenumber") <= 2)
+    keys = ["l_returnflag", "l_linestatus"]
+    state = aggregate_state(base, keys, sum_cols=["qty", "price"],
+                            minmax_cols=["price"])
+    merged = incremental_agg(state, delta, keys, sum_cols=["qty", "price"],
+                             minmax_cols=["price"])
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        "cnt",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+        F.col("min_price").cast("double").alias("min_price"),
+        F.col("max_price").cast("double").alias("max_price"),
+    )
+
+
+SQL_INCREMENTAL_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+       CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
 def q_source_mixture(spark, sf_dir):
     """Training-mixture balancing (the Pile/ROOTS-style source
     weighting step): given target token-mass proportions over source
@@ -4792,6 +4843,7 @@ _QUERIES: dict[str, Callable] = {
     "ann_pq": q_ann_pq,
     "ann_pq_recall": q_ann_pq_recall,
     "recursive_bom": q_recursive_bom,
+    "incremental_agg": q_incremental_agg,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4905,6 +4957,7 @@ _ORACLES: dict[str, str] = {
     "wav_audio_pipeline": SQL_WAV_AUDIO_PIPELINE,
     "ann_pq_recall": SQL_ANN_PQ_RECALL,
     "recursive_bom": SQL_RECURSIVE_BOM,
+    "incremental_agg": SQL_INCREMENTAL_AGG,
     # ann_lsh / ann_ivf / ann_pq / minhash_lsh_pairs / simhash_docs /
     # bpe_merges: intentionally no oracle (approximate, iterative, or
     # engine-specific hash) → rows-only RAW-OUTPUT check; their
