@@ -3519,6 +3519,68 @@ def q_recursive_bom(spark, sf_dir):
 SQL_RECURSIVE_BOM = _RECURSIVE_BOM_SQL.format(part="part")
 
 
+def q_zorder_keys(spark, sf_dir):
+    """Morton (Z-order) interleave key for multi-dimensional data
+    skipping (sinks/layout.py:zorder_value — the Delta/Iceberg
+    OPTIMIZE ZORDER layout primitive): 8-bit interleave of
+    (l_partkey mod 256, l_suppkey mod 256) over a lineitem sample,
+    plus the round-trip de-interleave proving the bit packing is
+    lossless. Pure integer bit arithmetic — identical in both
+    engines. The file-skipping CONTRACT (tight per-file min/max in
+    every interleaved dimension) is pinned by
+    tests/test_layout.py:test_zorder_skips_files_on_second_dim."""
+    from smartbots_etl_facturas_spark.sinks.layout import zorder_value
+
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") % 50 == 0) & (F.col("l_linenumber") == 1)
+    )
+    x = (F.col("l_partkey") % 256).cast("long")
+    y = (F.col("l_suppkey") % 256).cast("long")
+    z = zorder_value([x, y], bits=8)
+    out = li.select(
+        F.col("l_orderkey").cast("long").alias("okey"),
+        x.alias("x"),
+        y.alias("y"),
+        z.alias("z"),
+    )
+    # de-interleave: even bits -> x, odd bits -> y
+    unx = sum(
+        (F.shiftright(F.col("z"), 2 * b).bitwiseAND(F.lit(1).cast("long")) * (1 << b)
+         for b in range(8)),
+        F.lit(0).cast("long"),
+    )
+    uny = sum(
+        (F.shiftright(F.col("z"), 2 * b + 1).bitwiseAND(F.lit(1).cast("long")) * (1 << b)
+         for b in range(8)),
+        F.lit(0).cast("long"),
+    )
+    return out.select(
+        "okey", "x", "y", "z",
+        (unx.eqNullSafe(F.col("x")) & uny.eqNullSafe(F.col("y"))).alias("roundtrip_ok"),
+    )
+
+
+def _sql_interleave(xc: str, yc: str, bits: int = 8) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({xc} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({yc} >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(terms)
+
+
+SQL_ZORDER_KEYS = f"""
+WITH s AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS okey,
+         CAST(l_partkey % 256 AS BIGINT) AS x,
+         CAST(l_suppkey % 256 AS BIGINT) AS y
+  FROM lineitem WHERE l_orderkey % 50 = 0 AND l_linenumber = 1)
+SELECT okey, x, y,
+       CAST({_sql_interleave('x', 'y')} AS BIGINT) AS z,
+       TRUE AS roundtrip_ok
+FROM s
+"""
+
+
 def q_incremental_agg(spark, sf_dir):
     """Incremental materialized-aggregate maintenance
     (operators/incremental.py): monoid state (cnt / decimal sums /
@@ -4844,6 +4906,7 @@ _QUERIES: dict[str, Callable] = {
     "ann_pq_recall": q_ann_pq_recall,
     "recursive_bom": q_recursive_bom,
     "incremental_agg": q_incremental_agg,
+    "zorder_keys": q_zorder_keys,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4958,6 +5021,7 @@ _ORACLES: dict[str, str] = {
     "ann_pq_recall": SQL_ANN_PQ_RECALL,
     "recursive_bom": SQL_RECURSIVE_BOM,
     "incremental_agg": SQL_INCREMENTAL_AGG,
+    "zorder_keys": SQL_ZORDER_KEYS,
     # ann_lsh / ann_ivf / ann_pq / minhash_lsh_pairs / simhash_docs /
     # bpe_merges: intentionally no oracle (approximate, iterative, or
     # engine-specific hash) → rows-only RAW-OUTPUT check; their

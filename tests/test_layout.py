@@ -96,3 +96,69 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     # and the pruned join returns exactly the A-partition rows
     assert joined.count() == li.filter(F.col("l_returnflag") == "A").count()
+
+
+# --- Z-order clustering -----------------------------------------------------
+
+def test_zorder_value_interleaves_bits(spark):
+    from smartbots_etl_facturas_spark.sinks.layout import zorder_value
+
+    df = spark.createDataFrame([(3, 0), (0, 3), (1, 1), (255, 255)], ["x", "y"])
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_value([F.col("x"), F.col("y")], bits=8).alias("z")
+        ).collect()
+    }
+    # x occupies even bit positions, y odd: (3,0)->0b0101, (0,3)->0b1010
+    assert got[(3, 0)] == 0b0101
+    assert got[(0, 3)] == 0b1010
+    assert got[(1, 1)] == 0b11
+    assert got[(255, 255)] == (1 << 16) - 1
+
+
+def test_zorder_value_range_guard(spark):
+    from smartbots_etl_facturas_spark.sinks.layout import zorder_value
+
+    with pytest.raises(ValueError):
+        zorder_value([F.col("a"), F.col("b"), F.col("c")], bits=21)
+
+
+def test_zorder_skips_files_on_second_dim(spark, tmp_path):
+    """The data-skipping CONTRACT: after write_zordered, per-file
+    min/max stats are tight on BOTH dimensions, so a selective filter
+    on the SECOND column intersects far fewer files than under a
+    linear sort on the first column (where dim-2 values spread over
+    every file). Mirrors exactly the parquet row-group pruning rule:
+    a file is readable iff [min, max] intersects the predicate."""
+    from smartbots_etl_facturas_spark.sinks.layout import write_zordered
+
+    n, files = 1 << 14, 16
+    base = spark.range(n).select(
+        (F.pmod(F.xxhash64("id"), F.lit(256))).cast("long").alias("x"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(256))).cast("long").alias("y"),
+    )
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear")
+    write_zordered(base, zpath, ["x", "y"], bits=8, n_files=files)
+    (base.repartitionByRange(files, "x").sortWithinPartitions("x")
+         .write.mode("overwrite").parquet(lpath))
+
+    def files_intersecting(path, col, lo, hi):
+        stats = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+            .collect()
+        )
+        assert len(stats) >= files // 2
+        return sum(1 for r in stats if r.mn <= hi and r.mx >= lo)
+
+    # selective y-range: z-order keeps y clustered per file; the
+    # x-sorted layout spreads every y range across ~all files
+    z_hit = files_intersecting(zpath, "y", 0, 31)
+    l_hit = files_intersecting(lpath, "y", 0, 31)
+    assert l_hit >= files // 2
+    assert z_hit <= l_hit // 2, f"z-order {z_hit} vs linear {l_hit}"
+    # and x stays skippable too (both layouts cluster x)
+    assert files_intersecting(zpath, "x", 0, 31) <= files // 2
