@@ -3581,6 +3581,74 @@ FROM s
 """
 
 
+def q_pagerank(spark, sf_dir):
+    """PageRank over the customer–supplier interaction graph
+    (symmetric edges from a lineitem ⋈ orders sample), 3 iterations
+    of the integer nano-rank dataflow (operators/graph.py): every
+    step is exact int64 arithmetic (integer division by out-degree,
+    damping 0.85 as (17·s) div 20), so the FULL rank vector is
+    bit-identical across engines and the oracle — the same three
+    iterations unrolled as chained CTEs — value-checks every rank,
+    not just invariants."""
+    from smartbots_etl_facturas_spark.operators.graph import pagerank
+
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    orders = _read(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, iters=3)
+
+
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    steps = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"c{i} AS (SELECT e.dst AS node, r.rank_nanos // o.outdeg AS c\n"
+            f"  FROM edges e JOIN {prev} r ON e.src = r.node\n"
+            f"  JOIN outdeg o ON e.src = o.node)"
+        )
+        steps.append(
+            f"s{i} AS (SELECT node, CAST(sum(c) AS BIGINT) AS s "
+            f"FROM c{i} GROUP BY 1)"
+        )
+        steps.append(
+            f"r{i} AS (SELECT n.node,\n"
+            f"  CAST(150000000 + (17 * coalesce(s.s, 0)) // 20 AS BIGINT)"
+            f" AS rank_nanos\n"
+            f"  FROM nodes n LEFT JOIN s{i} s ON n.node = s.node)"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH pairs AS (\n"
+        "  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,\n"
+        "         's' || CAST(l_suppkey AS VARCHAR) AS dst\n"
+        "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey\n"
+        "  WHERE l_orderkey % 10 = 0),\n"
+        "edges AS (SELECT src, dst FROM pairs\n"
+        "          UNION ALL SELECT dst, src FROM pairs),\n"
+        "nodes AS (SELECT DISTINCT node FROM\n"
+        "  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),\n"
+        "outdeg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg\n"
+        "           FROM edges GROUP BY 1),\n"
+        "r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_nanos FROM nodes),\n"
+        + ",\n".join(steps)
+        + f"\nSELECT node, rank_nanos FROM {prev}"
+    )
+
+
+SQL_PAGERANK = _pagerank_oracle_sql(3)
+
+
 def q_incremental_agg(spark, sf_dir):
     """Incremental materialized-aggregate maintenance
     (operators/incremental.py): monoid state (cnt / decimal sums /
@@ -4907,6 +4975,7 @@ _QUERIES: dict[str, Callable] = {
     "recursive_bom": q_recursive_bom,
     "incremental_agg": q_incremental_agg,
     "zorder_keys": q_zorder_keys,
+    "pagerank": q_pagerank,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5022,6 +5091,7 @@ _ORACLES: dict[str, str] = {
     "recursive_bom": SQL_RECURSIVE_BOM,
     "incremental_agg": SQL_INCREMENTAL_AGG,
     "zorder_keys": SQL_ZORDER_KEYS,
+    "pagerank": SQL_PAGERANK,
     # ann_lsh / ann_ivf / ann_pq / minhash_lsh_pairs / simhash_docs /
     # bpe_merges: intentionally no oracle (approximate, iterative, or
     # engine-specific hash) → rows-only RAW-OUTPUT check; their

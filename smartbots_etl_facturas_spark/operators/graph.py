@@ -1,0 +1,80 @@
+"""Iterative graph dataflow: PageRank over an edge list.
+
+The canonical "iterative algorithm as repeated joins" workload —
+per iteration: out-degree-normalized contributions flow along edges
+(one equi-join on the source key), sum per destination (one keyed
+aggregation), damping applied. No driver-side graph state; the plan
+is the same two shuffles per iteration at any graph size, which is
+exactly how Pregel-style engines schedule it.
+
+Cross-engine determinism: ranks are kept as INTEGER nano-units
+(1 rank = 1e9 nanos) and every step is int64 arithmetic — division
+by out-degree is integer division, damping 0.85 is (17 · s) div 20 —
+so the rank vector is bit-identical across engines and partitionings
+with NO float rounding anywhere (round(double, n) is not guaranteed
+to agree between engines near ties; integer div is). Truncation
+instead of round-to-nearest loses < 1 nano per operation, far below
+any ranking-relevant scale, and lets an unrolled-CTE SQL oracle
+value-check the FULL rank vector.
+
+Scale note: iterations compound lineage; beyond ~10 rounds pass
+``checkpoint_every`` (localCheckpoint, same policy as
+operators/dedup.py's label propagation) to keep plans bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NANO = 1_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Rank nodes of the directed graph ``edges`` (one row per edge;
+    parallel edges should be pre-deduplicated). Damping is fixed at
+    0.85 = 17/20 so the update stays exact int64 arithmetic.
+
+    Dangling nodes (no out-edges) contribute nothing — with a
+    symmetric edge list (add reversed edges for undirected semantics)
+    none exist. Returns (node, rank_nanos) with
+    sum(rank_nanos) ≈ N · 1e9 (minus sub-nano truncation).
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    ranks = nodes.withColumn("rank_nanos", F.lit(NANO).cast("long"))
+    for i in range(iters):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", src), src)
+            .join(outdeg.withColumnRenamed("node", src), src)
+            .select(
+                F.col(dst).alias("node"),
+                F.expr("rank_nanos div outdeg").alias("c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").cast("long").alias("s"))
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(NANO * 15 // 100).cast("long")
+                    + F.expr("(17 * coalesce(s, 0L)) div 20")
+                ).alias("rank_nanos"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
