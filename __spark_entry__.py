@@ -3649,6 +3649,67 @@ def _pagerank_oracle_sql(iters: int = 3) -> str:
 SQL_PAGERANK = _pagerank_oracle_sql(3)
 
 
+def q_group_anomalies(spark, sf_dir):
+    """Per-group z-score anomaly detection over events: mean/std per
+    event_type derived from EXACT decimal aggregates (n, Σv, Σv² —
+    order-free), converted to double once with a fixed expression
+    shape, so the z-scores are bit-identical across engines — the
+    engine-portable alternative to built-in stddev_samp, whose
+    merge-order float drift is NOT portable. Emits rows with
+    |z| > 2.5 plus each group's audit aggregates."""
+    ev = read_events(spark, sf_dir)
+    v = F.col("value").cast("decimal(18,4)")
+    stats = (
+        ev.select("event_type", v.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s1"),
+            F.sum((F.col("v") * F.col("v")).cast("decimal(38,8)")).alias("s2"),
+        )
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    nd = F.col("n").cast("double")
+    var = F.greatest(
+        F.lit(0.0), (s2d - (s1d * s1d) / nd) / (nd - F.lit(1.0))
+    )
+    enriched = ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(18,4)").cast("double").alias("value"),
+        F.col("n"),
+        ((F.col("value").cast("decimal(18,4)").cast("double") - s1d / nd)
+         / F.sqrt(var)).alias("z"),
+    )
+    return enriched.filter(F.abs(F.col("z")) > 2.5)
+
+
+SQL_GROUP_ANOMALIES = """
+WITH stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(value AS DECIMAL(18,4))) AS s1,
+         sum(CAST(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))
+                  AS DECIMAL(38,8))) AS s2
+  FROM events GROUP BY 1),
+enriched AS (
+  SELECT e.event_id, e.event_type,
+         CAST(CAST(e.value AS DECIMAL(18,4)) AS DOUBLE) AS value,
+         s.n,
+         (CAST(CAST(e.value AS DECIMAL(18,4)) AS DOUBLE)
+          - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+         / sqrt(greatest(0.0,
+             (CAST(s.s2 AS DOUBLE)
+              - (CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE))
+                / CAST(s.n AS DOUBLE))
+             / (CAST(s.n AS DOUBLE) - 1.0))) AS z
+  FROM events e JOIN stats s ON e.event_type = s.event_type)
+SELECT event_id, event_type, value, n, z
+FROM enriched WHERE abs(z) > 2.5
+"""
+
+
 def q_incremental_agg(spark, sf_dir):
     """Incremental materialized-aggregate maintenance
     (operators/incremental.py): monoid state (cnt / decimal sums /
@@ -4976,6 +5037,7 @@ _QUERIES: dict[str, Callable] = {
     "incremental_agg": q_incremental_agg,
     "zorder_keys": q_zorder_keys,
     "pagerank": q_pagerank,
+    "group_anomalies": q_group_anomalies,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5092,6 +5154,7 @@ _ORACLES: dict[str, str] = {
     "incremental_agg": SQL_INCREMENTAL_AGG,
     "zorder_keys": SQL_ZORDER_KEYS,
     "pagerank": SQL_PAGERANK,
+    "group_anomalies": SQL_GROUP_ANOMALIES,
     # ann_lsh / ann_ivf / ann_pq / minhash_lsh_pairs / simhash_docs /
     # bpe_merges: intentionally no oracle (approximate, iterative, or
     # engine-specific hash) → rows-only RAW-OUTPUT check; their
