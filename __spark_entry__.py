@@ -3710,6 +3710,48 @@ FROM enriched WHERE abs(z) > 2.5
 """
 
 
+def q_ewma_values(spark, sf_dir):
+    """Per-user EWMA (α = 1/4) over the events value stream — the
+    inherently-sequential stateful operator (each output depends on
+    the previous output), run as one ordered applyInPandas pass per
+    key (operators/timeseries.py). Values are exact integer
+    ten-thousandths and the recurrence uses floor division, so every
+    smoothed value is bit-identical to the DuckDB oracle's recursive
+    CTE replaying the same walk."""
+    from smartbots_etl_facturas_spark.operators.timeseries import ewma_smooth
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(18,4)") * 10000)
+        .cast("long")
+        .alias("x_units"),
+    )
+    return ewma_smooth(ev, alpha_denom=4)
+
+
+SQL_EWMA_VALUES = """
+WITH RECURSIVE base AS (
+  SELECT user_id, epoch_ns(ts) AS ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x_units,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ns(ts), event_id) AS rn
+  FROM events),
+walk(user_id, rn, ts, event_id, x_units, s) AS (
+  SELECT user_id, rn, ts, event_id, x_units, x_units
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.rn, b.ts, b.event_id, b.x_units,
+         w.s + (b.x_units - w.s) // 4
+  FROM walk w JOIN base b
+    ON b.user_id = w.user_id AND b.rn = w.rn + 1)
+SELECT user_id, CAST(ts AS BIGINT) AS ts, event_id, x_units,
+       CAST(s AS BIGINT) AS ewma_units
+FROM walk
+"""
+
+
 def q_incremental_agg(spark, sf_dir):
     """Incremental materialized-aggregate maintenance
     (operators/incremental.py): monoid state (cnt / decimal sums /
@@ -5038,6 +5080,7 @@ _QUERIES: dict[str, Callable] = {
     "zorder_keys": q_zorder_keys,
     "pagerank": q_pagerank,
     "group_anomalies": q_group_anomalies,
+    "ewma_values": q_ewma_values,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5155,6 +5198,7 @@ _ORACLES: dict[str, str] = {
     "zorder_keys": SQL_ZORDER_KEYS,
     "pagerank": SQL_PAGERANK,
     "group_anomalies": SQL_GROUP_ANOMALIES,
+    "ewma_values": SQL_EWMA_VALUES,
     # ann_lsh / ann_ivf / ann_pq / minhash_lsh_pairs / simhash_docs /
     # bpe_merges: intentionally no oracle (approximate, iterative, or
     # engine-specific hash) → rows-only RAW-OUTPUT check; their

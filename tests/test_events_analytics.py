@@ -104,3 +104,39 @@ class TestCohortRetention:
             F.sum("n_users").alias("s")).head().s
         n_users = ev.select("user_id").distinct().count()
         assert base == n_users
+
+
+class TestEwma:
+    def test_recurrence_exact(self, spark):
+        from smartbots_etl_facturas_spark.operators.timeseries import ewma_smooth
+
+        rows = [(1, t, t, x) for t, x in
+                enumerate([100, 200, 60, 60, 1000], start=1)]
+        df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, x_units long")
+        out = sorted(ewma_smooth(df).collect(), key=lambda r: r.ts)
+        # s1=100; s2=100+(100//4)=125; s3=125+trunc(-65/4)=125-16=109;
+        # s4=109+trunc(-49/4)=109-12=97; s5=97+(903//4)=97+225=322
+        assert [r.ewma_units for r in out] == [100, 125, 109, 97, 322]
+
+    def test_partition_invariance(self, spark, sf_dir):
+        import __spark_entry__ as entry
+        from pyspark.sql import functions as F
+        from smartbots_etl_facturas_spark.operators.timeseries import ewma_smooth
+
+        ev = entry.read_events(spark, sf_dir).select(
+            "user_id", "ts", "event_id",
+            (F.col("value").cast("decimal(18,4)") * 10000).cast("long").alias("x_units"),
+        )
+        a = {(r.user_id, r.event_id): r.ewma_units
+             for r in ewma_smooth(ev).collect()}
+        b = {(r.user_id, r.event_id): r.ewma_units
+             for r in ewma_smooth(ev.repartition(17)).collect()}
+        assert a == b and len(a) > 0
+
+    def test_bad_alpha_rejected(self, spark):
+        from smartbots_etl_facturas_spark.operators.timeseries import ewma_smooth
+
+        df = spark.createDataFrame([(1, 1, 1, 1)], "user_id long, ts long, event_id long, x_units long")
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            ewma_smooth(df, alpha_denom=1)
