@@ -1,0 +1,77 @@
+"""Streaming EWMA: the batch integer recurrence of
+operators/timeseries.py carried across micro-batches with
+``applyInPandasWithState`` — per-key state is one (accumulator,
+last-event-time) pair, so state size is O(distinct keys) and never
+grows with stream length (no timeout needed; the state IS the
+operator's meaning).
+
+Late-data policy: a row with event time strictly BEFORE the state's
+last processed time cannot be folded into the recurrence (EWMA is
+order-sequential) and is dropped — the same discard semantics a
+watermark gives an aggregation. Rows inside one micro-batch are
+processed in event-time order.
+
+Determinism matches the batch twin exactly: integer units, truncating
+division toward zero (tests pin stream == batch on the shared
+prefix).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ewma_stateful(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    units_col: str = "x_units",
+    alpha_denom: int = 4,
+):
+    """Per-key streaming EWMA (α = 1/alpha_denom) over a streaming
+    DataFrame with a watermark on ``ts_col``. Emits one row per
+    accepted input row: (key, ts, x_units, ewma_units)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if alpha_denom < 2:
+        raise ValueError("alpha_denom must be >= 2")
+    out_schema = (
+        f"{key_col} long, {ts_col} timestamp, {units_col} long, ewma_units long"
+    )
+    state_schema = "acc long, last_us long"
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values(ts_col)
+        ts_us = (rows[ts_col].astype("int64") // 1000).tolist()
+        xs = rows[units_col].astype("int64").tolist()
+
+        acc, last_us = (state.get if state.exists else (None, -1))
+        out_t, out_x, out_s = [], [], []
+        for t, x in zip(ts_us, xs):
+            if t < last_us:
+                continue                      # late row: dropped (see module doc)
+            if acc is None:
+                acc = int(x)
+            else:
+                d = int(x) - acc
+                q = abs(d) // alpha_denom     # truncation toward zero
+                acc = acc + (q if d >= 0 else -q)
+            last_us = t
+            out_t.append(t)
+            out_x.append(x)
+            out_s.append(acc)
+        if acc is not None:
+            state.update((acc, last_us))
+        if out_t:
+            yield pd.DataFrame({
+                key_col: [key[0]] * len(out_t),
+                ts_col: [pd.Timestamp(t, unit="us") for t in out_t],
+                units_col: out_x,
+                "ewma_units": out_s,
+            })
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

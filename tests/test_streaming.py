@@ -603,3 +603,53 @@ def test_interval_join_state_bounded_by_watermark(spark, tmp_path):
     # cycles' worth
     assert all(s <= 2 * 2 * K for s in state_rows), state_rows
     assert state_rows[-1] < 3 * 2 * K < 4 * 2 * K
+
+
+def test_ewma_stream_matches_batch(spark, tmp_path):
+    """Streaming EWMA (applyInPandasWithState) == batch EWMA: the
+    per-key accumulator carries across micro-batches (file 2's first
+    row continues file 1's recurrence), and emissions are exact
+    integer matches against operators/timeseries.ewma_smooth on the
+    same rows."""
+    from smartbots_etl_facturas_spark.operators.timeseries import ewma_smooth
+    from smartbots_etl_facturas_spark.streaming.timeseries import ewma_stateful
+
+    src = str(tmp_path / "ewma-src")
+    ckpt = str(tmp_path / "ewma-ckpt")
+    out = str(tmp_path / "ewma-out")
+    schema = "user_id long, ts timestamp, x_units long"
+
+    def _slice(rows):
+        (spark.createDataFrame(rows, "user_id long, ts string, x_units long")
+         .withColumn("ts", F.to_timestamp("ts"))
+         .coalesce(1).write.mode("append").parquet(src))
+
+    _slice([(1, "2024-01-01 10:00:00", 100),
+            (1, "2024-01-01 10:01:00", 200),
+            (2, "2024-01-01 10:00:30", 50)])
+    _slice([(1, "2024-01-01 10:02:00", 60),
+            (2, "2024-01-01 10:03:00", 90),
+            (1, "2024-01-01 10:04:00", 1000)])
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src)
+              .withWatermark("ts", "0 seconds"))
+    q = (ewma_stateful(stream)
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.user_id, int(r.ts.timestamp())): r.ewma_units
+           for r in spark.read.parquet(out).collect()}
+    batch_src = (spark.read.parquet(src)
+                 .withColumn("tsl", F.unix_micros("ts"))
+                 .withColumn("event_id", F.unix_micros("ts")))
+    batch = {(r.user_id, r.tsl // 1_000_000): r.ewma_units
+             for r in ewma_smooth(batch_src, ts_col="tsl").collect()}
+    assert len(got) == 6
+    assert got == batch
+    # hand-checked recurrence for user 1: 100, 125, 109, 331
+    u1 = [v for (u, _), v in sorted(got.items()) if u == 1]
+    assert u1 == [100, 125, 109, 331]
