@@ -3803,6 +3803,98 @@ GROUP BY 1, 2
 """
 
 
+def q_corpus_curation_pipeline(spark, sf_dir):
+    """END-TO-END corpus curation as ONE dataflow (the LLM-pipeline
+    twin of xlsx_to_consolidated): C4 length/shape gate →
+    Gopher repetition gate → exact dedup (first-wins on the md5
+    digest) → deterministic train/val/test hash split → per-split
+    report with membership-checking id/token sums. Every stage is the
+    engine's own operator (functions/text.py, operators/dedup-style
+    window dedup, the hash_split rule); the oracle re-derives the
+    entire chain in SQL, so the STAGE COMPOSITION — not just each
+    stage — is value-checked."""
+    from smartbots_etl_facturas_spark.functions.text import (
+        c4_filter_flags,
+        repetition_metrics,
+        shingles_from_tokens,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens(F.col("text")).alias("w")
+    )
+    fl = c4_filter_flags("w", min_words=20)
+    stage1 = docs.withColumn("__fl", fl).filter(F.col("__fl.keep"))
+    stage1 = stage1.withColumn("g", shingles_from_tokens("w", 2))
+    m = repetition_metrics("w", "g")
+    stage2 = stage1.withColumn("__m", m).filter(
+        ~((F.col("__m.top_token_frac") > 0.2) | (F.col("__m.dup_2gram_frac") > 0.5))
+    )
+    w_dig = Window.partitionBy("digest").orderBy("doc_id")
+    stage3 = (
+        stage2.withColumn("digest", F.md5(F.encode(F.col("text"), "UTF-8")))
+        .withColumn("__rn", F.row_number().over(w_dig))
+        .filter(F.col("__rn") == 1)
+    )
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(hx < "cc", "train").when(hx < "e6", "val").otherwise("test")
+    return (
+        stage3.select(
+            split.alias("split"),
+            "doc_id",
+            F.col("__m.n_tokens").alias("__tok"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("__tok").alias("total_tokens"),
+        )
+    )
+
+
+SQL_CORPUS_CURATION_PIPELINE = r"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
+  FROM documents),
+c4 AS (
+  SELECT doc_id, text, w, CAST(len(w) AS BIGINT) AS n,
+         CAST(CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+              AS DOUBLE) / CAST(len(w) AS DOUBLE) AS mean_len
+  FROM t),
+keep1 AS (
+  SELECT doc_id, text, w, n FROM c4
+  WHERE n >= 20 AND n <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0),
+rep AS (
+  SELECT doc_id, text, n,
+         CAST(list_max(list_transform(list_distinct(w),
+                tkn -> len(list_filter(w, x -> x = tkn)))) AS DOUBLE)
+           / len(w) AS top_frac,
+         CASE WHEN len(w) >= 2
+              THEN CAST(len(w) - 1
+                        - len(list_distinct(list_transform(range(1, len(w)),
+                              i -> w[CAST(i AS INT)] || ' '
+                                   || w[CAST(i AS INT) + 1]))) AS DOUBLE)
+                   / (len(w) - 1)
+              ELSE 0.0 END AS dup_frac
+  FROM keep1),
+keep2 AS (
+  SELECT doc_id, text, n FROM rep
+  WHERE NOT (top_frac > 0.2 OR dup_frac > 0.5)),
+dedup AS (
+  SELECT doc_id, n,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM keep2),
+kept AS (SELECT doc_id, n FROM dedup WHERE rn = 1)
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(n) AS BIGINT) AS total_tokens
+FROM kept GROUP BY 1
+"""
+
+
 def q_source_mixture(spark, sf_dir):
     """Training-mixture balancing (the Pile/ROOTS-style source
     weighting step): given target token-mass proportions over source
@@ -5081,6 +5173,7 @@ _QUERIES: dict[str, Callable] = {
     "pagerank": q_pagerank,
     "group_anomalies": q_group_anomalies,
     "ewma_values": q_ewma_values,
+    "corpus_curation_pipeline": q_corpus_curation_pipeline,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5199,6 +5292,7 @@ _ORACLES: dict[str, str] = {
     "pagerank": SQL_PAGERANK,
     "group_anomalies": SQL_GROUP_ANOMALIES,
     "ewma_values": SQL_EWMA_VALUES,
+    "corpus_curation_pipeline": SQL_CORPUS_CURATION_PIPELINE,
     # ann_lsh / ann_ivf / ann_pq / minhash_lsh_pairs / simhash_docs /
     # bpe_merges: intentionally no oracle (approximate, iterative, or
     # engine-specific hash) → rows-only RAW-OUTPUT check; their
