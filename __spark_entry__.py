@@ -3895,6 +3895,104 @@ FROM kept GROUP BY 1
 """
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve (the tokenizer-design question "how
+    many types cover P% of the token mass"): rank terms by corpus
+    frequency, integer cumulative sums, and for each target percent
+    the smallest vocabulary size reaching it. All-integer arithmetic
+    (cum·100 >= total·p), so exact on both engines. The ranking
+    window is GLOBAL by nature but runs on the VOCABULARY-scale frame
+    (distinct terms), not the corpus — see the plan-gate allowlist
+    entry."""
+    toks = _read(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("term").asc())
+    ranked = counts.select(
+        "term",
+        "c",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("cum"),
+    )
+    total = counts.agg(F.sum("c").cast("long").alias("total"))
+    j = ranked.crossJoin(F.broadcast(total))
+    parts = [
+        j.filter(F.col("cum") * 100 >= F.col("total") * p).agg(
+            F.lit(p).cast("long").alias("pct"),
+            F.min("rank").alias("vocab_size"),
+        )
+        for p in (50, 90, 99)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+SQL_VOCAB_COVERAGE = r"""
+WITH toks AS (
+  SELECT u.term
+  FROM (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents) t,
+       unnest(t.w) AS u(term)),
+counts AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+ranked AS (
+  SELECT term, c,
+         CAST(row_number() OVER (ORDER BY c DESC, term ASC) AS BIGINT) AS rnk,
+         CAST(sum(c) OVER (ORDER BY c DESC, term ASC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM counts),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM counts)
+SELECT CAST(p.pct AS BIGINT) AS pct, CAST(min(r.rnk) AS BIGINT) AS vocab_size
+FROM (VALUES (50), (90), (99)) p(pct)
+JOIN ranked r ON TRUE
+CROSS JOIN tot
+WHERE r.cum * 100 >= tot.total * p.pct
+GROUP BY 1
+"""
+
+
+def q_equi_depth_bins(spark, sf_dir):
+    """Per-type equi-depth (decile) binning of the events value
+    stream: NTILE over a TOTAL order (value as exact decimal, tied by
+    event_id), then per-bin count/min/max — the data-profiling step
+    behind histogram-based optimizers. Windows are PARTITIONED BY
+    event_type (never global); at corpus scale the same profile comes
+    from the approx-percentile sketch (approx_percentile_sketch),
+    with this exact tier as its oracle-checkable twin."""
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("v").asc(), F.col("event_id").asc()
+    )
+    binned = ev.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    return binned.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").cast("double").alias("v_min"),
+        F.max("v").cast("double").alias("v_max"),
+    )
+
+
+SQL_EQUI_DEPTH_BINS = """
+WITH binned AS (
+  SELECT event_type, event_id, CAST(value AS DECIMAL(18,4)) AS v,
+         CAST(ntile(10) OVER (PARTITION BY event_type
+                              ORDER BY CAST(value AS DECIMAL(18,4)) ASC,
+                                       event_id ASC) AS BIGINT) AS decile
+  FROM events)
+SELECT event_type, decile,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(v) AS DOUBLE) AS v_min,
+       CAST(max(v) AS DOUBLE) AS v_max
+FROM binned GROUP BY 1, 2
+"""
+
+
 def q_source_mixture(spark, sf_dir):
     """Training-mixture balancing (the Pile/ROOTS-style source
     weighting step): given target token-mass proportions over source
@@ -5174,6 +5272,8 @@ _QUERIES: dict[str, Callable] = {
     "group_anomalies": q_group_anomalies,
     "ewma_values": q_ewma_values,
     "corpus_curation_pipeline": q_corpus_curation_pipeline,
+    "vocab_coverage": q_vocab_coverage,
+    "equi_depth_bins": q_equi_depth_bins,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5293,6 +5393,8 @@ _ORACLES: dict[str, str] = {
     "group_anomalies": SQL_GROUP_ANOMALIES,
     "ewma_values": SQL_EWMA_VALUES,
     "corpus_curation_pipeline": SQL_CORPUS_CURATION_PIPELINE,
+    "vocab_coverage": SQL_VOCAB_COVERAGE,
+    "equi_depth_bins": SQL_EQUI_DEPTH_BINS,
     # ann_lsh / ann_ivf / ann_pq / minhash_lsh_pairs / simhash_docs /
     # bpe_merges: intentionally no oracle (approximate, iterative, or
     # engine-specific hash) → rows-only RAW-OUTPUT check; their

@@ -88,6 +88,13 @@ ALLOW: dict[str, tuple[set, str]] = {
         "per-source count frame (one row per source); the corpus-side "
         "join is a broadcast equi join on source",
     ),
+    "vocab_coverage": (
+        {"gwin", "bnlj"},
+        "the coverage-curve ranking is a global order BY NATURE but "
+        "runs on the VOCABULARY-scale frame (distinct terms after the "
+        "count agg), not the corpus; the 1-row token-mass total "
+        "broadcasts onto it (same normalizer pattern as source_mixture)",
+    ),
     "invoice_extract_golden": (
         {"gwin"},
         "P8 take-while over ONE sheet: the global window IS the "
