@@ -3993,6 +3993,62 @@ FROM binned GROUP BY 1, 2
 """
 
 
+def q_embedding_normalize(spark, sf_dir):
+    """Per-dimension min-max normalization of the embedding column
+    (the feature-scaling step before distance-based modeling):
+    per-dim bounds from posexplode + groupBy(pos) (a 64-row stats
+    frame), re-assembled into ONE sorted bounds array broadcast onto
+    the corpus, normalization as a JVM zip_with — no Python, no
+    per-vector shuffle. min/max involve no arithmetic and the single
+    (x-mn)/(mx-mn) division is IEEE-exact, so the FULL normalized
+    array is value-checked. Constant dimensions map to 0."""
+    emb = _read(spark, sf_dir, "embeddings")
+    dims = emb.select(F.posexplode("embedding").alias("pos", "x")).select(
+        "pos", F.col("x").cast("double").alias("x")
+    )
+    stats = dims.groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    bounds = stats.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("b")
+    )
+    normalized = F.zip_with(
+        F.col("embedding"),
+        F.col("b"),
+        lambda x, s: F.when(
+            s["mx"] == s["mn"], F.lit(0.0)
+        ).otherwise((x.cast("double") - s["mn"]) / (s["mx"] - s["mn"])),
+    )
+    out = emb.crossJoin(F.broadcast(bounds)).select(
+        "vec_id", normalized.alias("scaled")
+    )
+    in_range = F.aggregate(
+        "scaled",
+        F.lit(True),
+        lambda acc, v: acc & (v >= 0.0) & (v <= 1.0),
+    )
+    return out.select("vec_id", "scaled", in_range.alias("in_range"))
+
+
+SQL_EMBEDDING_NORMALIZE = """
+WITH dims AS (
+  SELECT CAST(i AS INT) AS pos,
+         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x,
+         vec_id
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS g(i)),
+stats AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM dims GROUP BY 1),
+scaled AS (
+  SELECT d.vec_id, d.pos,
+         CASE WHEN s.mx = s.mn THEN 0.0
+              ELSE (d.x - s.mn) / (s.mx - s.mn) END AS v
+  FROM dims d JOIN stats s USING (pos))
+SELECT vec_id,
+       list(v ORDER BY pos) AS scaled,
+       bool_and(v >= 0.0 AND v <= 1.0) AS in_range
+FROM scaled GROUP BY vec_id
+"""
+
+
 def q_source_mixture(spark, sf_dir):
     """Training-mixture balancing (the Pile/ROOTS-style source
     weighting step): given target token-mass proportions over source
@@ -5274,6 +5330,7 @@ _QUERIES: dict[str, Callable] = {
     "corpus_curation_pipeline": q_corpus_curation_pipeline,
     "vocab_coverage": q_vocab_coverage,
     "equi_depth_bins": q_equi_depth_bins,
+    "embedding_normalize": q_embedding_normalize,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5395,6 +5452,7 @@ _ORACLES: dict[str, str] = {
     "corpus_curation_pipeline": SQL_CORPUS_CURATION_PIPELINE,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "equi_depth_bins": SQL_EQUI_DEPTH_BINS,
+    "embedding_normalize": SQL_EMBEDDING_NORMALIZE,
     # ann_lsh / ann_ivf / ann_pq / minhash_lsh_pairs / simhash_docs /
     # bpe_merges: intentionally no oracle (approximate, iterative, or
     # engine-specific hash) → rows-only RAW-OUTPUT check; their

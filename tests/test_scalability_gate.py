@@ -88,6 +88,13 @@ ALLOW: dict[str, tuple[set, str]] = {
         "per-source count frame (one row per source); the corpus-side "
         "join is a broadcast equi join on source",
     ),
+    "embedding_normalize": (
+        {"bnlj"},
+        "broadcast of the ONE-ROW sorted per-dimension bounds array "
+        "(d structs) onto the corpus — the standard 1-row normalizer "
+        "pattern (see source_mixture); the stats agg itself is keyed "
+        "on pos",
+    ),
     "vocab_coverage": (
         {"gwin", "bnlj"},
         "the coverage-curve ranking is a global order BY NATURE but "
