@@ -4049,6 +4049,72 @@ FROM scaled GROUP BY vec_id
 """
 
 
+# Shared statement for the correlated-scalar-subquery surface: Spark
+# decorrelates it into an aggregate + join (RewriteCorrelatedScalarSubquery);
+# the mean is written as decimal-sum / count divided ONCE as doubles
+# (avg() itself has engine-specific decimal rounding).
+_CORRELATED_SCALAR_SQL = """
+SELECT p_partkey, p_brand,
+       CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+FROM {part} p
+WHERE CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) >
+      (SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+              / count(*)
+       FROM {part} p2 WHERE p2.p_brand = p.p_brand)
+"""
+
+
+def q_correlated_scalar(spark, sf_dir):
+    """Correlated SCALAR subquery (parts priced above their own
+    brand's mean): Catalyst decorrelates the per-row subquery into a
+    brand-level aggregate joined back — the rewrite every BI tool
+    relies on. The IDENTICAL statement runs on DuckDB; the mean is
+    decimal-sum/count divided once as doubles (engine-portable,
+    unlike avg()'s decimal rounding)."""
+    _read(spark, sf_dir, "part").createOrReplaceTempView("v_part_cs")
+    return spark.sql(_CORRELATED_SCALAR_SQL.format(part="v_part_cs"))
+
+
+SQL_CORRELATED_SCALAR = _CORRELATED_SCALAR_SQL.format(part="part")
+
+
+def q_window_percentiles(spark, sf_dir):
+    """percent_rank + cume_dist over a per-group TOTAL order (quantity
+    as exact decimal, tied by orderkey/linenumber/partkey): both are
+    ratios of window-position integers ((rank-1)/(n-1), pos/n) —
+    single IEEE divisions, engine-exact. Completes the ranking-window
+    family next to window_rank/window_lead_lag/running_total."""
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_quantity").cast("decimal(18,2)").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+        F.col("l_partkey").asc(),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(18,2)").cast("double").alias("qty"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+SQL_WINDOW_PERCENTILES = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag,
+       CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+WINDOW w AS (PARTITION BY l_returnflag
+             ORDER BY CAST(l_quantity AS DECIMAL(18,2)) ASC,
+                      l_orderkey ASC, l_linenumber ASC, l_partkey ASC)
+"""
+
+
 def q_source_mixture(spark, sf_dir):
     """Training-mixture balancing (the Pile/ROOTS-style source
     weighting step): given target token-mass proportions over source
@@ -5331,6 +5397,8 @@ _QUERIES: dict[str, Callable] = {
     "vocab_coverage": q_vocab_coverage,
     "equi_depth_bins": q_equi_depth_bins,
     "embedding_normalize": q_embedding_normalize,
+    "correlated_scalar": q_correlated_scalar,
+    "window_percentiles": q_window_percentiles,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5453,6 +5521,8 @@ _ORACLES: dict[str, str] = {
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "equi_depth_bins": SQL_EQUI_DEPTH_BINS,
     "embedding_normalize": SQL_EMBEDDING_NORMALIZE,
+    "correlated_scalar": SQL_CORRELATED_SCALAR,
+    "window_percentiles": SQL_WINDOW_PERCENTILES,
     # ann_lsh / ann_ivf / ann_pq / minhash_lsh_pairs / simhash_docs /
     # bpe_merges: intentionally no oracle (approximate, iterative, or
     # engine-specific hash) → rows-only RAW-OUTPUT check; their

@@ -71,6 +71,19 @@ def read_published(spark: SparkSession, base: str) -> DataFrame:
     return spark.read.parquet(os.path.join(base, version))
 
 
+def read_version(spark: SparkSession, base: str, version: str) -> DataFrame:
+    """Time-travel read: any retained snapshot by version id (from
+    :func:`list_versions`), independent of where the _CURRENT pointer
+    points — the Delta/Iceberg ``VERSION AS OF`` equivalent on the
+    versioned-publish layout. Reading a half-written or reaped
+    directory is impossible: only pointer-flipped versions are listed,
+    and a version is immutable once published."""
+    target = os.path.join(base, version)
+    if version not in list_versions(base) or not os.path.isdir(target):
+        raise FileNotFoundError(f"no version {version!r} under {base}")
+    return spark.read.parquet(target)
+
+
 def list_versions(base: str) -> list[str]:
     return sorted(
         d for d in os.listdir(base)

@@ -139,3 +139,29 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r.id: r.score for r in merged.collect()}
     assert rows[2] == 9.5 and rows[1] is None
+
+
+def test_time_travel_read_version(spark, tmp_path):
+    """VERSION AS OF semantics: every retained snapshot stays readable
+    by id regardless of where the pointer points, and unknown ids
+    fail fast."""
+    from smartbots_etl_facturas_spark.sinks.staged import (
+        list_versions,
+        publish,
+        read_published,
+        read_version,
+        rollback,
+    )
+
+    base = str(tmp_path / "tt")
+    v1 = publish(spark.range(3).withColumnRenamed("id", "k"), base)
+    v2 = publish(spark.range(7).withColumnRenamed("id", "k"), base)
+    assert list_versions(base) == [v1, v2]
+    assert read_version(spark, base, v1).count() == 3
+    assert read_version(spark, base, v2).count() == 7
+    rollback(base)
+    # pointer moved back to v1, but v2 is still time-travel readable
+    assert read_published(spark, base).count() == 3
+    assert read_version(spark, base, v2).count() == 7
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, base, "v-nope")
