@@ -653,3 +653,62 @@ def test_ewma_stream_matches_batch(spark, tmp_path):
     # hand-checked recurrence for user 1: 100, 125, 109, 331
     u1 = [v for (u, _), v in sorted(got.items()) if u == 1]
     assert u1 == [100, 125, 109, 331]
+
+
+def test_streaming_incremental_agg_maintenance(spark, tmp_path):
+    """Streaming materialized-view maintenance: each micro-batch is
+    aggregated and merged into the PUBLISHED monoid state via
+    foreachBatch + the versioned sink (state read back from the sink
+    each batch — restartable), and the final state equals a full
+    batch recompute over everything streamed. Ties
+    operators/incremental.py to the streaming + publish surfaces."""
+    from smartbots_etl_facturas_spark.operators.incremental import (
+        aggregate_state,
+        merge_agg_state,
+    )
+    from smartbots_etl_facturas_spark.sinks.staged import (
+        publish,
+        read_published,
+    )
+
+    src = str(tmp_path / "inc-src")
+    ckpt = str(tmp_path / "inc-ckpt")
+    state_base = str(tmp_path / "inc-state")
+    schema = "k string, ts timestamp, x decimal(18,2)"
+
+    def _slice(rows):
+        (spark.createDataFrame(rows, "k string, ts string, x string")
+         .withColumn("ts", F.to_timestamp("ts"))
+         .withColumn("x", F.col("x").cast("decimal(18,2)"))
+         .coalesce(1).write.mode("append").parquet(src))
+
+    _slice([("a", "2024-01-01 10:00:00", "10.50"),
+            ("b", "2024-01-01 10:01:00", "3.25")])
+    _slice([("a", "2024-01-01 10:02:00", "4.75"),
+            ("c", "2024-01-01 10:03:00", "7.00"),
+            ("a", "2024-01-01 10:04:00", "1.00")])
+
+    def on_batch(bdf, batch_id):
+        delta = aggregate_state(bdf, ["k"], ["x"], ["x"])
+        try:
+            state = read_published(spark, state_base)
+        except FileNotFoundError:
+            merged = delta
+        else:
+            merged = merge_agg_state(state, delta, ["k"], ["x"], ["x"])
+        publish(merged, state_base)
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", "1").parquet(src)
+         .writeStream.foreachBatch(on_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r.k: (r.cnt, float(r.sum_x), float(r.min_x), float(r.max_x))
+           for r in read_published(spark, state_base).collect()}
+    full = {r.k: (r.cnt, float(r.sum_x), float(r.min_x), float(r.max_x))
+            for r in aggregate_state(
+                spark.read.parquet(src), ["k"], ["x"], ["x"]).collect()}
+    assert got == full
+    assert got["a"] == (3, 16.25, 1.0, 10.5)
