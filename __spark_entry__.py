@@ -938,6 +938,38 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_grouping_sets_sales(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form ROLLUP/CUBE
+    specialize): three hand-picked grouping combinations —
+    (flag, status), (flag), (status) — computed in ONE pass with
+    grouping_id disambiguation, completing the multi-dimensional
+    aggregation family next to rollup_sales/cube_sales."""
+    li = _read(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("v_li_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_base_price,
+               count(*) AS n_rows
+        FROM v_li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus))
+    """)
+
+
+SQL_GROUPING_SETS_SALES = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag), (l_linestatus))
+"""
+
+
 def q_distinct_parts(spark, sf_dir):
     """Distinct aggregation per group."""
     li = _read(spark, sf_dir, "lineitem")
@@ -2251,6 +2283,67 @@ SELECT CAST(idx AS BIGINT) AS idx,
            '<[^>]+>', '', 'g'),
          chr(10) || '\s*' || chr(10) || '+', chr(10), 'g')) AS body
 FROM t
+""".replace("{values}", _TEMPLATE_VALUES)
+
+
+def q_report_mime(spark, sf_dir):
+    """S10 email-report sink, message-construction half: render the
+    report template (F5), then assemble the COMPLETE RFC 2822
+    multipart/alternative message — headers, content-hash boundary,
+    F6 text/plain alternative, text/html part — as one string
+    expression (functions/templating.py:mime_message). The full
+    message text is value-checked byte-for-byte; only the network
+    submission (ref oauth_gmail_notifier.py:72-121) remains out of
+    engine scope."""
+    from smartbots_etl_facturas_spark.functions.templating import mime_message
+
+    df = spark.createDataFrame(
+        GOLDEN_TEMPLATES, "idx long, template string, status string, total string"
+    )
+    html = F.replace(
+        F.replace(F.col("template"), F.lit("{status}"), F.col("status")),
+        F.lit("{total}"),
+        F.col("total"),
+    )
+    return df.select(
+        "idx",
+        mime_message(
+            F.lit("ops@engine.local"),
+            F.concat(F.lit("Invoice run "), F.col("status")),
+            html,
+        ).alias("message"),
+    )
+
+
+SQL_REPORT_MIME = r"""
+WITH t(idx, template, status, total) AS (VALUES {values}),
+parts AS (
+  SELECT idx,
+         replace(replace(template, '{status}', status), '{total}', total)
+           AS html,
+         'Invoice run ' || status AS subject,
+         chr(13) || chr(10) AS crlf
+  FROM t),
+b AS (SELECT *, '=_' || md5(html) AS boundary FROM parts)
+SELECT CAST(idx AS BIGINT) AS idx,
+       'From: reports@engine.local' || crlf
+       || 'To: ops@engine.local' || crlf
+       || 'Subject: ' || subject || crlf
+       || 'MIME-Version: 1.0' || crlf
+       || 'Content-Type: multipart/alternative; boundary="'
+       || boundary || '"' || crlf || crlf
+       || '--' || boundary || crlf
+       || 'Content-Type: text/plain; charset=utf-8' || crlf || crlf
+       || trim(regexp_replace(
+            regexp_replace(
+              regexp_replace(html, '(?i)<br\s*/?>', chr(10), 'g'),
+              '<[^>]+>', '', 'g'),
+            chr(10) || '\s*' || chr(10) || '+', chr(10), 'g')) || crlf
+       || '--' || boundary || crlf
+       || 'Content-Type: text/html; charset=utf-8' || crlf || crlf
+       || html || crlf
+       || '--' || boundary || '--' || crlf AS message
+FROM b
 """.replace("{values}", _TEMPLATE_VALUES)
 
 
@@ -5399,6 +5492,8 @@ _QUERIES: dict[str, Callable] = {
     "embedding_normalize": q_embedding_normalize,
     "correlated_scalar": q_correlated_scalar,
     "window_percentiles": q_window_percentiles,
+    "grouping_sets_sales": q_grouping_sets_sales,
+    "report_mime": q_report_mime,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5523,6 +5618,8 @@ _ORACLES: dict[str, str] = {
     "embedding_normalize": SQL_EMBEDDING_NORMALIZE,
     "correlated_scalar": SQL_CORRELATED_SCALAR,
     "window_percentiles": SQL_WINDOW_PERCENTILES,
+    "grouping_sets_sales": SQL_GROUPING_SETS_SALES,
+    "report_mime": SQL_REPORT_MIME,
     # ann_lsh / ann_ivf / ann_pq / minhash_lsh_pairs / simhash_docs /
     # bpe_merges: intentionally no oracle (approximate, iterative, or
     # engine-specific hash) → rows-only RAW-OUTPUT check; their
