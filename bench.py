@@ -72,6 +72,12 @@ HEADLINE = [
     "scd2_history",
     "cohort_retention",
     "ann_pq",
+    "pagerank",
+    "ewma_values",
+    "corpus_curation_pipeline",
+    "incremental_agg",
+    "group_anomalies",
+    "vocab_coverage",
 ]
 
 
