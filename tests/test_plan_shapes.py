@@ -108,3 +108,47 @@ def test_extract_plans_compile_under_janino_limit(spark, sf_dir):
             assert max(s for s in sizes) < 65536, (name, sizes)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+# --- round-4 second-session operators ---------------------------------------
+
+def test_doc_chunks_is_zero_shuffle(spark, sf_dir):
+    """Sliding-window chunking is sequence+explode per row: the plan
+    must contain NO Exchange — output inherits input partitioning."""
+    assert "Exchange" not in _plan(spark, sf_dir, "doc_chunks")
+
+
+def test_scd2_single_key_shuffle(spark, sf_dir):
+    """SCD2 is windows PARTITIONED BY user_id over one source: exactly
+    one Exchange (the key shuffle both windows reuse)."""
+    plan = _plan(spark, sf_dir, "scd2_history")
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+
+
+def test_ewma_single_key_shuffle(spark, sf_dir):
+    """EWMA = groupBy(user).applyInPandas: one hash Exchange on the
+    key, then per-group sequential passes — nothing else."""
+    plan = _plan(spark, sf_dir, "ewma_values")
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+
+
+def test_temperature_resample_broadcasts_rates(spark, sf_dir):
+    """The per-source rates frame must reach the corpus as a broadcast
+    join (tiny side), never a shuffled join of the corpus."""
+    plan = _plan(spark, sf_dir, "temperature_resample")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zorder_keys_is_pure_projection(spark, sf_dir):
+    """The Morton interleave + de-interleave round-trip is bit
+    arithmetic in one projection — zero shuffles."""
+    assert "Exchange" not in _plan(spark, sf_dir, "zorder_keys")
+
+
+def test_incremental_agg_no_basetable_rescan(spark, sf_dir):
+    """Incremental maintenance must aggregate base and delta each ONCE
+    (two scans of the shared lineitem file is the test-fixture shape;
+    the point is no third scan and a single merge join)."""
+    plan = _plan(spark, sf_dir, "incremental_agg")
+    assert plan.count("FileScan parquet") <= 2
+    assert "FullOuter" in plan or "BroadcastHashJoin" in plan
