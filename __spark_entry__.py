@@ -1641,6 +1641,14 @@ FROM documents WHERE doc_id % 10 = 0
 """
 
 
+def _hash_split_col(id_col):
+    """THE train/val/test rule (~80/10/10 by the first md5 byte) —
+    single source of truth shared by q_hash_split and
+    q_corpus_curation_pipeline so the two can never drift apart."""
+    hx = F.substring(F.md5(id_col.cast("string")), 1, 2)
+    return F.when(hx < "cc", "train").when(hx < "e6", "val").otherwise("test")
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test split (~80/10/10) by content-
     independent hash bucketing: first md5 byte of the doc id, compared
@@ -1650,12 +1658,8 @@ def q_hash_split(spark, sf_dir):
     Value-checked per split via count + id-sum + total token mass (so
     MEMBERSHIP is verified, not just sizes)."""
     docs = _read(spark, sf_dir, "documents")
-    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = (
-        F.when(hx < "cc", "train").when(hx < "e6", "val").otherwise("test")
-    )
     return docs.select(
-        split.alias("split"),
+        _hash_split_col(F.col("doc_id")).alias("split"),
         "doc_id",
         token_count(F.col("text")).alias("__tok"),
     ).groupBy("split").agg(
@@ -3397,11 +3401,12 @@ FROM r WHERE rk <= 3
 
 def q_bigram_pmi(spark, sf_dir):
     """Collocation mining: adjacent word pairs ranked by PMI lift
-    P(xy)/(P(x)P(y)), computed as exact int64 products divided once as
-    doubles (ln of the lift — PMI proper — is a monotone map, so the
-    ranking is identical; see operators/textstats.py for the exact
-    arithmetic and its valid corpus-size range). Top-50 with a total
-    (lift, w1, w2) order."""
+    P(xy)/(P(x)P(y)), every factor cast to double first so the
+    left-to-right IEEE products are overflow-free and bit-identical
+    across engines at any corpus size (ln of the lift — PMI proper —
+    is a monotone map, so the ranking is identical; see
+    operators/textstats.py). Top-50 with a total (lift, w1, w2)
+    order."""
     from smartbots_etl_facturas_spark.operators.textstats import bigram_pmi
 
     return bigram_pmi(_read(spark, sf_dir, "documents"), min_count=5, top=50)
@@ -3423,8 +3428,10 @@ tot AS (SELECT CAST(sum(len(w)) AS BIGINT) AS u_total,
         FROM t),
 scored AS (
   SELECT w1, w2, c_xy, cx.c AS c_x, cy.c AS c_y,
-         CAST(c_xy * u_total * u_total AS DOUBLE)
-           / CAST(t_total * cx.c * cy.c AS DOUBLE) AS lift
+         (CAST(c_xy AS DOUBLE) * CAST(u_total AS DOUBLE)
+          * CAST(u_total AS DOUBLE))
+           / (CAST(t_total AS DOUBLE) * CAST(cx.c AS DOUBLE)
+              * CAST(cy.c AS DOUBLE)) AS lift
   FROM big CROSS JOIN tot
   JOIN uni cx ON big.w1 = cx.wd
   JOIN uni cy ON big.w2 = cy.wd
@@ -3767,13 +3774,22 @@ def q_group_anomalies(spark, sf_dir):
     var = F.greatest(
         F.lit(0.0), (s2d - (s1d * s1d) / nd) / (nd - F.lit(1.0))
     )
+    # degenerate groups (n=1 or zero variance) have no defined z —
+    # emit NULL explicitly on BOTH engines (Spark's x/0.0 is NaN and
+    # NaN compares GREATER than everything, so an unguarded filter
+    # would emit singleton groups as "anomalies"; DuckDB's x/0.0 is
+    # NULL and drops silently — the guard makes the two agree)
+    z = F.when(
+        (F.col("n") > 1) & (var > 0.0),
+        (F.col("value").cast("decimal(18,4)").cast("double") - s1d / nd)
+        / F.sqrt(var),
+    )
     enriched = ev.join(F.broadcast(stats), "event_type").select(
         "event_id",
         "event_type",
         F.col("value").cast("decimal(18,4)").cast("double").alias("value"),
         F.col("n"),
-        ((F.col("value").cast("decimal(18,4)").cast("double") - s1d / nd)
-         / F.sqrt(var)).alias("z"),
+        z.alias("z"),
     )
     return enriched.filter(F.abs(F.col("z")) > 2.5)
 
@@ -3790,13 +3806,19 @@ enriched AS (
   SELECT e.event_id, e.event_type,
          CAST(CAST(e.value AS DECIMAL(18,4)) AS DOUBLE) AS value,
          s.n,
-         (CAST(CAST(e.value AS DECIMAL(18,4)) AS DOUBLE)
-          - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
-         / sqrt(greatest(0.0,
-             (CAST(s.s2 AS DOUBLE)
-              - (CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE))
-                / CAST(s.n AS DOUBLE))
-             / (CAST(s.n AS DOUBLE) - 1.0))) AS z
+         CASE WHEN s.n > 1 AND greatest(0.0,
+                (CAST(s.s2 AS DOUBLE)
+                 - (CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE))
+                   / CAST(s.n AS DOUBLE))
+                / (CAST(s.n AS DOUBLE) - 1.0)) > 0.0
+         THEN (CAST(CAST(e.value AS DECIMAL(18,4)) AS DOUBLE)
+               - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+              / sqrt(greatest(0.0,
+                  (CAST(s.s2 AS DOUBLE)
+                   - (CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE))
+                     / CAST(s.n AS DOUBLE))
+                  / (CAST(s.n AS DOUBLE) - 1.0)))
+         END AS z
   FROM events e JOIN stats s ON e.event_type = s.event_type)
 SELECT event_id, event_type, value, n, z
 FROM enriched WHERE abs(z) > 2.5
@@ -3928,11 +3950,9 @@ def q_corpus_curation_pipeline(spark, sf_dir):
         .withColumn("__rn", F.row_number().over(w_dig))
         .filter(F.col("__rn") == 1)
     )
-    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = F.when(hx < "cc", "train").when(hx < "e6", "val").otherwise("test")
     return (
         stage3.select(
-            split.alias("split"),
+            _hash_split_col(F.col("doc_id")).alias("split"),
             "doc_id",
             F.col("__m.n_tokens").alias("__tok"),
         )
@@ -4012,17 +4032,26 @@ def q_vocab_coverage(spark, sf_dir):
     )
     total = counts.agg(F.sum("c").cast("long").alias("total"))
     j = ranked.crossJoin(F.broadcast(total))
-    parts = [
-        j.filter(F.col("cum") * 100 >= F.col("total") * p).agg(
-            F.lit(p).cast("long").alias("pct"),
-            F.min("rank").alias("vocab_size"),
-        )
+    # ONE pass over the ranked frame: conditional mins per threshold,
+    # then explode to rows (an earlier per-threshold-aggregation form
+    # executed the global window three times)
+    one = j.agg(*[
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("total") * p, F.col("rank"))
+        ).alias(f"v{p}")
         for p in (50, 90, 99)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    ])
+    return one.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(p).cast("long").alias("pct"),
+                    F.col(f"v{p}").alias("vocab_size"),
+                )
+                for p in (50, 90, 99)
+            ])
+        ).alias("e")
+    ).select("e.pct", "e.vocab_size")
 
 
 SQL_VOCAB_COVERAGE = r"""

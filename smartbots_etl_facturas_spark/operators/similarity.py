@@ -468,21 +468,42 @@ def kmeans_centroids(
         sums = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("mean"))
+            .agg(*_exact_mean_aggs())
             .collect()
         )
         by_cell: dict[int, dict[int, float]] = {}
         for r in sums:
-            # round far below data precision but far above float-sum
-            # ULP drift: makes the centroids (hence cell assignment,
-            # hence recall) bit-identical across partition orderings
-            by_cell.setdefault(r.cell, {})[r.pos] = round(r.mean, 6)
+            # exact-decimal sum / count (see _exact_mean_aggs): the
+            # mean — hence centroids, assignment, recall — is
+            # bit-identical across partition orderings BY CONSTRUCTION,
+            # not merely rounded far from a boundary
+            by_cell.setdefault(r.cell, {})[r.pos] = _exact_mean(r)
         centroids = [
             _unit([by_cell[j][p] for p in sorted(by_cell[j])])
             if j in by_cell else centroids[j]
             for j in range(k)
         ]
     return centroids
+
+
+def _exact_mean_aggs():
+    """Partition-order-free mean ingredients: an EXACT decimal sum
+    (float->decimal casts are correctly rounded per value; decimal
+    addition is exact, so summation order cannot move the result) plus
+    the count. A float ``avg`` merged across partitions can land on
+    either side of a rounding boundary depending on merge order —
+    round(avg, 6) then flips the trained centroid/codeword and
+    everything downstream of it."""
+    return [
+        F.sum(F.col("x").cast("double").cast("decimal(38,10)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+
+
+def _exact_mean(row) -> float:
+    # float(Decimal) and the division are each correctly rounded →
+    # one deterministic double, then one deterministic round()
+    return round(float(row.s) / row.n, 6)
 
 
 # --- PQ: product quantization (compressed-domain scoring) -------------------
@@ -544,12 +565,12 @@ def pq_codebooks(
         sums = (
             assigned.select("sub", "code", F.posexplode("sv").alias("pos", "x"))
             .groupBy("sub", "code", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("mean"))
+            .agg(*_exact_mean_aggs())
             .collect()
         )
         nxt = books.copy()
         for r in sums:
-            nxt[r.sub, r.code, r.pos] = round(r.mean, 6)
+            nxt[r.sub, r.code, r.pos] = _exact_mean(r)
         books = nxt
     return [[list(c) for c in books[s]] for s in range(m)]
 

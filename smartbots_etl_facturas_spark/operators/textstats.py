@@ -77,10 +77,12 @@ def bigram_pmi(
 
     lift = P(xy) / (P(x) * P(y)) = (c_xy * U * U) / (T * c_x * c_y)
     where c_xy is the corpus bigram count, c_x/c_y unigram counts,
-    T total bigrams, U total unigrams. The numerator/denominator
-    products are computed EXACTLY in int64 (corpus token mass up to
-    ~3e6 keeps c_xy*U*U < 2^63) and divided once as doubles —
-    deterministic across engines. PMI proper is ``ln(lift)``, a
+    T total bigrams, U total unigrams. Each integer factor is cast to
+    double FIRST and the products/division evaluate left-to-right —
+    every IEEE op is correctly rounded, so with the identical
+    expression shape both engines produce bit-identical lifts at ANY
+    corpus size (an earlier int64-product formulation overflowed
+    silently past ~3e6 tokens). PMI proper is ``ln(lift)``, a
     monotone map, so the ranking is identical.
 
     Output: top ``top`` rows ``(w1, w2, c_xy, c_x, c_y, lift)``
@@ -121,8 +123,16 @@ def bigram_pmi(
             "c_x",
             "c_y",
             (
-                (F.col("c_xy") * F.col("u_total") * F.col("u_total")).cast("double")
-                / (F.col("t_total") * F.col("c_x") * F.col("c_y")).cast("double")
+                (
+                    F.col("c_xy").cast("double")
+                    * F.col("u_total").cast("double")
+                    * F.col("u_total").cast("double")
+                )
+                / (
+                    F.col("t_total").cast("double")
+                    * F.col("c_x").cast("double")
+                    * F.col("c_y").cast("double")
+                )
             ).alias("lift"),
         )
     )

@@ -20,10 +20,33 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 _CURRENT = "_CURRENT"
+_HISTORY = "_HISTORY"
 
 
 def _pointer_path(base: str) -> str:
     return os.path.join(base, _CURRENT)
+
+
+def _history_path(base: str) -> str:
+    return os.path.join(base, _HISTORY)
+
+
+def _published_versions(base: str) -> list[str]:
+    """Versions that were actually pointer-flipped, in first-publish
+    order (the _HISTORY flip log, deduplicated — rollback re-flips an
+    old version without re-publishing it). Directories that were never
+    flipped (crashed half-writes, check-rejected publishes kept for
+    forensics) are NOT in this list and must never be readable."""
+    try:
+        with open(_history_path(base)) as fh:
+            seen: dict[str, None] = {}
+            for line in fh:
+                v = line.strip()
+                if v:
+                    seen.setdefault(v, None)
+            return sorted(seen)
+    except FileNotFoundError:
+        return []
 
 
 def current_version(base: str) -> str | None:
@@ -60,6 +83,8 @@ def publish(df: DataFrame, base: str, check=None) -> str:
     if check is not None:
         written = df.sparkSession.read.parquet(target)
         check(written)
+    with open(_history_path(base), "a") as fh:
+        fh.write(version + "\n")
     _flip_pointer(base, version)
     return version
 
@@ -79,12 +104,21 @@ def read_version(spark: SparkSession, base: str, version: str) -> DataFrame:
     directory is impossible: only pointer-flipped versions are listed,
     and a version is immutable once published."""
     target = os.path.join(base, version)
-    if version not in list_versions(base) or not os.path.isdir(target):
-        raise FileNotFoundError(f"no version {version!r} under {base}")
+    if version not in _published_versions(base) or not os.path.isdir(target):
+        raise FileNotFoundError(f"no published version {version!r} under {base}")
     return spark.read.parquet(target)
 
 
 def list_versions(base: str) -> list[str]:
+    """PUBLISHED versions only (pointer-flip log ∩ on-disk dirs) —
+    never-flipped forensic directories are excluded, so rollback and
+    time travel can only ever target good snapshots. Falls back to
+    the directory listing for layouts written before the flip log
+    existed."""
+    published = _published_versions(base)
+    if published:
+        return [v for v in published
+                if os.path.isdir(os.path.join(base, v))]
     return sorted(
         d for d in os.listdir(base)
         if d.startswith("v") and os.path.isdir(os.path.join(base, d))

@@ -11,9 +11,10 @@ order-sequential) and is dropped — the same discard semantics a
 watermark gives an aggregation. Rows inside one micro-batch are
 processed in event-time order.
 
-Determinism matches the batch twin exactly: integer units, truncating
-division toward zero (tests pin stream == batch on the shared
-prefix).
+Determinism matches the batch twin exactly — integer units,
+truncating division toward zero, stable (ts, tie) ordering — PROVIDED
+``tie_col`` is passed when one key can carry same-timestamp rows
+(see :func:`ewma_stateful`); tests pin stream == batch.
 """
 
 from __future__ import annotations
@@ -27,10 +28,18 @@ def ewma_stateful(
     ts_col: str = "ts",
     units_col: str = "x_units",
     alpha_denom: int = 4,
+    tie_col: str | None = None,
 ):
     """Per-key streaming EWMA (α = 1/alpha_denom) over a streaming
     DataFrame with a watermark on ``ts_col``. Emits one row per
-    accepted input row: (key, ts, x_units, ewma_units)."""
+    accepted input row: (key, ts, x_units, ewma_units).
+
+    Determinism contract: within a micro-batch, rows fold in
+    (``ts_col``, ``tie_col``) order under a STABLE sort. Pass
+    ``tie_col`` whenever same-timestamp rows can occur for one key —
+    without it, equal-ts rows fold in arrival order, which is
+    partition-order dependent (the batch twin requires a tie column
+    for exactly this reason)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     if alpha_denom < 2:
@@ -40,10 +49,14 @@ def ewma_stateful(
     )
     state_schema = "acc long, last_us long"
 
+    sort_cols = [ts_col] + ([tie_col] if tie_col else [])
+
     def fn(key, pdf_iter, state: GroupState):
         import pandas as pd
 
-        rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values(ts_col)
+        rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values(
+            sort_cols, kind="mergesort"   # stable: ties keep a fixed order
+        )
         ts_us = (rows[ts_col].astype("int64") // 1000).tolist()
         xs = rows[units_col].astype("int64").tolist()
 

@@ -165,3 +165,36 @@ def test_time_travel_read_version(spark, tmp_path):
     assert read_version(spark, base, v2).count() == 7
     with pytest.raises(FileNotFoundError):
         read_version(spark, base, "v-nope")
+
+
+def test_rejected_version_invisible_to_time_travel_and_rollback(spark, tmp_path):
+    """A check-rejected publish leaves its directory for forensics but
+    must NEVER be reachable: not listed, not time-travel readable, and
+    not a rollback target (the flip log, not the dir listing, is the
+    source of truth)."""
+    from smartbots_etl_facturas_spark.sinks.staged import (
+        list_versions,
+        publish,
+        read_published,
+        read_version,
+        rollback,
+    )
+
+    base = str(tmp_path / "rej")
+    v1 = publish(spark.range(5).withColumnRenamed("id", "k"), base)
+    with pytest.raises(RuntimeError, match="bad data"):
+        publish(
+            spark.range(99).withColumnRenamed("id", "k"), base,
+            check=lambda df: (_ for _ in ()).throw(RuntimeError("bad data")),
+        )
+    import os
+
+    forensic = [d for d in os.listdir(base)
+                if d.startswith("v") and d != v1]
+    assert forensic, "rejected dir should remain on disk"
+    assert list_versions(base) == [v1]
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, base, forensic[0])
+    with pytest.raises(RuntimeError):   # nothing published before v1
+        rollback(base)
+    assert read_published(spark, base).count() == 5
