@@ -4237,6 +4237,44 @@ WINDOW w AS (PARTITION BY l_returnflag
 """
 
 
+def q_similarity_join(spark, sf_dir):
+    """Exact set-similarity JOIN across two tables (entity matching /
+    record linkage): all cross-table pairs with token-set Jaccard >=
+    0.8 via LOSSLESS prefix filtering (AllPairs/PPJoin family —
+    rarest-first canonical token order, index only each record's
+    first n - ceil(tau*n) + 1 tokens, equi-join on prefix tokens,
+    exact verify on candidates; operators/linkage.py). Because the
+    filter is lossless the operator is EXACT, so the oracle is a full
+    brute-force cross join — unlike the LSH tiers, no recall
+    companion is needed."""
+    from smartbots_etl_facturas_spark.operators.linkage import (
+        jaccard_similarity_join,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    left = docs.filter(F.col("doc_id") % 3 == 0)
+    right = docs.filter(F.col("doc_id") % 3 == 1)
+    return jaccard_similarity_join(left, right, threshold=0.8)
+
+
+SQL_SIMILARITY_JOIN = r"""
+WITH l AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS t
+  FROM documents WHERE doc_id % 3 = 0),
+r AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS t
+  FROM documents WHERE doc_id % 3 = 1)
+SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+       CAST(len(list_intersect(l.t, r.t)) AS DOUBLE)
+         / CAST(len(list_distinct(l.t || r.t)) AS DOUBLE) AS jaccard
+FROM l CROSS JOIN r
+WHERE CAST(len(list_intersect(l.t, r.t)) AS DOUBLE)
+        / CAST(len(list_distinct(l.t || r.t)) AS DOUBLE) >= 0.8
+"""
+
+
 def q_source_mixture(spark, sf_dir):
     """Training-mixture balancing (the Pile/ROOTS-style source
     weighting step): given target token-mass proportions over source
@@ -5523,6 +5561,7 @@ _QUERIES: dict[str, Callable] = {
     "window_percentiles": q_window_percentiles,
     "grouping_sets_sales": q_grouping_sets_sales,
     "report_mime": q_report_mime,
+    "similarity_join": q_similarity_join,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5649,6 +5688,7 @@ _ORACLES: dict[str, str] = {
     "window_percentiles": SQL_WINDOW_PERCENTILES,
     "grouping_sets_sales": SQL_GROUPING_SETS_SALES,
     "report_mime": SQL_REPORT_MIME,
+    "similarity_join": SQL_SIMILARITY_JOIN,
     # ann_lsh / ann_ivf / ann_pq / minhash_lsh_pairs / simhash_docs /
     # bpe_merges: intentionally no oracle (approximate, iterative, or
     # engine-specific hash) → rows-only RAW-OUTPUT check; their

@@ -142,3 +142,58 @@ class TestTemperatureResample:
                  for r in kept.select("source", "accept_prob").distinct().collect()}
         assert probs["small"] < 1.0  # unclamped configuration
         assert probs["small"] / probs["big"] == pytest.approx(2.0, rel=1e-6)
+
+
+class TestSimilarityJoin:
+    def test_exact_vs_bruteforce(self, spark):
+        from smartbots_etl_facturas_spark.operators.linkage import (
+            jaccard_similarity_join,
+        )
+
+        rows_l = [(1, ["a", "b", "c", "d"]), (2, ["x", "y"]), (3, ["p"])]
+        rows_r = [(10, ["a", "b", "c", "e"]),   # J with 1 = 3/5 = 0.6
+                  (11, ["x", "y"]),             # J with 2 = 1.0
+                  (12, ["q"])]                  # matches nothing
+        l = spark.createDataFrame(rows_l, "doc_id long, toks array<string>")
+        r = spark.createDataFrame(rows_r, "doc_id long, toks array<string>")
+        got = {(x.left_id, x.right_id): x.jaccard
+               for x in jaccard_similarity_join(l, r, 0.6).collect()}
+        assert got == {(1, 10): 0.6, (2, 11): 1.0}
+        # raising tau drops the 0.6 pair
+        got2 = {(x.left_id, x.right_id)
+                for x in jaccard_similarity_join(l, r, 0.61).collect()}
+        assert got2 == {(2, 11)}
+
+    def test_prefix_filter_is_lossless(self, spark, sf_dir):
+        """Candidates after prefix filtering must contain EVERY pair a
+        brute-force scan finds at the threshold (the PPJoin lossless
+        property), on real corpus data."""
+        from smartbots_etl_facturas_spark.operators.linkage import (
+            jaccard_similarity_join,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+        ).filter(F.col("doc_id") % 10 == 0)
+        l = docs.filter(F.col("doc_id") % 20 == 0)
+        r = docs.filter(F.col("doc_id") % 20 != 0)
+        got = {(x.left_id, x.right_id)
+               for x in jaccard_similarity_join(l, r, 0.75).collect()}
+        lc = {x.doc_id: set(x.toks) for x in l.collect()}
+        rc = {x.doc_id: set(x.toks) for x in r.collect()}
+        brute = {
+            (a, b)
+            for a, ta in lc.items()
+            for b, tb in rc.items()
+            if len(ta & tb) / len(ta | tb) >= 0.75
+        }
+        assert got == brute and brute
+
+    def test_bad_threshold(self, spark):
+        from smartbots_etl_facturas_spark.operators.linkage import (
+            jaccard_similarity_join,
+        )
+
+        df = spark.createDataFrame([(1, ["a"])], "doc_id long, toks array<string>")
+        with pytest.raises(ValueError):
+            jaccard_similarity_join(df, df, 0.0)
