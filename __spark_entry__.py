@@ -4275,6 +4275,67 @@ WHERE CAST(len(list_intersect(l.t, r.t)) AS DOUBLE)
 """
 
 
+def q_event_runs(spark, sf_dir):
+    """Gaps-and-islands (run-length encoding of the event stream):
+    consecutive same-type events per user collapse to one row with
+    length and time bounds — change flags via lag, run ids via a
+    running sum, both windows PARTITIONED BY user_id over the total
+    (ts, event_id) order."""
+    ev = read_events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w))
+        | (F.row_number().over(w) == 1)
+    )
+    runs = ev.withColumn("__run", F.sum(chg.cast("long")).over(w))
+    return runs.groupBy("user_id", "__run", "event_type").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+    ).select("user_id", "event_type", "run_len", "start_ts", "end_ts")
+
+
+SQL_EVENT_RUNS = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS ts, event_id FROM events),
+flagged AS (
+  SELECT *,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                   OR row_number() OVER w = 1
+              THEN 1 ELSE 0 END AS chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+runs AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged)
+SELECT user_id, event_type,
+       CAST(count(*) AS BIGINT) AS run_len,
+       CAST(min(ts) AS BIGINT) AS start_ts,
+       CAST(max(ts) AS BIGINT) AS end_ts
+FROM runs GROUP BY user_id, run_id, event_type
+"""
+
+
+def q_event_runs_udtf(spark, sf_dir):
+    """The SAME run-length encoding via a TABLE-argument Python UDTF
+    (Spark 4): ``event_runs(TABLE(v) PARTITION BY user_id ORDER BY
+    ts, event_id)`` streams each user's ordered events through one
+    UDTF instance holding a single open run
+    (functions/udx.py:event_runs_udtf) — the imperative
+    per-partition escape hatch, value-checked against the identical
+    oracle as the pure-window formulation above."""
+    from smartbots_etl_facturas_spark.functions.udx import event_runs_udtf
+
+    spark.udtf.register("event_runs_rle", event_runs_udtf())
+    read_events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    ).createOrReplaceTempView("v_events_runs")
+    return spark.sql(
+        "SELECT * FROM event_runs_rle(TABLE(v_events_runs) "
+        "PARTITION BY user_id ORDER BY (ts, event_id))"
+    )
+
+
 def q_source_mixture(spark, sf_dir):
     """Training-mixture balancing (the Pile/ROOTS-style source
     weighting step): given target token-mass proportions over source
@@ -5562,6 +5623,8 @@ _QUERIES: dict[str, Callable] = {
     "grouping_sets_sales": q_grouping_sets_sales,
     "report_mime": q_report_mime,
     "similarity_join": q_similarity_join,
+    "event_runs": q_event_runs,
+    "event_runs_udtf": q_event_runs_udtf,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5689,6 +5752,8 @@ _ORACLES: dict[str, str] = {
     "grouping_sets_sales": SQL_GROUPING_SETS_SALES,
     "report_mime": SQL_REPORT_MIME,
     "similarity_join": SQL_SIMILARITY_JOIN,
+    "event_runs": SQL_EVENT_RUNS,
+    "event_runs_udtf": SQL_EVENT_RUNS,
     # ann_lsh / ann_ivf / ann_pq / minhash_lsh_pairs / simhash_docs /
     # bpe_merges: intentionally no oracle (approximate, iterative, or
     # engine-specific hash) → rows-only RAW-OUTPUT check; their

@@ -70,3 +70,37 @@ def split_sentences_expr(text_col):
     logic is needed; kept for differential testing."""
     arr = F.split(F.trim(text_col), SENTENCE_SPLIT_RE)
     return F.filter(arr, lambda s: F.trim(s) != "")
+
+
+def event_runs_udtf():
+    """TABLE-argument Python UDTF (Spark 4 §2.9 surface): run-length
+    encode an ORDERED event partition — consecutive same-type events
+    collapse to one row with length and time bounds. Called as
+    ``event_runs(TABLE(v) PARTITION BY user_id ORDER BY ts, ...)``:
+    each partition streams through ONE UDTF instance in order, state
+    is a single open run, terminate() flushes it — the
+    gaps-and-islands problem as imperative per-partition logic, with
+    the pure-window formulation as its oracle-shared twin."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id long, event_type string, run_len long, "
+                     "start_ts long, end_ts long")
+    class EventRuns:
+        def __init__(self):
+            self.cur = None
+
+        def eval(self, row):
+            u, t, ts = row["user_id"], row["event_type"], row["ts"]
+            if self.cur is not None and self.cur[0] == u and self.cur[1] == t:
+                c = self.cur
+                self.cur = (u, t, c[2] + 1, c[3], ts)
+            else:
+                if self.cur is not None:
+                    yield self.cur
+                self.cur = (u, t, 1, ts, ts)
+
+        def terminate(self):
+            if self.cur is not None:
+                yield self.cur
+
+    return EventRuns
