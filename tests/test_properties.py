@@ -213,3 +213,107 @@ def test_bigram_lm_matches_python_model(spark, train_texts, test_texts):
     for i in expected:
         assert got[i][:5] == expected[i][:5], (i, got[i], expected[i])
         assert math.isclose(got[i][5], expected[i][5], rel_tol=0, abs_tol=1e-12), i
+
+
+# --- round-4 second-session operators ---------------------------------------
+
+_doc_texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=8
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=_doc_texts, chunk=st.integers(2, 6), stride_off=st.integers(0, 4))
+def test_chunking_matches_python_model(spark, texts, chunk, stride_off):
+    """chunk_documents vs a direct Python replay of its window spec:
+    full coverage, exact overlap, short-final-chunk — on arbitrary
+    whitespace soup."""
+    from smartbots_etl_facturas_spark.operators.chunking import chunk_documents
+
+    stride = max(1, chunk - stride_off)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {}
+    for r in chunk_documents(df, chunk_tokens=chunk, stride=stride).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_idx] = (r.chunk_text, r.n_chunk_tokens)
+    import re as _re
+
+    for i, t in enumerate(texts):
+        # mirror Spark's split(trim(text), '\s+'): "" yields [""]
+        toks = _re.split(r"\s+", t.strip())
+        overlap = chunk - stride
+        expect = {}
+        start, idx = 0, 0
+        while True:
+            piece = toks[start:start + chunk]
+            expect[idx] = (" ".join(piece), len(piece))
+            nxt = start + stride
+            if nxt + 1 > max(len(toks) - overlap, 1):
+                break
+            start, idx = nxt, idx + 1
+        assert got[i] == expect, (t, chunk, stride)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    series=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-(10**6), 10**6)),
+        min_size=1, max_size=30,
+    ),
+    denom=st.integers(2, 8),
+)
+def test_ewma_matches_python_model(spark, series, denom):
+    """Integer EWMA vs a direct Python replay of the truncating
+    recurrence, over arbitrary per-key integer series with ties
+    broken by a sequence column."""
+    from smartbots_etl_facturas_spark.operators.timeseries import ewma_smooth
+
+    rows = [(k, i, i, x) for i, (k, x) in enumerate(series)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, x_units long")
+    got = {(r.user_id, r.event_id): r.ewma_units
+           for r in ewma_smooth(df, alpha_denom=denom).collect()}
+    acc: dict[int, int] = {}
+    for k, i, _, x in rows:
+        if k not in acc:
+            acc[k] = x
+        else:
+            d = x - acc[k]
+            q = abs(d) // denom
+            acc[k] = acc[k] + (q if d >= 0 else -q)
+        assert got[(k, i)] == acc[k]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    lsets=st.lists(st.sets(st.sampled_from("abcdefgh"), min_size=1, max_size=6),
+                   min_size=1, max_size=6),
+    rsets=st.lists(st.sets(st.sampled_from("abcdefgh"), min_size=1, max_size=6),
+                   min_size=1, max_size=6),
+    tau=st.sampled_from([0.34, 0.5, 0.67, 0.8, 1.0]),
+)
+def test_similarity_join_matches_bruteforce(spark, lsets, rsets, tau):
+    """Prefix-filtered Jaccard join vs exhaustive Python comparison on
+    arbitrary small set collections and thresholds (the PPJoin
+    losslessness property, fuzzed)."""
+    from smartbots_etl_facturas_spark.operators.linkage import (
+        jaccard_similarity_join,
+    )
+
+    l = spark.createDataFrame(
+        [(i, sorted(s)) for i, s in enumerate(lsets)],
+        "doc_id long, toks array<string>",
+    )
+    r = spark.createDataFrame(
+        [(100 + i, sorted(s)) for i, s in enumerate(rsets)],
+        "doc_id long, toks array<string>",
+    )
+    got = {(x.left_id, x.right_id)
+           for x in jaccard_similarity_join(l, r, tau).collect()}
+    brute = {
+        (i, 100 + j)
+        for i, a in enumerate(lsets)
+        for j, b in enumerate(rsets)
+        if len(a & b) / len(a | b) >= tau
+    }
+    assert got == brute
