@@ -3928,25 +3928,59 @@ def q_corpus_curation_pipeline(spark, sf_dir):
     window dedup, the hash_split rule); the oracle re-derives the
     entire chain in SQL, so the STAGE COMPOSITION — not just each
     stage — is value-checked."""
-    from smartbots_etl_facturas_spark.functions.text import (
-        c4_filter_flags,
-        repetition_metrics,
-        shingles_from_tokens,
-    )
-
+    # Per-doc gate statistics via EXPLODE + AGGREGATION, not per-row
+    # array HOF trees: the HOF form (see repetition_filter, kept as
+    # the single-stage demonstrator) is O(distinct*n) interpreted per
+    # row AND, composed under a filter, Catalyst re-inlines the
+    # tokens() split into every sub-expression reference (measured
+    # 26 s vs 2 s at sf0.1). Aggregated counts are codegen'd hash
+    # aggs with map-side combine — the shape that also survives long
+    # documents at 100 TB.
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id", "text", tokens(F.col("text")).alias("w")
     )
-    fl = c4_filter_flags("w", min_words=20)
-    stage1 = docs.withColumn("__fl", fl).filter(F.col("__fl.keep"))
-    stage1 = stage1.withColumn("g", shingles_from_tokens("w", 2))
-    m = repetition_metrics("w", "g")
-    stage2 = stage1.withColumn("__m", m).filter(
-        ~((F.col("__m.top_token_frac") > 0.2) | (F.col("__m.dup_2gram_frac") > 0.5))
+    tok = docs.select(
+        "doc_id", F.explode("w").alias("t"),
+    )
+    tok_counts = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    word_stats = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.max("c").cast("long").alias("top_count"),
+        F.sum(F.length("t") * F.col("c")).cast("long").alias("char_sum"),
+    )
+    big = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("CASE WHEN size(w) >= 2 THEN "
+                   "transform(sequence(1, size(w) - 1), "
+                   "i -> concat_ws(' ', w[i-1], w[i])) ELSE array() END")
+        ).alias("gm"),
+    )
+    gram_stats = big.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.countDistinct("gm").cast("long").alias("n_distinct_grams"),
+    )
+    gated = (
+        docs.join(word_stats, "doc_id")
+        .join(gram_stats, "doc_id", "left")
+        .filter(
+            (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 100000)
+            & ((F.col("char_sum").cast("double") / F.col("n_tokens")) >= 3.0)
+            & ((F.col("char_sum").cast("double") / F.col("n_tokens")) <= 10.0)
+            & ((F.col("top_count").cast("double") / F.col("n_tokens")) <= 0.2)
+            & (
+                F.col("n_grams").isNull()
+                | (
+                    (F.col("n_grams") - F.col("n_distinct_grams")).cast("double")
+                    / F.col("n_grams")
+                    <= 0.5
+                )
+            )
+        )
     )
     w_dig = Window.partitionBy("digest").orderBy("doc_id")
     stage3 = (
-        stage2.withColumn("digest", F.md5(F.encode(F.col("text"), "UTF-8")))
+        gated.withColumn("digest", F.md5(F.encode(F.col("text"), "UTF-8")))
         .withColumn("__rn", F.row_number().over(w_dig))
         .filter(F.col("__rn") == 1)
     )
@@ -3954,7 +3988,7 @@ def q_corpus_curation_pipeline(spark, sf_dir):
         stage3.select(
             _hash_split_col(F.col("doc_id")).alias("split"),
             "doc_id",
-            F.col("__m.n_tokens").alias("__tok"),
+            F.col("n_tokens").alias("__tok"),
         )
         .groupBy("split")
         .agg(
