@@ -4370,6 +4370,81 @@ def q_event_runs_udtf(spark, sf_dir):
     )
 
 
+def q_rolling_window_revenue(spark, sf_dir):
+    """Trailing TIME-RANGE window (not row-count): per user, the sum
+    of value and event count over the preceding 24 hours at each
+    event — ``rangeBetween`` on the int64 nanos order column, so the
+    frame is defined by TIME distance and handles irregular event
+    spacing (the rows-frame running_total query is the
+    fixed-row-count sibling). Exact decimal sums; windows PARTITIONED
+    BY user_id."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    day_ns = 24 * 3600 * 1_000_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(-day_ns, 0)
+    )
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("v").over(w).cast("double").alias("sum_24h"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_24h"),
+    )
+
+
+SQL_ROLLING_WINDOW_REVENUE = """
+SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts, event_id,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_24h,
+       CAST(count(*) OVER w AS BIGINT) AS n_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+             RANGE BETWEEN 86400000000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling PLAN (the explode-shaped fan-out a real
+    sampler uses; decode stubbed — frame count derived
+    deterministically from payload size, since no video codec is
+    expressible with the stdlib): one row per sampled frame index of
+    each synthetic video payload (sources/multimodal.py:
+    frame_sample_plan + synthetic_media). Deterministic payloads make
+    every sampled index a literal the oracle pins."""
+    from smartbots_etl_facturas_spark.sources.multimodal import (
+        frame_sample_plan,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 24)
+    return frame_sample_plan(media, every_n=30).select(
+        "media_id", "frame_idx", "mime"
+    )
+
+
+def _frame_sample_oracle() -> str:
+    rows = []
+    for i in range(24):
+        if ("image", "audio", "video")[i % 3] != "video":
+            continue
+        payload_len = 32 * (4 + i % 7)       # sha256 digest * (4 + i%7)
+        n_frames = payload_len % 300 + 1
+        for idx in range(0, n_frames, 30):
+            rows.append(
+                f"SELECT CAST({i} AS BIGINT) AS media_id, "
+                f"CAST({idx} AS INT) AS frame_idx, "
+                f"'application/x-video' AS mime"
+            )
+    return "\nUNION ALL\n".join(rows)
+
+
+SQL_FRAME_SAMPLE = _frame_sample_oracle()
+
+
 def q_source_mixture(spark, sf_dir):
     """Training-mixture balancing (the Pile/ROOTS-style source
     weighting step): given target token-mass proportions over source
@@ -5659,6 +5734,8 @@ _QUERIES: dict[str, Callable] = {
     "similarity_join": q_similarity_join,
     "event_runs": q_event_runs,
     "event_runs_udtf": q_event_runs_udtf,
+    "rolling_window_revenue": q_rolling_window_revenue,
+    "frame_sample": q_frame_sample,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5788,6 +5865,8 @@ _ORACLES: dict[str, str] = {
     "similarity_join": SQL_SIMILARITY_JOIN,
     "event_runs": SQL_EVENT_RUNS,
     "event_runs_udtf": SQL_EVENT_RUNS,
+    "rolling_window_revenue": SQL_ROLLING_WINDOW_REVENUE,
+    "frame_sample": SQL_FRAME_SAMPLE,
     # ann_lsh / ann_ivf / ann_pq / minhash_lsh_pairs / simhash_docs /
     # bpe_merges: intentionally no oracle (approximate, iterative, or
     # engine-specific hash) → rows-only RAW-OUTPUT check; their
