@@ -4445,6 +4445,111 @@ def _frame_sample_oracle() -> str:
 SQL_FRAME_SAMPLE = _frame_sample_oracle()
 
 
+def q_dq_checks(spark, sf_dir):
+    """Data-quality assertion suite (dbt-tests-shaped, as dataflow —
+    operators/quality.py): uniqueness of the orders PK, not-null and
+    accepted-values on status columns, and customer→nation
+    referential integrity — each check one aggregation, unioned into
+    a single report frame a publish can gate on. The orders PK is
+    genuinely non-unique in this synthetic table, so the fail path is
+    exercised with a real violation count, not just TRUEs."""
+    from smartbots_etl_facturas_spark.operators.quality import (
+        check_accepted_values,
+        check_not_null,
+        check_referential,
+        check_unique,
+        run_checks,
+    )
+
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return run_checks([
+        check_unique(orders, ["o_orderkey"]),
+        check_not_null(orders, "o_custkey"),
+        check_accepted_values(orders, "o_orderstatus", ["O", "F", "P"]),
+        check_referential(customer, "c_nationkey", nation, "n_nationkey"),
+    ])
+
+
+SQL_DQ_CHECKS = """
+SELECT 'unique:o_orderkey' AS check_name,
+       CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS n_violations,
+       coalesce(sum(n - 1), 0) = 0 AS passed
+FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+UNION ALL
+SELECT 'not_null:o_custkey',
+       CAST(count(*) AS BIGINT),
+       count(*) = 0
+FROM orders WHERE o_custkey IS NULL
+UNION ALL
+SELECT 'accepted_values:o_orderstatus',
+       CAST(count(*) AS BIGINT),
+       count(*) = 0
+FROM orders WHERE o_orderstatus NOT IN ('O', 'F', 'P') OR o_orderstatus IS NULL
+UNION ALL
+SELECT 'referential:c_nationkey',
+       CAST(count(*) AS BIGINT),
+       count(*) = 0
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+"""
+
+
+def q_table_diff(spark, sf_dir):
+    """PK-level table reconciliation (the datafold-style diff every
+    migration runs before cutover): two lineitem-derived snapshots —
+    "yesterday" (linenumber >= 2) vs "today" (linenumber <= 6, with
+    every partkey%5 row's quantity bumped) — compared by full-outer
+    join on the PK with null-safe value comparison, reported as
+    added/removed/changed/unchanged counts (zero-count statuses still
+    emitted)."""
+    from smartbots_etl_facturas_spark.operators.quality import table_diff
+
+    # lineitem carries duplicate (orderkey, linenumber) pairs: collapse
+    # deterministically (min aggregates), never dropDuplicates (which
+    # keeps an arbitrary survivor)
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.min(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+            F.min("l_partkey").alias("l_partkey"),
+        )
+    )
+    old = li.filter(F.col("l_linenumber") >= 2)
+    new = li.filter(F.col("l_linenumber") <= 6).withColumn(
+        "qty",
+        F.when(F.col("l_partkey") % 5 == 0, F.col("qty") + 1).otherwise(F.col("qty")),
+    )
+    return table_diff(old, new, ["l_orderkey", "l_linenumber"], ["qty"])
+
+
+SQL_TABLE_DIFF = """
+WITH d AS (
+  SELECT l_orderkey, l_linenumber,
+         min(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+         min(l_partkey) AS l_partkey
+  FROM lineitem GROUP BY 1, 2),
+old AS (SELECT l_orderkey, l_linenumber, qty FROM d WHERE l_linenumber >= 2),
+new AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_partkey % 5 = 0 THEN qty + 1 ELSE qty END AS qty
+  FROM d WHERE l_linenumber <= 6),
+joined AS (
+  SELECT CASE WHEN o.l_orderkey IS NULL THEN 'added'
+              WHEN n.l_orderkey IS NULL THEN 'removed'
+              WHEN o.qty IS NOT DISTINCT FROM n.qty THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM old o FULL OUTER JOIN new n
+    ON o.l_orderkey = n.l_orderkey AND o.l_linenumber = n.l_linenumber)
+SELECT s.status, CAST(coalesce(j.n_rows, 0) AS BIGINT) AS n_rows
+FROM (VALUES ('added'), ('removed'), ('changed'), ('unchanged')) s(status)
+LEFT JOIN (SELECT status, count(*) AS n_rows FROM joined GROUP BY 1) j
+  ON s.status = j.status
+"""
+
+
 def q_source_mixture(spark, sf_dir):
     """Training-mixture balancing (the Pile/ROOTS-style source
     weighting step): given target token-mass proportions over source
@@ -5736,6 +5841,8 @@ _QUERIES: dict[str, Callable] = {
     "event_runs_udtf": q_event_runs_udtf,
     "rolling_window_revenue": q_rolling_window_revenue,
     "frame_sample": q_frame_sample,
+    "dq_checks": q_dq_checks,
+    "table_diff": q_table_diff,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5867,6 +5974,8 @@ _ORACLES: dict[str, str] = {
     "event_runs_udtf": SQL_EVENT_RUNS,
     "rolling_window_revenue": SQL_ROLLING_WINDOW_REVENUE,
     "frame_sample": SQL_FRAME_SAMPLE,
+    "dq_checks": SQL_DQ_CHECKS,
+    "table_diff": SQL_TABLE_DIFF,
     # ann_lsh / ann_ivf / ann_pq / minhash_lsh_pairs / simhash_docs /
     # bpe_merges: intentionally no oracle (approximate, iterative, or
     # engine-specific hash) → rows-only RAW-OUTPUT check; their

@@ -71,3 +71,51 @@ def test_reconcile_detects_loss_and_variance(spark):
     assert rep.variance == 203.0      # 300 - 97
     assert not rep.amounts_match
     assert not rep.reconciled
+
+
+# --- data-quality suite + table diff (operators/quality.py) ------------------
+
+def test_dq_checks_pass_and_fail_paths(spark):
+    from smartbots_etl_facturas_spark.operators.quality import (
+        check_accepted_values,
+        check_not_null,
+        check_referential,
+        check_unique,
+        run_checks,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A"), (1, "A"), (2, None), (3, "Z")], ["k", "status"]
+    )
+    parent = spark.createDataFrame([(1,), (2,)], ["k"])
+    rep = {r.check_name: (r.n_violations, r.passed)
+           for r in run_checks([
+               check_unique(df, ["k"]),            # k=1 duplicated once
+               check_not_null(df, "status"),       # one null
+               check_accepted_values(df, "status", ["A"]),  # None + 'Z'
+               check_referential(df, "k", parent, "k"),     # k=3 orphan
+           ]).collect()}
+    assert rep["unique:k"] == (1, False)
+    assert rep["not_null:status"] == (1, False)
+    assert rep["accepted_values:status"] == (2, False)
+    assert rep["referential:k"] == (1, False)
+    clean = spark.createDataFrame([(1, "A"), (2, "A")], ["k", "status"])
+    rep2 = {r.check_name: r.passed
+            for r in run_checks([check_unique(clean, ["k"]),
+                                 check_not_null(clean, "status")]).collect()}
+    assert all(rep2.values())
+
+
+def test_table_diff_statuses(spark):
+    from smartbots_etl_facturas_spark.operators.quality import table_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, 21.0), (3, None), (4, 40.0)], "k long, v double"
+    )
+    got = {r.status: r.n_rows
+           for r in table_diff(old, new, ["k"], ["v"]).collect()}
+    # 1 removed, 4 added, 2 changed, 3 unchanged (null == null null-safely)
+    assert got == {"added": 1, "removed": 1, "changed": 1, "unchanged": 1}
