@@ -4550,6 +4550,90 @@ LEFT JOIN (SELECT status, count(*) AS n_rows FROM joined GROUP BY 1) j
 """
 
 
+def q_attribution_last_touch(spark, sf_dir):
+    """Last-touch conversion attribution: each purchase event joined
+    to the user's latest click at-or-before it — the marketing
+    attribution query, expressed as a REUSE of the as-of join
+    operator (operators/asof.py; union-bucket merge, no windows over
+    the full stream). Unattributed purchases (no prior click) keep a
+    NULL click ts."""
+    ev = read_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.col("value").cast("decimal(18,4)").cast("double").alias("amount"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", ts_col="ts",
+        payload_cols=["click_id"], tiebreak="click_id",
+    )
+    return out.select(
+        "user_id", "ts", "event_id", "amount",
+        F.col("matched_ts").alias("click_ts"),
+        F.col("matched_click_id").alias("click_id"),
+    )
+
+
+SQL_ATTRIBUTION_LAST_TOUCH = """
+WITH p AS (
+  SELECT user_id, epoch_ns(ts) AS ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS amount
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, epoch_ns(ts) AS ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'),
+m AS (
+  SELECT p.user_id, p.ts, p.event_id, p.amount, c.ts AS click_ts,
+         c.click_id,
+         row_number() OVER (PARTITION BY p.user_id, p.event_id
+                            ORDER BY c.ts DESC, c.click_id DESC) AS rn
+  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+SELECT user_id, CAST(ts AS BIGINT) AS ts, event_id, amount,
+       CAST(click_ts AS BIGINT) AS click_ts, click_id
+FROM m WHERE rn = 1
+"""
+
+
+def q_revenue_share(spark, sf_dir):
+    """Percent-of-total (ratio-to-report) window: each user's share of
+    their event_type's total value — exact decimal sums on both the
+    numerator (per user+type agg) and denominator (partition-total
+    window over the AGGREGATED frame, one row per user+type), divided
+    once as doubles."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_type", F.col("value").cast("decimal(18,4)").alias("v")
+    )
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum("v").alias("user_total")
+    )
+    w = Window.partitionBy("event_type")
+    return per_user.select(
+        "event_type",
+        "user_id",
+        F.col("user_total").cast("double").alias("user_total"),
+        (
+            F.col("user_total").cast("double")
+            / F.sum("user_total").over(w).cast("double")
+        ).alias("share"),
+    )
+
+
+SQL_REVENUE_SHARE = """
+WITH per_user AS (
+  SELECT event_type, user_id,
+         sum(CAST(value AS DECIMAL(18,4))) AS user_total
+  FROM events GROUP BY 1, 2)
+SELECT event_type, user_id,
+       CAST(user_total AS DOUBLE) AS user_total,
+       CAST(user_total AS DOUBLE)
+         / CAST(sum(user_total) OVER (PARTITION BY event_type) AS DOUBLE)
+         AS share
+FROM per_user
+"""
+
+
 def q_source_mixture(spark, sf_dir):
     """Training-mixture balancing (the Pile/ROOTS-style source
     weighting step): given target token-mass proportions over source
@@ -5843,6 +5927,8 @@ _QUERIES: dict[str, Callable] = {
     "frame_sample": q_frame_sample,
     "dq_checks": q_dq_checks,
     "table_diff": q_table_diff,
+    "attribution_last_touch": q_attribution_last_touch,
+    "revenue_share": q_revenue_share,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5976,6 +6062,8 @@ _ORACLES: dict[str, str] = {
     "frame_sample": SQL_FRAME_SAMPLE,
     "dq_checks": SQL_DQ_CHECKS,
     "table_diff": SQL_TABLE_DIFF,
+    "attribution_last_touch": SQL_ATTRIBUTION_LAST_TOUCH,
+    "revenue_share": SQL_REVENUE_SHARE,
     # ann_lsh / ann_ivf / ann_pq / minhash_lsh_pairs / simhash_docs /
     # bpe_merges: intentionally no oracle (approximate, iterative, or
     # engine-specific hash) → rows-only RAW-OUTPUT check; their
