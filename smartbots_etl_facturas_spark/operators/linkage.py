@@ -78,32 +78,51 @@ def jaccard_similarity_join(
     rc = _canonical_tokens(right, freq, id_col, tokens_col)
 
     def prefix(df, out_id):
-        # postings carry ONLY (id, token) — the token arrays rejoin by
-        # id after candidate dedup, so the exploded posting list never
-        # duplicates record payloads (the shape that matters at scale)
+        # prefix postings carry ONLY (id, token, set size) — no record
+        # payloads ride the explode
         plen = F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")).cast("long") + 1
         return df.select(
             F.col(id_col).alias(out_id),
+            F.col("n").alias(f"n_{out_id}"),
             F.explode(F.slice("toks", 1, plen.cast("int"))).alias("tok"),
         )
 
+    # candidate pairs: prefix-token equi-join + the PPJoin LENGTH
+    # filter (also lossless: Jaccard >= tau forces
+    # tau*|A| <= |B| <= |A|/tau), applied BEFORE the dedup so
+    # incompatible pairs never reach the aggregation
     cand = (
         prefix(lc, "left_id")
         .join(prefix(rc, "right_id"), "tok")
+        .filter(
+            (F.col("n_right_id") * F.lit(1.0) >= F.lit(float(threshold)) * F.col("n_left_id"))
+            & (F.col("n_left_id") * F.lit(1.0) >= F.lit(float(threshold)) * F.col("n_right_id"))
+        )
         .select("left_id", "right_id")
         .distinct()
     )
-    verified = (
-        cand.join(lc.select(F.col(id_col).alias("left_id"),
-                            F.col("toks").alias("__lt")), "left_id")
-        .join(rc.select(F.col(id_col).alias("right_id"),
-                        F.col("toks").alias("__rt")), "right_id")
+    # exact verification WITHOUT per-pair array ops (array_intersect is
+    # interpreted O(|A|*|B|) per pair — measured 30 s vs 3 s on a
+    # small-vocabulary corpus where candidates approach all pairs):
+    # |A∩B| falls out of a codegen'd count aggregation over the
+    # candidate pairs joined with both FULL posting lists
+    pl = lc.select(F.col(id_col).alias("left_id"), F.explode("toks").alias("tok"))
+    pr = rc.select(F.col(id_col).alias("right_id"), F.explode("toks").alias("tok"))
+    inter = (
+        cand.join(pl, "left_id")
+        .join(pr, ["right_id", "tok"])
+        .groupBy("left_id", "right_id")
+        .agg(F.count(F.lit(1)).alias("__inter"))
     )
-    inter = F.size(F.array_intersect("__lt", "__rt"))
-    union = F.size(F.array_union("__lt", "__rt"))
     return (
-        verified.withColumn(
-            "jaccard", inter.cast("double") / union.cast("double")
+        inter.join(lc.select(F.col(id_col).alias("left_id"),
+                             F.col("n").alias("__nl")), "left_id")
+        .join(rc.select(F.col(id_col).alias("right_id"),
+                        F.col("n").alias("__nr")), "right_id")
+        .withColumn(
+            "jaccard",
+            F.col("__inter").cast("double")
+            / (F.col("__nl") + F.col("__nr") - F.col("__inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("left_id", "right_id", "jaccard")
