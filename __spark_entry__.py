@@ -3936,6 +3936,8 @@ def q_corpus_curation_pipeline(spark, sf_dir):
     # 26 s vs 2 s at sf0.1). Aggregated counts are codegen'd hash
     # aggs with map-side combine — the shape that also survives long
     # documents at 100 TB.
+    from smartbots_etl_facturas_spark.functions.text import shingles_from_tokens
+
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id", "text", tokens(F.col("text")).alias("w")
     )
@@ -3949,32 +3951,30 @@ def q_corpus_curation_pipeline(spark, sf_dir):
         F.sum(F.length("t") * F.col("c")).cast("long").alias("char_sum"),
     )
     big = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr("CASE WHEN size(w) >= 2 THEN "
-                   "transform(sequence(1, size(w) - 1), "
-                   "i -> concat_ws(' ', w[i-1], w[i])) ELSE array() END")
-        ).alias("gm"),
+        "doc_id", F.explode(shingles_from_tokens("w", 2)).alias("gm")
     )
     gram_stats = big.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_grams"),
         F.countDistinct("gm").cast("long").alias("n_distinct_grams"),
     )
+    # the token array w stays behind here — only (doc_id, text) ride
+    # the joins/shuffles downstream (w is the largest column and
+    # nothing after the stats needs it). The gram join is INNER: every
+    # doc passing n_tokens >= 20 has bigrams, so a left join's null
+    # branch would be dead code.
     gated = (
-        docs.join(word_stats, "doc_id")
-        .join(gram_stats, "doc_id", "left")
+        docs.select("doc_id", "text")
+        .join(word_stats, "doc_id")
+        .join(gram_stats, "doc_id")
         .filter(
             (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 100000)
             & ((F.col("char_sum").cast("double") / F.col("n_tokens")) >= 3.0)
             & ((F.col("char_sum").cast("double") / F.col("n_tokens")) <= 10.0)
             & ((F.col("top_count").cast("double") / F.col("n_tokens")) <= 0.2)
             & (
-                F.col("n_grams").isNull()
-                | (
-                    (F.col("n_grams") - F.col("n_distinct_grams")).cast("double")
-                    / F.col("n_grams")
-                    <= 0.5
-                )
+                (F.col("n_grams") - F.col("n_distinct_grams")).cast("double")
+                / F.col("n_grams")
+                <= 0.5
             )
         )
     )

@@ -20,7 +20,10 @@ below the cross product at realistic tau); verification touches only
 candidate pairs. No driver participation, no cross join anywhere.
 
 Determinism: Jaccard = |A∩B| / |A∪B| over integer set sizes — one
-IEEE division, engine-exact.
+IEEE division, engine-exact. Candidate-stage bounds run on the
+threshold floored to 6 decimals in EXACT integer arithmetic, so they
+are provably never stricter than the final comparison (float
+ceil(t·n) overshoots exact products and would drop boundary pairs).
 """
 
 from __future__ import annotations
@@ -77,10 +80,21 @@ def jaccard_similarity_join(
     lc = _canonical_tokens(left, freq, id_col, tokens_col)
     rc = _canonical_tokens(right, freq, id_col, tokens_col)
 
+    # Candidate-stage bounds use EXACT integer arithmetic on the
+    # threshold FLOORED to 6 decimals (t_num/1e6 <= threshold, so
+    # every bound below is never STRICTER than the verify comparison
+    # — lossless by construction). A float ceil(t*n) overshoots exact
+    # integer products (0.34*150 -> 51.000000000000007 -> ceil 52,
+    # exact 51) and silently dropped boundary-Jaccard pairs.
+    import math
+
+    t_num = math.floor(threshold * 1_000_000)
+
     def prefix(df, out_id):
         # prefix postings carry ONLY (id, token, set size) — no record
         # payloads ride the explode
-        plen = F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")).cast("long") + 1
+        need = F.expr(f"-((-{t_num}L * n) div 1000000)")  # exact ceil(t_snap*n)
+        plen = F.col("n") - need + 1
         return df.select(
             F.col(id_col).alias(out_id),
             F.col("n").alias(f"n_{out_id}"),
@@ -89,16 +103,19 @@ def jaccard_similarity_join(
 
     # candidate pairs: prefix-token equi-join + the PPJoin LENGTH
     # filter (also lossless: Jaccard >= tau forces
-    # tau*|A| <= |B| <= |A|/tau), applied BEFORE the dedup so
-    # incompatible pairs never reach the aggregation
+    # tau*|A| <= |B| <= |A|/tau; integer form t_num*n_a <= 1e6*n_b),
+    # applied BEFORE the dedup so incompatible pairs never reach the
+    # aggregation. Set sizes ride through the distinct (functionally
+    # dependent on the ids), so the verify stage never re-joins the
+    # canonical frames just to recover them.
     cand = (
         prefix(lc, "left_id")
         .join(prefix(rc, "right_id"), "tok")
         .filter(
-            (F.col("n_right_id") * F.lit(1.0) >= F.lit(float(threshold)) * F.col("n_left_id"))
-            & (F.col("n_left_id") * F.lit(1.0) >= F.lit(float(threshold)) * F.col("n_right_id"))
+            (F.lit(1_000_000) * F.col("n_right_id") >= F.lit(t_num) * F.col("n_left_id"))
+            & (F.lit(1_000_000) * F.col("n_left_id") >= F.lit(t_num) * F.col("n_right_id"))
         )
-        .select("left_id", "right_id")
+        .select("left_id", "right_id", "n_left_id", "n_right_id")
         .distinct()
     )
     # exact verification WITHOUT per-pair array ops (array_intersect is
@@ -111,18 +128,14 @@ def jaccard_similarity_join(
     inter = (
         cand.join(pl, "left_id")
         .join(pr, ["right_id", "tok"])
-        .groupBy("left_id", "right_id")
+        .groupBy("left_id", "right_id", "n_left_id", "n_right_id")
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
     return (
-        inter.join(lc.select(F.col(id_col).alias("left_id"),
-                             F.col("n").alias("__nl")), "left_id")
-        .join(rc.select(F.col(id_col).alias("right_id"),
-                        F.col("n").alias("__nr")), "right_id")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("__inter").cast("double")
-            / (F.col("__nl") + F.col("__nr") - F.col("__inter")).cast("double"),
+            / (F.col("n_left_id") + F.col("n_right_id") - F.col("__inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("left_id", "right_id", "jaccard")

@@ -197,3 +197,20 @@ class TestSimilarityJoin:
         df = spark.createDataFrame([(1, ["a"])], "doc_id long, toks array<string>")
         with pytest.raises(ValueError):
             jaccard_similarity_join(df, df, 0.0)
+
+    def test_exact_boundary_threshold_not_dropped(self, spark):
+        """Regression: float ceil(t*n) overshoots exact integer
+        products (0.34*150 -> 51.000000000000007 -> ceil 52), which
+        made the prefix AND length filters drop pairs whose Jaccard
+        is EXACTLY the threshold. The integer-arithmetic bounds must
+        keep them."""
+        from smartbots_etl_facturas_spark.operators.linkage import (
+            jaccard_similarity_join,
+        )
+
+        a_toks = [f"t{i:03d}" for i in range(150)]
+        b_toks = a_toks[-51:]          # |A∩B| = 51, |A∪B| = 150 -> J = 0.34
+        l = spark.createDataFrame([(1, a_toks)], "doc_id long, toks array<string>")
+        r = spark.createDataFrame([(2, b_toks)], "doc_id long, toks array<string>")
+        got = jaccard_similarity_join(l, r, 0.34).collect()
+        assert len(got) == 1 and got[0].jaccard == 51 / 150
