@@ -53,6 +53,17 @@ QUERIES = [
     "ann_lsh",
     "events_hourly",
     "bpe_merges",
+    # round-4 second-session additions (all expected ~linear; the
+    # similarity join is deliberately absent — its candidate count is
+    # quadratic BY DESIGN on this fixed-vocabulary corpus, see PERF.md)
+    "doc_chunks",
+    "tfidf_top_terms",
+    "corpus_curation_pipeline",
+    "scd2_history",
+    "cohort_retention",
+    "ewma_values",
+    "pagerank",
+    "incremental_agg",
 ]
 
 
