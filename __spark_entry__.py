@@ -4638,6 +4638,95 @@ FROM per_user
 """
 
 
+def q_contrastive_pairs(spark, sf_dir):
+    """Contrastive training-pair mining (the SimCSE/CLIP-style data
+    prep step): per anchor document, ONE positive (its most-similar
+    pool document by token Jaccard >= 0.7, from the exact
+    similarity-join operator, ties to the lower id) and ONE negative
+    drawn from the pool via a deterministic 52-bit md5 BUCKET draw:
+    pool documents post once to hash buckets, each bucket keeps its
+    min-id representative (a keyed aggregation, deliberately NOT a
+    global pool ranking, which would be a corpus-scale global sort),
+    and the anchor joins its drawn bucket — no RNG state, membership
+    reproducible on any engine. Anchors with no qualifying positive
+    (or an empty drawn bucket) keep NULLs."""
+    from smartbots_etl_facturas_spark.operators.linkage import (
+        jaccard_similarity_join,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    anchors = docs.filter(F.col("doc_id") % 6 == 0)
+    pool = docs.filter(F.col("doc_id") % 6 == 3)
+    sims = jaccard_similarity_join(anchors, pool, threshold=0.7)
+    w = Window.partitionBy("left_id").orderBy(
+        F.col("jaccard").desc(), F.col("right_id").asc()
+    )
+    pos = (
+        sims.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("left_id").alias("doc_id"),
+            F.col("right_id").alias("pos_id"),
+            F.col("jaccard").alias("pos_jaccard"),
+        )
+    )
+    u52 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    n_buckets = 32
+    pool_reps = (
+        pool.select(F.col("doc_id").alias("neg_id"),
+                    (u52 % n_buckets).alias("__bucket"))
+        .groupBy("__bucket")
+        .agg(F.min("neg_id").alias("neg_id"))
+    )
+    return (
+        anchors.select("doc_id", (u52 % n_buckets).alias("__bucket"))
+        .join(F.broadcast(pool_reps), "__bucket", "left")
+        .join(pos, "doc_id", "left")
+        .select("doc_id", "pos_id", "pos_jaccard", "neg_id")
+    )
+
+
+SQL_CONTRASTIVE_PAIRS = r"""
+WITH a AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS t
+  FROM documents WHERE doc_id % 6 = 0),
+p AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS t
+  FROM documents WHERE doc_id % 6 = 3),
+sims AS (
+  SELECT a.doc_id, p.doc_id AS pos_id,
+         CAST(len(list_intersect(a.t, p.t)) AS DOUBLE)
+           / CAST(len(list_distinct(a.t || p.t)) AS DOUBLE) AS jaccard
+  FROM a CROSS JOIN p
+  WHERE CAST(len(list_intersect(a.t, p.t)) AS DOUBLE)
+          / CAST(len(list_distinct(a.t || p.t)) AS DOUBLE) >= 0.7),
+pos AS (
+  SELECT doc_id, pos_id, jaccard AS pos_jaccard
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY jaccard DESC, pos_id ASC) AS rn
+        FROM sims)
+  WHERE rn = 1),
+pool_reps AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+              AS BIGINT) % 32 AS bucket,
+         min(doc_id) AS neg_id
+  FROM p GROUP BY 1),
+drawn AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+              AS BIGINT) % 32 AS bucket
+  FROM a)
+SELECT d.doc_id, pos.pos_id, pos.pos_jaccard, rp.neg_id
+FROM drawn d
+LEFT JOIN pool_reps rp ON rp.bucket = d.bucket
+LEFT JOIN pos ON pos.doc_id = d.doc_id
+"""
+
+
 def q_source_mixture(spark, sf_dir):
     """Training-mixture balancing (the Pile/ROOTS-style source
     weighting step): given target token-mass proportions over source
@@ -5933,6 +6022,7 @@ _QUERIES: dict[str, Callable] = {
     "table_diff": q_table_diff,
     "attribution_last_touch": q_attribution_last_touch,
     "revenue_share": q_revenue_share,
+    "contrastive_pairs": q_contrastive_pairs,
 }
 
 _ORACLES: dict[str, str] = {
@@ -6068,6 +6158,7 @@ _ORACLES: dict[str, str] = {
     "table_diff": SQL_TABLE_DIFF,
     "attribution_last_touch": SQL_ATTRIBUTION_LAST_TOUCH,
     "revenue_share": SQL_REVENUE_SHARE,
+    "contrastive_pairs": SQL_CONTRASTIVE_PAIRS,
     # ann_lsh / ann_ivf / ann_pq / minhash_lsh_pairs / simhash_docs /
     # bpe_merges: intentionally no oracle (approximate, iterative, or
     # engine-specific hash) → rows-only RAW-OUTPUT check; their
