@@ -4727,6 +4727,44 @@ LEFT JOIN pos ON pos.doc_id = d.doc_id
 """
 
 
+def q_equi_width_histogram(spark, sf_dir):
+    """Per-type equi-WIDTH histogram (the profiling sibling of the
+    equi-depth deciles): 16 buckets over each event_type's [min, max]
+    value range, bucket index computed in EXACT integer arithmetic on
+    ten-thousandth units — ((v - min) * 16) div (range + 1) — so
+    bucket membership is engine-identical with no float boundary
+    anywhere. Group bounds come from one keyed agg broadcast back;
+    empty buckets are simply absent on both sides."""
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        (F.col("value").cast("decimal(18,4)") * 10000).cast("long").alias("u"),
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.min("u").alias("lo"), F.max("u").alias("hi")
+    )
+    joined = ev.join(F.broadcast(bounds), "event_type")
+    bucket = F.expr("((u - lo) * 16) div (hi - lo + 1)").cast("long")
+    return (
+        joined.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_EQUI_WIDTH_HISTOGRAM = """
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS u
+  FROM events),
+b AS (SELECT event_type, min(u) AS lo, max(u) AS hi FROM e GROUP BY 1)
+SELECT e.event_type,
+       CAST((e.u - b.lo) * 16 // (b.hi - b.lo + 1) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM e JOIN b ON e.event_type = b.event_type
+GROUP BY 1, 2
+"""
+
+
 def q_source_mixture(spark, sf_dir):
     """Training-mixture balancing (the Pile/ROOTS-style source
     weighting step): given target token-mass proportions over source
@@ -6023,6 +6061,7 @@ _QUERIES: dict[str, Callable] = {
     "attribution_last_touch": q_attribution_last_touch,
     "revenue_share": q_revenue_share,
     "contrastive_pairs": q_contrastive_pairs,
+    "equi_width_histogram": q_equi_width_histogram,
 }
 
 _ORACLES: dict[str, str] = {
@@ -6159,6 +6198,7 @@ _ORACLES: dict[str, str] = {
     "attribution_last_touch": SQL_ATTRIBUTION_LAST_TOUCH,
     "revenue_share": SQL_REVENUE_SHARE,
     "contrastive_pairs": SQL_CONTRASTIVE_PAIRS,
+    "equi_width_histogram": SQL_EQUI_WIDTH_HISTOGRAM,
     # ann_lsh / ann_ivf / ann_pq / minhash_lsh_pairs / simhash_docs /
     # bpe_merges: intentionally no oracle (approximate, iterative, or
     # engine-specific hash) → rows-only RAW-OUTPUT check; their
