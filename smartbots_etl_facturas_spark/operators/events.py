@@ -2,17 +2,17 @@
 funnel conversion and cohort retention — the two queries every
 events warehouse runs daily.
 
-Scale design: both operators are chains of per-user aggregations and
-equi-joins on the user key (never global windows, never driver
-collects); a funnel of k steps is k small aggregation stages joined
-on user_id, and retention is two aggregations plus one equi-join.
-All shuffles are keyed on user/cohort — the same plan shape at any
-event volume, with AQE absorbing hot-user skew.
+Scale design: both operators are per-user aggregations and equi-joins
+on the user key (never global windows, never driver collects); a
+funnel of k steps is ONE scan + ONE user-keyed aggregation folding
+the funnel state over each user's time-sorted step events, and
+retention is two aggregations plus one equi-join. All shuffles are
+keyed on user/cohort — the same plan shape at any event volume, with
+AQE absorbing hot-user skew.
 """
 
 from __future__ import annotations
 
-from functools import reduce
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -38,29 +38,55 @@ def funnel_stages(
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
-    stage_counts = []
-    reached = None  # DataFrame[user_col, __t] — completion time so far
-    for i, ev in enumerate(steps):
-        hits = df.filter(F.col(type_col) == ev).select(
-            F.col(user_col), F.col(ts_col).alias("__ts")
+    spark = df.sparkSession
+    k = len(steps)
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    ts_type = df.schema[ts_col].dataType
+
+    # ONE scan + ONE user-keyed shuffle: collect each user's step-typed
+    # events time-sorted and fold the funnel state over them (greedy
+    # advance at the earliest strictly-later matching event == the
+    # sequential min-after-min chain, but without re-evaluating the
+    # whole join chain per stage — the old shape re-scanned events
+    # O(k^2) times in one plan). Per-user array size is bounded by that
+    # user's step-typed activity, the same bound sessionization needs.
+    evs = df.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col),
+        F.struct(
+            F.col(ts_col).alias("t"), F.col(type_col).alias("ty")
+        ).alias("__e"),
+    )
+    init = F.struct(
+        F.lit(0).cast("int").alias("s"), F.lit(None).cast(ts_type).alias("t")
+    )
+    # F.get is 0-based and null-safe past the end (element_at would
+    # throw under ANSI once s == k); null == ty is null -> no advance.
+    fold = F.aggregate(
+        F.sort_array(F.collect_list("__e")),
+        init,
+        lambda st, e: F.when(
+            (F.get(step_arr, st["s"]) == e["ty"])
+            & (st["t"].isNull() | (e["t"] > st["t"])),
+            F.struct((st["s"] + F.lit(1)).cast("int").alias("s"),
+                     e["t"].alias("t")),
+        ).otherwise(st),
+    )["s"]
+    per_user = evs.groupBy(user_col).agg(fold.alias("__max"))
+    reached = (
+        per_user.filter(F.col("__max") >= 1)
+        .select(F.explode(F.sequence(F.lit(1), F.col("__max"))).alias("__s"))
+        .select(F.col("__s").cast("long").alias("stage"))
+    )
+    hist = reached.groupBy("stage").agg(F.count(F.lit(1)).alias("__n"))
+    stages = spark.range(1, k + 1).select(F.col("id").alias("stage"))
+    return (
+        stages.join(F.broadcast(hist), "stage", "left")
+        .select(
+            "stage",
+            F.element_at(step_arr, F.col("stage").cast("int")).alias("step_event"),
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_users"),
         )
-        if reached is None:
-            reached = hits.groupBy(user_col).agg(F.min("__ts").alias("__t"))
-        else:
-            reached = (
-                hits.join(reached, user_col)
-                .filter(F.col("__ts") > F.col("__t"))
-                .groupBy(user_col)
-                .agg(F.min("__ts").alias("__t"))
-            )
-        stage_counts.append(
-            reached.agg(
-                F.lit(i + 1).cast("long").alias("stage"),
-                F.lit(ev).alias("step_event"),
-                F.count(F.lit(1)).alias("n_users"),
-            )
-        )
-    return reduce(DataFrame.unionByName, stage_counts)
+    )
 
 
 def cohort_retention(

@@ -86,8 +86,6 @@ def jaccard_similarity_join(
     # — lossless by construction). A float ceil(t*n) overshoots exact
     # integer products (0.34*150 -> 51.000000000000007 -> ceil 52,
     # exact 51) and silently dropped boundary-Jaccard pairs.
-    import math
-
     t_num = math.floor(threshold * 1_000_000)
 
     def prefix(df, out_id):

@@ -738,10 +738,15 @@ def cosine_topk_ivfpq(
 
     # candidate generation (cell equi-join) + compressed-domain score:
     # approx_ip = Σ_s lut[s·k_sub + codes[s]]  (1-based element_at)
+    # candidates carry ONLY the (query_id, neighbor_id) pair — the full
+    # query vector re-joins after the rerank cut, so the hot
+    # compressed-domain joins and the row_number shuffle move m-byte
+    # codes + an 8-byte score per row, not d doubles per candidate
+    # (mirroring how corpus vectors are handled).
     cand = (
         q_probe.join(c_cells.select("neighbor_id", "cell"), on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__qv", "__qn")
+        .select("query_id", "neighbor_id")
     )
     adc = F.aggregate(
         F.zip_with(
@@ -765,13 +770,20 @@ def cosine_topk_ivfpq(
     survivors = (
         scored.withColumn("__r", F.row_number().over(w_r))
         .filter(F.col("__r") <= rerank)
-        .select("query_id", "neighbor_id", "__qv", "__qn")
+        .select("query_id", "neighbor_id")
     )
     exact = survivors.join(
         cn.select(F.col(id_col).alias("neighbor_id"),
                   F.col(vec_col).alias("__cv"),
                   F.col("__norm").alias("__cn")),
         "neighbor_id",
+    ).join(
+        F.broadcast(
+            qn.select(F.col(id_col).alias("query_id"),
+                      F.col(vec_col).alias("__qv"),
+                      F.col("__norm").alias("__qn"))
+        ),
+        "query_id",
     ).withColumn(
         "cosine",
         _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),

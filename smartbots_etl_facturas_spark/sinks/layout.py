@@ -44,16 +44,19 @@ def zorder_value(cols: Sequence[Column], bits: int = 16) -> Column:
     multi-dimensional data-skipping layout (Delta/Iceberg OPTIMIZE
     ZORDER), here as a pure Column expression.
 
-    Caller contract: inputs are already non-negative and < 2^bits
-    (mod/scale them first); k·bits must fit a long.
+    Inputs are taken mod 2^bits (``pmod``, so negatives wrap into
+    range too) — out-of-range values can degrade clustering locality
+    but can never corrupt the interleave silently in a way the caller
+    didn't opt into; k·bits must fit a long.
     """
     k = len(cols)
     if k * bits > 62:
         raise ValueError(f"{k} cols x {bits} bits exceeds long range")
     z = F.lit(0).cast("long")
+    masked = [F.pmod(c.cast("long"), F.lit(1 << bits).cast("long")) for c in cols]
     for b in range(bits):
-        for j, c in enumerate(cols):
-            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1).cast("long"))
+        for j, c in enumerate(masked):
+            bit = F.shiftright(c, b).bitwiseAND(F.lit(1).cast("long"))
             z = z.bitwiseOR(F.shiftleft(bit, b * k + j))
     return z
 

@@ -44,7 +44,11 @@ def _published_versions(base: str) -> list[str]:
                 v = line.strip()
                 if v:
                     seen.setdefault(v, None)
-            return sorted(seen)
+            # dict preserves insertion order == flip-log append order,
+            # so this IS first-publish order even if two publishes from
+            # different processes minted ids in the same wall-clock
+            # second (rollback below depends on this, not on sorting).
+            return list(seen)
     except FileNotFoundError:
         return []
 
@@ -74,10 +78,12 @@ def publish(df: DataFrame, base: str, check=None) -> str:
     forensics (never referenced by any reader).
     """
     os.makedirs(base, exist_ok=True)
-    # zero-padded monotonic ns so lexicographic order == publish order
-    # (single committer per table, the reference's writer model; a
-    # multi-writer deployment would serialize through a metastore)
-    version = f"v{time.strftime('%Y%m%d-%H%M%S')}-{time.monotonic_ns():020d}"
+    # zero-padded wall-clock EPOCH ns so lexicographic order matches
+    # publish order even across process restarts (monotonic_ns is
+    # process-relative and would interleave wrongly between writers);
+    # the authoritative order is still the _HISTORY flip log — the id
+    # only needs uniqueness + human readability.
+    version = f"v{time.strftime('%Y%m%d-%H%M%S')}-{time.time_ns():020d}"
     target = os.path.join(base, version)
     df.write.mode("error").parquet(target)
     if check is not None:
@@ -126,10 +132,18 @@ def list_versions(base: str) -> list[str]:
 
 
 def rollback(base: str) -> str:
-    """Point back at the previous retained snapshot (S11 restore)."""
+    """Point back at the previous retained snapshot (S11 restore).
+
+    "Previous" is defined by FLIP-LOG position (first-publish order),
+    not lexicographic version-id order, so same-second publishes from
+    different processes can never make rollback target the wrong
+    snapshot."""
     versions = list_versions(base)
     cur = current_version(base)
-    prior = [v for v in versions if cur is None or v < cur]
+    if cur is not None and cur in versions:
+        prior = versions[: versions.index(cur)]
+    else:
+        prior = versions
     if not prior:
         raise RuntimeError(f"no snapshot to roll back to under {base}")
     _flip_pointer(base, prior[-1])

@@ -44,10 +44,21 @@ def ewma_stateful(
 
     if alpha_denom < 2:
         raise ValueError("alpha_denom must be >= 2")
+    key_type = df.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} long, {ts_col} timestamp, {units_col} long, ewma_units long"
+        f"{key_col} {key_type}, {ts_col} timestamp, "
+        f"{units_col} long, ewma_units long"
     )
-    state_schema = "acc long, last_us long"
+    # the state carries the last processed (ts, tie) so a LATER
+    # micro-batch can be cut at exactly the batch twin's sort position
+    # — without the tie a cross-batch equal-ts arrival would fold
+    # after already-processed equal-ts rows, where the batch sort
+    # would have placed it before/among them.
+    if tie_col:
+        tie_type = df.schema[tie_col].dataType.simpleString()
+        state_schema = f"acc long, last_us long, last_tie {tie_type}"
+    else:
+        state_schema = "acc long, last_us long"
 
     sort_cols = [ts_col] + ([tie_col] if tie_col else [])
 
@@ -59,12 +70,29 @@ def ewma_stateful(
         )
         ts_us = (rows[ts_col].astype("int64") // 1000).tolist()
         xs = rows[units_col].astype("int64").tolist()
+        ties = rows[tie_col].tolist() if tie_col else None
 
-        acc, last_us = (state.get if state.exists else (None, -1))
+        if state.exists:
+            st = state.get
+            acc, bound_us = st[0], st[1]
+            bound_tie = st[2] if tie_col else None
+        else:
+            acc, bound_us, bound_tie = None, -1, None
+
+        last_us, last_tie = bound_us, bound_tie
         out_t, out_x, out_s = [], [], []
-        for t, x in zip(ts_us, xs):
-            if t < last_us:
-                continue                      # late row: dropped (see module doc)
+        for i, (t, x) in enumerate(zip(ts_us, xs)):
+            # cross-batch boundary: any row at-or-before the state's
+            # last processed (ts, tie) in batch-sort order would have
+            # folded EARLIER in the batch twin — folding it now would
+            # diverge, so it is dropped like any other late row.
+            # Without a tie column, equal-ts rows arriving in a later
+            # micro-batch are dropped too (module-doc contract: pass
+            # tie_col when equal-ts rows can span batches).
+            if t < bound_us:
+                continue
+            if t == bound_us and (ties is None or ties[i] <= bound_tie):
+                continue
             if acc is None:
                 acc = int(x)
             else:
@@ -72,11 +100,14 @@ def ewma_stateful(
                 q = abs(d) // alpha_denom     # truncation toward zero
                 acc = acc + (q if d >= 0 else -q)
             last_us = t
+            last_tie = ties[i] if ties is not None else None
             out_t.append(t)
             out_x.append(x)
             out_s.append(acc)
         if acc is not None:
-            state.update((acc, last_us))
+            state.update(
+                (acc, last_us, last_tie) if tie_col else (acc, last_us)
+            )
         if out_t:
             yield pd.DataFrame({
                 key_col: [key[0]] * len(out_t),
