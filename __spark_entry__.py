@@ -1411,6 +1411,78 @@ FROM embeddings WHERE vec_id % 50 = 0
 """
 
 
+_ANN_INDEX_CACHE: dict[str, str] = {}
+
+
+def ensure_pq_index(spark, sf_dir: str) -> str:
+    """Build-once half of the build-once/probe-many split: train and
+    persist the IVF-PQ index (coarse centroids, PQ codebooks, corpus
+    codes) for this sf_dir's embeddings through the versioned sink
+    (operators/ann_index.py:build_ivfpq_index), once per process.
+    Same parameters as q_ann_pq, and the trainer is deterministic, so
+    the persisted index reproduces the in-query tier bit-for-bit.
+    bench.py calls this OUTSIDE the timed loop — in a real deployment
+    the build is a separate batch job and probes pay only probe cost."""
+    base = _ANN_INDEX_CACHE.get(sf_dir)
+    if base is None:
+        from smartbots_etl_facturas_spark.operators.ann_index import (
+            build_ivfpq_index,
+        )
+
+        base = _scratch_dir("ivfpq_index_")
+        emb = _read(spark, sf_dir, "embeddings")
+        build_ivfpq_index(emb, base, n_cells=16, m=16, k_sub=16,
+                          train_iters=2)
+        _ANN_INDEX_CACHE[sf_dir] = base
+    return base
+
+
+def q_ann_pq_prebuilt(spark, sf_dir):
+    """IVF-PQ probe against the PERSISTED index — no training anywhere
+    in this query's plan (operators/ann_index.py:
+    cosine_topk_ivfpq_probe): query cells from one matmul against the
+    stored centroid matrix, candidates + codes from ONE cell equi-join
+    against the stored codes table, ADC fold vs the broadcast
+    per-query LUT, exact rerank of the top-64. Same parameters and tie
+    rules as q_ann_pq, so results are bit-identical to the
+    train-in-query tier; approximate by design → rows-only, with the
+    oracle-checked ann_pq_prebuilt_recall companion."""
+    from smartbots_etl_facturas_spark.operators.ann_index import (
+        cosine_topk_ivfpq_probe,
+    )
+
+    base = ensure_pq_index(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk_ivfpq_probe(q, emb, base, k=5, nprobe=10, rerank=64)
+
+
+def q_ann_pq_prebuilt_recall(spark, sf_dir):
+    """Driver-checkable recall invariant of the PERSISTED-index probe
+    path: recall@5 vs brute force clears the same 0.8 floor as the
+    train-in-query tier (the probe reproduces it bit-for-bit, so the
+    measured recall is identical: 0.86 sf0.001 / 0.94 sf0.01).
+    ``n_truth`` recomputed by the oracle."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    truth = cosine_topk_bruteforce(q, emb, k=5).select("query_id", "neighbor_id")
+    approx = q_ann_pq_prebuilt(spark, sf_dir).select("query_id", "neighbor_id")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_hits = truth.join(approx, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return n_truth.crossJoin(n_hits).select(
+        "n_truth",
+        (F.col("n_hits") >= F.col("n_truth") * F.lit(0.8)).alias("recall_ok"),
+    )
+
+
+SQL_ANN_PQ_PREBUILT_RECALL = """
+SELECT CAST(5 * count(*) AS BIGINT) AS n_truth, TRUE AS recall_ok
+FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
 def q_ann_ivf_recall(spark, sf_dir):
     """Driver-checkable recall invariant of the IVF ANN tier (16
     k-means cells, nprobe=10, 3 Lloyd iterations): recall@5 vs brute
@@ -6037,6 +6109,8 @@ _QUERIES: dict[str, Callable] = {
     "wav_audio_pipeline": q_wav_audio_pipeline,
     "ann_pq": q_ann_pq,
     "ann_pq_recall": q_ann_pq_recall,
+    "ann_pq_prebuilt": q_ann_pq_prebuilt,
+    "ann_pq_prebuilt_recall": q_ann_pq_prebuilt_recall,
     "recursive_bom": q_recursive_bom,
     "incremental_agg": q_incremental_agg,
     "zorder_keys": q_zorder_keys,
@@ -6174,6 +6248,7 @@ _ORACLES: dict[str, str] = {
     "scd2_history": SQL_SCD2_HISTORY,
     "wav_audio_pipeline": SQL_WAV_AUDIO_PIPELINE,
     "ann_pq_recall": SQL_ANN_PQ_RECALL,
+    "ann_pq_prebuilt_recall": SQL_ANN_PQ_PREBUILT_RECALL,
     "recursive_bom": SQL_RECURSIVE_BOM,
     "incremental_agg": SQL_INCREMENTAL_AGG,
     "zorder_keys": SQL_ZORDER_KEYS,
@@ -6199,8 +6274,9 @@ _ORACLES: dict[str, str] = {
     "revenue_share": SQL_REVENUE_SHARE,
     "contrastive_pairs": SQL_CONTRASTIVE_PAIRS,
     "equi_width_histogram": SQL_EQUI_WIDTH_HISTOGRAM,
-    # ann_lsh / ann_ivf / ann_pq / minhash_lsh_pairs / simhash_docs /
-    # bpe_merges: intentionally no oracle (approximate, iterative, or
+    # ann_lsh / ann_ivf / ann_pq / ann_pq_prebuilt / minhash_lsh_pairs
+    # / simhash_docs / bpe_merges: intentionally no oracle
+    # (approximate, iterative, or
     # engine-specific hash) → rows-only RAW-OUTPUT check; their
     # deterministic quality invariants (precision/recall/stability/
     # first-iteration parity) ARE oracle-checked via the *_recall /

@@ -72,6 +72,10 @@ HEADLINE = [
     "scd2_history",
     "cohort_retention",
     "ann_pq",
+    # probe-only path against the persisted index; the index build is
+    # prewarmed below OUTSIDE the timed loop (build-once/probe-many:
+    # in a real deployment the build is a separate batch job)
+    "ann_pq_prebuilt",
     "pagerank",
     "ewma_values",
     "corpus_curation_pipeline",
@@ -165,6 +169,10 @@ def main() -> None:
 
     # warmup: JVM + codegen + parquet footer caches
     _force(qs["pricing_summary"](spark, sf_dir))
+    # build the persisted ANN index outside the timed loop so
+    # ann_pq_prebuilt measures the probe path only (vs ann_pq, which
+    # deliberately times build+probe in one query)
+    entrymod.ensure_pq_index(spark, sf_dir)
 
     # best-of-2 per query: single-shot timings on a shared machine are
     # ±30% noisy; the minimum is the reproducible cost of the plan

@@ -1,0 +1,204 @@
+"""Persisted IVF-PQ index: the build-once / probe-many split every
+real vector-serving path has (FAISS writes an index file; a 100 TB
+corpus trains coarse centroids + PQ codebooks + encodes codes ONCE in
+a batch job, then thousands of query batches probe the stored index
+without ever touching the training path again).
+
+The index is three tables written through the versioned sink
+(sinks/staged.py — atomic pointer flip, snapshots retained, so an
+index rebuild never disturbs in-flight probes and a bad rebuild rolls
+back by pointer):
+
+- ``<base>/centroids``  (cell int, centroid array<double>) — k rows
+- ``<base>/codebooks``  (sub int, code int, vec array<double>) —
+  m·k_sub rows
+- ``<base>/codes``      (neighbor_id long, cell int, codes
+  array<int>) — ONE corpus-scale table, m bytes of PQ code + a cell
+  id per vector (the 100 TB object: ~17 bytes/vector instead of 4·d)
+
+Probing loads the two bounded metadata tables to the driver (k×d +
+m·k_sub·d_sub doubles — the same footprint the in-query trainer
+holds) and runs the identical candidate-generation → ADC →
+exact-rerank dataflow as :func:`~.similarity.cosine_topk_ivfpq`, so
+given the same parameters the probe's results are bit-identical to
+the train-in-query tier (same codebooks modulo the deterministic
+trainer, same ADC fold order, same tie rule).
+
+Reference parity note: the reference engine has no ANN at all — this
+module exists for the engine's own LLM-data-pipeline surface; the
+persistence pattern reuses S11's versioned publish
+(sinks/staged.py:67-99).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sinks.staged import publish, read_published
+from .similarity import (
+    _dot,
+    _pq_lut,
+    kmeans_centroids,
+    pq_codebooks,
+    pq_encode,
+    with_cells_matmul,
+    with_norm,
+)
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    base: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    m: int = 8,
+    k_sub: int = 16,
+    train_iters: int = 2,
+) -> dict[str, str]:
+    """Train and persist an IVF-PQ index for ``corpus`` under
+    ``base``; returns the published version id per component table.
+
+    Training is the same deterministic pair as the in-query tier
+    (hash-ordered seeds, exact-decimal means rounded to 6 decimals),
+    so rebuilding over identical data republishes identical artifacts.
+    """
+    spark = corpus.sparkSession
+    coarse = kmeans_centroids(corpus, vec_col, id_col, k=n_cells,
+                              iters=train_iters)
+    books = pq_codebooks(corpus, vec_col, id_col, m=m, k_sub=k_sub,
+                         iters=train_iters)
+
+    cent_df = spark.createDataFrame(
+        [(j, [float(x) for x in c]) for j, c in enumerate(coarse)],
+        schema="cell int, centroid array<double>",
+    )
+    books_df = spark.createDataFrame(
+        [(s, j, [float(x) for x in books[s][j]])
+         for s in range(len(books)) for j in range(len(books[s]))],
+        schema="sub int, code int, vec array<double>",
+    )
+    cells = with_cells_matmul(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__v")),
+        coarse, "__v",
+    ).select("neighbor_id", "cell")
+    codes = pq_encode(corpus, books, vec_col, id_col, out_id="neighbor_id")
+    codes_df = cells.join(codes, "neighbor_id")
+
+    return {
+        "centroids": publish(cent_df, os.path.join(base, "centroids")),
+        "codebooks": publish(books_df, os.path.join(base, "codebooks")),
+        "codes": publish(codes_df, os.path.join(base, "codes")),
+    }
+
+
+def load_ivfpq_metadata(
+    spark: SparkSession, base: str
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Driver-side load of the two BOUNDED index tables (k×d centroids
+    and m·k_sub·d_sub codebooks — index metadata, never corpus-scale);
+    the codes table stays distributed (see :func:`read_ivfpq_codes`)."""
+    cent_rows = read_published(spark, os.path.join(base, "centroids")).collect()
+    coarse = [list(r.centroid) for r in sorted(cent_rows, key=lambda r: r.cell)]
+    book_rows = read_published(spark, os.path.join(base, "codebooks")).collect()
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in book_rows:
+        by_sub.setdefault(r.sub, {})[r.code] = list(r.vec)
+    books = [[by_sub[s][j] for j in sorted(by_sub[s])]
+             for s in sorted(by_sub)]
+    return coarse, books
+
+
+def read_ivfpq_codes(spark: SparkSession, base: str) -> DataFrame:
+    return read_published(spark, os.path.join(base, "codes"))
+
+
+def cosine_topk_ivfpq_probe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    index_base: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 32,
+) -> DataFrame:
+    """Probe-only IVF-PQ top-k against a PERSISTED index — no training
+    anywhere in the plan. ``corpus`` supplies only the full vectors
+    for the exact rerank of the top-``rerank`` survivors (the source
+    table itself, as in any IVF-PQ serving path; the compressed-domain
+    scoring never touches it).
+
+    Plan shape: query cells from one matmul against the broadcast
+    centroid matrix; candidates from a (cell) equi-join against the
+    stored codes table (codes ride the SAME join — no second
+    corpus-scale join); ADC score = JVM fold over the m codes against
+    the broadcast per-query LUT; rerank survivors carry only id pairs
+    until the final vector joins. Deterministic, same tie rules as the
+    train-in-query tier.
+    """
+    spark = queries.sparkSession
+    coarse, books = load_ivfpq_metadata(spark, index_base)
+    m, k_sub = len(books), len(books[0])
+    codes_df = read_ivfpq_codes(spark, index_base)
+
+    q_probe = with_cells_matmul(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv")),
+        coarse, "__qv", nprobe=nprobe,
+    ).select("query_id", "cell")
+    q_lut = _pq_lut(queries, books, vec_col, id_col)
+
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda code, s: F.element_at(
+                F.col("lut"), (s * k_sub + code + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        q_probe.join(codes_df, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(q_lut), "query_id")
+        .withColumn("approx_ip", adc)
+    )
+    w_r = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_ip"), F.col("neighbor_id")
+    )
+    survivors = (
+        scored.withColumn("__r", F.row_number().over(w_r))
+        .filter(F.col("__r") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    cn = with_norm(corpus, vec_col)
+    qn = with_norm(queries, vec_col)
+    exact = survivors.join(
+        cn.select(F.col(id_col).alias("neighbor_id"),
+                  F.col(vec_col).alias("__cv"),
+                  F.col("__norm").alias("__cn")),
+        "neighbor_id",
+    ).join(
+        F.broadcast(
+            qn.select(F.col(id_col).alias("query_id"),
+                      F.col(vec_col).alias("__qv"),
+                      F.col("__norm").alias("__qn"))
+        ),
+        "query_id",
+    ).withColumn(
+        "cosine",
+        _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -36,6 +36,10 @@ ALLOW: dict[str, tuple[set, str]] = {
         {"bnlj"},
         "recall harness vs brute-force ground truth (see ann_lsh_recall)",
     ),
+    "ann_pq_prebuilt_recall": (
+        {"bnlj"},
+        "recall harness vs brute-force ground truth (see ann_lsh_recall)",
+    ),
     "minhash_precision": (
         {"bnlj"},
         "precision harness: joins LSH candidates against the exact "

@@ -328,3 +328,55 @@ def test_ivfpq_rank_contract(spark, emb):
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
         cosines = [r.cosine for r in rows]
         assert cosines == sorted(cosines, reverse=True)
+
+
+class TestPersistedIndex:
+    """Build-once/probe-many IVF-PQ (operators/ann_index.py)."""
+
+    def test_probe_matches_train_in_query_bit_for_bit(self, spark, emb, tmp_path):
+        from smartbots_etl_facturas_spark.operators.ann_index import (
+            build_ivfpq_index,
+            cosine_topk_ivfpq_probe,
+        )
+        from smartbots_etl_facturas_spark.operators.similarity import (
+            cosine_topk_ivfpq,
+        )
+
+        base = str(tmp_path / "idx")
+        build_ivfpq_index(emb, base, n_cells=16, m=16, k_sub=16, train_iters=2)
+        q = emb.filter(F.col("vec_id") % 50 == 0)
+        probe = sorted(
+            cosine_topk_ivfpq_probe(q, emb, base, k=5, nprobe=10, rerank=64)
+            .collect(),
+            key=lambda r: (r.query_id, r.rank),
+        )
+        inq = sorted(
+            cosine_topk_ivfpq(q, emb, k=5, nprobe=10, rerank=64, m=16).collect(),
+            key=lambda r: (r.query_id, r.rank),
+        )
+        assert [(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in probe] == [
+            (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in inq
+        ]
+
+    def test_rebuild_publishes_new_version_probe_reads_current(
+        self, spark, emb, tmp_path
+    ):
+        import os
+
+        from smartbots_etl_facturas_spark.operators.ann_index import (
+            build_ivfpq_index,
+            cosine_topk_ivfpq_probe,
+        )
+        from smartbots_etl_facturas_spark.sinks.staged import list_versions
+
+        base = str(tmp_path / "idx")
+        v1 = build_ivfpq_index(emb, base, n_cells=4, m=8, k_sub=8, train_iters=1)
+        v2 = build_ivfpq_index(emb, base, n_cells=4, m=8, k_sub=8, train_iters=1)
+        # each rebuild is a fresh published version; probes read CURRENT
+        assert v1["codes"] != v2["codes"]
+        assert list_versions(os.path.join(base, "codes")) == [
+            v1["codes"], v2["codes"]
+        ]
+        q = emb.filter(F.col("vec_id") % 100 == 0)
+        out = cosine_topk_ivfpq_probe(q, emb, base, k=3, nprobe=2, rerank=16)
+        assert out.count() > 0
