@@ -1920,9 +1920,14 @@ def q_duplicate_spans(spark, sf_dir):
     2021) — verbatim 8-token runs repeated across the corpus, the
     memorization-hazard granularity document- and line-level dedup
     miss. A shared slogan is seeded onto every 7th doc (plus whatever
-    naturally-duplicated docs the corpus carries) and every flagged
-    span is recomputed by the oracle, hash and occurrence count
-    included (operators/dedup.py:duplicate_spans)."""
+    naturally-duplicated docs the corpus carries). COMPACT default:
+    one row per duplicated digest (count, distinct docs, smallest
+    example ids) so output is bounded by DISTINCT hot spans, not by
+    replica volume — a corpus-wide hot span costs one row at any
+    scale; the per-occurrence exploded form stays available as the
+    operator's debug variant (exploded=True). Every row is recomputed
+    by the oracle, hash, counts and example list included
+    (operators/dedup.py:duplicate_spans)."""
     from smartbots_etl_facturas_spark.operators.dedup import duplicate_spans
 
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
@@ -1948,10 +1953,16 @@ spans AS (
          md5(array_to_string(w[i:i+7], ' ')) AS span_hash
   FROM toks, unnest(generate_series(1, len(w) - 7)) AS g(i)
   WHERE len(w) >= 8),
-counts AS (SELECT span_hash, count(*) AS n FROM spans GROUP BY 1)
-SELECT s.doc_id, CAST(s.start_pos AS INT) AS start_pos, s.span_hash,
-       CAST(c.n AS BIGINT) AS n_occurrences
-FROM spans s JOIN counts c USING (span_hash)
+dist AS (SELECT DISTINCT span_hash, doc_id FROM spans),
+ex AS (SELECT span_hash, CAST(count(*) AS BIGINT) AS n_docs,
+              min(doc_id) AS min_doc_id,
+              array_to_string((list(doc_id ORDER BY doc_id))[1:5], ',')
+                AS example_doc_ids
+       FROM dist GROUP BY 1)
+SELECT c.span_hash, CAST(c.n AS BIGINT) AS n_occurrences, e.n_docs,
+       e.min_doc_id, e.example_doc_ids
+FROM (SELECT span_hash, count(*) AS n FROM spans GROUP BY 1) c
+JOIN ex e USING (span_hash)
 WHERE c.n >= 2
 """
 
@@ -1992,6 +2003,78 @@ prs AS (SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
         GROUP BY 1, 2)
 SELECT CAST(0 AS INT) AS rank, l AS "left", r AS "right",
        l || r AS merged, CAST(n AS BIGINT) AS pair_count
+FROM prs ORDER BY n DESC, l, r LIMIT 1
+"""
+
+
+def q_bpe_merges_invariants(spark, sf_dir):
+    """Full-depth invariant companion for the rows-only bpe_merges:
+    one boolean row over the WHOLE 8-round merge table — ranks dense
+    from 0, merged = left || right, every winning pair cleared
+    min_pair_count, and the winning pair count is NON-INCREASING in
+    rank (a new pair's occurrences embed in occurrences of the merge
+    that created it, so round i+1's max can never exceed round i's —
+    the classic BPE monotonicity). ``rank0_count`` is genuinely
+    recomputed by the oracle (the bpe_first_merge derivation), binding
+    the whole table to the corpus; the booleans assert the invariants
+    the oracle cannot re-derive in SQL. All checks fold inside ONE
+    aggregation over the 8-row trained table — no joins, no windows."""
+    from smartbots_etl_facturas_spark.operators.bpe import train_bpe_merges
+
+    docs = _read(spark, sf_dir, "documents")
+    m = train_bpe_merges(docs, num_merges=8)
+    counts_sorted = F.array_sort(
+        F.collect_list(F.struct(F.col("rank"), F.col("pair_count")))
+    )
+    noninc = F.aggregate(
+        counts_sorted,
+        F.struct(F.lit(True).alias("ok"),
+                 F.lit(None).cast("long").alias("prev")),
+        lambda st, e: F.struct(
+            (st["ok"]
+             & (st["prev"].isNull() | (e["pair_count"] <= st["prev"]))
+             ).alias("ok"),
+            e["pair_count"].alias("prev"),
+        ),
+    )["ok"]
+    return m.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("rank").alias("__minr"),
+        F.max("rank").alias("__maxr"),
+        F.countDistinct("rank").alias("__nd"),
+        F.every(F.col("merged") == F.concat("left", "right")).alias(
+            "merged_concat_ok"
+        ),
+        F.every(F.col("pair_count") >= 2).alias("counts_floor_ok"),
+        noninc.alias("counts_nonincreasing"),
+        F.max(F.when(F.col("rank") == 0, F.col("pair_count"))).alias(
+            "rank0_count"
+        ),
+    ).select(
+        "rank0_count",
+        (
+            (F.col("__minr") == 0)
+            & (F.col("__maxr") == F.col("__n") - 1)
+            & (F.col("__nd") == F.col("__n"))
+        ).alias("ranks_dense"),
+        "merged_concat_ok",
+        "counts_floor_ok",
+        "counts_nonincreasing",
+    )
+
+
+SQL_BPE_MERGES_INVARIANTS = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents),
+w AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM toks
+      WHERE length(word) > 0 GROUP BY 1),
+prs AS (SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
+               sum(wc) AS n
+        FROM w, unnest(generate_series(1, length(word) - 1)) AS g(i)
+        GROUP BY 1, 2)
+SELECT CAST(n AS BIGINT) AS rank0_count, TRUE AS ranks_dense,
+       TRUE AS merged_concat_ok, TRUE AS counts_floor_ok,
+       TRUE AS counts_nonincreasing
 FROM prs ORDER BY n DESC, l, r LIMIT 1
 """
 
@@ -6039,6 +6122,7 @@ _QUERIES: dict[str, Callable] = {
     "lm_quality": q_lm_quality,
     "bpe_merges": q_bpe_merges,
     "bpe_first_merge": q_bpe_first_merge,
+    "bpe_merges_invariants": q_bpe_merges_invariants,
     "duplicate_spans": q_duplicate_spans,
     "dedup_clusters": q_dedup_clusters,
     "cluster_representatives": q_cluster_representatives,
@@ -6231,6 +6315,7 @@ _ORACLES: dict[str, str] = {
     "line_dedup": SQL_LINE_DEDUP,
     "lm_quality": SQL_LM_QUALITY,
     "bpe_first_merge": SQL_BPE_FIRST_MERGE,
+    "bpe_merges_invariants": SQL_BPE_MERGES_INVARIANTS,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "cluster_representatives": SQL_CLUSTER_REPRESENTATIVES,

@@ -446,6 +446,8 @@ def duplicate_spans(
     id_col: str = "doc_id",
     window: int = 8,
     min_occurrences: int = 2,
+    exploded: bool = False,
+    max_examples: int = 5,
 ) -> DataFrame:
     """Exact-substring (span-level) duplicate detection — the third
     granularity of the dedup family (document-level: exact_dedup /
@@ -455,18 +457,23 @@ def duplicate_spans(
     memorization hazards even when documents and lines are unique.
 
     Every ``window``-token span (stride 1) is hashed (md5 of the
-    space-joined tokens); spans whose hash occurs at least
-    ``min_occurrences`` times corpus-wide are reported as
+    space-joined tokens). DEFAULT output is ONE row per duplicated
+    digest: (span_hash, n_occurrences, n_docs, min_doc_id,
+    example_doc_ids) where example_doc_ids is the ``max_examples``
+    smallest distinct doc ids comma-joined — output size is bounded
+    by the number of DISTINCT hot spans, so a corpus-wide hot span
+    (the exact case this exists for) costs one row, not one row per
+    occurrence. ``exploded=True`` keeps the per-occurrence debug form
     (id, start_pos, span_hash, n_occurrences) with start_pos 0-based
-    — the downstream cut/redact choice is the caller's.
+    — location detail for the cut/redact pass, at one output row per
+    duplicated occurrence.
 
     Scale shape: span generation is a pure Column expression
     (transform over positions + slice + concat_ws — no Python); the
     occurrence count shuffles on the 32-char digest with map-side
-    combine, so a corpus-hot span (the exact case this exists for)
-    collapses per partition before the shuffle; flagged spans come
-    back from one equi-join on the digest. Span volume is ~one row
-    per token — linear, no pairwise anything.
+    combine. The compact default is one digest-keyed aggregation —
+    output ~flat as replicas scale; the exploded variant adds one
+    equi-join on the digest and scales with duplicated-span volume.
     """
     toks = tokens(F.col(text_col))
     spans = F.expr(
@@ -476,7 +483,7 @@ def duplicate_spans(
         f"md5(concat_ws(' ', slice(__toks, i, {window}))) AS span_hash)) "
         f"ELSE array() END"
     )
-    exploded = (
+    exploded_df = (
         docs.select(F.col(id_col), toks.alias("__toks"))
         .select(id_col, F.explode(spans).alias("__s"))
         .select(
@@ -485,11 +492,32 @@ def duplicate_spans(
             F.col("__s.span_hash").alias("span_hash"),
         )
     )
-    counts = exploded.groupBy("span_hash").agg(
-        F.count(F.lit(1)).alias("n_occurrences")
-    )
+    if exploded:
+        counts = exploded_df.groupBy("span_hash").agg(
+            F.count(F.lit(1)).alias("n_occurrences")
+        )
+        return (
+            exploded_df.join(counts, "span_hash")
+            .filter(F.col("n_occurrences") >= min_occurrences)
+            .select(id_col, "start_pos", "span_hash", "n_occurrences")
+        )
+    # compact default: one digest-keyed aggregation, one output row per
+    # duplicated digest; example ids are the max_examples SMALLEST
+    # distinct doc ids (sort before cast — deterministic and numeric)
     return (
-        exploded.join(counts, "span_hash")
+        exploded_df.groupBy("span_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(id_col).alias("min_doc_id"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.sort_array(F.collect_set(F.col(id_col))),
+                            1, max_examples),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("example_doc_ids"),
+        )
         .filter(F.col("n_occurrences") >= min_occurrences)
-        .select(id_col, "start_pos", "span_hash", "n_occurrences")
     )

@@ -315,7 +315,7 @@ def test_duplicate_spans_exact_substring(spark):
         (3, "nothing repeated in this document at all thanks"),
         (4, "short doc"),
     ], "doc_id long, text string")
-    out = duplicate_spans(docs, window=8).collect()
+    out = duplicate_spans(docs, window=8, exploded=True).collect()
     by_doc = {}
     for r in out:
         by_doc.setdefault(r.doc_id, []).append((r.start_pos, r.n_occurrences))
@@ -327,3 +327,30 @@ def test_duplicate_spans_exact_substring(spark):
     h1 = {r.span_hash for r in out if r.doc_id == 1 and r.start_pos == 3}
     h2 = {r.span_hash for r in out if r.doc_id == 2 and r.start_pos == 0}
     assert h1 == h2 and len(h1) == 1
+
+
+def test_duplicate_spans_compact_default(spark):
+    """Compact default: one row per duplicated digest regardless of
+    replica count, with occurrence/doc counts and the smallest
+    example ids — output bounded by DISTINCT hot spans."""
+    from smartbots_etl_facturas_spark.operators.dedup import duplicate_spans
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} filler words before the run " + shared)
+         for i in range(1, 11)]
+        + [(99, "nothing repeated in this one document at all thanks")],
+        "doc_id long, text string",
+    )
+    out = duplicate_spans(docs, window=8, max_examples=3).collect()
+    # the shared 14-token tail yields 7 sliding 8-windows; each is ONE
+    # row even with 10 replicas (output = distinct digests, not 10x)
+    hot = [r for r in out if r.n_occurrences == 10]
+    assert len(out) == len(hot) == len({r.span_hash for r in out})
+    for r in hot:
+        assert r.n_docs == 10 and r.min_doc_id == 1
+        assert r.example_doc_ids == "1,2,3"   # 3 smallest of 10, capped
+    # exploded debug variant still reports per-occurrence locations:
+    # 10 occurrence rows per duplicated digest
+    n_exploded = duplicate_spans(docs, window=8, exploded=True).count()
+    assert n_exploded == 10 * len(hot)
