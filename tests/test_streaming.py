@@ -712,3 +712,106 @@ def test_streaming_incremental_agg_maintenance(spark, tmp_path):
                 spark.read.parquet(src), ["k"], ["x"], ["x"]).collect()}
     assert got == full
     assert got["a"] == (3, 16.25, 1.0, 10.5)
+
+
+def test_dedup_exact_stream_matches_batch(spark, tmp_path):
+    """Stream == batch for content-digest dedup (streaming/dedup.py):
+    draining a corpus with content duplicates through
+    dedup_exact_stream emits exactly ONE row per distinct digest, the
+    same digest set the batch twin (operators.dedup.exact_dedup)
+    produces, and each emitted id belongs to that digest's member
+    set."""
+    from smartbots_etl_facturas_spark.operators.dedup import exact_dedup
+    from smartbots_etl_facturas_spark.streaming.dedup import dedup_exact_stream
+
+    src = str(tmp_path / "dx-src")
+    ckpt = str(tmp_path / "dx-ckpt")
+    schema = "doc_id long, ts timestamp, text string"
+    rows = [
+        (1, "2024-01-01 10:00:00", "alpha"),
+        (2, "2024-01-01 10:01:00", "beta"),
+        (3, "2024-01-01 10:02:00", "alpha"),    # content dup of 1
+        (4, "2024-01-01 10:03:00", "gamma"),
+        (5, "2024-01-01 10:04:00", "beta"),     # content dup of 2
+        (6, "2024-01-01 10:05:00", "alpha"),    # third copy
+    ]
+    batch_df = (
+        spark.createDataFrame(rows, "doc_id long, ts string, text string")
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    batch_df.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (dedup_exact_stream(stream, watermark="1 hour")
+         .writeStream.format("memory").queryName("dx_out")
+         .outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select doc_id, doc_hash from dx_out").collect()
+
+    batch = {r.doc_hash: r.keep_id for r in exact_dedup(batch_df).collect()}
+    import hashlib
+
+    by_digest: dict[str, set] = {}
+    for did, _ts, text in rows:
+        by_digest.setdefault(
+            hashlib.md5(text.encode()).hexdigest(), set()
+        ).add(did)
+
+    assert len(got) == len(batch) == 3            # one row per digest
+    assert {r.doc_hash for r in got} == set(batch)
+    for r in got:
+        assert r.doc_id in by_digest[r.doc_hash]  # a real member survived
+
+
+def test_dedup_exact_stream_state_bounded_by_watermark(spark, tmp_path):
+    """PROOF that the watermark actually EVICTS digest-dedup state
+    (streaming/dedup.py): four query cycles over one checkpoint, each
+    bringing K brand-new digests (plus one in-cycle duplicate each)
+    three watermark horizons later than the previous cycle. Without
+    eviction numRowsTotal climbs to cycles*K; with it the total
+    plateaus around one cycle's K digests (+ lag headroom)."""
+    from smartbots_etl_facturas_spark.streaming.dedup import dedup_exact_stream
+
+    K = 5
+    wm_s = 600
+    base = 1_700_000_000
+    src = str(tmp_path / "dxb-src")
+    ckpt = str(tmp_path / "dxb-ckpt")
+    schema = "doc_id long, ts timestamp, text string"
+    out = str(tmp_path / "dxb-out")
+
+    def on_batch(bdf, batch_id):
+        bdf.write.mode("overwrite").parquet(f"{out}/b{batch_id}")
+
+    state_rows = []
+    for cycle in range(4):
+        t0 = base + cycle * 3 * wm_s
+        rows = [
+            (cycle * K + k, float(t0 + 10 * k), f"doc-{cycle}-{k}")
+            for k in range(K)
+        ] + [(900 + cycle, float(t0 + 10 * K), f"doc-{cycle}-0")]  # in-cycle dup
+        (spark.createDataFrame(rows, "doc_id long, ts double, text string")
+         .withColumn("ts", F.col("ts").cast("timestamp"))
+         .coalesce(1).write.mode("append").parquet(src))
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (dedup_exact_stream(stream, watermark="0 seconds")
+             .writeStream.foreachBatch(on_batch)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        progress = [p for p in q.recentProgress if p.get("stateOperators")]
+        assert progress, f"cycle {cycle}: no state operator progress"
+        state_rows.append(progress[-1]["stateOperators"][0]["numRowsTotal"])
+
+    emitted = spark.read.parquet(f"{out}/b*")
+    # in-cycle duplicates were dropped: K survivors per cycle
+    assert emitted.count() == 4 * K
+    # 4 cycles x K digests ever; unbounded state would show 10/15/20
+    # by cycles 2/3/4 — eviction plateaus at the live cycle's K (+K lag)
+    assert all(s <= 2 * K for s in state_rows), state_rows
+    assert state_rows[-1] < 3 * K
