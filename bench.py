@@ -160,6 +160,42 @@ def bench_skew(spark) -> dict[str, float]:
             spark.conf.set(k, v)
 
 
+def bench_multifile(spark, sf_dir, qs) -> dict[str, float]:
+    """Scan-layout control fixture: the generated testdata ships each
+    table as ONE parquet file with one row group, so the fact scan
+    cannot split and the flagship/reconciliation timings are dominated
+    by structural scan serialization, not plan cost (measured 7.67x
+    headroom in the round-4 scale-up experiment). Re-time the two
+    scan-bound queries against a scratch copy whose lineitem is
+    rewritten as 32 files — the layout any real deployment has — so
+    scan-bound vs plan-bound drift stays separable round over round.
+    Reported alongside, NOT in the headline total (it is a layout
+    control, not an sf-dir query)."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bench_multifile_")
+    try:
+        for f in os.listdir(sf_dir):
+            if f == "lineitem.parquet":
+                continue
+            os.symlink(os.path.join(sf_dir, f), os.path.join(tmp, f))
+        (spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(32)
+         .write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet"))
+        out = {}
+        for name in ("flagship_consolidation", "reconciliation"):
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _force(qs[name](spark, tmp))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            out[f"{name}_multifile"] = round(best, 3)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -192,6 +228,7 @@ def main() -> None:
     # skew fixture: reported alongside but NOT counted in the headline
     # total (it is a generated demonstration, not an sf-dir query)
     skew = bench_skew(spark)
+    multifile = bench_multifile(spark, sf_dir, qs)
 
     total = round(sum(timings.values()), 3)
     skew_speedup = (round(skew["skew_join_plain"] / skew["skew_join_salted"], 2)
@@ -264,6 +301,7 @@ def main() -> None:
         )
 
     timings.update(skew)
+    timings.update(multifile)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": total,

@@ -59,27 +59,20 @@ def _canonical_tokens(
     )
 
 
-def jaccard_similarity_join(
-    left: DataFrame,
-    right: DataFrame,
-    threshold: float,
-    id_col: str = "doc_id",
-    tokens_col: str = "toks",
-) -> DataFrame:
-    """All (left_id, right_id, jaccard) pairs with token-set Jaccard
-    >= threshold. Exact (see module doc). Inputs carry a tokens array
-    column; tokens are deduplicated internally."""
-    if not 0.0 < threshold <= 1.0:
-        raise ValueError("threshold must be in (0, 1]")
+def _prepare_canonical(left, right, id_col, tokens_col):
     freq = (
         left.select(F.explode(F.array_distinct(tokens_col)).alias("tok"))
         .unionAll(right.select(F.explode(F.array_distinct(tokens_col)).alias("tok")))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    lc = _canonical_tokens(left, freq, id_col, tokens_col)
-    rc = _canonical_tokens(right, freq, id_col, tokens_col)
+    return (
+        _canonical_tokens(left, freq, id_col, tokens_col),
+        _canonical_tokens(right, freq, id_col, tokens_col),
+    )
 
+
+def _candidates_from_canonical(lc, rc, threshold, id_col):
     # Candidate-stage bounds use EXACT integer arithmetic on the
     # threshold FLOORED to 6 decimals (t_num/1e6 <= threshold, so
     # every bound below is never STRICTER than the verify comparison
@@ -106,7 +99,7 @@ def jaccard_similarity_join(
     # aggregation. Set sizes ride through the distinct (functionally
     # dependent on the ids), so the verify stage never re-joins the
     # canonical frames just to recover them.
-    cand = (
+    return (
         prefix(lc, "left_id")
         .join(prefix(rc, "right_id"), "tok")
         .filter(
@@ -116,6 +109,41 @@ def jaccard_similarity_join(
         .select("left_id", "right_id", "n_left_id", "n_right_id")
         .distinct()
     )
+
+
+def prefix_candidate_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+) -> DataFrame:
+    """The CANDIDATE stage of the similarity join, exposed on its own
+    so pruning effectiveness is measurable (candidate count vs the
+    |L|·|R| pair space — see scripts/ppjoin_pruning_experiment.py):
+    deduplicated (left_id, right_id, n_left_id, n_right_id) pairs
+    surviving the lossless prefix filter + PPJoin length filter.
+    ``jaccard_similarity_join`` = this + exact verification."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    lc, rc = _prepare_canonical(left, right, id_col, tokens_col)
+    return _candidates_from_canonical(lc, rc, threshold, id_col)
+
+
+def jaccard_similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+) -> DataFrame:
+    """All (left_id, right_id, jaccard) pairs with token-set Jaccard
+    >= threshold. Exact (see module doc). Inputs carry a tokens array
+    column; tokens are deduplicated internally."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    lc, rc = _prepare_canonical(left, right, id_col, tokens_col)
+    cand = _candidates_from_canonical(lc, rc, threshold, id_col)
     # exact verification WITHOUT per-pair array ops (array_intersect is
     # interpreted O(|A|*|B|) per pair — measured 30 s vs 3 s on a
     # small-vocabulary corpus where candidates approach all pairs):
