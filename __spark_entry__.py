@@ -68,10 +68,10 @@ from smartbots_etl_facturas_spark.operators.asof import asof_join
 from smartbots_etl_facturas_spark.operators.skew import salted_agg
 from smartbots_etl_facturas_spark.operators.rangejoin import bucketed_range_join
 from smartbots_etl_facturas_spark.operators.reconcile import reconcile
+from smartbots_etl_facturas_spark.operators.pq import cosine_topk_ivfpq
 from smartbots_etl_facturas_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
-    cosine_topk_ivfpq,
     cosine_topk_lsh,
 )
 from smartbots_etl_facturas_spark.operators.rollup import (

@@ -38,12 +38,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sinks.staged import publish, read_published
+from .pq import _pq_lut, pq_codebooks, pq_encode
 from .similarity import (
     _dot,
-    _pq_lut,
     kmeans_centroids,
-    pq_codebooks,
-    pq_encode,
     with_cells_matmul,
     with_norm,
 )

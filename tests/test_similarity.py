@@ -267,7 +267,7 @@ def test_lsh_recall_both_sketch_modes(spark, emb, mode):
 # --- IVF-PQ (product quantization) ------------------------------------------
 
 def test_pq_codebooks_shape_and_determinism(spark, emb):
-    from smartbots_etl_facturas_spark.operators.similarity import pq_codebooks
+    from smartbots_etl_facturas_spark.operators.pq import pq_codebooks
 
     books = pq_codebooks(emb, m=8, k_sub=16, iters=1)
     assert len(books) == 8
@@ -279,7 +279,7 @@ def test_pq_codebooks_shape_and_determinism(spark, emb):
 
 
 def test_pq_encode_codes_in_range(spark, emb):
-    from smartbots_etl_facturas_spark.operators.similarity import (
+    from smartbots_etl_facturas_spark.operators.pq import (
         pq_codebooks,
         pq_encode,
     )
@@ -293,7 +293,7 @@ def test_pq_encode_codes_in_range(spark, emb):
 
 
 def test_pq_dim_not_divisible_rejected(spark, emb):
-    from smartbots_etl_facturas_spark.operators.similarity import pq_codebooks
+    from smartbots_etl_facturas_spark.operators.pq import pq_codebooks
 
     with pytest.raises(ValueError):
         pq_codebooks(emb, m=7)
@@ -302,7 +302,7 @@ def test_pq_dim_not_divisible_rejected(spark, emb):
 def test_ivfpq_recall_vs_bruteforce(spark, emb):
     """Pins the registered operating point's 0.8 floor (measured
     0.86 sf0.001 / 0.94 sf0.01)."""
-    from smartbots_etl_facturas_spark.operators.similarity import cosine_topk_ivfpq
+    from smartbots_etl_facturas_spark.operators.pq import cosine_topk_ivfpq
 
     q = emb.filter(F.col("vec_id") % 50 == 0)
     truth = cosine_topk_bruteforce(q, emb, k=5).select("query_id", "neighbor_id")
@@ -315,7 +315,7 @@ def test_ivfpq_recall_vs_bruteforce(spark, emb):
 
 
 def test_ivfpq_rank_contract(spark, emb):
-    from smartbots_etl_facturas_spark.operators.similarity import cosine_topk_ivfpq
+    from smartbots_etl_facturas_spark.operators.pq import cosine_topk_ivfpq
 
     q = emb.filter(F.col("vec_id") % 100 == 0)
     out = cosine_topk_ivfpq(q, emb, k=3, nprobe=10, rerank=32, m=16).collect()
@@ -338,7 +338,7 @@ class TestPersistedIndex:
             build_ivfpq_index,
             cosine_topk_ivfpq_probe,
         )
-        from smartbots_etl_facturas_spark.operators.similarity import (
+        from smartbots_etl_facturas_spark.operators.pq import (
             cosine_topk_ivfpq,
         )
 
