@@ -2007,6 +2007,60 @@ FROM prs ORDER BY n DESC, l, r LIMIT 1
 """
 
 
+def q_bpe_segmentation(spark, sf_dir):
+    """The INFERENCE side of the trained tokenizer: the 8 learned
+    merges (bounded driver metadata, like the per-round top-1 pair)
+    are applied to the corpus vocabulary in rank order
+    (operators/bpe.py:segment_words, one Arrow pass over the
+    vocab-scale word table). One boolean row over every segmented
+    word: pieces reassemble to the word exactly, every piece is a
+    single character or a learned merge product, and piece counts are
+    in [1, len(word)]. ``n_words``/``total_chars`` are genuinely
+    recomputed by the oracle, pinning the vocab the segmenter ran
+    over; the segmentation itself is differential-tested against a
+    pure-Python BPE in tests/test_bpe.py."""
+    from smartbots_etl_facturas_spark.operators.bpe import (
+        segment_words,
+        train_bpe_merges,
+        word_frequency,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    merges_rows = sorted(
+        train_bpe_merges(docs, num_merges=8).collect(), key=lambda r: r.rank
+    )
+    merges = [(r.left, r.right) for r in merges_rows]
+    merged_arr = F.array(*[F.lit(r.merged) for r in merges_rows])
+    seg = segment_words(word_frequency(docs), merges)
+    return seg.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("word")).cast("long").alias("total_chars"),
+        F.every(F.concat_ws("", F.col("pieces")) == F.col("word")).alias(
+            "reassembly_ok"
+        ),
+        F.every(
+            F.forall(
+                "pieces",
+                lambda p: (F.length(p) == 1) | F.array_contains(merged_arr, p),
+            )
+        ).alias("pieces_valid_ok"),
+        F.every(
+            (F.size("pieces") >= 1) & (F.size("pieces") <= F.length("word"))
+        ).alias("sizes_ok"),
+    )
+
+
+SQL_BPE_SEGMENTATION = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents),
+w AS (SELECT DISTINCT word FROM toks WHERE length(word) > 0)
+SELECT CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(word)) AS BIGINT) AS total_chars,
+       TRUE AS reassembly_ok, TRUE AS pieces_valid_ok, TRUE AS sizes_ok
+FROM w
+"""
+
+
 def q_bpe_merges_invariants(spark, sf_dir):
     """Full-depth invariant companion for the rows-only bpe_merges:
     one boolean row over the WHOLE 8-round merge table — ranks dense
@@ -3444,6 +3498,55 @@ SELECT CAST(cohort_bucket AS BIGINT) AS cohort_bucket,
        CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
 FROM activity a JOIN cohorts c ON a.user_id = c.user_id
 GROUP BY 1, 2
+"""
+
+
+def q_apply_changelog(spark, sf_dir):
+    """CDC MERGE (operators/cdc.py:apply_changelog): an I/U/D
+    changelog derived from orders (op keyed by o_orderkey % 5, last
+    change per customer wins on (o_orderdate, o_orderkey) desc) is
+    applied to the customer snapshot — deletes remove the key,
+    inserts/updates replace the payload, untouched keys keep their
+    snapshot row. The third verb the reference's insert/update-only
+    upsert lacks; one delta-sized window + one anti-join, O(Δ +
+    touched keys) at any snapshot size. Payload doubles pass through
+    untouched, so the oracle re-derivation is value-exact."""
+    from smartbots_etl_facturas_spark.operators.cdc import apply_changelog
+
+    snap = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    ops = F.array(F.lit("D"), F.lit("U"), F.lit("U"), F.lit("I"), F.lit("I"))
+    changes = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.element_at(ops, (F.pmod(F.col("o_orderkey"), F.lit(5)) + 1).cast("int")
+                     ).alias("op"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("tie"),
+        F.concat(F.lit("cust-"), F.col("o_custkey").cast("string")).alias("c_name"),
+        F.col("o_totalprice").alias("c_acctbal"),
+    )
+    return apply_changelog(snap, changes, ["c_custkey"], "ts", "tie")
+
+
+SQL_APPLY_CHANGELOG = """
+WITH changes AS (
+  SELECT o_custkey AS c_custkey,
+         CASE o_orderkey % 5 WHEN 0 THEN 'D' WHEN 1 THEN 'U' WHEN 2 THEN 'U'
+              ELSE 'I' END AS op,
+         o_orderdate AS ts, o_orderkey AS tie,
+         'cust-' || CAST(o_custkey AS VARCHAR) AS c_name,
+         o_totalprice AS c_acctbal
+  FROM orders),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                 ORDER BY ts DESC, tie DESC) AS rn
+    FROM changes) WHERE rn = 1)
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey NOT IN (SELECT c_custkey FROM last)
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal FROM last WHERE op != 'D'
 """
 
 
@@ -6123,6 +6226,7 @@ _QUERIES: dict[str, Callable] = {
     "bpe_merges": q_bpe_merges,
     "bpe_first_merge": q_bpe_first_merge,
     "bpe_merges_invariants": q_bpe_merges_invariants,
+    "bpe_segmentation": q_bpe_segmentation,
     "duplicate_spans": q_duplicate_spans,
     "dedup_clusters": q_dedup_clusters,
     "cluster_representatives": q_cluster_representatives,
@@ -6189,6 +6293,7 @@ _QUERIES: dict[str, Callable] = {
     "temperature_resample": q_temperature_resample,
     "funnel_counts": q_funnel_counts,
     "cohort_retention": q_cohort_retention,
+    "apply_changelog": q_apply_changelog,
     "scd2_history": q_scd2_history,
     "wav_audio_pipeline": q_wav_audio_pipeline,
     "ann_pq": q_ann_pq,
@@ -6316,6 +6421,7 @@ _ORACLES: dict[str, str] = {
     "lm_quality": SQL_LM_QUALITY,
     "bpe_first_merge": SQL_BPE_FIRST_MERGE,
     "bpe_merges_invariants": SQL_BPE_MERGES_INVARIANTS,
+    "bpe_segmentation": SQL_BPE_SEGMENTATION,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "cluster_representatives": SQL_CLUSTER_REPRESENTATIVES,
@@ -6330,6 +6436,7 @@ _ORACLES: dict[str, str] = {
     "temperature_resample": SQL_TEMPERATURE_RESAMPLE,
     "funnel_counts": SQL_FUNNEL_COUNTS,
     "cohort_retention": SQL_COHORT_RETENTION,
+    "apply_changelog": SQL_APPLY_CHANGELOG,
     "scd2_history": SQL_SCD2_HISTORY,
     "wav_audio_pipeline": SQL_WAV_AUDIO_PIPELINE,
     "ann_pq_recall": SQL_ANN_PQ_RECALL,

@@ -59,3 +59,51 @@ def test_audit_actions(spark):
         for r in audit_actions(incoming, merged).collect()
     }
     assert acts == {("F1", "R1"): "UNCHANGED", ("F2", "R2"): "UPDATE", ("F3", "R3"): "INSERT"}
+
+
+class TestApplyChangelog:
+    """CDC MERGE (operators/cdc.py): I/U/D changelog onto a snapshot."""
+
+    def test_insert_update_delete_last_wins(self, spark):
+        from smartbots_etl_facturas_spark.operators.cdc import apply_changelog
+
+        snap = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k long, name string, bal double",
+        )
+        changes = spark.createDataFrame(
+            [
+                (2, "U", 5, 100, "b2", 21.0),   # update 2
+                (3, "D", 5, 101, "x", 0.0),     # delete 3
+                (4, "I", 5, 102, "d", 40.0),    # insert 4
+                (4, "U", 6, 103, "d2", 41.0),   # later update of 4 wins
+                (2, "D", 4, 99, "x", 0.0),      # EARLIER delete: superseded
+            ],
+            "k long, op string, ts long, tie long, name string, bal double",
+        )
+        out = {r.k: (r.name, r.bal)
+               for r in apply_changelog(snap, changes, ["k"], "ts", "tie").collect()}
+        assert out == {1: ("a", 10.0), 2: ("b2", 21.0), 4: ("d2", 41.0)}
+
+    def test_same_ts_tie_breaks(self, spark):
+        from smartbots_etl_facturas_spark.operators.cdc import apply_changelog
+
+        snap = spark.createDataFrame([(1, "a")], "k long, v string")
+        changes = spark.createDataFrame(
+            [(1, "U", 7, 1, "first"), (1, "D", 7, 2, "x")],
+            "k long, op string, ts long, tie long, v string",
+        )
+        # same ts: higher tie wins -> the delete lands
+        assert apply_changelog(snap, changes, ["k"], "ts", "tie").count() == 0
+
+    def test_missing_payload_columns_rejected(self, spark):
+        import pytest as _pytest
+
+        from smartbots_etl_facturas_spark.operators.cdc import apply_changelog
+
+        snap = spark.createDataFrame([(1, "a")], "k long, v string")
+        changes = spark.createDataFrame(
+            [(1, "U", 7, 1)], "k long, op string, ts long, tie long"
+        )
+        with _pytest.raises(ValueError, match="changelog lacks"):
+            apply_changelog(snap, changes, ["k"], "ts", "tie")
