@@ -669,6 +669,54 @@ WHERE NOT EXISTS (SELECT 1 FROM processed p
 
 # --- Spark-native analytical surface (SURVEY §2.4 extensions) ---------------
 
+def q_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape — the one join topology no other registered
+    query exercises: TWO dimension paths (orders→customer and
+    lineitem→supplier) meeting on a SAME-NATION constraint, closed
+    through nation→region with a region filter. All four dims
+    broadcast (supplier/nation/region tiny; Catalyst pushes the
+    region filter through the broadcast chain so non-ASIA rows die at
+    the join, never reaching the aggregation); the only shuffles are
+    the fact-fact orderkey join and the final 25-key group. Exact
+    decimal revenue, cast to double once at the end (the
+    pricing_summary determinism recipe)."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    supplier = F.broadcast(_read(spark, sf_dir, "supplier"))
+    nation = F.broadcast(_read(spark, sf_dir, "nation"))
+    region = F.broadcast(_read(spark, sf_dir, "region"))
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(8,4)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum(ep * (1 - disc)).cast("double").alias("revenue"))
+    )
+
+
+SQL_REGIONAL_REVENUE = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary: the canonical wide aggregation."""
     li = _read(spark, sf_dir, "lineitem").filter(
@@ -6197,6 +6245,7 @@ _QUERIES: dict[str, Callable] = {
     "derived_total": q_derived_total,
     "idempotency_pending": q_idempotency_pending,
     "pricing_summary": q_pricing_summary,
+    "regional_revenue": q_regional_revenue,
     "top_customers": q_top_customers,
     "shipping_priority": q_shipping_priority,
     "window_rank": q_window_rank,
@@ -6346,6 +6395,7 @@ _ORACLES: dict[str, str] = {
     "derived_total": SQL_DERIVED_TOTAL,
     "idempotency_pending": SQL_IDEMPOTENCY_PENDING,
     "pricing_summary": SQL_PRICING_SUMMARY,
+    "regional_revenue": SQL_REGIONAL_REVENUE,
     "top_customers": SQL_TOP_CUSTOMERS,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "window_rank": SQL_WINDOW_RANK,

@@ -71,6 +71,9 @@ HEADLINE = [
     "temperature_resample",
     "scd2_history",
     "cohort_retention",
+    "regional_revenue",
+    "apply_changelog",
+    "bpe_segmentation",
     "ann_pq",
     # probe-only path against the persisted index; the index build is
     # prewarmed below OUTSIDE the timed loop (build-once/probe-many:
