@@ -1330,6 +1330,117 @@ def q_simhash_docs(spark, sf_dir):
     return simhash(docs)
 
 
+_MINHASH_INDEX_CACHE: dict[str, str] = {}
+
+
+def ensure_minhash_index(spark, sf_dir: str) -> str:
+    """Build-once half of the incremental-dedup split: persist the
+    banded LSH postings of the ORIGINAL sampled docs (the corpus the
+    perturbed near-dup copies will arrive against) through the
+    versioned sink, once per process
+    (operators/dedup_index.py:build_minhash_index)."""
+    base = _MINHASH_INDEX_CACHE.get(sf_dir)
+    if base is None:
+        from smartbots_etl_facturas_spark.operators.dedup_index import (
+            build_minhash_index,
+        )
+
+        base = _scratch_dir("minhash_index_")
+        corpus = _read(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).filter(F.col("doc_id") % 10 == 0)
+        build_minhash_index(corpus, base, num_hashes=32, bands=8)
+        _MINHASH_INDEX_CACHE[sf_dir] = base
+    return base
+
+
+def q_minhash_incremental(spark, sf_dir):
+    """Incremental near-dup detection against the PERSISTED MinHash
+    index (operators/dedup_index.py): the perturbed copies play the
+    role of a freshly-arriving delta batch — only the delta is
+    sketched; candidates come from a (band, bucket) equi-join against
+    the stored corpus postings and are exact-Jaccard verified against
+    candidate docs' text only. O(|delta| + candidates) per batch, the
+    ingest-loop shape a 100 TB pipeline needs (no per-batch corpus
+    re-sketch). Rows-only (engine-specific xxhash64 buckets); the
+    oracle-checked companion is minhash_incremental_precision."""
+    from smartbots_etl_facturas_spark.operators.dedup_index import (
+        minhash_match_against_index,
+    )
+
+    base = ensure_minhash_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 == 0)
+    delta = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), "the", "teh").alias("text"),
+    )
+    return minhash_match_against_index(delta, corpus, base, threshold=0.1)
+
+
+def q_minhash_incremental_precision(spark, sf_dir):
+    """Driver-checkable invariants of the incremental-index tier over
+    the SPANNING (corpus, delta) pair set: precision is 1 by
+    construction (exact verification before emission), so matches at
+    j>=0.5 absent from the exact spanning pair set must number 0; and
+    every perturbed copy collides with its original in >=1 of 8 bands
+    w.h.p., so recall >=0.9 — deterministic given the fixed xxhash64
+    seeds. ``n_exact`` is genuinely recomputed by the oracle."""
+    aug = _augmented_docs(spark, sf_dir)
+    exact = (
+        ngram_jaccard_pairs(aug, threshold=0.5)
+        .filter((F.col("id_a") < 1000000) & (F.col("id_b") >= 1000000))
+        .select("id_a", "id_b")
+    )
+    inc = q_minhash_incremental(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.5
+    ).select(
+        F.col("corpus_id").alias("id_a"), F.col("delta_id").alias("id_b")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_viol = inc.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_violations")
+    )
+    n_rec = exact.join(inc, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_recalled")
+    )
+    return (
+        n_exact.crossJoin(n_viol)
+        .crossJoin(n_rec)
+        .select(
+            "n_exact",
+            "n_violations",
+            (F.col("n_recalled") >= F.col("n_exact") * F.lit(0.9)).alias("recall_ok"),
+        )
+    )
+
+
+SQL_MINHASH_INCREMENTAL_PRECISION = rf"""
+WITH {_AUGMENTED_DOCS_SQL},
+docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM aug),
+pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM docs WHERE len(w) >= 3),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM pos),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+ex AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE)
+          / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) >= 0.5
+    AND id_a < 1000000 AND id_b >= 1000000)
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(0 AS BIGINT) AS n_violations,
+       TRUE AS recall_ok
+FROM ex
+"""
+
+
 def q_minhash_precision(spark, sf_dir):
     """Driver-checkable invariants of the MinHash-LSH tier: precision
     is 1 BY CONSTRUCTION (candidates are exact-Jaccard verified before
@@ -6280,6 +6391,8 @@ _QUERIES: dict[str, Callable] = {
     "dedup_clusters": q_dedup_clusters,
     "cluster_representatives": q_cluster_representatives,
     "minhash_precision": q_minhash_precision,
+    "minhash_incremental": q_minhash_incremental,
+    "minhash_incremental_precision": q_minhash_incremental_precision,
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
     "simhash_invariants": q_simhash_invariants,
@@ -6476,6 +6589,7 @@ _ORACLES: dict[str, str] = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "cluster_representatives": SQL_CLUSTER_REPRESENTATIVES,
     "minhash_precision": SQL_MINHASH_PRECISION,
+    "minhash_incremental_precision": SQL_MINHASH_INCREMENTAL_PRECISION,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "ann_ivf_recall": SQL_ANN_IVF_RECALL,
     "simhash_invariants": SQL_SIMHASH_INVARIANTS,
@@ -6517,8 +6631,8 @@ _ORACLES: dict[str, str] = {
     "contrastive_pairs": SQL_CONTRASTIVE_PAIRS,
     "equi_width_histogram": SQL_EQUI_WIDTH_HISTOGRAM,
     # ann_lsh / ann_ivf / ann_pq / ann_pq_prebuilt / minhash_lsh_pairs
-    # / simhash_docs / bpe_merges: intentionally no oracle
-    # (approximate, iterative, or
+    # / minhash_incremental / simhash_docs / bpe_merges: intentionally
+    # no oracle (approximate, iterative, or
     # engine-specific hash) → rows-only RAW-OUTPUT check; their
     # deterministic quality invariants (precision/recall/stability/
     # first-iteration parity) ARE oracle-checked via the *_recall /

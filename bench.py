@@ -45,6 +45,7 @@ HEADLINE = [
     "token_count",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "minhash_incremental",
     "ann_bruteforce",
     "dedup_embedding",
     "multimodal_features",
@@ -212,6 +213,9 @@ def main() -> None:
     # ann_pq_prebuilt measures the probe path only (vs ann_pq, which
     # deliberately times build+probe in one query)
     entrymod.ensure_pq_index(spark, sf_dir)
+    # same split for the dedup index: minhash_incremental times the
+    # per-batch probe, not the corpus indexing job
+    entrymod.ensure_minhash_index(spark, sf_dir)
 
     # best-of-2 per query: single-shot timings on a shared machine are
     # ±30% noisy; the minimum is the reproducible cost of the plan

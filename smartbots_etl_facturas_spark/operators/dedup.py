@@ -119,6 +119,34 @@ def minhash_signatures(
     )
 
 
+def lsh_band_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, bucket): the banded LSH bucket keys — a pure
+    function of (text, num_hashes, bands, shingle_n) since the
+    permutations are fixed xxhash64 seeds, so two frames sketched
+    with the same parameters land equal documents in equal buckets
+    even across runs/processes. Shared by the in-query pair join
+    (:func:`minhash_lsh_pairs`) and the persisted incremental index
+    (operators/dedup_index.py)."""
+    assert num_hashes % bands == 0
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    return (
+        sig.withColumn("band", (F.col("seed") % bands).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.xxhash64(
+                F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "seed", "minhash"))))
+            ).alias("bucket")
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -135,17 +163,8 @@ def minhash_lsh_pairs(
     then verified with the EXACT Jaccard over shingles, so the output
     has no false positives — LSH only bounds recall.
     """
-    assert num_hashes % bands == 0
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    banded = (
-        sig.withColumn("band", (F.col("seed") % bands).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.xxhash64(
-                F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "seed", "minhash"))))
-            ).alias("bucket")
-        )
-    )
+    banded = lsh_band_buckets(df, text_col, id_col, num_hashes, bands,
+                              shingle_n)
     ca = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     cb = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     candidates = (

@@ -1,0 +1,129 @@
+"""Persisted MinHash-LSH dedup index — incremental near-dup matching
+of a DELTA batch against an already-indexed corpus, the
+build-once/probe-many twin of operators/ann_index.py for the dedup
+family.
+
+A real 100 TB ingest pipeline does not re-sketch the corpus per
+batch: the corpus's banded LSH postings are built ONCE (one row per
+(doc, band) — bands·|corpus| longs, tiny next to the text) and
+published through the versioned sink; each incoming delta batch
+sketches ONLY ITSELF, equi-joins its (band, bucket) keys against the
+stored postings, and exact-verifies the candidates. Per-batch cost is
+O(|delta| + candidates), independent of corpus size outside the
+postings join.
+
+The bucket keys are a pure function of (text, num_hashes, bands,
+shingle_n) — fixed xxhash64 seed permutations, no RNG state — so
+delta sketches computed in a later process match the stored postings
+exactly (operators/dedup.py:lsh_band_buckets). The index is
+self-describing: a 1-row meta table pins the sketch parameters, and
+the probe reads them instead of trusting the caller to repeat them.
+
+Verification joins candidate doc ids back to the TEXT of both sides
+(shingling only candidate docs), so the output has no false
+positives — same exactness contract as minhash_lsh_pairs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sinks.staged import publish, read_published
+from .dedup import doc_shingles, lsh_band_buckets
+
+
+def build_minhash_index(
+    corpus: DataFrame,
+    base: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> dict[str, str]:
+    """Persist the corpus's banded LSH postings (corpus_id, band,
+    bucket) plus a 1-row parameter meta table; returns published
+    version ids."""
+    spark = corpus.sparkSession
+    postings = lsh_band_buckets(
+        corpus, text_col, id_col, num_hashes, bands, shingle_n
+    ).select(F.col(id_col).alias("corpus_id"), "band", "bucket")
+    meta = spark.createDataFrame(
+        [(num_hashes, bands, shingle_n)],
+        "num_hashes int, bands int, shingle_n int",
+    )
+    return {
+        "postings": publish(postings, os.path.join(base, "postings")),
+        "meta": publish(meta, os.path.join(base, "meta")),
+    }
+
+
+def _index_params(spark: SparkSession, base: str) -> tuple[int, int, int]:
+    r = read_published(spark, os.path.join(base, "meta")).collect()[0]
+    return int(r.num_hashes), int(r.bands), int(r.shingle_n)
+
+
+def minhash_match_against_index(
+    delta: DataFrame,
+    corpus: DataFrame,
+    base: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Near-dup pairs (delta_id, corpus_id, jaccard) between the delta
+    batch and the INDEXED corpus, exact-Jaccard verified. Only the
+    delta is sketched; the corpus contributes its stored postings and
+    (for candidates only) its text."""
+    spark = delta.sparkSession
+    num_hashes, bands, shingle_n = _index_params(spark, base)
+    postings = read_published(spark, os.path.join(base, "postings"))
+
+    d_b = lsh_band_buckets(
+        delta, text_col, id_col, num_hashes, bands, shingle_n
+    ).select(F.col(id_col).alias("delta_id"), "band", "bucket")
+    cand = (
+        d_b.join(postings, on=["band", "bucket"])
+        .filter(F.col("delta_id") != F.col("corpus_id"))
+        .select("delta_id", "corpus_id")
+        .distinct()
+    )
+
+    # exact verification over CANDIDATE docs only: semi-join each side
+    # down to its candidate ids before shingling, so verify cost
+    # follows the candidate volume, not the corpus
+    d_docs = delta.join(
+        cand.select(F.col("delta_id").alias(id_col)).distinct(),
+        id_col, "left_semi",
+    )
+    c_docs = corpus.join(
+        cand.select(F.col("corpus_id").alias(id_col)).distinct(),
+        id_col, "left_semi",
+    )
+    sh_d = doc_shingles(d_docs, text_col, id_col, shingle_n).select(
+        F.col(id_col).alias("delta_id"), "shingle"
+    )
+    sh_c = doc_shingles(c_docs, text_col, id_col, shingle_n).select(
+        F.col(id_col).alias("corpus_id"), "shingle"
+    )
+    sz_d = sh_d.groupBy("delta_id").agg(F.count(F.lit(1)).alias("size_d"))
+    sz_c = sh_c.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("size_c"))
+    inter = (
+        cand.join(sh_d, "delta_id")
+        .join(sh_c, ["corpus_id", "shingle"])
+        .groupBy("delta_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("size_d") + F.col("size_c") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.join(sz_d, "delta_id")
+        .join(sz_c, "corpus_id")
+        .withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("delta_id", "corpus_id", "jaccard")
+    )

@@ -354,3 +354,42 @@ def test_duplicate_spans_compact_default(spark):
     # 10 occurrence rows per duplicated digest
     n_exploded = duplicate_spans(docs, window=8, exploded=True).count()
     assert n_exploded == 10 * len(hot)
+
+
+def test_minhash_incremental_index(spark, tmp_path):
+    """Build-once/probe-many MinHash index: the delta batch is matched
+    against stored corpus postings WITHOUT re-sketching the corpus,
+    finds the true near-dup, skips unrelated docs, and the index is
+    self-describing (probe reads sketch params from the meta table)."""
+    from smartbots_etl_facturas_spark.operators.dedup import minhash_lsh_pairs
+    from smartbots_etl_facturas_spark.operators.dedup_index import (
+        build_minhash_index,
+        minhash_match_against_index,
+    )
+
+    body = ("the quick brown fox jumps over the lazy dog again and "
+            "again every single day without fail in the morning")
+    corpus = spark.createDataFrame(
+        [(1, body),
+         (2, "completely different text about spark query planning "
+             "and shuffle exchanges in distributed engines today")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(101, body.replace("lazy", "sleepy")),     # near-dup of 1
+         (102, "unrelated delta document mentioning nothing shared "
+               "with either corpus entry at all whatsoever here")],
+        "doc_id long, text string",
+    )
+    base = str(tmp_path / "mh-idx")
+    build_minhash_index(corpus, base, num_hashes=32, bands=8)
+    out = minhash_match_against_index(delta, corpus, base, threshold=0.3).collect()
+    assert {(r.delta_id, r.corpus_id) for r in out} == {(101, 1)}
+    assert all(0.3 <= r.jaccard <= 1.0 for r in out)
+    # parity with the in-query tier run over the union: the spanning
+    # pair it finds at the same threshold is the same pair
+    union = corpus.unionByName(delta)
+    pairs = {(r.id_a, r.id_b)
+             for r in minhash_lsh_pairs(union, num_hashes=32, bands=8,
+                                        threshold=0.3).collect()}
+    assert (1, 101) in pairs

@@ -45,6 +45,17 @@ ALLOW: dict[str, tuple[set, str]] = {
         "precision harness: joins LSH candidates against the exact "
         "n-gram-Jaccard ground truth",
     ),
+    "minhash_incremental_precision": (
+        {"bnlj"},
+        "precision harness vs exact ground truth (see minhash_precision)",
+    ),
+    "minhash_incremental": (
+        {"bnlj"},
+        "broadcast of the 1-row hash-seed grid on the DELTA sketch "
+        "(IdentityBroadcastMode crossJoin, see minhash_lsh_pairs); the "
+        "candidate join is keyed on (band, bucket) against the stored "
+        "postings",
+    ),
     "minhash_lsh_pairs": (
         {"bnlj"},
         "broadcast of the 1-row hash-seed grid (IdentityBroadcastMode "
