@@ -4335,6 +4335,69 @@ GROUP BY 1, 2
 """
 
 
+def q_training_examples_pipeline(spark, sf_dir):
+    """END-TO-END training-example materialization as ONE dataflow —
+    the stage AFTER corpus_curation_pipeline in a real pretraining
+    prep: documents → overlapping 32-token context windows
+    (operators/chunking.py, zero shuffle) → greedy 512-token sequence
+    packing of the CHUNKS (operators/packing.py, one applyInPandas
+    group per hash bucket). ``chunk_id = doc_id·2^20 + chunk_idx``
+    (dense per doc; the 2^20 budget allows ~25M-token docs at stride
+    24) gives packing a total walk order both engines can compute.
+    The oracle re-derives the WHOLE chain — window boundaries, chunk
+    token counts, and the exact next-fit walk via a recursive CTE —
+    so the stage COMPOSITION is value-checked per chunk, including
+    pack assignment and running fill."""
+    from smartbots_etl_facturas_spark.operators.chunking import chunk_documents
+    from smartbots_etl_facturas_spark.operators.packing import pack_greedy
+
+    docs = _read(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, stride=24)
+    with_meta = chunks.select(
+        (F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_idx")).alias("chunk_id"),
+        F.col("n_chunk_tokens").alias("n_tokens"),
+        (F.col("doc_id") % 8).cast("int").alias("bucket"),
+    )
+    packed = pack_greedy(
+        with_meta, id_col="chunk_id", budget=512, bucket_col="bucket"
+    )
+    return packed.select(
+        F.col("doc_id").alias("chunk_id"), "bucket", "pack_id",
+        "n_tokens", "pack_fill",
+    )
+
+
+SQL_TRAINING_EXAMPLES_PIPELINE = r"""
+WITH RECURSIVE t0 AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+s AS (SELECT doc_id, w, len(w) AS n FROM t0),
+idx AS (
+  SELECT doc_id, w, CAST(i AS INT) AS start
+  FROM s, unnest(generate_series(1, greatest(n - 8, 1), 24)) AS g(i)),
+chunks AS (
+  SELECT doc_id * 1048576 + (start - 1) // 24 AS chunk_id,
+         CAST(doc_id % 8 AS INT) AS bucket,
+         CAST(len(list_slice(w, start, start + 31)) AS BIGINT) AS n_tokens
+  FROM idx),
+t AS (SELECT chunk_id, bucket, n_tokens,
+             row_number() OVER (PARTITION BY bucket ORDER BY chunk_id) AS rn
+      FROM chunks),
+walk AS (
+  SELECT bucket, rn, chunk_id, n_tokens, 0 AS pack, n_tokens AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.rn, d.chunk_id, d.n_tokens,
+         CASE WHEN w.fill + d.n_tokens > 512 THEN w.pack + 1 ELSE w.pack END,
+         CASE WHEN w.fill + d.n_tokens > 512 THEN d.n_tokens
+              ELSE w.fill + d.n_tokens END
+  FROM t d JOIN walk w ON d.bucket = w.bucket AND d.rn = w.rn + 1)
+SELECT chunk_id, bucket,
+       CAST(bucket * 4294967296 + pack AS BIGINT) AS pack_id,
+       n_tokens, CAST(fill AS BIGINT) AS pack_fill
+FROM walk
+"""
+
+
 def q_corpus_curation_pipeline(spark, sf_dir):
     """END-TO-END corpus curation as ONE dataflow (the LLM-pipeline
     twin of xlsx_to_consolidated): C4 length/shape gate →
@@ -6469,6 +6532,7 @@ _QUERIES: dict[str, Callable] = {
     "group_anomalies": q_group_anomalies,
     "ewma_values": q_ewma_values,
     "corpus_curation_pipeline": q_corpus_curation_pipeline,
+    "training_examples_pipeline": q_training_examples_pipeline,
     "vocab_coverage": q_vocab_coverage,
     "equi_depth_bins": q_equi_depth_bins,
     "embedding_normalize": q_embedding_normalize,
@@ -6612,6 +6676,7 @@ _ORACLES: dict[str, str] = {
     "group_anomalies": SQL_GROUP_ANOMALIES,
     "ewma_values": SQL_EWMA_VALUES,
     "corpus_curation_pipeline": SQL_CORPUS_CURATION_PIPELINE,
+    "training_examples_pipeline": SQL_TRAINING_EXAMPLES_PIPELINE,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "equi_depth_bins": SQL_EQUI_DEPTH_BINS,
     "embedding_normalize": SQL_EMBEDDING_NORMALIZE,

@@ -83,6 +83,7 @@ HEADLINE = [
     "pagerank",
     "ewma_values",
     "corpus_curation_pipeline",
+    "training_examples_pipeline",
     "incremental_agg",
     "group_anomalies",
     "vocab_coverage",
