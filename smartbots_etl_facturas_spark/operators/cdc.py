@@ -58,3 +58,28 @@ def apply_changelog(
         last.select(*keys), list(keys), "left_anti"
     )
     return untouched.unionByName(survivors)
+
+
+def merge_published(
+    spark,
+    base: str,
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tie_col: str,
+    check=None,
+) -> str:
+    """The incremental-publish loop: apply a changelog batch to the
+    CURRENT published version of a table and publish the result as a
+    NEW version (sinks/staged.py — atomic pointer flip, prior
+    snapshots retained, so a bad batch rolls back by pointer and
+    readers never see partial state). This is the standing maintenance
+    pattern for a long-lived consolidated table: per batch, compute is
+    O(Δ + touched keys) and durability/atomicity come from the
+    versioned sink, not from rewriting history. ``check`` gates the
+    pointer flip on the WRITTEN data (reconcile-before-publish)."""
+    from ..sinks.staged import publish, read_published
+
+    snap = read_published(spark, base)
+    merged = apply_changelog(snap, changes, keys, ts_col, tie_col)
+    return publish(merged, base, check=check)

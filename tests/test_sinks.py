@@ -198,3 +198,51 @@ def test_rejected_version_invisible_to_time_travel_and_rollback(spark, tmp_path)
     with pytest.raises(RuntimeError):   # nothing published before v1
         rollback(base)
     assert read_published(spark, base).count() == 5
+
+
+def test_merge_published_incremental_loop(spark, tmp_path):
+    """CDC merge THROUGH the versioned sink (operators/cdc.py:
+    merge_published): each batch applies to the current version and
+    publishes a new one; a bad batch rolls back by pointer with the
+    prior snapshot intact; time travel still reads every version."""
+    from smartbots_etl_facturas_spark.operators.cdc import merge_published
+    from smartbots_etl_facturas_spark.sinks.staged import (
+        list_versions,
+        publish,
+        read_published,
+        read_version,
+        rollback,
+    )
+
+    base = str(tmp_path / "merged-table")
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, name string, bal double"
+    )
+    v1 = publish(snap, base)
+
+    batch1 = spark.createDataFrame(
+        [(2, "D", 1, 1, "x", 0.0), (3, "I", 1, 2, "c", 30.0)],
+        "k long, op string, ts long, tie long, name string, bal double",
+    )
+    v2 = merge_published(spark, base, batch1, ["k"], "ts", "tie")
+    got = {r.k: r.name for r in read_published(spark, base).collect()}
+    assert got == {1: "a", 3: "c"}                      # 2 deleted, 3 inserted
+
+    # a rejected batch leaves the pointer on v2 and v2's data intact
+    batch2 = spark.createDataFrame(
+        [(1, "D", 2, 3, "x", 0.0)],
+        "k long, op string, ts long, tie long, name string, bal double",
+    )
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        merge_published(
+            spark, base, batch2, ["k"], "ts", "tie",
+            check=lambda df: (_ for _ in ()).throw(RuntimeError("reconcile")),
+        )
+    assert {r.k for r in read_published(spark, base).collect()} == {1, 3}
+    assert list_versions(base) == [v1, v2]              # rejected dir unlisted
+
+    # rollback = pointer flip to the PRE-merge snapshot; v2 retained
+    assert rollback(base) == v1
+    assert {r.k for r in read_published(spark, base).collect()} == {1, 2}
+    assert {r.k for r in read_version(spark, base, v2).collect()} == {1, 3}
