@@ -55,7 +55,9 @@ QUERIES = [
     "bpe_merges",
     # round-4 second-session additions (all expected ~linear; the
     # similarity join is deliberately absent — its candidate count is
-    # quadratic BY DESIGN on this fixed-vocabulary corpus, see PERF.md)
+    # quadratic BY DESIGN on this fixed-vocabulary corpus, see PERF.md;
+    # its pruning at a realistic vocabulary is measured separately by
+    # scripts/ppjoin_pruning_experiment.py)
     "doc_chunks",
     "tfidf_top_terms",
     "corpus_curation_pipeline",
@@ -64,6 +66,15 @@ QUERIES = [
     "ewma_values",
     "pagerank",
     "incremental_agg",
+    # round-5 additions: the compact duplicate_spans (above) should now
+    # hold its OUTPUT ~flat as replicas grow, not just its runtime
+    # linear; probe-only index paths should grow with delta/candidates
+    "regional_revenue",
+    "apply_changelog",
+    "training_examples_pipeline",
+    "minhash_incremental",
+    "ann_pq_prebuilt",
+    "funnel_counts",
 ]
 
 
