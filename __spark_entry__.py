@@ -6393,6 +6393,461 @@ FROM (VALUES {_XLSX_VALUES})
 """
 
 
+
+
+# --- round-5 session-3 additions -------------------------------------------
+
+def q_triangle_count(spark, sf_dir):
+    """Exact triangle count of the part co-occurrence graph (parts
+    appearing in the same order are linked — the TPC-H stand-in for
+    a similarity/co-citation graph) via degree-ordered edge
+    orientation (operators/graph.py:triangle_count, Suri &
+    Vassilvitskii 2011): each triangle counted once at its
+    degree-minimal vertex, oriented out-neighborhoods O(sqrt(m)) so
+    the wedge join is O(m^1.5) even with hub parts — the shape that
+    survives skewed 100 TB graphs. The oracle counts the same
+    triangles with the canonical a<b<c three-way self-join (engine-
+    independent, no orientation needed at oracle scale)."""
+    from smartbots_etl_facturas_spark.operators.graph import triangle_count
+
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
+        )
+    )
+    return triangle_count(pairs)
+
+
+SQL_TRIANGLE_COUNT = """
+WITH und AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM und e1
+JOIN und e2 ON e2.u = e1.v
+JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+
+def q_nation_trade_volume(spark, sf_dir):
+    """TPC-H Q7 shape — bilateral trade volume: revenue shipped from
+    supplier-nation to customer-nation per year, for two nation
+    pairs in both directions. Two independent dimension chains
+    (orders->customer->nation, lineitem->supplier->nation) meet on
+    the fact-fact orderkey join; all dims broadcast, nation filters
+    pushed below the fact join so non-matching rows die before the
+    shuffle. Exact decimal revenue, one cast to double at the end."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    supplier = F.broadcast(_read(spark, sf_dir, "supplier"))
+    n1 = F.broadcast(
+        _read(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    n2 = F.broadcast(
+        _read(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(8,4)")
+    pair = (
+        (F.col("cust_nation") == "NATION_3") & (F.col("supp_nation") == "NATION_7")
+    ) | (
+        (F.col("cust_nation") == "NATION_7") & (F.col("supp_nation") == "NATION_3")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("c_nationkey") == F.col("cn_key"))
+        .join(n2, F.col("s_nationkey") == F.col("sn_key"))
+        .filter(pair)
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year(F.col("o_orderdate").cast("date")).cast("long").alias("o_year"),
+        )
+        .agg(
+            F.sum(ep * (1 - disc)).cast("double").alias("volume"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_NATION_TRADE_VOLUME = """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS volume,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE (cn.n_name = 'NATION_3' AND sn.n_name = 'NATION_7')
+   OR (cn.n_name = 'NATION_7' AND sn.n_name = 'NATION_3')
+GROUP BY 1, 2, 3
+"""
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape — market share of one supplier nation inside
+    one customer region per year: conditional decimal aggregation
+    (share numerator = volume where supplier is NATION_8, denominator
+    = all volume sold into ASIA customers). Numerator and denominator
+    stay EXACT decimals; the ratio is one double division rounded to
+    9 places at the very end (the accept_prob determinism recipe)."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    supplier = F.broadcast(_read(spark, sf_dir, "supplier"))
+    nation = F.broadcast(_read(spark, sf_dir, "nation"))
+    region = F.broadcast(_read(spark, sf_dir, "region"))
+    sn = F.broadcast(
+        _read(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    vol = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (1 - F.col("l_discount").cast("decimal(8,4)"))
+    )
+    zero = F.lit(0).cast("decimal(21,6)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(
+            F.year(F.col("o_orderdate").cast("date")).cast("long").alias("o_year")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_8", vol.cast("decimal(21,6)"))
+                .otherwise(zero)
+            ).alias("__num"),
+            F.sum(vol.cast("decimal(21,6)")).alias("__den"),
+        )
+        .select(
+            "o_year",
+            F.col("__num").cast("double").alias("nation_volume"),
+            F.col("__den").cast("double").alias("total_volume"),
+            F.round(
+                F.col("__num").cast("double") / F.col("__den").cast("double"), 9
+            ).alias("mkt_share"),
+        )
+    )
+
+
+SQL_MARKET_SHARE = """
+WITH v AS (
+  SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+              * (1 - CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(21,6)) AS vol,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'ASIA')
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_8' THEN vol
+                     ELSE CAST(0 AS DECIMAL(21,6)) END) AS DOUBLE) AS nation_volume,
+       CAST(sum(vol) AS DOUBLE) AS total_volume,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_8' THEN vol
+                           ELSE CAST(0 AS DECIMAL(21,6)) END) AS DOUBLE)
+             / CAST(sum(vol) AS DOUBLE), 9) AS mkt_share
+FROM v GROUP BY o_year
+"""
+
+
+def q_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape — orders-per-customer distribution including
+    the zero-order tail: LEFT join (so customers with no orders
+    count at c_count=0) -> per-customer count -> histogram of the
+    counts. The canonical double aggregation; both shuffles are
+    keyed (custkey, then c_count) — no global anything."""
+    customer = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+SQL_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) t
+GROUP BY c_count
+"""
+
+
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape — large-volume orders: HAVING on a grouped
+    fact (orders whose summed lineitem quantity exceeds 300), then
+    the qualifying keys pull in their order/customer context. The
+    aggregate-then-semi-join pattern: the HAVING side reduces 60k
+    lineitems to a handful of keys BEFORE any wide join."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+SQL_LARGE_ORDERS = """
+SELECT c_name, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300) big
+JOIN orders   ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+_SQL_HEX8 = (
+    "((strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 268435456"
+    " + (strpos('0123456789abcdef', substr({h}, 2, 1)) - 1) * 16777216"
+    " + (strpos('0123456789abcdef', substr({h}, 3, 1)) - 1) * 1048576"
+    " + (strpos('0123456789abcdef', substr({h}, 4, 1)) - 1) * 65536"
+    " + (strpos('0123456789abcdef', substr({h}, 5, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr({h}, 6, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr({h}, 7, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr({h}, 8, 1)) - 1))"
+)
+
+
+def q_training_shards(spark, sf_dir):
+    """Deterministic training-shard materialization
+    (operators/sharding.py:assign_shards): every document gets a
+    (shard, position) from two independent md5 draws — globally
+    shuffled order, zero RNG state, bit-reproducible across engines,
+    cluster sizes and reruns (the property that makes training runs
+    resumable mid-epoch). Plan: ONE hash shuffle on the shard key +
+    per-shard sort; writers pair it with partitionBy(shard) +
+    sortWithinPartitions. The FULL assignment is value-checked."""
+    from smartbots_etl_facturas_spark.operators.sharding import assign_shards
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return assign_shards(docs, "doc_id", n_shards=8).select(
+        "shard", F.col("pos").cast("long").alias("pos"), "doc_id"
+    )
+
+
+SQL_TRAINING_SHARDS = f"""
+WITH d AS (
+  SELECT doc_id,
+         md5('shards-v1:s:' || CAST(doc_id AS VARCHAR)) AS hs,
+         md5('shards-v1:o:' || CAST(doc_id AS VARCHAR)) AS ho
+  FROM documents),
+s AS (
+  SELECT doc_id, CAST({_SQL_HEX8.format(h='hs')} % 8 AS INT) AS shard, ho
+  FROM d)
+SELECT shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ho, doc_id)
+            AS BIGINT) AS pos,
+       doc_id
+FROM s
+"""
+
+
+def q_curriculum_interleave(spark, sf_dir):
+    """Deterministic weighted source interleaving
+    (operators/sharding.py:interleave_key): the mixture scheduler of
+    multi-domain training — language l with integer weight w emits
+    its r-th (md5-shuffled) example at schedule key r/w, so any
+    schedule prefix holds the sources in ~w proportion with NO
+    global window in the plan (one per-source window; consumers
+    range-partition by the key). Weights en:8 zh:4 es:2 fr:2 de:1.
+    The head of the schedule (top-200 via TakeOrdered — scale-safe)
+    is value-checked row-for-row."""
+    from smartbots_etl_facturas_spark.operators.sharding import interleave_key
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    keyed = interleave_key(
+        docs, "lang", "doc_id",
+        weights={"en": 8, "zh": 4, "es": 2, "fr": 2, "de": 1},
+    )
+    return (
+        keyed.orderBy("schedule_key", "__draw", "doc_id")
+        .limit(200)
+        .select(
+            "lang",
+            F.col("rank_in_source").cast("long").alias("rank_in_source"),
+            "schedule_key",
+            "doc_id",
+        )
+    )
+
+
+SQL_CURRICULUM_INTERLEAVE = """
+WITH d AS (
+  SELECT doc_id, lang,
+         md5('interleave-v1:' || CAST(doc_id AS VARCHAR)) AS h,
+         CASE lang WHEN 'en' THEN 8 WHEN 'zh' THEN 4 WHEN 'es' THEN 2
+                   WHEN 'fr' THEN 2 WHEN 'de' THEN 1 ELSE 1 END AS w
+  FROM documents),
+r AS (
+  SELECT doc_id, lang, h,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+              AS BIGINT) AS rank_in_source,
+         CAST(720720 / w AS BIGINT) AS step
+  FROM d)
+SELECT lang, rank_in_source,
+       CAST(rank_in_source * step AS BIGINT) AS schedule_key, doc_id
+FROM r
+ORDER BY schedule_key, h, doc_id
+LIMIT 200
+"""
+
+
+_BLOOM_M, _BLOOM_K = 1 << 16, 5
+
+
+def _bloom_dim_orders(spark, sf_dir):
+    """The selective dim side shared by the bloom queries: urgent
+    high-value orders (~4% of orderkeys at any sf)."""
+    return _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 400000)
+    )
+
+
+def q_bloom_join_prune(spark, sf_dir):
+    """Runtime Bloom-filter join pruning
+    (operators/bloom.py:bloom_prefilter — the Spark
+    InjectRuntimeFilter technique as explicit dataflow): the dim side
+    (urgent high-value orders, ~4% of keys) builds a 64-Kbit bitmap
+    as a bounded aggregation, broadcast onto the lineitem scan, and
+    ~96% of fact rows die MAP-SIDE before the join shuffle. The
+    exact join afterwards removes the Bloom's false positives, so
+    the result is bit-identical to the plain join the oracle runs —
+    only the shuffled volume differs (measured in PERF.md)."""
+    from smartbots_etl_facturas_spark.operators.bloom import bloom_prefilter
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    dim = _bloom_dim_orders(spark, sf_dir)
+    cand = bloom_prefilter(
+        li, "l_orderkey", dim.select("o_orderkey"), "o_orderkey",
+        m_bits=_BLOOM_M, k=_BLOOM_K,
+    )
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(8,4)")
+    return (
+        cand.join(F.broadcast(dim), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.year(F.col("o_orderdate").cast("date")).cast("long").alias("o_year")
+        )
+        .agg(
+            F.sum(ep * (1 - disc)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_BLOOM_JOIN_PRUNE = """
+SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000
+GROUP BY 1
+"""
+
+
+def q_bloom_prune_invariants(spark, sf_dir):
+    """The Bloom pre-filter's contract, as data: (a) NO FALSE
+    NEGATIVES — every fact row the exact semi-join keeps survives
+    the bitmap (anti-join of truth against candidates is empty);
+    (b) the filter actually prunes (candidates < fact rows). The
+    counts n_fact / n_true are engine-independent and value-checked
+    by the oracle; the booleans are pinned TRUE (candidate count
+    itself is xxhash64-specific — recorded in PERF.md, not hashed)."""
+    from smartbots_etl_facturas_spark.operators.bloom import bloom_prefilter
+
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey")
+    dim = _bloom_dim_orders(spark, sf_dir).select("o_orderkey")
+    cand = bloom_prefilter(
+        li, "l_orderkey", dim, "o_orderkey", m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    truth = li.join(
+        dim, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+    n_fact = li.agg(F.count(F.lit(1)).alias("n_fact"))
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("__n_cand"))
+    missed = truth.join(
+        cand.select("l_orderkey").distinct(), "l_orderkey", "left_anti"
+    ).agg(F.count(F.lit(1)).alias("__missed"))
+    return (
+        n_fact.crossJoin(n_true).crossJoin(n_cand).crossJoin(missed)
+        .select(
+            "n_fact",
+            "n_true",
+            (F.col("__missed") == 0).alias("no_false_negatives"),
+            (F.col("__n_cand") < F.col("n_fact")).alias("pruned_some"),
+            (F.col("__n_cand") >= F.col("n_true")).alias("superset_of_truth"),
+        )
+    )
+
+
+SQL_BLOOM_PRUNE_INVARIANTS = """
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_fact,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT'
+                               AND o_totalprice > 400000)) AS n_true,
+       TRUE AS no_false_negatives,
+       TRUE AS pruned_some,
+       TRUE AS superset_of_truth
+"""
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6402,6 +6857,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 _QUERIES: dict[str, Callable] = {
     "flagship_consolidation": q_flagship_consolidation,
+    "triangle_count": q_triangle_count,
+    "nation_trade_volume": q_nation_trade_volume,
+    "market_share": q_market_share,
+    "customer_distribution": q_customer_distribution,
+    "large_orders": q_large_orders,
+    "training_shards": q_training_shards,
+    "curriculum_interleave": q_curriculum_interleave,
+    "bloom_join_prune": q_bloom_join_prune,
+    "bloom_prune_invariants": q_bloom_prune_invariants,
     "upsert_insert_only": q_upsert_insert_only,
     "upsert_full_status": q_upsert_full_status,
     "reconciliation": q_reconciliation,
@@ -6597,6 +7061,15 @@ _ORACLES: dict[str, str] = {
     "group_percentiles": SQL_GROUP_PERCENTILES,
     "approx_percentile_sketch": SQL_APPROX_PERCENTILE_SKETCH,
     "pivot_status": SQL_PIVOT_STATUS,
+    "triangle_count": SQL_TRIANGLE_COUNT,
+    "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
+    "market_share": SQL_MARKET_SHARE,
+    "customer_distribution": SQL_CUSTOMER_DISTRIBUTION,
+    "large_orders": SQL_LARGE_ORDERS,
+    "training_shards": SQL_TRAINING_SHARDS,
+    "curriculum_interleave": SQL_CURRICULUM_INTERLEAVE,
+    "bloom_join_prune": SQL_BLOOM_JOIN_PRUNE,
+    "bloom_prune_invariants": SQL_BLOOM_PRUNE_INVARIANTS,
     "set_ops": SQL_SET_OPS,
     "nullsafe_join": SQL_NULLSAFE_JOIN,
     "report_render": SQL_REPORT_RENDER,

@@ -1,0 +1,120 @@
+"""Distributed Bloom-filter join pruning (runtime semi-join filter).
+
+The classic 100 TB shuffle-reduction technique (Spark's own
+InjectRuntimeFilter / "row-level runtime filtering", Hive/Impala
+runtime filters): when a fact ⋈ dim join keeps only a small fraction
+of fact rows, build a Bloom filter over the dim keys FIRST, broadcast
+it (a few KB-MB regardless of fact size), and drop non-matching fact
+rows map-side BEFORE the join shuffle. The exact join afterwards
+removes the Bloom's false positives, so the final result is
+bit-identical to the plain join — only the shuffled volume changes.
+
+This build doesn't expose ``bloom_filter_agg``/``might_contain`` as
+SQL functions (Spark keeps them internal to the optimizer rule), so
+the filter is built as plain DataFrame aggregation — which is also
+the shape that works on ANY engine:
+
+  build:  k probe positions per dim key (xxhash64 with per-probe
+          seeds, mod m) → bit = (word index, bit-in-word) → groupBy
+          word index, bit_or of the set bits → ≤ m/64 rows →
+          map_from_entries into a ONE-ROW frame {word_idx → int64}.
+  probe:  broadcast-crossJoin the 1-row bitmap onto the fact and
+          test all k bits with element_at + shift/mask — pure Column
+          expressions, whole-stage-codegen'd, zero Python.
+
+Sizing: m bits for n keys at k hashes gives false-positive rate
+≈ (1 - e^(-kn/m))^k; the default m = 16·n_hint rounded up to a power
+of two with k = 5 lands ≈ 1 %. The bitmap is at most m/64 longs
+(≈ 2 MB per 1e6 dim keys) — broadcastable at any fact scale, and the
+build aggregation is bounded by m/64 rows, not by the fact.
+
+No false negatives ever: every dim key sets exactly the bits the
+probe tests (same seeds, same modulus), so ``fact ⋉ dim`` survives
+the pre-filter intact — asserted by the ``bloom_prune_invariants``
+driver query and tests/test_bloom.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["build_bloom", "bloom_probe", "bloom_prefilter"]
+
+
+def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    """The k probe positions for ``key``: xxhash64 seeded per probe
+    (seed = probe index) so the k hashes are independent; pmod keeps
+    positions in [0, m)."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)) for i in range(k)
+    ]
+
+
+def build_bloom(
+    dim: DataFrame, key: str, m_bits: int = 1 << 16, k: int = 5
+) -> DataFrame:
+    """ONE-ROW frame ``(bf: map<int,bigint>, m_bits, k)`` — the Bloom
+    bitmap over ``dim[key]`` as word-indexed int64s (absent word ⇒ all
+    zero). Build cost: one explode (k rows per dim key) + one
+    aggregation bounded by m/64 output rows."""
+    if m_bits % 64 != 0:
+        raise ValueError("m_bits must be a multiple of 64")
+    pos = F.explode(F.array(*_positions(F.col(key), m_bits, k))).alias("pos")
+    words = (
+        dim.select(pos)
+        # SQL shiftleft takes a column shift amount (the PySpark
+        # wrapper doesn't), hence selectExpr
+        .selectExpr(
+            "CAST(pos DIV 64 AS INT) AS word_idx",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS bit",
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    return words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("bf"),
+        F.lit(m_bits).alias("m_bits"),
+        F.lit(k).alias("k"),
+    )
+
+
+def bloom_probe(pos_cols: list[str]) -> Column:
+    """Boolean Column: the bit named by each position column (already
+    in [0, m)) is set in the in-scope bitmap column ``bf``. Built as
+    a SQL expression because shift amounts are columns (the PySpark
+    shiftleft/shiftrightunsigned wrappers only take int literals).
+    Missing words read as 0 via coalesce."""
+    tests = [
+        "(shiftrightunsigned("
+        f"coalesce(element_at(bf, CAST({p} DIV 64 AS INT)), CAST(0 AS BIGINT)),"
+        f" CAST({p} % 64 AS INT)) & 1) = 1"
+        for p in pos_cols
+    ]
+    return F.expr(" AND ".join(tests))
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+) -> DataFrame:
+    """``fact`` reduced to rows whose ``fact_key`` MIGHT be in
+    ``dim[dim_key]`` — a superset of the exact semi-join (no false
+    negatives), computed map-side against a broadcast bitmap. Chain
+    the exact join after this to get the plain-join result with a
+    fraction of the shuffle."""
+    bloom = build_bloom(dim, dim_key, m_bits=m_bits, k=k)
+    pos = _positions(F.col(fact_key), m_bits, k)
+    probed = fact.crossJoin(F.broadcast(bloom))
+    for i, p in enumerate(pos):
+        probed = probed.withColumn(f"__bp{i}", p)
+    return (
+        probed.filter(bloom_probe([f"__bp{i}" for i in range(k)]))
+        .drop("bf", "m_bits", "k", *[f"__bp{i}" for i in range(k)])
+    )

@@ -78,3 +78,69 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Exact triangle count of the UNDIRECTED graph ``edges`` via
+    degree-ordered edge orientation (the classic MapReduce scheme of
+    Suri & Vassilvitskii 2011, "Counting Triangles and the Curse of
+    the Last Reducer"): orient every edge from its lower-(degree,
+    node) endpoint to the higher one, join oriented edges u→v with
+    v→w to enumerate wedges, and keep wedges whose closing edge u→w
+    is oriented too. Each triangle is counted EXACTLY once (its
+    degree-minimal vertex is the only wedge center that survives
+    orientation), and because every oriented out-neighborhood has
+    size O(sqrt(m)), the wedge join materializes O(m^1.5) rows
+    instead of the O(Σ deg²) of naive wedge enumeration — this is
+    what kills the "curse of the last reducer" on skewed 100 TB
+    graphs where a hub vertex would otherwise own deg² wedges.
+
+    Input rows are undirected edges in any orientation; duplicates
+    and self-loops are removed here. Plan: one dedup shuffle + one
+    degree agg + three equi-joins — no cartesian anywhere.
+    Returns a 1-row frame (n_triangles,)."""
+    und = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient from lower (deg, node) to higher — a total order, so the
+    # oriented graph is acyclic and out-degrees are O(sqrt(m))-bounded
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select("e.s", "e.t")
+    )
+    wedges = (
+        oriented.select(F.col("s").alias("x"), F.col("t").alias("y"))
+        .join(
+            oriented.select(F.col("s").alias("y"), F.col("t").alias("z")),
+            "y",
+        )
+        .select("x", "y", "z")
+    )
+    closed = wedges.join(
+        oriented.select(F.col("s").alias("x"), F.col("t").alias("z")),
+        ["x", "z"],
+    )
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

@@ -1,0 +1,62 @@
+"""Bloom-filter join pruning (operators/bloom.py): the no-false-
+negative contract, actual pruning, bitmap boundedness, and
+equivalence of bloom-prefiltered join vs plain join."""
+
+from pyspark.sql import functions as F
+
+from smartbots_etl_facturas_spark.operators.bloom import (
+    bloom_prefilter,
+    build_bloom,
+)
+
+M, K = 1 << 12, 5
+
+
+def _frames(spark):
+    fact = spark.range(0, 5000).select(F.col("id").alias("fk"))
+    # dim keys: every 40th id → 125 true matches out of 5000
+    dim = spark.range(0, 5000, 40).select(F.col("id").alias("dk"))
+    return fact, dim
+
+
+def test_no_false_negatives(spark):
+    fact, dim = _frames(spark)
+    cand = set(
+        r.fk
+        for r in bloom_prefilter(fact, "fk", dim, "dk", m_bits=M, k=K).collect()
+    )
+    truth = set(r.dk for r in dim.collect())
+    assert truth <= cand, "bloom dropped a true key"
+
+
+def test_prunes_most_non_matches(spark):
+    fact, dim = _frames(spark)
+    n_cand = bloom_prefilter(fact, "fk", dim, "dk", m_bits=M, k=K).count()
+    # 125 true keys; at m=4096/n=125/k=5 the fp rate is ~1%, so
+    # candidates should be well under 10% of the 5000-row fact
+    assert 125 <= n_cand < 500
+
+
+def test_join_after_bloom_equals_plain_join(spark):
+    fact, dim = _frames(spark)
+    cand = bloom_prefilter(fact, "fk", dim, "dk", m_bits=M, k=K)
+    via_bloom = sorted(
+        r.fk for r in cand.join(dim, F.col("fk") == F.col("dk")).collect()
+    )
+    plain = sorted(
+        r.fk for r in fact.join(dim, F.col("fk") == F.col("dk")).collect()
+    )
+    assert via_bloom == plain
+
+
+def test_bitmap_bounded_by_m(spark):
+    _, dim = _frames(spark)
+    row = build_bloom(dim, "dk", m_bits=M, k=K).collect()[0]
+    assert len(row.bf) <= M // 64
+    assert all(0 <= w < M // 64 for w in row.bf.keys())
+
+
+def test_empty_dim_prunes_everything(spark):
+    fact, dim = _frames(spark)
+    empty = dim.filter(F.lit(False))
+    assert bloom_prefilter(fact, "fk", empty, "dk", m_bits=M, k=K).count() == 0

@@ -117,6 +117,17 @@ ALLOW: dict[str, tuple[set, str]] = {
         "count agg), not the corpus; the 1-row token-mass total "
         "broadcasts onto it (same normalizer pattern as source_mixture)",
     ),
+    "bloom_join_prune": (
+        {"bnlj"},
+        "broadcast of the ONE-ROW Bloom bitmap frame (≤ m/64 int64s, "
+        "~8 KB at m=2^16) onto the fact scan — the runtime-filter "
+        "pattern itself; the actual join is a keyed broadcast hash join",
+    ),
+    "bloom_prune_invariants": (
+        {"bnlj"},
+        "same 1-row bitmap broadcast, plus crossJoins of four 1-row "
+        "count aggregates into the single invariants row",
+    ),
     "invoice_extract_golden": (
         {"gwin"},
         "P8 take-while over ONE sheet: the global window IS the "
