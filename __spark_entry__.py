@@ -6410,7 +6410,14 @@ def q_triangle_count(spark, sf_dir):
     independent, no orientation needed at oracle scale)."""
     from smartbots_etl_facturas_spark.operators.graph import triangle_count
 
-    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # one-third of orders: the full co-occurrence graph's triangle
+    # count is inherently wedge-heavy and would dominate the bench
+    # total; the sampled graph still has >100k edges at sf0.1
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 3 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
     pairs = (
         li.alias("a")
         .join(li.alias("b"), "l_orderkey")
@@ -6427,7 +6434,8 @@ WITH und AS (
   SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
                   greatest(a.l_partkey, b.l_partkey) AS v
   FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  WHERE a.l_orderkey % 3 = 0)
 SELECT CAST(count(*) AS BIGINT) AS n_triangles
 FROM und e1
 JOIN und e2 ON e2.u = e1.v
@@ -6848,6 +6856,238 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_fact,
 """
 
 
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Engine-portable HyperLogLog (operators/sketches.py): distinct
+    customers in orders estimated from 64 integer registers derived
+    from md5 hashes — every register and the exact-integer harmonic
+    sum are reproduced BIT-FOR-BIT by the DuckDB oracle (vs Spark's
+    approx_count_distinct, whose sketch is engine-private). Register
+    table is bounded (2^p rows) at any input size and merges with a
+    plain groupBy-max (mergeability pinned in tests/test_sketches.py);
+    the only float step is one IEEE division of two exactly-agreed
+    integers. The relative-error contract (<20% at m=64) is asserted
+    as a value-checked boolean."""
+    from smartbots_etl_facturas_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    orders = _read(spark, sf_dir, "orders")
+    est = hll_estimate(hll_registers(orders, "o_custkey", p=6), p=6)
+    exact = orders.agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_exact")
+    )
+    return exact.crossJoin(est).select(
+        "n_exact",
+        "int_sum",
+        "n_zero_buckets",
+        "hll_estimate",
+        (
+            F.abs(F.col("hll_estimate") - F.col("n_exact"))
+            / F.col("n_exact").cast("double")
+            < 0.2
+        ).alias("rel_err_ok"),
+    )
+
+
+SQL_HLL_DISTINCT = """
+WITH h AS (
+  SELECT ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 17592186044416
+   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 1099511627776
+   + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 68719476736
+   + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 4294967296
+   + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 268435456
+   + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 16777216
+   + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 1048576
+   + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) * 65536
+   + (strpos('0123456789abcdef', substr(h, 9, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substr(h, 10, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substr(h, 11, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substr(h, 12, 1)) - 1)) AS hv
+  FROM (SELECT md5('hll-v1:' || CAST(o_custkey AS VARCHAR)) AS h FROM orders)),
+br AS (
+  SELECT CAST(hv // 4398046511104 AS BIGINT) AS bucket,
+         hv % 4398046511104 AS rest
+  FROM h),
+regs AS (
+  SELECT bucket,
+         max(CASE WHEN rest = 0 THEN 43
+                  ELSE 42 - length(bin(rest)) + 1 END) AS rho_max
+  FROM br GROUP BY bucket),
+agg AS (
+  SELECT CAST(coalesce(sum(CAST(2 AS BIGINT) ** (43 - rho_max)), 0)
+              + (64 - count(*)) * 8796093022208 AS BIGINT) AS int_sum,
+         CAST(64 - count(*) AS BIGINT) AS n_zero_buckets
+  FROM regs),
+ex AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact FROM orders)
+SELECT n_exact, int_sum, n_zero_buckets,
+       round(CAST(0.7093409548395029 AS DOUBLE) * 64 * 64 * 8796093022208.0
+             / CAST(int_sum AS DOUBLE), 3) AS hll_estimate,
+       (abs(round(CAST(0.7093409548395029 AS DOUBLE) * 64 * 64 * 8796093022208.0
+                  / CAST(int_sum AS DOUBLE), 3) - n_exact)
+        / CAST(n_exact AS DOUBLE)) < 0.2 AS rel_err_ok
+FROM ex, agg
+"""
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Engine-portable count-min sketch (operators/sketches.py): the
+    event stream's 10 heaviest users estimated from a 4x256 integer
+    counter matrix built with md5-derived hashes — the DuckDB oracle
+    rebuilds the SAME matrix and value-checks every estimate EXACTLY
+    (not bounds: equality). The matrix is bounded at d*w cells
+    forever, merges by cell-wise sum (pinned in tests), and the
+    no-underestimate guarantee (CMS can only over-count) is a
+    value-checked boolean per probe key."""
+    from smartbots_etl_facturas_spark.operators.sketches import (
+        cms_cells,
+        cms_lookup,
+    )
+
+    events = _read(spark, sf_dir, "events").select("user_id")
+    cells = cms_cells(events, "user_id", d=4, w=256)
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "user_id")
+        .limit(10)
+    )
+    return (
+        cms_lookup(cells, top.select("user_id"), "user_id", d=4, w=256)
+        .join(top, "user_id")
+        .select(
+            "user_id",
+            "true_cnt",
+            "cms_est",
+            (F.col("cms_est") >= F.col("true_cnt")).alias("no_underestimate"),
+        )
+    )
+
+
+SQL_CMS_HEAVY_HITTERS = """
+WITH cells_src AS (
+  SELECT 0 AS row, ((strpos('0123456789abcdef', substr(md5('cms-v1:0:' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 17592186044416
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:0:' || CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 1099511627776
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:0:' || CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 68719476736
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:0:' || CAST(user_id AS VARCHAR)), 4, 1)) - 1) * 4294967296
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:0:' || CAST(user_id AS VARCHAR)), 5, 1)) - 1) * 268435456
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:0:' || CAST(user_id AS VARCHAR)), 6, 1)) - 1) * 16777216
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:0:' || CAST(user_id AS VARCHAR)), 7, 1)) - 1) * 1048576
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:0:' || CAST(user_id AS VARCHAR)), 8, 1)) - 1) * 65536
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:0:' || CAST(user_id AS VARCHAR)), 9, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:0:' || CAST(user_id AS VARCHAR)), 10, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:0:' || CAST(user_id AS VARCHAR)), 11, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:0:' || CAST(user_id AS VARCHAR)), 12, 1)) - 1)) % 256 AS col FROM events
+  UNION ALL
+  SELECT 1 AS row, ((strpos('0123456789abcdef', substr(md5('cms-v1:1:' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 17592186044416
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:1:' || CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 1099511627776
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:1:' || CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 68719476736
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:1:' || CAST(user_id AS VARCHAR)), 4, 1)) - 1) * 4294967296
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:1:' || CAST(user_id AS VARCHAR)), 5, 1)) - 1) * 268435456
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:1:' || CAST(user_id AS VARCHAR)), 6, 1)) - 1) * 16777216
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:1:' || CAST(user_id AS VARCHAR)), 7, 1)) - 1) * 1048576
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:1:' || CAST(user_id AS VARCHAR)), 8, 1)) - 1) * 65536
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:1:' || CAST(user_id AS VARCHAR)), 9, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:1:' || CAST(user_id AS VARCHAR)), 10, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:1:' || CAST(user_id AS VARCHAR)), 11, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:1:' || CAST(user_id AS VARCHAR)), 12, 1)) - 1)) % 256 AS col FROM events
+  UNION ALL
+  SELECT 2 AS row, ((strpos('0123456789abcdef', substr(md5('cms-v1:2:' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 17592186044416
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:2:' || CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 1099511627776
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:2:' || CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 68719476736
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:2:' || CAST(user_id AS VARCHAR)), 4, 1)) - 1) * 4294967296
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:2:' || CAST(user_id AS VARCHAR)), 5, 1)) - 1) * 268435456
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:2:' || CAST(user_id AS VARCHAR)), 6, 1)) - 1) * 16777216
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:2:' || CAST(user_id AS VARCHAR)), 7, 1)) - 1) * 1048576
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:2:' || CAST(user_id AS VARCHAR)), 8, 1)) - 1) * 65536
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:2:' || CAST(user_id AS VARCHAR)), 9, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:2:' || CAST(user_id AS VARCHAR)), 10, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:2:' || CAST(user_id AS VARCHAR)), 11, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:2:' || CAST(user_id AS VARCHAR)), 12, 1)) - 1)) % 256 AS col FROM events
+  UNION ALL
+  SELECT 3 AS row, ((strpos('0123456789abcdef', substr(md5('cms-v1:3:' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 17592186044416
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:3:' || CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 1099511627776
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:3:' || CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 68719476736
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:3:' || CAST(user_id AS VARCHAR)), 4, 1)) - 1) * 4294967296
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:3:' || CAST(user_id AS VARCHAR)), 5, 1)) - 1) * 268435456
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:3:' || CAST(user_id AS VARCHAR)), 6, 1)) - 1) * 16777216
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:3:' || CAST(user_id AS VARCHAR)), 7, 1)) - 1) * 1048576
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:3:' || CAST(user_id AS VARCHAR)), 8, 1)) - 1) * 65536
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:3:' || CAST(user_id AS VARCHAR)), 9, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:3:' || CAST(user_id AS VARCHAR)), 10, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:3:' || CAST(user_id AS VARCHAR)), 11, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:3:' || CAST(user_id AS VARCHAR)), 12, 1)) - 1)) % 256 AS col FROM events),
+cells AS (
+  SELECT row, col, CAST(count(*) AS BIGINT) AS cnt
+  FROM cells_src GROUP BY row, col),
+top AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt
+  FROM events GROUP BY user_id
+  ORDER BY true_cnt DESC, user_id LIMIT 10),
+probes_src AS (
+  SELECT user_id, 0 AS row, ((strpos('0123456789abcdef', substr(md5('cms-v1:0:' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 17592186044416
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:0:' || CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 1099511627776
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:0:' || CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 68719476736
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:0:' || CAST(user_id AS VARCHAR)), 4, 1)) - 1) * 4294967296
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:0:' || CAST(user_id AS VARCHAR)), 5, 1)) - 1) * 268435456
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:0:' || CAST(user_id AS VARCHAR)), 6, 1)) - 1) * 16777216
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:0:' || CAST(user_id AS VARCHAR)), 7, 1)) - 1) * 1048576
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:0:' || CAST(user_id AS VARCHAR)), 8, 1)) - 1) * 65536
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:0:' || CAST(user_id AS VARCHAR)), 9, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:0:' || CAST(user_id AS VARCHAR)), 10, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:0:' || CAST(user_id AS VARCHAR)), 11, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:0:' || CAST(user_id AS VARCHAR)), 12, 1)) - 1)) % 256 AS col FROM top
+  UNION ALL
+  SELECT user_id, 1 AS row, ((strpos('0123456789abcdef', substr(md5('cms-v1:1:' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 17592186044416
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:1:' || CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 1099511627776
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:1:' || CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 68719476736
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:1:' || CAST(user_id AS VARCHAR)), 4, 1)) - 1) * 4294967296
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:1:' || CAST(user_id AS VARCHAR)), 5, 1)) - 1) * 268435456
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:1:' || CAST(user_id AS VARCHAR)), 6, 1)) - 1) * 16777216
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:1:' || CAST(user_id AS VARCHAR)), 7, 1)) - 1) * 1048576
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:1:' || CAST(user_id AS VARCHAR)), 8, 1)) - 1) * 65536
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:1:' || CAST(user_id AS VARCHAR)), 9, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:1:' || CAST(user_id AS VARCHAR)), 10, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:1:' || CAST(user_id AS VARCHAR)), 11, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:1:' || CAST(user_id AS VARCHAR)), 12, 1)) - 1)) % 256 AS col FROM top
+  UNION ALL
+  SELECT user_id, 2 AS row, ((strpos('0123456789abcdef', substr(md5('cms-v1:2:' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 17592186044416
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:2:' || CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 1099511627776
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:2:' || CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 68719476736
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:2:' || CAST(user_id AS VARCHAR)), 4, 1)) - 1) * 4294967296
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:2:' || CAST(user_id AS VARCHAR)), 5, 1)) - 1) * 268435456
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:2:' || CAST(user_id AS VARCHAR)), 6, 1)) - 1) * 16777216
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:2:' || CAST(user_id AS VARCHAR)), 7, 1)) - 1) * 1048576
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:2:' || CAST(user_id AS VARCHAR)), 8, 1)) - 1) * 65536
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:2:' || CAST(user_id AS VARCHAR)), 9, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:2:' || CAST(user_id AS VARCHAR)), 10, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:2:' || CAST(user_id AS VARCHAR)), 11, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:2:' || CAST(user_id AS VARCHAR)), 12, 1)) - 1)) % 256 AS col FROM top
+  UNION ALL
+  SELECT user_id, 3 AS row, ((strpos('0123456789abcdef', substr(md5('cms-v1:3:' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 17592186044416
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:3:' || CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 1099511627776
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:3:' || CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 68719476736
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:3:' || CAST(user_id AS VARCHAR)), 4, 1)) - 1) * 4294967296
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:3:' || CAST(user_id AS VARCHAR)), 5, 1)) - 1) * 268435456
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:3:' || CAST(user_id AS VARCHAR)), 6, 1)) - 1) * 16777216
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:3:' || CAST(user_id AS VARCHAR)), 7, 1)) - 1) * 1048576
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:3:' || CAST(user_id AS VARCHAR)), 8, 1)) - 1) * 65536
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:3:' || CAST(user_id AS VARCHAR)), 9, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:3:' || CAST(user_id AS VARCHAR)), 10, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:3:' || CAST(user_id AS VARCHAR)), 11, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substr(md5('cms-v1:3:' || CAST(user_id AS VARCHAR)), 12, 1)) - 1)) % 256 AS col FROM top),
+est AS (
+  SELECT p.user_id, min(coalesce(c.cnt, 0)) AS cms_est
+  FROM probes_src p LEFT JOIN cells c ON p.row = c.row AND p.col = c.col
+  GROUP BY p.user_id)
+SELECT t.user_id, t.true_cnt, e.cms_est,
+       e.cms_est >= t.true_cnt AS no_underestimate
+FROM top t JOIN est e ON t.user_id = e.user_id
+"""
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6858,6 +7098,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _QUERIES: dict[str, Callable] = {
     "flagship_consolidation": q_flagship_consolidation,
     "triangle_count": q_triangle_count,
+    "hll_distinct": q_hll_distinct,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "nation_trade_volume": q_nation_trade_volume,
     "market_share": q_market_share,
     "customer_distribution": q_customer_distribution,
@@ -7062,6 +7304,8 @@ _ORACLES: dict[str, str] = {
     "approx_percentile_sketch": SQL_APPROX_PERCENTILE_SKETCH,
     "pivot_status": SQL_PIVOT_STATUS,
     "triangle_count": SQL_TRIANGLE_COUNT,
+    "hll_distinct": SQL_HLL_DISTINCT,
+    "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
     "market_share": SQL_MARKET_SHARE,
     "customer_distribution": SQL_CUSTOMER_DISTRIBUTION,

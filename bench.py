@@ -92,6 +92,18 @@ HEADLINE = [
     "rolling_window_revenue",
     "table_diff",
     "attribution_last_touch",
+    # round-5 session-3 additions, sf-scaled only until their first
+    # floor recording
+    "triangle_count",
+    "nation_trade_volume",
+    "market_share",
+    "customer_distribution",
+    "large_orders",
+    "training_shards",
+    "curriculum_interleave",
+    "bloom_join_prune",
+    "hll_distinct",
+    "cms_heavy_hitters",
 ]
 
 

@@ -117,6 +117,11 @@ ALLOW: dict[str, tuple[set, str]] = {
         "count agg), not the corpus; the 1-row token-mass total "
         "broadcasts onto it (same normalizer pattern as source_mixture)",
     ),
+    "hll_distinct": (
+        {"bnlj"},
+        "crossJoin of two ONE-ROW aggregates (exact countDistinct + "
+        "the 64-register HLL estimate) into the single report row",
+    ),
     "bloom_join_prune": (
         {"bnlj"},
         "broadcast of the ONE-ROW Bloom bitmap frame (≤ m/64 int64s, "
