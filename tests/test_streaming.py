@@ -815,3 +815,48 @@ def test_dedup_exact_stream_state_bounded_by_watermark(spark, tmp_path):
     # by cycles 2/3/4 — eviction plateaus at the live cycle's K (+K lag)
     assert all(s <= 2 * K for s in state_rows), state_rows
     assert state_rows[-1] < 3 * K
+
+
+def test_sketch_stream_matches_batch(spark, tmp_path):
+    """Mergeable sketches as stream state (streaming/sketches.py):
+    drain a keyed stream one file per micro-batch through the
+    SketchAccumulator; the merged HLL registers and CMS cells must be
+    BIT-IDENTICAL to the batch sketches over the union of all data
+    (associative+commutative merge ⇒ batch slicing is invisible),
+    and state stays at sketch size (≤ m registers, ≤ d·w cells)."""
+    from smartbots_etl_facturas_spark.operators.sketches import (
+        cms_cells,
+        hll_registers,
+    )
+    from smartbots_etl_facturas_spark.streaming.sketches import SketchAccumulator
+
+    src = str(tmp_path / "sk-src")
+    ckpt = str(tmp_path / "sk-ckpt")
+    # 5 files × 200 rows, overlapping key ranges so merges matter
+    for i in range(5):
+        (spark.range(i * 150, i * 150 + 200)
+         .select((F.col("id") % 331).alias("user_id"))
+         .coalesce(1).write.mode("append").parquet(src))
+
+    acc = SketchAccumulator(key="user_id", p=6, d=4, w=256)
+    q = (spark.readStream.schema("user_id long")
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.foreachBatch(acc)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert len(acc._seen) >= 2, "expected multiple micro-batches"
+
+    full = spark.read.parquet(src)
+    batch_hll = {r.bucket: r.rho_max
+                 for r in hll_registers(full, "user_id", p=6).collect()}
+    batch_cms = {(r.row, r.col): r.cnt
+                 for r in cms_cells(full, "user_id", d=4, w=256).collect()}
+    assert acc.hll == batch_hll
+    assert acc.cms == batch_cms
+    assert len(acc.hll) <= 64 and len(acc.cms) <= 4 * 256
+
+    # idempotent on redelivery: replaying a seen batch id is a no-op
+    before = (dict(acc.hll), dict(acc.cms))
+    acc(full, batch_id=min(acc._seen))
+    assert (acc.hll, acc.cms) == before
