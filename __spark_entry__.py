@@ -6751,7 +6751,7 @@ LIMIT 200
 """
 
 
-_BLOOM_M, _BLOOM_K = 1 << 16, 5
+_BLOOM_K = 5
 
 
 def _bloom_dim_orders(spark, sf_dir):
@@ -6767,8 +6767,8 @@ def q_bloom_join_prune(spark, sf_dir):
     """Runtime Bloom-filter join pruning
     (operators/bloom.py:bloom_prefilter — the Spark
     InjectRuntimeFilter technique as explicit dataflow): the dim side
-    (urgent high-value orders, ~4% of keys) builds a 64-Kbit bitmap
-    as a bounded aggregation, broadcast onto the lineitem scan, and
+    (urgent high-value orders, ~4% of keys) builds an auto-sized
+    bitmap (16 bits/key, fp ~0.6%) as a bounded aggregation, broadcast onto the lineitem scan, and
     ~96% of fact rows die MAP-SIDE before the join shuffle. The
     exact join afterwards removes the Bloom's false positives, so
     the result is bit-identical to the plain join the oracle runs —
@@ -6781,7 +6781,7 @@ def q_bloom_join_prune(spark, sf_dir):
     dim = _bloom_dim_orders(spark, sf_dir)
     cand = bloom_prefilter(
         li, "l_orderkey", dim.select("o_orderkey"), "o_orderkey",
-        m_bits=_BLOOM_M, k=_BLOOM_K,
+        m_bits=None, k=_BLOOM_K,  # auto-sized from the dim count
     )
     ep = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = F.col("l_discount").cast("decimal(8,4)")
@@ -6821,7 +6821,7 @@ def q_bloom_prune_invariants(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem").select("l_orderkey")
     dim = _bloom_dim_orders(spark, sf_dir).select("o_orderkey")
     cand = bloom_prefilter(
-        li, "l_orderkey", dim, "o_orderkey", m_bits=_BLOOM_M, k=_BLOOM_K
+        li, "l_orderkey", dim, "o_orderkey", m_bits=None, k=_BLOOM_K
     )
     truth = li.join(
         dim, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"

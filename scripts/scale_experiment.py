@@ -75,6 +75,21 @@ QUERIES = [
     "minhash_incremental",
     "ann_pq_prebuilt",
     "funnel_counts",
+    # round-5 third-session additions. Note on triangle_count: part
+    # keys are dims (fixed), so replicas regenerate the SAME edge set
+    # K× before the dedup — the ratio measures pair-generation +
+    # dedup-shuffle scaling over a fixed wedge workload (wedge growth
+    # itself is bounded O(m^1.5) by orientation). Sketch queries must
+    # stay ~linear-cost with BOUNDED output; the bloom bitmap build
+    # grows with the (replicated) dim key count but stays m-capped.
+    "triangle_count",
+    "bloom_join_prune",
+    "training_shards",
+    "curriculum_interleave",
+    "hll_distinct",
+    "cms_heavy_hitters",
+    "nation_trade_volume",
+    "customer_distribution",
 ]
 
 

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["build_bloom", "bloom_probe", "bloom_prefilter"]
+__all__ = ["build_bloom", "bloom_probe", "bloom_prefilter", "auto_m_bits"]
 
 
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
@@ -96,19 +96,35 @@ def bloom_probe(pos_cols: list[str]) -> Column:
     return F.expr(" AND ".join(tests))
 
 
+def auto_m_bits(n_keys: int, bits_per_key: int = 16) -> int:
+    """Bitmap size for ``n_keys`` build-side keys: ``bits_per_key``
+    bits each (16 ⇒ ~0.6% fp at k=5), rounded up to a power of two,
+    clamped to [2^10, 2^26] (2^26 = 8 MB of words — still broadcast-
+    able). A FIXED m saturates when the build side grows — fp → 1 and
+    the filter silently stops pruning — so real runtime filters size
+    from the observed build-side count, as this does."""
+    m = 1 << max(10, (max(n_keys, 1) * bits_per_key - 1).bit_length())
+    return min(m, 1 << 26)
+
+
 def bloom_prefilter(
     fact: DataFrame,
     fact_key: str,
     dim: DataFrame,
     dim_key: str,
-    m_bits: int = 1 << 16,
+    m_bits: int | None = 1 << 16,
     k: int = 5,
 ) -> DataFrame:
     """``fact`` reduced to rows whose ``fact_key`` MIGHT be in
     ``dim[dim_key]`` — a superset of the exact semi-join (no false
     negatives), computed map-side against a broadcast bitmap. Chain
     the exact join after this to get the plain-join result with a
-    fraction of the shuffle."""
+    fraction of the shuffle.
+
+    ``m_bits=None`` sizes the bitmap from the build side (one cheap
+    dim count — the pass every sizing-aware runtime filter pays)."""
+    if m_bits is None:
+        m_bits = auto_m_bits(dim.count())
     bloom = build_bloom(dim, dim_key, m_bits=m_bits, k=k)
     pos = _positions(F.col(fact_key), m_bits, k)
     probed = fact.crossJoin(F.broadcast(bloom))

@@ -60,3 +60,25 @@ def test_empty_dim_prunes_everything(spark):
     fact, dim = _frames(spark)
     empty = dim.filter(F.lit(False))
     assert bloom_prefilter(fact, "fk", empty, "dk", m_bits=M, k=K).count() == 0
+
+
+def test_auto_m_bits_sizes_and_clamps():
+    from smartbots_etl_facturas_spark.operators.bloom import auto_m_bits
+
+    assert auto_m_bits(0) == 1 << 10
+    assert auto_m_bits(4096) == 1 << 16
+    assert auto_m_bits(4097) == 1 << 17
+    assert auto_m_bits(10**9) == 1 << 26  # clamp
+
+
+def test_auto_sizing_keeps_pruning_when_dim_grows(spark):
+    from pyspark.sql import functions as F
+    from smartbots_etl_facturas_spark.operators.bloom import bloom_prefilter
+
+    fact = spark.range(0, 40000).select(F.col("id").alias("fk"))
+    big_dim = spark.range(0, 40000, 2).select(F.col("id").alias("dk"))  # 20k keys
+    # fixed m=2^12 saturates at 20k keys (kn/m ≈ 24) — prunes nothing
+    sat = bloom_prefilter(fact, "fk", big_dim, "dk", m_bits=1 << 12, k=5).count()
+    auto = bloom_prefilter(fact, "fk", big_dim, "dk", m_bits=None, k=5).count()
+    assert sat >= 39000  # saturated: nearly everything passes
+    assert auto < 22000  # auto-sized: close to the 20k true matches
