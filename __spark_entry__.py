@@ -7088,6 +7088,148 @@ FROM top t JOIN est e ON t.user_id = e.user_id
 """
 
 
+
+
+def q_join_cardinality_estimate(spark, sf_dir):
+    """Pre-join cardinality estimation from merged HLL sketches — the
+    cost-based-optimizer statistic every distributed planner keeps:
+    |keys(A) ∩ keys(B)| estimated by inclusion–exclusion over three
+    register tables (left, right, and their groupBy-MAX union — union
+    of HLLs is exact by construction, the intersection inherits the
+    subtraction's amplified error, bounded here at 35%). Each side's
+    sketch is one bounded aggregation over that table alone — the two
+    tables are never joined to get the estimate, which is the point:
+    at 100 TB the planner reads two 64-row sketches instead of
+    shuffling either input. Registers, integer harmonic sums, and the
+    final estimates are reproduced bit-for-bit by the oracle; the
+    exact intersection rides along for the error contract."""
+    from smartbots_etl_facturas_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    left = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    right = _read(spark, sf_dir, "customer")
+    ra = hll_registers(left, "o_custkey", p=6)
+    rb = hll_registers(right, "c_custkey", p=6)
+    ru = (
+        ra.unionByName(rb)
+        .groupBy("bucket")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+    ea = hll_estimate(ra, p=6).select(F.col("hll_estimate").alias("est_left"))
+    eb = hll_estimate(rb, p=6).select(F.col("hll_estimate").alias("est_right"))
+    eu = hll_estimate(ru, p=6).select(F.col("hll_estimate").alias("est_union"))
+    exact = (
+        left.select("o_custkey")
+        .distinct()
+        .join(right, F.col("o_custkey") == F.col("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_exact_intersection"))
+    )
+    est_i = F.round(
+        F.col("est_left") + F.col("est_right") - F.col("est_union"), 3
+    )
+    return (
+        ea.crossJoin(eb).crossJoin(eu).crossJoin(exact)
+        .select(
+            "est_left",
+            "est_right",
+            "est_union",
+            est_i.alias("est_intersection"),
+            "n_exact_intersection",
+            (
+                F.abs(est_i - F.col("n_exact_intersection"))
+                / F.col("n_exact_intersection").cast("double")
+                < 0.35
+            ).alias("rel_err_ok"),
+        )
+    )
+
+
+SQL_JOIN_CARDINALITY_ESTIMATE = """
+WITH a_h AS (
+  SELECT ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 17592186044416
+   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 1099511627776
+   + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 68719476736
+   + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 4294967296
+   + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 268435456
+   + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 16777216
+   + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 1048576
+   + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) * 65536
+   + (strpos('0123456789abcdef', substr(h, 9, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substr(h, 10, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substr(h, 11, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substr(h, 12, 1)) - 1)) AS hv
+  FROM (SELECT md5('hll-v1:' || CAST(o_custkey AS VARCHAR)) AS h FROM (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'))),
+a_regs AS (
+  SELECT CAST(hv // 4398046511104 AS BIGINT) AS bucket,
+         max(CASE WHEN hv % 4398046511104 = 0 THEN 43
+                  ELSE 42 - length(bin(hv % 4398046511104)) + 1 END) AS rho_max
+  FROM a_h GROUP BY bucket),
+b_h AS (
+  SELECT ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 17592186044416
+   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 1099511627776
+   + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 68719476736
+   + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 4294967296
+   + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 268435456
+   + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 16777216
+   + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 1048576
+   + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) * 65536
+   + (strpos('0123456789abcdef', substr(h, 9, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substr(h, 10, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substr(h, 11, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substr(h, 12, 1)) - 1)) AS hv
+  FROM (SELECT md5('hll-v1:' || CAST(c_custkey AS VARCHAR)) AS h FROM customer)),
+b_regs AS (
+  SELECT CAST(hv // 4398046511104 AS BIGINT) AS bucket,
+         max(CASE WHEN hv % 4398046511104 = 0 THEN 43
+                  ELSE 42 - length(bin(hv % 4398046511104)) + 1 END) AS rho_max
+  FROM b_h GROUP BY bucket),
+u_regs AS (
+  SELECT bucket, max(rho_max) AS rho_max
+  FROM (SELECT * FROM a_regs UNION ALL SELECT * FROM b_regs)
+  GROUP BY bucket),
+a_agg AS (
+  SELECT CAST(coalesce(sum(CAST(2 AS BIGINT) ** (43 - rho_max)), 0)
+              + (64 - count(*)) * 8796093022208 AS BIGINT) AS int_sum
+  FROM a_regs),
+a_est AS (
+  SELECT round(CAST(0.7093409548395029 AS DOUBLE) * 64 * 64 * 8796093022208.0
+               / CAST(int_sum AS DOUBLE), 3) AS est
+  FROM a_agg),
+b_agg AS (
+  SELECT CAST(coalesce(sum(CAST(2 AS BIGINT) ** (43 - rho_max)), 0)
+              + (64 - count(*)) * 8796093022208 AS BIGINT) AS int_sum
+  FROM b_regs),
+b_est AS (
+  SELECT round(CAST(0.7093409548395029 AS DOUBLE) * 64 * 64 * 8796093022208.0
+               / CAST(int_sum AS DOUBLE), 3) AS est
+  FROM b_agg),
+u_agg AS (
+  SELECT CAST(coalesce(sum(CAST(2 AS BIGINT) ** (43 - rho_max)), 0)
+              + (64 - count(*)) * 8796093022208 AS BIGINT) AS int_sum
+  FROM u_regs),
+u_est AS (
+  SELECT round(CAST(0.7093409548395029 AS DOUBLE) * 64 * 64 * 8796093022208.0
+               / CAST(int_sum AS DOUBLE), 3) AS est
+  FROM u_agg),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_exact_intersection
+  FROM (SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT') o
+  JOIN customer c ON o.o_custkey = c.c_custkey)
+SELECT a_est.est AS est_left, b_est.est AS est_right, u_est.est AS est_union,
+       round(a_est.est + b_est.est - u_est.est, 3) AS est_intersection,
+       n_exact_intersection,
+       (abs(round(a_est.est + b_est.est - u_est.est, 3)
+            - n_exact_intersection)
+        / CAST(n_exact_intersection AS DOUBLE)) < 0.35 AS rel_err_ok
+FROM a_est, b_est, u_est, ex
+"""
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -7099,6 +7241,7 @@ _QUERIES: dict[str, Callable] = {
     "flagship_consolidation": q_flagship_consolidation,
     "triangle_count": q_triangle_count,
     "hll_distinct": q_hll_distinct,
+    "join_cardinality_estimate": q_join_cardinality_estimate,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "nation_trade_volume": q_nation_trade_volume,
     "market_share": q_market_share,
@@ -7305,6 +7448,7 @@ _ORACLES: dict[str, str] = {
     "pivot_status": SQL_PIVOT_STATUS,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "hll_distinct": SQL_HLL_DISTINCT,
+    "join_cardinality_estimate": SQL_JOIN_CARDINALITY_ESTIMATE,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
     "market_share": SQL_MARKET_SHARE,

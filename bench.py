@@ -104,6 +104,7 @@ HEADLINE = [
     "bloom_join_prune",
     "hll_distinct",
     "cms_heavy_hitters",
+    "join_cardinality_estimate",
 ]
 
 

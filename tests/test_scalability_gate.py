@@ -122,6 +122,11 @@ ALLOW: dict[str, tuple[set, str]] = {
         "crossJoin of two ONE-ROW aggregates (exact countDistinct + "
         "the 64-register HLL estimate) into the single report row",
     ),
+    "join_cardinality_estimate": (
+        {"bnlj"},
+        "crossJoin of four ONE-ROW frames (three 64-register HLL "
+        "estimates + the exact-intersection count) into the report row",
+    ),
     "bloom_join_prune": (
         {"bnlj"},
         "broadcast of the ONE-ROW Bloom bitmap frame (≤ m/64 int64s, "
