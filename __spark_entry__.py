@@ -7230,6 +7230,67 @@ FROM a_est, b_est, u_est, ex
 """
 
 
+
+
+def q_sample_exact_k(spark, sf_dir):
+    """EXACT-k deterministic uniform sample (the reservoir-sampling
+    contract without RNG state): the k=50 documents with the smallest
+    md5 draw — every engine, partitioning, and rerun picks the SAME
+    50 rows, unlike rand()-based sampling, and unlike rate-based
+    hash sampling (stratified_sample) the output size is exactly k.
+    Plan: TakeOrderedAndProject — a per-partition top-k + one k-row
+    merge, NO global sort at any input size."""
+    docs = _read(spark, sf_dir, "documents")
+    draw = F.md5(F.concat(F.lit("sample-v1:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "lang", "source", draw.alias("draw"))
+        .orderBy("draw", "doc_id")
+        .limit(50)
+    )
+
+
+SQL_SAMPLE_EXACT_K = """
+SELECT doc_id, lang, source,
+       md5('sample-v1:' || CAST(doc_id AS VARCHAR)) AS draw
+FROM documents
+ORDER BY draw, doc_id
+LIMIT 50
+"""
+
+
+def q_relational_division(spark, sf_dir):
+    """Relational DIVISION ("customers who ordered under EVERY
+    priority class") — the one classic relational-algebra operator no
+    other registered query exercises. Implemented divisor-driven:
+    per-customer distinct-priority count equi-joined (on a constant
+    key, a plain hash join — no nested loop) against the global
+    distinct-priority count, keeping customers whose coverage is
+    total. Both sides are aggregates; no correlated subquery needed."""
+    orders = _read(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("n_prio")
+    )
+    total = orders.agg(
+        F.countDistinct("o_orderpriority").alias("n_total")
+    ).withColumn("__k", F.lit(1))
+    return (
+        per_cust.withColumn("__k", F.lit(1))
+        .join(total, "__k")
+        .filter(F.col("n_prio") == F.col("n_total"))
+        .select(F.col("o_custkey").alias("c_custkey"), F.col("n_prio").cast("long").alias("n_prio"))
+    )
+
+
+SQL_RELATIONAL_DIVISION = """
+SELECT o_custkey AS c_custkey,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio
+FROM orders
+GROUP BY o_custkey
+HAVING count(DISTINCT o_orderpriority)
+       = (SELECT count(DISTINCT o_orderpriority) FROM orders)
+"""
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -7242,6 +7303,8 @@ _QUERIES: dict[str, Callable] = {
     "triangle_count": q_triangle_count,
     "hll_distinct": q_hll_distinct,
     "join_cardinality_estimate": q_join_cardinality_estimate,
+    "sample_exact_k": q_sample_exact_k,
+    "relational_division": q_relational_division,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "nation_trade_volume": q_nation_trade_volume,
     "market_share": q_market_share,
@@ -7449,6 +7512,8 @@ _ORACLES: dict[str, str] = {
     "triangle_count": SQL_TRIANGLE_COUNT,
     "hll_distinct": SQL_HLL_DISTINCT,
     "join_cardinality_estimate": SQL_JOIN_CARDINALITY_ESTIMATE,
+    "sample_exact_k": SQL_SAMPLE_EXACT_K,
+    "relational_division": SQL_RELATIONAL_DIVISION,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
     "market_share": SQL_MARKET_SHARE,
