@@ -105,6 +105,8 @@ HEADLINE = [
     "hll_distinct",
     "cms_heavy_hitters",
     "join_cardinality_estimate",
+    "sample_exact_k",
+    "relational_division",
 ]
 
 
