@@ -80,7 +80,9 @@ def pagerank(
     return ranks
 
 
-def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+def triangle_count(
+    edges: DataFrame, a: str = "a", b: str = "b", checkpoint: bool = True
+) -> DataFrame:
     """Exact triangle count of the UNDIRECTED graph ``edges`` via
     degree-ordered edge orientation (the classic MapReduce scheme of
     Suri & Vassilvitskii 2011, "Counting Triangles and the Curse of
@@ -131,6 +133,14 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         )
         .select("e.s", "e.t")
     )
+    if checkpoint:
+        # oriented is consumed THREE times (both wedge sides + the
+        # closing-edge probe); without materialization each reference
+        # re-executes the whole dedup+degree+orientation lineage —
+        # measured 32 exchanges vs 7 with the checkpoint (same policy
+        # as pagerank/label propagation: localCheckpoint to cut
+        # repeated upstream work, not to persist)
+        oriented = oriented.localCheckpoint(eager=True)
     wedges = (
         oriented.select(F.col("s").alias("x"), F.col("t").alias("y"))
         .join(
