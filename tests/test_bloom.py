@@ -52,8 +52,8 @@ def test_join_after_bloom_equals_plain_join(spark):
 def test_bitmap_bounded_by_m(spark):
     _, dim = _frames(spark)
     row = build_bloom(dim, "dk", m_bits=M, k=K).collect()[0]
-    assert len(row.bf) <= M // 64
-    assert all(0 <= w < M // 64 for w in row.bf.keys())
+    assert len(row.bf) == M // 64  # dense: exactly m/64 words
+    assert any(w != 0 for w in row.bf)
 
 
 def test_empty_dim_prunes_everything(spark):
