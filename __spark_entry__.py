@@ -7291,6 +7291,179 @@ HAVING count(DISTINCT o_orderpriority)
 """
 
 
+
+
+def q_sample_exact_k_per_group(spark, sf_dir):
+    """Stratified EXACT-k sampling: the 5 smallest md5 draws PER
+    LANGUAGE — the per-stratum twin of sample_exact_k (which is
+    global top-k) and the exact-size twin of stratified_sample
+    (which is rate-based). One key-partitioned window, no global
+    sort; deterministic membership at any partitioning."""
+    docs = _read(spark, sf_dir, "documents")
+    draw = F.md5(F.concat(F.lit("sample-v1:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy("draw", "doc_id")
+    return (
+        docs.select("doc_id", "lang", draw.alias("draw"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", F.col("rk").cast("long").alias("rk"), "doc_id", "draw")
+    )
+
+
+SQL_SAMPLE_EXACT_K_PER_GROUP = """
+SELECT lang, rk, doc_id, draw
+FROM (SELECT lang, doc_id,
+             md5('sample-v1:' || CAST(doc_id AS VARCHAR)) AS draw,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('sample-v1:' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS BIGINT) AS rk
+      FROM documents) t
+WHERE rk <= 5
+"""
+
+
+def q_winsorized_stats(spark, sf_dir):
+    """Robust per-segment statistics via rank-based winsorization:
+    order-balance values are clipped at their segment's exact p10/p90
+    BOUNDARY VALUES (the value at rank ceil(q·n) — pure integer rank
+    arithmetic, no interpolation, so both engines agree bit-for-bit)
+    before the mean — the outlier-resistant aggregate a metrics
+    pipeline reports instead of a raw mean. Two key-partitioned
+    windows + one keyed aggregation; exact decimal mean numerator,
+    one final rounded division."""
+    cust = _read(spark, sf_dir, "customer")
+    val = F.col("c_acctbal").cast("decimal(12,2)")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        val, F.col("c_custkey")
+    )
+    ranked = cust.select(
+        "c_mktsegment",
+        val.alias("v"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment")).alias("n"),
+    )
+    lo_rk = F.ceil(F.col("n") * 0.1).cast("int")
+    hi_rk = F.ceil(F.col("n") * 0.9).cast("int")
+    bounds = (
+        ranked.filter((F.col("rk") == lo_rk) | (F.col("rk") == hi_rk))
+        .groupBy("c_mktsegment")
+        .agg(F.min("v").alias("p10"), F.max("v").alias("p90"))
+    )
+    clipped = ranked.join(bounds, "c_mktsegment").select(
+        "c_mktsegment",
+        F.least(F.greatest(F.col("v"), F.col("p10")), F.col("p90")).alias("cv"),
+    )
+    return clipped.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cv").cast("double").alias("p10"),
+        F.max("cv").cast("double").alias("p90"),
+        F.round(F.sum("cv").cast("double") / F.count(F.lit(1)), 6).alias(
+            "winsorized_mean"
+        ),
+    )
+
+
+SQL_WINSORIZED_STATS = """
+WITH ranked AS (
+  SELECT c_mktsegment, CAST(c_acctbal AS DECIMAL(12,2)) AS v,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY CAST(c_acctbal AS DECIMAL(12,2)),
+                                     c_custkey) AS rk,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM customer),
+bounds AS (
+  SELECT c_mktsegment, min(v) AS p10, max(v) AS p90
+  FROM ranked
+  WHERE rk = CAST(ceil(n * 0.1) AS INT) OR rk = CAST(ceil(n * 0.9) AS INT)
+  GROUP BY c_mktsegment),
+clipped AS (
+  SELECT r.c_mktsegment,
+         least(greatest(r.v, b.p10), b.p90) AS cv
+  FROM ranked r JOIN bounds b ON r.c_mktsegment = b.c_mktsegment)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(cv) AS DOUBLE) AS p10, CAST(max(cv) AS DOUBLE) AS p90,
+       round(CAST(sum(cv) AS DOUBLE) / count(*), 6) AS winsorized_mean
+FROM clipped GROUP BY c_mktsegment
+"""
+
+
+
+
+def q_k_core(spark, sf_dir):
+    """K-core decomposition (operators/graph.py:k_core, Seidman
+    1983): 4 synchronous peeling rounds at k=8 over the sampled part
+    co-occurrence graph — each round drops nodes whose CURRENT degree
+    is below k plus their edges (one degree agg + two semi-joins per
+    round, lineage checkpointed). The fixed round count makes the
+    operator deterministic; the oracle unrolls the SAME 4 rounds as
+    chained CTEs and value-checks every surviving (node, degree).
+    Cascading-peel semantics (chains collapsing to nothing, cores
+    surviving exactly) are pinned on adversarial toy graphs in
+    tests/test_graph.py."""
+    from smartbots_etl_facturas_spark.operators.graph import k_core
+
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 3 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
+        )
+    )
+    return k_core(pairs, k=8, rounds=4)
+
+
+SQL_K_CORE = """
+WITH e0 AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  WHERE a.l_orderkey % 3 = 0),
+d0 AS (
+  SELECT node, count(*) AS deg FROM
+    (SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0) t
+  GROUP BY node),
+k0 AS (SELECT node FROM d0 WHERE deg >= 8),
+e1 AS (
+  SELECT u, v FROM e0
+  WHERE u IN (SELECT node FROM k0) AND v IN (SELECT node FROM k0)),
+d1 AS (
+  SELECT node, count(*) AS deg FROM
+    (SELECT u AS node FROM e1 UNION ALL SELECT v AS node FROM e1) t
+  GROUP BY node),
+k1 AS (SELECT node FROM d1 WHERE deg >= 8),
+e2 AS (
+  SELECT u, v FROM e1
+  WHERE u IN (SELECT node FROM k1) AND v IN (SELECT node FROM k1)),
+d2 AS (
+  SELECT node, count(*) AS deg FROM
+    (SELECT u AS node FROM e2 UNION ALL SELECT v AS node FROM e2) t
+  GROUP BY node),
+k2 AS (SELECT node FROM d2 WHERE deg >= 8),
+e3 AS (
+  SELECT u, v FROM e2
+  WHERE u IN (SELECT node FROM k2) AND v IN (SELECT node FROM k2)),
+d3 AS (
+  SELECT node, count(*) AS deg FROM
+    (SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3) t
+  GROUP BY node),
+k3 AS (SELECT node FROM d3 WHERE deg >= 8),
+e4 AS (
+  SELECT u, v FROM e3
+  WHERE u IN (SELECT node FROM k3) AND v IN (SELECT node FROM k3))
+SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+  (SELECT u AS node FROM e4 UNION ALL SELECT v AS node FROM e4) t
+GROUP BY node
+"""
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -7304,6 +7477,9 @@ _QUERIES: dict[str, Callable] = {
     "hll_distinct": q_hll_distinct,
     "join_cardinality_estimate": q_join_cardinality_estimate,
     "sample_exact_k": q_sample_exact_k,
+    "sample_exact_k_per_group": q_sample_exact_k_per_group,
+    "winsorized_stats": q_winsorized_stats,
+    "k_core": q_k_core,
     "relational_division": q_relational_division,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "nation_trade_volume": q_nation_trade_volume,
@@ -7513,6 +7689,9 @@ _ORACLES: dict[str, str] = {
     "hll_distinct": SQL_HLL_DISTINCT,
     "join_cardinality_estimate": SQL_JOIN_CARDINALITY_ESTIMATE,
     "sample_exact_k": SQL_SAMPLE_EXACT_K,
+    "sample_exact_k_per_group": SQL_SAMPLE_EXACT_K_PER_GROUP,
+    "winsorized_stats": SQL_WINSORIZED_STATS,
+    "k_core": SQL_K_CORE,
     "relational_division": SQL_RELATIONAL_DIVISION,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,

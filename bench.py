@@ -107,6 +107,9 @@ HEADLINE = [
     "join_cardinality_estimate",
     "sample_exact_k",
     "relational_division",
+    "sample_exact_k_per_group",
+    "winsorized_stats",
+    "k_core",
 ]
 
 

@@ -154,3 +154,57 @@ def triangle_count(
         ["x", "z"],
     )
     return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    a: str = "a",
+    b: str = "b",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """The k-core of the UNDIRECTED graph ``edges`` by ``rounds`` of
+    synchronous peeling (Seidman 1983; the Pregel-style formulation):
+    each round drops every node whose CURRENT degree is below k and
+    every edge touching a dropped node. With enough rounds this is
+    the maximal subgraph of minimum degree ≥ k; a FIXED round count
+    keeps the operator deterministic and lets an unrolled-CTE oracle
+    value-check it — callers needing guaranteed convergence run until
+    the edge count stops changing (each round strictly shrinks the
+    graph or is the fixpoint, so rounds ≈ graph diameter suffice in
+    practice; tests pin fixpoint behavior).
+
+    Per round: one degree aggregation + two semi-joins — all keyed,
+    no cartesian; lineage is cut every ``checkpoint_every`` rounds
+    (same policy as pagerank). Returns (node, deg) of the surviving
+    subgraph."""
+    cur = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    for i in range(rounds):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+    return (
+        cur.select(F.col("u").alias("node"))
+        .unionAll(cur.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )

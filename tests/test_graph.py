@@ -107,3 +107,56 @@ def test_triangle_partition_invariance(spark):
         if (x, y) in es and (y, z) in es and (x, z) in es
     )
     assert n1 == n2 == brute
+
+
+# --- k_core -----------------------------------------------------------------
+
+from smartbots_etl_facturas_spark.operators.graph import k_core  # noqa: E402
+
+
+def test_kcore_path_cascades_to_empty(spark):
+    # a path has min degree 1 — its 2-core peels away end-to-end,
+    # but only ONE endpoint layer per synchronous round: rounds matter
+    path = _und(spark, [(i, i + 1) for i in range(8)])
+    assert k_core(path, k=2, rounds=4).count() == 0
+
+
+def test_kcore_cycle_survives_k2(spark):
+    cyc = _und(spark, [(i, (i + 1) % 6) for i in range(6)])
+    rows = k_core(cyc, k=2, rounds=3).collect()
+    assert sorted(r.node for r in rows) == list(range(6))
+    assert all(r.deg == 2 for r in rows)
+
+
+def test_kcore_lollipop_keeps_clique_drops_tail(spark):
+    # K4 with a pendant path: the 3-core is exactly the K4
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    tail = [(3, 10), (10, 11), (11, 12)]
+    rows = k_core(_und(spark, k4 + tail), k=3, rounds=4).collect()
+    assert sorted(r.node for r in rows) == [0, 1, 2, 3]
+    assert all(r.deg == 3 for r in rows)
+
+
+def test_kcore_insufficient_rounds_is_partial_more_rounds_fixpoint(spark):
+    # 6-node path at k=2: synchronous peeling removes one layer per
+    # round from each end — 1 round leaves an inner remnant, 3 rounds
+    # reach the (empty) fixpoint and further rounds stay there
+    path = _und(spark, [(i, i + 1) for i in range(6)])
+    assert k_core(path, k=2, rounds=1).count() > 0
+    assert k_core(path, k=2, rounds=3).count() == 0
+    assert k_core(path, k=2, rounds=10).count() == 0
+
+
+def test_kcore_partition_invariance(spark):
+    import random
+
+    rng = random.Random(11)
+    edges = list({(min(a, b), max(a, b))
+                  for a, b in (rng.sample(range(40), 2) for _ in range(200))})
+    df = _und(spark, edges)
+    r1 = {(r.node, r.deg) for r in k_core(df, k=4, rounds=6).collect()}
+    r2 = {(r.node, r.deg)
+          for r in k_core(df.repartition(13), k=4, rounds=6).collect()}
+    assert r1 == r2
+    # every survivor has deg >= 4 within the surviving subgraph
+    assert all(d >= 4 for _, d in r1)
