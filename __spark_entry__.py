@@ -7464,6 +7464,211 @@ GROUP BY node
 """
 
 
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation
+    (Hampel's rule): per market segment, median and MAD are the
+    VALUES at rank ceil(n/2) — pure integer rank arithmetic, no
+    interpolation, so every boundary is an exact decimal both engines
+    agree on — and the report counts accounts beyond median ± 3·MAD.
+    The robust twin of group_anomalies (whose z-scores a single
+    outlier can drag); MAD's 50% breakdown point is why profiling
+    suites prefer it at corpus scale. Two key-partitioned windows +
+    keyed aggs, no global sort."""
+    cust = _read(spark, sf_dir, "customer")
+    val = F.col("c_acctbal").cast("decimal(12,2)")
+    w = Window.partitionBy("c_mktsegment").orderBy(val, F.col("c_custkey"))
+    ranked = cust.select(
+        "c_mktsegment",
+        F.col("c_custkey"),
+        val.alias("v"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment")).alias("n"),
+    )
+    med = (
+        ranked.filter(F.col("rk") == F.ceil(F.col("n") * 0.5).cast("int"))
+        .select("c_mktsegment", F.col("v").alias("med"))
+    )
+    dev = ranked.join(med, "c_mktsegment").select(
+        "c_mktsegment",
+        "c_custkey",
+        "v",
+        "med",
+        F.abs(F.col("v") - F.col("med")).alias("ad"),
+    )
+    w2 = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("ad"), F.col("c_custkey")
+    )
+    mad = (
+        dev.select(
+            "c_mktsegment",
+            "ad",
+            F.row_number().over(w2).alias("rk2"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy("c_mktsegment")
+            ).alias("n2"),
+        )
+        .filter(F.col("rk2") == F.ceil(F.col("n2") * 0.5).cast("int"))
+        .select("c_mktsegment", F.col("ad").alias("mad"))
+    )
+    return (
+        dev.join(mad, "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").cast("double").alias("med"),
+            F.min("mad").cast("double").alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("v") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+SQL_MAD_OUTLIERS = """
+WITH ranked AS (
+  SELECT c_mktsegment, c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS v,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY CAST(c_acctbal AS DECIMAL(12,2)),
+                                     c_custkey) AS rk,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM customer),
+med AS (
+  SELECT c_mktsegment, v AS med FROM ranked
+  WHERE rk = CAST(ceil(n * 0.5) AS INT)),
+dev AS (
+  SELECT r.c_mktsegment, r.c_custkey, r.v, m.med, abs(r.v - m.med) AS ad
+  FROM ranked r JOIN med m ON r.c_mktsegment = m.c_mktsegment),
+dr AS (
+  SELECT c_mktsegment, ad,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY ad, c_custkey) AS rk2,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n2
+  FROM dev),
+mad AS (
+  SELECT c_mktsegment, ad AS mad FROM dr
+  WHERE rk2 = CAST(ceil(n2 * 0.5) AS INT))
+SELECT d.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(d.med) AS DOUBLE) AS med,
+       CAST(min(m.mad) AS DOUBLE) AS mad,
+       CAST(sum(CASE WHEN abs(d.v - d.med) > 3 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.c_mktsegment = m.c_mktsegment
+GROUP BY d.c_mktsegment
+"""
+
+
+
+
+def q_bm25_search(spark, sf_dir):
+    """Full BM25 retrieval (Robertson/Spärck Jones; k1=1.2, b=0.75):
+    top-10 documents for the query {spark, join, window} scored from
+    inverted-index statistics (tf per doc-term, df per term, doc
+    length, corpus avgdl). Float discipline is the lm_quality recipe:
+    each per-term score is rounded to 6 places THEN summed as an
+    exact decimal — order-free, so the total is bit-identical across
+    engines and partitionings even though ln() is only
+    ulp-deterministic. Plan: tokenize-explode + two keyed aggs; only
+    rows containing query terms survive past the inverted-index
+    filter, and corpus constants ride a constant-key 1-row hash join
+    (no nested loop)."""
+    from smartbots_etl_facturas_spark.functions.text import tokens
+
+    q_terms = ["spark", "join", "window"]
+    docs = _read(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = tok.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_len"),
+    ).withColumn("__k", F.lit(1))
+    dfreq = (
+        tf.filter(F.col("term").isin(q_terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    m = (
+        tf.filter(F.col("term").isin(q_terms))
+        .join(dfreq, "term")
+        .join(dl, "doc_id")
+        .withColumn("__k", F.lit(1))
+        .join(stats, "__k")
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    denom = F.col("tf").cast("double") + 1.2 * (
+        0.25
+        + 0.75
+        * (
+            (F.col("dl") * F.col("n_docs")).cast("double")
+            / F.col("total_len").cast("double")
+        )
+    )
+    term_score = F.round(
+        idf * (F.col("tf").cast("double") * 2.2) / denom, 6
+    ).cast("decimal(28,6)")
+    return (
+        m.select("doc_id", term_score.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("s").alias("__bm"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("__bm"), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            F.col("__bm").cast("double").alias("bm25"),
+            "n_terms_matched",
+        )
+    )
+
+
+SQL_BM25_SEARCH = r"""
+WITH tok AS (
+  SELECT doc_id, u.term
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents) t,
+       unnest(t.w) AS u(term)),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                 CAST(count(*) AS BIGINT) AS total_len FROM tok),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM tf WHERE term IN ('spark', 'join', 'window') GROUP BY 1),
+scored AS (
+  SELECT f.doc_id,
+         CAST(round(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5))
+           * (CAST(tf AS DOUBLE) * 2.2)
+           / (CAST(tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * (CAST(d.dl * n_docs AS DOUBLE)
+                                      / CAST(total_len AS DOUBLE)))),
+           6) AS DECIMAL(28,6)) AS s
+  FROM tf f
+  JOIN dfreq USING (term)
+  JOIN dl d ON f.doc_id = d.doc_id
+  CROSS JOIN stats
+  WHERE f.term IN ('spark', 'join', 'window'))
+SELECT doc_id, CAST(sum(s) AS DOUBLE) AS bm25,
+       CAST(count(*) AS BIGINT) AS n_terms_matched
+FROM scored GROUP BY doc_id
+ORDER BY sum(s) DESC, doc_id
+LIMIT 10
+"""
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -7480,6 +7685,8 @@ _QUERIES: dict[str, Callable] = {
     "sample_exact_k_per_group": q_sample_exact_k_per_group,
     "winsorized_stats": q_winsorized_stats,
     "k_core": q_k_core,
+    "mad_outliers": q_mad_outliers,
+    "bm25_search": q_bm25_search,
     "relational_division": q_relational_division,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "nation_trade_volume": q_nation_trade_volume,
@@ -7692,6 +7899,8 @@ _ORACLES: dict[str, str] = {
     "sample_exact_k_per_group": SQL_SAMPLE_EXACT_K_PER_GROUP,
     "winsorized_stats": SQL_WINSORIZED_STATS,
     "k_core": SQL_K_CORE,
+    "mad_outliers": SQL_MAD_OUTLIERS,
+    "bm25_search": SQL_BM25_SEARCH,
     "relational_division": SQL_RELATIONAL_DIVISION,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,

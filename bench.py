@@ -110,6 +110,8 @@ HEADLINE = [
     "sample_exact_k_per_group",
     "winsorized_stats",
     "k_core",
+    "mad_outliers",
+    "bm25_search",
 ]
 
 

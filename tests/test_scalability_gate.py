@@ -122,6 +122,12 @@ ALLOW: dict[str, tuple[set, str]] = {
         "crossJoin of two ONE-ROW aggregates (exact countDistinct + "
         "the 64-register HLL estimate) into the single report row",
     ),
+    "bm25_search": (
+        {"bnlj"},
+        "broadcast of the ONE-ROW corpus-stats frame (n_docs, "
+        "total_len) onto the matched postings — Catalyst folds the "
+        "constant-key equi-join into a 1-row broadcast",
+    ),
     "join_cardinality_estimate": (
         {"bnlj"},
         "crossJoin of four ONE-ROW frames (three 64-register HLL "
