@@ -7669,6 +7669,117 @@ LIMIT 10
 """
 
 
+
+
+_SKETCH_STATE_CACHE: dict = {}
+
+
+def ensure_sketch_state(spark, sf_dir: str) -> str:
+    """Build-once half of the incremental-sketch split: persist the
+    HLL register table of the events seen so far (event_id % 10 != 0
+    — the standing corpus) through the versioned sink, once per
+    process. The register table IS the durable state a profiling
+    service keeps between ingest batches: 64 rows at any corpus
+    size."""
+    base = _SKETCH_STATE_CACHE.get(sf_dir)
+    if base is None:
+        from smartbots_etl_facturas_spark.operators.sketches import hll_registers
+        from smartbots_etl_facturas_spark.sinks.staged import publish
+
+        base = _scratch_dir("hll_state_")
+        corpus = _read(spark, sf_dir, "events").filter(
+            F.col("event_id") % 10 != 0
+        )
+        publish(hll_registers(corpus, "user_id", p=6), base)
+        _SKETCH_STATE_CACHE[sf_dir] = base
+    return base
+
+
+def q_hll_incremental(spark, sf_dir):
+    """Incremental distinct-count maintenance against PERSISTED
+    sketch state: the stored register table (published once through
+    the versioned sink by ensure_sketch_state) merges with the
+    freshly-arriving batch's registers via groupBy-MAX — touching
+    ONLY the 64-row state and the delta, never re-reading the
+    corpus — and because HLL merge is exact by construction, the
+    merged estimate is BIT-IDENTICAL to a full rebuild, which is
+    exactly what the oracle computes (DuckDB re-derives the
+    whole-table sketch from scratch; the incremental path must land
+    on the same registers and the same float estimate). The
+    sketch-state twin of minhash_incremental/ann_pq_prebuilt's
+    build-once/probe-many split."""
+    from smartbots_etl_facturas_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from smartbots_etl_facturas_spark.sinks.staged import read_published
+
+    base = ensure_sketch_state(spark, sf_dir)
+    stored = read_published(spark, base)
+    events = _read(spark, sf_dir, "events")
+    delta = events.filter(F.col("event_id") % 10 == 0)
+    merged = (
+        stored.unionByName(hll_registers(delta, "user_id", p=6))
+        .groupBy("bucket")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+    est = hll_estimate(merged, p=6)
+    exact = events.agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return exact.crossJoin(est).select(
+        "n_exact",
+        "int_sum",
+        "n_zero_buckets",
+        "hll_estimate",
+        (
+            F.abs(F.col("hll_estimate") - F.col("n_exact"))
+            / F.col("n_exact").cast("double")
+            < 0.2
+        ).alias("rel_err_ok"),
+    )
+
+
+SQL_HLL_INCREMENTAL = """
+WITH h AS (
+  SELECT ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 17592186044416
+   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 1099511627776
+   + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 68719476736
+   + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 4294967296
+   + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 268435456
+   + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 16777216
+   + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 1048576
+   + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) * 65536
+   + (strpos('0123456789abcdef', substr(h, 9, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substr(h, 10, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substr(h, 11, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substr(h, 12, 1)) - 1)) AS hv
+  FROM (SELECT md5('hll-v1:' || CAST(user_id AS VARCHAR)) AS h FROM events)),
+br AS (
+  SELECT CAST(hv // 4398046511104 AS BIGINT) AS bucket,
+         hv % 4398046511104 AS rest
+  FROM h),
+regs AS (
+  SELECT bucket,
+         max(CASE WHEN rest = 0 THEN 43
+                  ELSE 42 - length(bin(rest)) + 1 END) AS rho_max
+  FROM br GROUP BY bucket),
+agg AS (
+  SELECT CAST(coalesce(sum(CAST(2 AS BIGINT) ** (43 - rho_max)), 0)
+              + (64 - count(*)) * 8796093022208 AS BIGINT) AS int_sum,
+         CAST(64 - count(*) AS BIGINT) AS n_zero_buckets
+  FROM regs),
+ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events)
+SELECT n_exact, int_sum, n_zero_buckets,
+       round(CAST(0.7093409548395029 AS DOUBLE) * 64 * 64 * 8796093022208.0
+             / CAST(int_sum AS DOUBLE), 3) AS hll_estimate,
+       (abs(round(CAST(0.7093409548395029 AS DOUBLE) * 64 * 64 * 8796093022208.0
+                  / CAST(int_sum AS DOUBLE), 3) - n_exact)
+        / CAST(n_exact AS DOUBLE)) < 0.2 AS rel_err_ok
+FROM ex, agg
+"""
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -7687,6 +7798,7 @@ _QUERIES: dict[str, Callable] = {
     "k_core": q_k_core,
     "mad_outliers": q_mad_outliers,
     "bm25_search": q_bm25_search,
+    "hll_incremental": q_hll_incremental,
     "relational_division": q_relational_division,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "nation_trade_volume": q_nation_trade_volume,
@@ -7901,6 +8013,7 @@ _ORACLES: dict[str, str] = {
     "k_core": SQL_K_CORE,
     "mad_outliers": SQL_MAD_OUTLIERS,
     "bm25_search": SQL_BM25_SEARCH,
+    "hll_incremental": SQL_HLL_INCREMENTAL,
     "relational_division": SQL_RELATIONAL_DIVISION,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,

@@ -122,6 +122,11 @@ ALLOW: dict[str, tuple[set, str]] = {
         "crossJoin of two ONE-ROW aggregates (exact countDistinct + "
         "the 64-register HLL estimate) into the single report row",
     ),
+    "hll_incremental": (
+        {"bnlj"},
+        "crossJoin of two ONE-ROW aggregates (exact countDistinct + "
+        "the merged-register HLL estimate) into the single report row",
+    ),
     "bm25_search": (
         {"bnlj"},
         "broadcast of the ONE-ROW corpus-stats frame (n_docs, "
