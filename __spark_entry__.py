@@ -7780,6 +7780,55 @@ FROM ex, agg
 """
 
 
+
+
+def q_bfs_reach(spark, sf_dir):
+    """Multi-source BFS reachability (operators/graph.py:bfs_levels):
+    minimum hop distance from the seed part (lowest key in the
+    sampled co-occurrence graph) out to 3 hops — the
+    level-synchronous Pregel shape: per level one frontier⋈edges
+    equi-join + one anti-join against visited, lineage checkpointed.
+    Min-distance is partition-order-free, so a depth-bounded
+    recursive CTE (UNION-dedup, dist < 3 guard) value-checks every
+    (node, dist) on the oracle engine."""
+    from smartbots_etl_facturas_spark.operators.graph import bfs_levels
+
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 3 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
+        )
+    )
+    seeds = li.agg(F.min("l_partkey").alias("node"))
+    return bfs_levels(pairs, seeds, max_depth=3)
+
+
+SQL_BFS_REACH = """
+WITH RECURSIVE und AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  WHERE a.l_orderkey % 3 = 0),
+seed AS (
+  SELECT min(l_partkey) AS n FROM lineitem WHERE l_orderkey % 3 = 0),
+walk(n, dist) AS (
+  SELECT n, 0 FROM seed
+  UNION
+  SELECT u.t, w.dist + 1
+  FROM walk w JOIN und u ON u.s = w.n
+  WHERE w.dist < 3)
+SELECT n AS node, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY n
+"""
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -7799,6 +7848,7 @@ _QUERIES: dict[str, Callable] = {
     "mad_outliers": q_mad_outliers,
     "bm25_search": q_bm25_search,
     "hll_incremental": q_hll_incremental,
+    "bfs_reach": q_bfs_reach,
     "relational_division": q_relational_division,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "nation_trade_volume": q_nation_trade_volume,
@@ -8014,6 +8064,7 @@ _ORACLES: dict[str, str] = {
     "mad_outliers": SQL_MAD_OUTLIERS,
     "bm25_search": SQL_BM25_SEARCH,
     "hll_incremental": SQL_HLL_INCREMENTAL,
+    "bfs_reach": SQL_BFS_REACH,
     "relational_division": SQL_RELATIONAL_DIVISION,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,

@@ -113,6 +113,7 @@ HEADLINE = [
     "mad_outliers",
     "bm25_search",
     "hll_incremental",
+    "bfs_reach",
 ]
 
 

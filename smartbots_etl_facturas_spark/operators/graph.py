@@ -208,3 +208,49 @@ def k_core(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 3,
+    a: str = "a",
+    b: str = "b",
+    node: str = "node",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Multi-source breadth-first search over the UNDIRECTED graph
+    ``edges``: minimum hop distance (0..max_depth) from any seed node,
+    nodes beyond max_depth omitted. The level-synchronous Pregel
+    formulation: frontier ⋈ edges → neighbors, anti-join against
+    visited, repeat — per level one equi-join + one anti-join, both
+    keyed on the node; no per-node driver state, frontier size is the
+    only growth.
+
+    Deterministic (min distance is partition-order-free), so a
+    depth-bounded recursive CTE value-checks it on any engine.
+    Returns (node, dist)."""
+    sym = edges.select(F.col(a).alias("s"), F.col(b).alias("t")).unionAll(
+        edges.select(F.col(b).alias("s"), F.col(a).alias("t"))
+    ).filter(F.col("s") != F.col("t")).distinct()
+    visited = seeds.select(F.col(node).alias("n")).distinct().withColumn(
+        "dist", F.lit(0)
+    )
+    frontier = visited.select("n")
+    for depth in range(1, max_depth + 1):
+        neighbors = (
+            frontier.join(sym, frontier.n == sym.s)
+            .select(F.col("t").alias("n"))
+            .distinct()
+        )
+        fresh = neighbors.join(visited.select("n"), "n", "left_anti")
+        visited = visited.unionByName(
+            fresh.withColumn("dist", F.lit(depth))
+        )
+        frontier = fresh.select("n")
+        if checkpoint_every and depth % checkpoint_every == 0:
+            visited = visited.localCheckpoint(eager=True)
+            frontier = frontier.localCheckpoint(eager=True)
+    return visited.select(
+        F.col("n").alias(node), F.col("dist").cast("long").alias("dist")
+    )

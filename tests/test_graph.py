@@ -160,3 +160,54 @@ def test_kcore_partition_invariance(spark):
     assert r1 == r2
     # every survivor has deg >= 4 within the surviving subgraph
     assert all(d >= 4 for _, d in r1)
+
+
+# --- bfs_levels -------------------------------------------------------------
+
+from smartbots_etl_facturas_spark.operators.graph import bfs_levels  # noqa: E402
+
+
+def _seeds(spark, nodes):
+    return spark.createDataFrame([(n,) for n in nodes], ["node"])
+
+
+def test_bfs_path_distances(spark):
+    path = _und(spark, [(i, i + 1) for i in range(5)])
+    rows = {r.node: r.dist for r in
+            bfs_levels(path, _seeds(spark, [0]), max_depth=3).collect()}
+    assert rows == {0: 0, 1: 1, 2: 2, 3: 3}  # 4,5 beyond max_depth
+
+
+def test_bfs_multi_source_takes_min(spark):
+    path = _und(spark, [(i, i + 1) for i in range(6)])
+    rows = {r.node: r.dist for r in
+            bfs_levels(path, _seeds(spark, [0, 6]), max_depth=3).collect()}
+    assert rows[3] == 3 and rows[5] == 1 and rows[6] == 0
+
+
+def test_bfs_cycle_no_infinite_loop_and_min_dist(spark):
+    cyc = _und(spark, [(i, (i + 1) % 6) for i in range(6)])
+    rows = {r.node: r.dist for r in
+            bfs_levels(cyc, _seeds(spark, [0]), max_depth=3).collect()}
+    assert rows == {0: 0, 1: 1, 5: 1, 2: 2, 4: 2, 3: 3}
+
+
+def test_bfs_disconnected_component_unreached(spark):
+    g = _und(spark, [(0, 1), (10, 11)])
+    rows = {r.node: r.dist for r in
+            bfs_levels(g, _seeds(spark, [0]), max_depth=3).collect()}
+    assert set(rows) == {0, 1}
+
+
+def test_bfs_partition_invariance(spark):
+    import random
+
+    rng = random.Random(5)
+    edges = list({(min(a, b), max(a, b))
+                  for a, b in (rng.sample(range(25), 2) for _ in range(60))})
+    df = _und(spark, edges)
+    r1 = {(r.node, r.dist) for r in
+          bfs_levels(df, _seeds(spark, [0]), max_depth=4).collect()}
+    r2 = {(r.node, r.dist) for r in
+          bfs_levels(df.repartition(9), _seeds(spark, [0]), max_depth=4).collect()}
+    assert r1 == r2
