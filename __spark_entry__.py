@@ -7795,7 +7795,7 @@ def q_bfs_reach(spark, sf_dir):
 
     li = (
         _read(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 3 == 0)
+        .filter(F.col("l_orderkey") % 5 == 0)
         .select("l_orderkey", "l_partkey")
     )
     pairs = (
@@ -7815,9 +7815,9 @@ WITH RECURSIVE und AS (
   SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-  WHERE a.l_orderkey % 3 = 0),
+  WHERE a.l_orderkey % 5 = 0),
 seed AS (
-  SELECT min(l_partkey) AS n FROM lineitem WHERE l_orderkey % 3 = 0),
+  SELECT min(l_partkey) AS n FROM lineitem WHERE l_orderkey % 5 = 0),
 walk(n, dist) AS (
   SELECT n, 0 FROM seed
   UNION

@@ -302,13 +302,20 @@ def main() -> None:
             # absolute blowups regardless of the median.
             rel_tol = floor.get("relative_tolerance", 1.5)
             hard_cap = floor.get("hard_cap", 3.0)
+            # a FAST machine (median < 1) must not tighten the bar:
+            # fixed-overhead sub-second queries cannot drop below
+            # their overhead floor, so dividing by a sub-1 median
+            # flags them as false outliers (observed at mf 0.95);
+            # clamp the normalizer at 1.0 — slow-machine behavior
+            # (the case the gate exists for) is unchanged
+            norm = max(machine_factor, 1.0)
             for name, ratio in ratios.items():
-                if ratio / machine_factor > rel_tol or ratio > hard_cap:
+                if ratio / norm > rel_tol or ratio > hard_cap:
                     regressions.append(
                         {"query": name, "sec": timings[name],
                          "floor": floor["queries"][name],
                          "ratio": round(ratio, 2),
-                         "vs_machine": round(ratio / machine_factor, 2)}
+                         "vs_machine": round(ratio / norm, 2)}
                     )
         if skew_speedup is not None and skew_speedup < floor.get("min_skew_speedup", 2.0):
             regressions.append(

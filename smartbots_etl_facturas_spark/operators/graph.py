@@ -233,6 +233,11 @@ def bfs_levels(
     sym = edges.select(F.col(a).alias("s"), F.col(b).alias("t")).unionAll(
         edges.select(F.col(b).alias("s"), F.col(a).alias("t"))
     ).filter(F.col("s") != F.col("t")).distinct()
+    if checkpoint_every:
+        # sym joins EVERY level's frontier — materialize once instead
+        # of re-deriving the dedup per level (the triangle_count
+        # lesson: multiply-referenced frames re-execute their lineage)
+        sym = sym.localCheckpoint(eager=True)
     visited = seeds.select(F.col(node).alias("n")).distinct().withColumn(
         "dist", F.lit(0)
     )
