@@ -7829,6 +7829,47 @@ FROM walk GROUP BY n
 """
 
 
+
+
+def q_xlsx_datasource_scan(spark, sf_dir):
+    """The same S1/S2 XLSX scan through the engine's REGISTERED
+    Spark-4 Python DataSource (sources/xlsx_datasource.py — the
+    "ExcelScan DataSource V2" SURVEY §4 had deferred):
+    ``spark.read.format("xlsx_grid")`` plans ONE InputPartition per
+    workbook, the stdlib OOXML codec parses on executors, and the
+    positional grid is reheadered downstream exactly like the
+    mapInPandas path. Must hash-match the SAME oracle as
+    xlsx_distributed — two independent scan implementations, one
+    answer. sf_dir unused (golden workbooks are the fixture)."""
+    from smartbots_etl_facturas_spark.sources.xlsx import write_xlsx
+    from smartbots_etl_facturas_spark.sources.xlsx_datasource import (
+        XlsxGridDataSource,
+    )
+
+    try:
+        spark.dataSource.register(XlsxGridDataSource)
+    except Exception:
+        pass  # already registered in this session
+    d = _scratch_dir("xlsx_ds_golden_")
+    for i, (name, rows) in enumerate(sorted(_XLSX_GOLDEN.items())):
+        write_xlsx(os.path.join(d, name), rows, use_shared_strings=bool(i % 2))
+    grid = (
+        spark.read.format("xlsx_grid")
+        .option("n_cols", 3)
+        .load(os.path.join(d, "*.xlsx"))
+    )
+    return (
+        grid.filter(F.col("row_idx") > 0)  # row 0 is the header row
+        .select(
+            F.element_at(F.split("source_file", "/"), -1).alias("file"),
+            (F.col("row_idx") - 1).cast("long").alias("row_idx"),
+            F.col("c0").alias("invoice_number"),
+            F.col("c1").alias("carrier"),
+            F.col("c2").alias("total"),
+        )
+    )
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -7849,6 +7890,7 @@ _QUERIES: dict[str, Callable] = {
     "bm25_search": q_bm25_search,
     "hll_incremental": q_hll_incremental,
     "bfs_reach": q_bfs_reach,
+    "xlsx_datasource_scan": q_xlsx_datasource_scan,
     "relational_division": q_relational_division,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "nation_trade_volume": q_nation_trade_volume,
@@ -8065,6 +8107,7 @@ _ORACLES: dict[str, str] = {
     "bm25_search": SQL_BM25_SEARCH,
     "hll_incremental": SQL_HLL_INCREMENTAL,
     "bfs_reach": SQL_BFS_REACH,
+    "xlsx_datasource_scan": SQL_XLSX_DISTRIBUTED,
     "relational_division": SQL_RELATIONAL_DIVISION,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
