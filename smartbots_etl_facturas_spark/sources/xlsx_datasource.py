@@ -104,3 +104,61 @@ class XlsxGridDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return XlsxGridReader(dict(self.options))
+
+    def writer(self, schema, overwrite: bool):
+        return XlsxGridWriter(dict(self.options), schema, overwrite)
+
+
+# --- writer half ------------------------------------------------------------
+# df.write.format("xlsx_grid").save(dir): each task writes ONE
+# workbook (part-{n}.xlsx, header row = column names) through the
+# stdlib OOXML writer, into hidden staging names; the driver's
+# commit() renames them into place (and clears prior parts under
+# overwrite) so a failed job never leaves a half-written output —
+# the same stage-then-publish discipline as sinks/staged.py.
+
+import uuid as _uuid
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class _XlsxCommit(WriterCommitMessage):
+    def __init__(self, staged: str, rows: int):
+        self.staged = staged
+        self.rows = rows
+
+
+class XlsxGridWriter(DataSourceWriter):
+    def __init__(self, options: dict, schema, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("xlsx_grid write requires a path")
+        self.columns = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+        sheet = options.get("sheet_name", "Sheet1")
+        self.sheet_name = sheet
+
+    def write(self, iterator) -> _XlsxCommit:
+        from smartbots_etl_facturas_spark.sources.xlsx import write_xlsx
+
+        rows = [list(r) for r in iterator]
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(
+            self.path, f".staging-{_uuid.uuid4().hex}.xlsx"
+        )
+        write_xlsx(staged, {self.sheet_name: [list(self.columns)] + rows})
+        return _XlsxCommit(staged, len(rows))
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for f in _glob.glob(os.path.join(self.path, "part-*.xlsx")):
+                os.remove(f)
+        for i, m in enumerate(messages):
+            os.replace(
+                m.staged, os.path.join(self.path, f"part-{i:05d}.xlsx")
+            )
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)

@@ -96,3 +96,57 @@ def test_extract_stack_runs_on_datasource_scan(registered, tmp_path):
     assert list(header) == ["invoice", "carrier", "total"]
     body = df.filter(F.col("row_idx") > 0)
     assert body.count() == 2
+
+
+# --- writer half ------------------------------------------------------------
+
+
+def test_write_then_read_roundtrip(registered, tmp_path):
+    out = str(tmp_path / "out")
+    df = registered.createDataFrame(
+        [("F-1", "ACME", "1500"), ("F-2", "BETA", "25.5")],
+        "invoice string, carrier string, total string",
+    ).coalesce(1)
+    df.write.format("xlsx_grid").mode("append").save(out)
+    back = (
+        registered.read.format("xlsx_grid").option("n_cols", 3).load(out)
+    )
+    rows = sorted(
+        (r.row_idx, r.c0, r.c1, r.c2) for r in back.collect()
+    )
+    assert rows == [
+        (0, "invoice", "carrier", "total"),
+        (1, "F-1", "ACME", "1500"),
+        (2, "F-2", "BETA", "25.5"),
+    ]
+
+
+def test_write_one_workbook_per_partition(registered, tmp_path):
+    import glob
+
+    out = str(tmp_path / "parts")
+    df = registered.range(0, 40).selectExpr(
+        "CAST(id AS STRING) AS id_s"
+    ).repartition(4)
+    df.write.format("xlsx_grid").mode("append").save(out)
+    parts = sorted(glob.glob(f"{out}/part-*.xlsx"))
+    assert len(parts) == 4
+    back = registered.read.format("xlsx_grid").option("n_cols", 1).load(out)
+    # 4 header rows + 40 data rows; no hidden staging files picked up
+    assert back.count() == 44
+    assert not glob.glob(f"{out}/.staging-*")
+
+
+def test_write_overwrite_clears_previous_parts(registered, tmp_path):
+    import glob
+
+    out = str(tmp_path / "ovw")
+    a = registered.createDataFrame([("x",)], "v string").repartition(3)
+    a.write.format("xlsx_grid").mode("append").save(out)
+    n_first = len(glob.glob(f"{out}/part-*.xlsx"))
+    b = registered.createDataFrame([("y",)], "v string").coalesce(1)
+    b.write.format("xlsx_grid").mode("overwrite").save(out)
+    parts = glob.glob(f"{out}/part-*.xlsx")
+    assert n_first == 3 and len(parts) == 1
+    back = registered.read.format("xlsx_grid").option("n_cols", 1).load(out)
+    assert sorted(r.c0 for r in back.collect()) == ["v", "y"]
