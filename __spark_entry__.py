@@ -7870,6 +7870,815 @@ def q_xlsx_datasource_scan(spark, sf_dir):
     )
 
 
+def q_sssp_weighted(spark, sf_dir):
+    """Weighted single-source shortest paths (operators/graph.py:sssp):
+    Bellman-Ford relaxation rounds over the same sampled part
+    co-occurrence graph as bfs_reach, with deterministic integer edge
+    weights ((a+b) % 7 + 1). Three rounds ⇒ exact min distance over
+    paths of ≤ 3 edges — a hop-bounded contract a depth-bounded
+    recursive CTE value-checks node by node. All-integer distances:
+    no float accumulation order to disagree on."""
+    from smartbots_etl_facturas_spark.operators.graph import sssp
+
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("s"),
+            F.col("b.l_partkey").alias("t"),
+            ((F.col("a.l_partkey") + F.col("b.l_partkey")) % 7 + 1).alias("w"),
+        )
+        .distinct()
+    )
+    seeds = li.agg(F.min("l_partkey").alias("node"))
+    return sssp(edges, seeds, rounds=3)
+
+
+SQL_SSSP_WEIGHTED = """
+WITH RECURSIVE und AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t,
+         (a.l_partkey + b.l_partkey) % 7 + 1 AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  WHERE a.l_orderkey % 5 = 0),
+seed AS (
+  SELECT min(l_partkey) AS n FROM lineitem WHERE l_orderkey % 5 = 0),
+walk(n, dist, hop) AS (
+  SELECT n, CAST(0 AS BIGINT), 0 FROM seed
+  UNION
+  SELECT u.t, w.dist + u.w, w.hop + 1
+  FROM walk w JOIN und u ON u.s = w.n
+  WHERE w.hop < 3)
+SELECT n AS node, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY n
+"""
+
+
+def q_incremental_join(spark, sf_dir):
+    """Incremental JOIN-view maintenance
+    (operators/incremental.py:join_view_delta): the maintained view
+    V = orders ⋈ customer refreshed from delta batches on BOTH sides
+    (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) without recomputing A⋈B — the join half of
+    incremental view maintenance, completing the incremental family
+    (incremental_agg / hll_incremental / minhash_incremental). The
+    result must equal the full recompute: the oracle joins the whole
+    tables."""
+    from smartbots_etl_facturas_spark.operators.incremental import (
+        join_view_delta,
+    )
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_totalprice").cast(DEC).alias("o_totalprice"),
+    )
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a_old, delta_a = (
+        orders.filter(F.col("o_orderkey") % 10 != 0),
+        orders.filter(F.col("o_orderkey") % 10 == 0),
+    )
+    b_old, delta_b = (
+        cust.filter(F.col("c_custkey") % 7 != 0),
+        cust.filter(F.col("c_custkey") % 7 == 0),
+    )
+    v_old = a_old.join(b_old, "c_custkey")
+    delta = join_view_delta(a_old, delta_a, b_old, delta_b, "c_custkey")
+    return v_old.unionByName(delta).select(
+        "o_orderkey", "c_custkey", "o_totalprice", "c_name"
+    )
+
+
+SQL_INCREMENTAL_JOIN = """
+SELECT o.o_orderkey, c.c_custkey,
+       CAST(o.o_totalprice AS DECIMAL(18,2)) AS o_totalprice, c.c_name
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (operators/events.py:transition_matrix): lag() under a
+    total (ts, event_id) order per user, (from,to) counts, and
+    row-normalized probabilities in exact integer micro-units
+    ((n·1e6) div total — the graph.py integer-nanos discipline, so
+    the matrix is bit-identical on any engine). Matrix size is
+    |event types|², never corpus-scale."""
+    from smartbots_etl_facturas_spark.operators.events import (
+        transition_matrix,
+    )
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return transition_matrix(ev)
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH e AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_ns(ts), event_id) AS prev
+  FROM events),
+c AS (SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+      FROM e WHERE prev IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+       CAST((c.n * 1000000) // t.tot AS BIGINT) AS prob_micros
+FROM c JOIN t USING (from_type)
+"""
+
+
+def q_cusum_changepoints(spark, sf_dir):
+    """Per-user one-sided CUSUM drift detection
+    (operators/timeseries.py:cusum): s_i = max(0, s_{i-1} + x_i - T)
+    over the value stream in exact ten-thousandth units (T = 60.0,
+    flag at h = 200.0). The max-reset recurrence LOOKS sequential
+    like EWMA but has a closed two-window form (prefix sum minus
+    running min — the drawdown identity), so unlike ewma_values this
+    stays whole-stage-codegen'd JVM windows sharing ONE key shuffle;
+    the oracle replays the same two windows instead of a recursive
+    CTE. All int64: bit-identical flags on any engine."""
+    from smartbots_etl_facturas_spark.operators.timeseries import cusum
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(18,4)") * 10000)
+        .cast("long")
+        .alias("x_units"),
+    )
+    flagged = cusum(ev, "x_units", target_units=600000).filter(
+        F.col("cusum_units") > 2000000
+    )
+    return flagged.select("user_id", "ts", "event_id", "cusum_units")
+
+
+SQL_CUSUM_CHANGEPOINTS = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x
+  FROM events),
+s AS (
+  SELECT user_id, tsn, event_id,
+         sum(x - 600000) OVER (PARTITION BY user_id
+                               ORDER BY tsn, event_id
+                               ROWS UNBOUNDED PRECEDING) AS S
+  FROM e),
+c AS (
+  SELECT user_id, tsn, event_id,
+         S - least(0, min(S) OVER (PARTITION BY user_id
+                                   ORDER BY tsn, event_id
+                                   ROWS UNBOUNDED PRECEDING)) AS cu
+  FROM s)
+SELECT user_id, CAST(tsn AS BIGINT) AS ts, event_id,
+       CAST(cu AS BIGINT) AS cusum_units
+FROM c WHERE cu > 2000000
+"""
+
+
+def q_weighted_sample_k(spark, sf_dir):
+    """Deterministic weighted sampling WITHOUT replacement
+    (operators/sampling.py:weighted_sample_topk): Efraimidis-Spirakis
+    A-ES re-expressed float-free — each doc explodes into w replicas
+    (w = n_chars%32+1), each replica draws a 13-hex-char md5 key, and
+    the doc's sort key is the MAX draw (max of w uniforms ranks
+    identically to u^(1/w)); top-40 by key. Fixed-length lowercase
+    hex compares lexicographically == numerically, so both engines
+    sort the identical keys with zero float arithmetic. Plan:
+    narrow explode → keyed max-agg → TakeOrderedAndProject."""
+    from smartbots_etl_facturas_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") % 32 + 1).alias("w")
+    )
+    return weighted_sample_topk(docs, "w", k=40)
+
+
+SQL_WEIGHTED_SAMPLE_K = """
+WITH rep AS (
+  SELECT doc_id,
+         unnest(generate_series(1,
+           CAST(least(n_chars % 32 + 1, 64) AS BIGINT))) AS j
+  FROM documents WHERE n_chars % 32 + 1 > 0),
+keys AS (
+  SELECT doc_id,
+         max(substring(md5('wsamp-v1:' || CAST(doc_id AS VARCHAR) || ':'
+                           || CAST(j AS VARCHAR)), 1, 13)) AS sample_key
+  FROM rep GROUP BY doc_id)
+SELECT doc_id, sample_key FROM keys
+ORDER BY sample_key DESC, doc_id LIMIT 40
+"""
+
+
+def q_token_drift(spark, sf_dir):
+    """Corpus drift: the 25 tokens whose share differs most between
+    the English and non-English document partitions — per-token
+    shares in exact integer micro-units ((n·1e6) div N, integer div:
+    no cross-engine float rounding), drift = |p_en - p_rest|. ONE
+    token-keyed aggregation with conditional counts (no second
+    shuffle), 1-row totals broadcast back. The distribution-compare
+    primitive behind train/serve drift monitors and corpus mixture
+    audits."""
+    docs = _read(spark, sf_dir, "documents").select("lang", "text")
+    tok = docs.select(
+        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    totals = counts.agg(
+        F.sum("na").alias("__ta"), F.sum("nb").alias("__tb")
+    )
+    shares = counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.expr("(na * 1000000) div __ta").cast("long").alias("p_en_micros"),
+        F.expr("(nb * 1000000) div __tb").cast("long").alias("p_rest_micros"),
+    )
+    return (
+        shares.withColumn(
+            "drift_micros",
+            F.abs(F.col("p_en_micros") - F.col("p_rest_micros")).cast("long"),
+        )
+        .orderBy(F.col("drift_micros").desc(), "token")
+        .limit(25)
+    )
+
+
+SQL_TOKEN_DRIFT = r"""
+WITH tok AS (
+  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents),
+counts AS (
+  SELECT token,
+         count(*) FILTER (WHERE lang = 'en') AS na,
+         count(*) FILTER (WHERE lang <> 'en') AS nb
+  FROM tok GROUP BY token),
+tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM counts)
+SELECT token,
+       CAST((na * 1000000) // ta AS BIGINT) AS p_en_micros,
+       CAST((nb * 1000000) // tb AS BIGINT) AS p_rest_micros,
+       CAST(abs((na * 1000000) // ta - (nb * 1000000) // tb) AS BIGINT)
+         AS drift_micros
+FROM counts, tot
+ORDER BY drift_micros DESC, token LIMIT 25
+"""
+
+
+def q_token_drift_total(spark, sf_dir):
+    """Total-variation distance between the en / non-en token
+    distributions — 2·TV in integer micro-units (sum over the FULL
+    vocabulary of |p_en - p_rest|, micro-share integer arithmetic as
+    in token_drift), plus the token totals. One token-keyed shuffle,
+    1-row output: the single drift score a mixture monitor alerts
+    on."""
+    docs = _read(spark, sf_dir, "documents").select("lang", "text")
+    tok = docs.select(
+        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    totals = counts.agg(
+        F.sum("na").alias("__ta"), F.sum("nb").alias("__tb")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.abs(
+                F.expr("(na * 1000000) div __ta")
+                - F.expr("(nb * 1000000) div __tb")
+            ).alias("d"),
+            F.col("__ta"),
+            F.col("__tb"),
+        )
+        .groupBy()
+        .agg(
+            F.sum("d").cast("long").alias("tv_twice_micros"),
+            F.max("__ta").cast("long").alias("n_tokens_en"),
+            F.max("__tb").cast("long").alias("n_tokens_rest"),
+        )
+    )
+
+
+SQL_TOKEN_DRIFT_TOTAL = r"""
+WITH tok AS (
+  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents),
+counts AS (
+  SELECT token,
+         count(*) FILTER (WHERE lang = 'en') AS na,
+         count(*) FILTER (WHERE lang <> 'en') AS nb
+  FROM tok GROUP BY token),
+tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM counts)
+SELECT CAST(sum(abs((na * 1000000) // ta - (nb * 1000000) // tb)) AS BIGINT)
+         AS tv_twice_micros,
+       CAST(max(ta) AS BIGINT) AS n_tokens_en,
+       CAST(max(tb) AS BIGINT) AS n_tokens_rest
+FROM counts, tot
+"""
+
+
+def q_exact_quantiles_qty(spark, sf_dir):
+    """Exact distributed quantiles WITHOUT a global sort
+    (operators/orderstats.py:exact_quantiles): one keyed
+    count-per-distinct-value aggregation over the corpus, cumulative
+    selection on the 50-value reduced frame — the bounded-domain
+    complement to approx_percentile_sketch. Integer ceil-rank
+    arithmetic ((n·num + den - 1) div den = quantile_disc semantics)
+    keeps every engine's pick identical; the oracle re-derives the
+    same cumulative selection in SQL windows (and pytest additionally
+    pins the operator to DuckDB's native quantile_disc)."""
+    from smartbots_etl_facturas_spark.operators.orderstats import (
+        exact_quantiles,
+    )
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty")
+    )
+    return exact_quantiles(li, "qty").select(
+        "quantile", F.col("value").cast("long").alias("value")
+    )
+
+
+SQL_EXACT_QUANTILES_QTY = """
+WITH counts AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v, count(*) AS c
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+  FROM counts),
+tot AS (SELECT sum(c) AS n FROM counts),
+probs(quantile, num, den) AS (
+  VALUES ('p25', 1, 4), ('p50', 1, 2), ('p75', 3, 4),
+         ('p90', 9, 10), ('p99', 99, 100)),
+ranks AS (SELECT quantile, (n * num + den - 1) // den AS r FROM probs, tot)
+SELECT quantile, CAST(min(v) AS BIGINT) AS value
+FROM cum JOIN ranks ON cum >= r GROUP BY quantile
+"""
+
+
+def q_trend_slope_per_user(spark, sf_dir):
+    """Per-user least-squares value trend
+    (operators/regression.py:group_trend): ONE keyed aggregation
+    builds the five OLS sufficient statistics (the algebraic-
+    aggregate/monoid shape, so the trend state is incrementally
+    maintainable like incremental_agg); the slope ships as the exact
+    integer ratio slope_num/slope_den on DECIMAL(38,0) — no float
+    division to round differently across engines. x = minutes since
+    the user's first event, y = value ten-thousandths."""
+    from smartbots_etl_facturas_spark.operators.regression import group_trend
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        (F.col("value").cast("decimal(18,4)") * 10000)
+        .cast("long")
+        .alias("y"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("__t0"))
+    xy = ev.join(first, "user_id").select(
+        "user_id",
+        F.expr("(ts - __t0) div 60000000000").alias("x"),
+        "y",
+    )
+    return group_trend(xy, "user_id", "x", "y")
+
+
+SQL_TREND_SLOPE_PER_USER = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS tsn,
+         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y
+  FROM events),
+xy AS (
+  SELECT user_id,
+         (tsn - min(tsn) OVER (PARTITION BY user_id)) // 60000000000 AS x,
+         y
+  FROM e),
+s AS (
+  SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy GROUP BY user_id)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
+       CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS slope_den
+FROM s
+"""
+
+
+def q_decile_lift(spark, sf_dir):
+    """Decile lift table (model-eval / marketing-analytics staple):
+    users ranked by total spend, split into ntile(10) deciles under a
+    TOTAL (spend desc, user_id) order, each decile reporting size,
+    spend mass, and conversion rate (any 'purchase' event) in exact
+    integer micro-units. The ntile window is global BY NATURE but
+    runs on the per-USER aggregate (150 rows at sf0.01; user-scale,
+    not event-scale — the vocab_coverage reduced-frame discipline)."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        (F.col("value").cast("decimal(18,4)") * 10000)
+        .cast("long")
+        .alias("units"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("p"),
+    )
+    users = ev.groupBy("user_id").agg(
+        F.sum("units").cast("long").alias("spend_units"),
+        F.max("p").alias("converted"),
+    )
+    w = Window.orderBy(F.col("spend_units").desc(), F.col("user_id"))
+    deciles = users.withColumn("decile", F.ntile(10).over(w))
+    return (
+        deciles.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("spend_units").cast("long").alias("spend_units"),
+            F.sum("converted").cast("long").alias("n_converted"),
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_users",
+            "spend_units",
+            "n_converted",
+            F.expr("(n_converted * 1000000) div n_users")
+            .cast("long")
+            .alias("conversion_micros"),
+        )
+    )
+
+
+SQL_DECILE_LIFT = """
+WITH e AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS units,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+  FROM events),
+users AS (
+  SELECT user_id, sum(units) AS spend_units, max(p) AS converted
+  FROM e GROUP BY user_id),
+d AS (
+  SELECT user_id, spend_units, converted,
+         ntile(10) OVER (ORDER BY spend_units DESC, user_id) AS decile
+  FROM users)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(spend_units) AS BIGINT) AS spend_units,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       CAST((sum(converted) * 1000000) // count(*) AS BIGINT)
+         AS conversion_micros
+FROM d GROUP BY decile
+"""
+
+
+def q_connected_components(spark, sf_dir):
+    """General connected components
+    (operators/graph.py:connected_components): min-label propagation
+    to FIXPOINT over a sampled part co-occurrence graph (two keyed
+    shuffles per round, convergence probed by a bounded 1-row driver
+    read, lineage checkpoint-cut). Component id = the component's
+    minimum node id — canonical and partition-order-free, so a
+    reachability recursive CTE (min reachable label, lbl < t pruned)
+    value-checks every (node, component) row on the oracle engine."""
+    from smartbots_etl_facturas_spark.operators.graph import (
+        connected_components,
+    )
+
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 25 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") != F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+    )
+    return connected_components(pairs)
+
+
+SQL_CONNECTED_COMPONENTS = """
+WITH RECURSIVE und AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  WHERE a.l_orderkey % 25 = 0),
+nodes AS (SELECT DISTINCT s AS n FROM und),
+walk(n, lbl) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT u.t, w.lbl FROM walk w JOIN und u ON u.s = w.n WHERE w.lbl < u.t)
+SELECT n AS node, min(lbl) AS component FROM walk GROUP BY n
+"""
+
+
+def q_scd2_asof_lookup(spark, sf_dir):
+    """Point-in-time (as-of) lookup against the SCD2 history
+    (operators/scd.py:scd2_lookup): every purchase event fetches the
+    tier version valid AT its timestamp — the bitemporal query every
+    warehouse runs against dimension history. ONE equi-join on the
+    entity key + an interval filter (versions per entity bound the
+    fan-out; no range-join machinery needed because the key carries
+    the selectivity). The oracle re-derives the history AND the
+    interval join in SQL."""
+    from smartbots_etl_facturas_spark.operators.scd import (
+        scd2_from_changelog,
+        scd2_lookup,
+    )
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type",
+        (F.col("value").cast("decimal(18,4)") % 5).cast("string").alias("tier"),
+    )
+    hist = scd2_from_changelog(
+        ev, ["user_id"], "ts", ["tier"], "event_id"
+    ).select("user_id", "tier", "valid_from", "valid_to")
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    return scd2_lookup(hist, probes, ["user_id"], "ts").select(
+        "user_id", "ts", "event_id", "tier"
+    )
+
+
+SQL_SCD2_ASOF_LOOKUP = """
+WITH log AS (
+  SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type,
+         CAST(CAST(value AS DECIMAL(18,4)) % 5 AS VARCHAR) AS tier
+  FROM events),
+flagged AS (
+  SELECT *,
+         (lag(tier) OVER w IS DISTINCT FROM tier
+          OR row_number() OVER w = 1) AS chg
+  FROM log
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+hist AS (
+  SELECT user_id, tier, ts AS valid_from, lead(ts) OVER w2 AS valid_to
+  FROM (SELECT * FROM flagged WHERE chg)
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT p.user_id, CAST(p.ts AS BIGINT) AS ts, p.event_id, h.tier
+FROM (SELECT user_id, ts, event_id FROM log
+      WHERE event_type = 'purchase') p
+JOIN hist h ON h.user_id = p.user_id
+          AND p.ts >= h.valid_from
+          AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+"""
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (operators/fusion.py) of two
+    heterogeneous rankers for the query {spark, join, window}: the
+    BM25 ranking (bm25_search's scoring) fused with a
+    length-normalized term-coverage ranking ((Σtf·1e6) div dl —
+    integer-exact). Fused score = Σ 1e6 div (60 + rank) in exact
+    micro-units, so the merged ordering is bit-identical across
+    engines. The rank windows run on the MATCHED-candidate frame
+    (docs containing a query term), never the corpus."""
+    from smartbots_etl_facturas_spark.functions.text import tokens
+    from smartbots_etl_facturas_spark.operators.fusion import (
+        reciprocal_rank_fusion,
+    )
+
+    q_terms = ["spark", "join", "window"]
+    docs = _read(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = tok.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_len"),
+    ).withColumn("__k", F.lit(1))
+    qtf = tf.filter(F.col("term").isin(q_terms))
+    dfreq = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    m = (
+        qtf.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .withColumn("__k", F.lit(1))
+        .join(stats, "__k")
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    denom = F.col("tf").cast("double") + 1.2 * (
+        0.25
+        + 0.75
+        * (
+            (F.col("dl") * F.col("n_docs")).cast("double")
+            / F.col("total_len").cast("double")
+        )
+    )
+    term_score = F.round(
+        idf * (F.col("tf").cast("double") * 2.2) / denom, 6
+    ).cast("decimal(28,6)")
+    bm = (
+        m.select("doc_id", term_score.alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("__bm"))
+    )
+    w1 = Window.orderBy(F.col("__bm").desc(), F.col("doc_id"))
+    list_bm25 = bm.select(
+        "doc_id", F.row_number().over(w1).alias("rank")
+    )
+    cov = (
+        qtf.groupBy("doc_id")
+        .agg(F.sum("tf").alias("__qtf"))
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.expr("(__qtf * 1000000) div dl").alias("__cov"),
+        )
+    )
+    w2 = Window.orderBy(F.col("__cov").desc(), F.col("doc_id"))
+    list_cov = cov.select(
+        "doc_id", F.row_number().over(w2).alias("rank")
+    )
+    fused = reciprocal_rank_fusion(
+        [("bm25", list_bm25), ("cov", list_cov)], "doc_id", k=60
+    )
+    return fused.orderBy(
+        F.col("rrf_micros").desc(), F.col("doc_id")
+    ).limit(15)
+
+
+SQL_RRF_FUSION = r"""
+WITH tok AS (
+  SELECT doc_id, u.term
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents) t,
+       unnest(t.w) AS u(term)),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                 CAST(count(*) AS BIGINT) AS total_len FROM tok),
+qtf AS (SELECT * FROM tf WHERE term IN ('spark', 'join', 'window')),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM qtf GROUP BY 1),
+bm AS (
+  SELECT f.doc_id,
+         sum(CAST(round(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5))
+           * (CAST(tf AS DOUBLE) * 2.2)
+           / (CAST(tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * (CAST(d.dl * n_docs AS DOUBLE)
+                                      / CAST(total_len AS DOUBLE)))),
+           6) AS DECIMAL(28,6))) AS s
+  FROM qtf f
+  JOIN dfreq USING (term)
+  JOIN dl d ON f.doc_id = d.doc_id
+  CROSS JOIN stats
+  GROUP BY f.doc_id),
+list_bm25 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank
+  FROM bm),
+covs AS (
+  SELECT q.doc_id, (sum(q.tf) * 1000000) // max(d.dl) AS cov
+  FROM qtf q JOIN dl d ON q.doc_id = d.doc_id GROUP BY q.doc_id),
+list_cov AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cov DESC, doc_id) AS rank
+  FROM covs),
+u AS (
+  SELECT doc_id, rank AS rank_bm25, NULL AS rank_cov,
+         1000000 // (60 + rank) AS contrib
+  FROM list_bm25
+  UNION ALL
+  SELECT doc_id, NULL, rank, 1000000 // (60 + rank) FROM list_cov)
+SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_micros,
+       CAST(count(*) AS BIGINT) AS n_lists,
+       CAST(min(rank_bm25) AS BIGINT) AS rank_bm25,
+       CAST(min(rank_cov) AS BIGINT) AS rank_cov
+FROM u GROUP BY doc_id
+ORDER BY rrf_micros DESC, doc_id LIMIT 15
+"""
+
+
+def q_time_to_convert(spark, sf_dir):
+    """Signup→purchase conversion-time quantiles: per user, minutes
+    from first signup to the first LATER purchase (strictly-after,
+    the funnel_counts ordering rule), then exact quantiles of that
+    per-user delta via histogram selection
+    (operators/orderstats.py:exact_quantiles — the distinct-delta
+    frame is user-bounded). The product-analytics "how long to
+    convert" metric, integer end to end."""
+    from smartbots_etl_facturas_spark.operators.orderstats import (
+        exact_quantiles,
+    )
+
+    ev = read_events(spark, sf_dir).select("user_id", "ts", "event_type")
+    s = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("__t0")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("__t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__t1"), F.min("__t0").alias("__t0"))
+        .select(F.expr("(__t1 - __t0) div 60000000000").alias("mins"))
+    )
+    return exact_quantiles(p, "mins").select(
+        "quantile", F.col("value").cast("long").alias("minutes")
+    )
+
+
+SQL_TIME_TO_CONVERT = """
+WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events),
+s AS (SELECT user_id, min(ts) AS t0 FROM e
+      WHERE event_type = 'signup' GROUP BY 1),
+d AS (
+  SELECT (min(e.ts) - min(s.t0)) // 60000000000 AS mins
+  FROM e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s.t0
+  GROUP BY e.user_id),
+counts AS (SELECT mins AS v, count(*) AS c FROM d GROUP BY 1),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        FROM counts),
+tot AS (SELECT sum(c) AS n FROM counts),
+probs(quantile, num, den) AS (
+  VALUES ('p25', 1, 4), ('p50', 1, 2), ('p75', 3, 4),
+         ('p90', 9, 10), ('p99', 99, 100)),
+ranks AS (SELECT quantile, (n * num + den - 1) // den AS r FROM probs, tot)
+SELECT quantile, CAST(min(v) AS BIGINT) AS minutes
+FROM cum JOIN ranks ON cum >= r GROUP BY quantile
+"""
+
+
+def q_label_centroid_pairs(spark, sf_dir):
+    """Pairwise centroid dot products between embedding label groups
+    — the cluster-drift / class-separation matrix. Vectors are scaled
+    to exact integer micro-units (floor(x·1e6 + 0.5), the
+    embedding_quantize tie rule both engines evaluate identically),
+    summed per (label, dimension) in long form, and pairs join on the
+    DIMENSION key (64 rows per label) — keyed equi-joins end to end,
+    no array crossJoin. Self-pairs (a = b) carry the squared centroid
+    norms, so cosine is derivable downstream by cross-multiplying
+    exact DECIMAL(38,0) integers."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    sums = emb.groupBy("label", "pos").agg(
+        F.sum(F.floor(F.col("x").cast("double") * 1000000 + F.lit(0.5))
+              .cast("long"))
+        .cast("decimal(38,0)")
+        .alias("s")
+    )
+    a = sums.select(
+        F.col("label").alias("label_a"), "pos", F.col("s").alias("sa")
+    )
+    b = sums.select(
+        F.col("label").alias("label_b"), "pos", F.col("s").alias("sb")
+    )
+    return (
+        a.join(b, "pos")
+        .filter(F.col("label_a") <= F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("sa") * F.col("sb"))
+            .cast("decimal(38,0)")
+            .alias("dot_units")
+        )
+    )
+
+
+SQL_LABEL_CENTROID_PAIRS = """
+WITH ex AS (
+  SELECT label, i AS pos, embedding[i] AS x
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS g(i)),
+sums AS (
+  SELECT label, pos,
+         sum(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS s
+  FROM ex GROUP BY 1, 2)
+SELECT a.label AS label_a, b.label AS label_b,
+       CAST(sum(a.s * b.s) AS DECIMAL(38,0)) AS dot_units
+FROM sums a JOIN sums b ON a.pos = b.pos AND a.label <= b.label
+GROUP BY 1, 2
+"""
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -7890,6 +8699,21 @@ _QUERIES: dict[str, Callable] = {
     "bm25_search": q_bm25_search,
     "hll_incremental": q_hll_incremental,
     "bfs_reach": q_bfs_reach,
+    "sssp_weighted": q_sssp_weighted,
+    "incremental_join": q_incremental_join,
+    "event_transitions": q_event_transitions,
+    "cusum_changepoints": q_cusum_changepoints,
+    "weighted_sample_k": q_weighted_sample_k,
+    "token_drift": q_token_drift,
+    "token_drift_total": q_token_drift_total,
+    "exact_quantiles_qty": q_exact_quantiles_qty,
+    "trend_slope_per_user": q_trend_slope_per_user,
+    "decile_lift": q_decile_lift,
+    "connected_components": q_connected_components,
+    "scd2_asof_lookup": q_scd2_asof_lookup,
+    "rrf_fusion": q_rrf_fusion,
+    "time_to_convert": q_time_to_convert,
+    "label_centroid_pairs": q_label_centroid_pairs,
     "xlsx_datasource_scan": q_xlsx_datasource_scan,
     "relational_division": q_relational_division,
     "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -8216,6 +9040,21 @@ _ORACLES: dict[str, str] = {
     "revenue_share": SQL_REVENUE_SHARE,
     "contrastive_pairs": SQL_CONTRASTIVE_PAIRS,
     "equi_width_histogram": SQL_EQUI_WIDTH_HISTOGRAM,
+    "sssp_weighted": SQL_SSSP_WEIGHTED,
+    "incremental_join": SQL_INCREMENTAL_JOIN,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "cusum_changepoints": SQL_CUSUM_CHANGEPOINTS,
+    "weighted_sample_k": SQL_WEIGHTED_SAMPLE_K,
+    "token_drift": SQL_TOKEN_DRIFT,
+    "token_drift_total": SQL_TOKEN_DRIFT_TOTAL,
+    "exact_quantiles_qty": SQL_EXACT_QUANTILES_QTY,
+    "trend_slope_per_user": SQL_TREND_SLOPE_PER_USER,
+    "decile_lift": SQL_DECILE_LIFT,
+    "connected_components": SQL_CONNECTED_COMPONENTS,
+    "scd2_asof_lookup": SQL_SCD2_ASOF_LOOKUP,
+    "rrf_fusion": SQL_RRF_FUSION,
+    "time_to_convert": SQL_TIME_TO_CONVERT,
+    "label_centroid_pairs": SQL_LABEL_CENTROID_PAIRS,
     # ann_lsh / ann_ivf / ann_pq / ann_pq_prebuilt / minhash_lsh_pairs
     # / minhash_incremental / simhash_docs / bpe_merges: intentionally
     # no oracle (approximate, iterative, or

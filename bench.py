@@ -114,6 +114,19 @@ HEADLINE = [
     "bm25_search",
     "hll_incremental",
     "bfs_reach",
+    # round-5 session-4 additions, sf-scaled only until their first
+    # floor recording
+    "sssp_weighted",
+    "incremental_join",
+    "event_transitions",
+    "cusum_changepoints",
+    "weighted_sample_k",
+    "token_drift",
+    "token_drift_total",
+    "exact_quantiles_qty",
+    "trend_slope_per_user",
+    "decile_lift",
+    "connected_components",
 ]
 
 

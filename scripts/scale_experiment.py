@@ -90,6 +90,35 @@ QUERIES = [
     "cms_heavy_hitters",
     "nation_trade_volume",
     "customer_distribution",
+    # second-wave session additions: k_core/bfs re-derive their edge
+    # set per round/level (dedup'd, so the graph is fixed across
+    # replicas — see the triangle_count note); hll_incremental must
+    # stay ~flat (64-row state merge + delta sketch); bm25/mad/
+    # winsorize are linear passes
+    "k_core",
+    "bfs_reach",
+    "bm25_search",
+    "mad_outliers",
+    "winsorized_stats",
+    "hll_incremental",
+    "relational_division",
+    "sample_exact_k",
+    # session-4 additions: cusum/transitions/trend/drift/quantiles/
+    # decile/rrf are single-pass keyed aggs or reduced-frame windows
+    # (expect ~linear or flatter); sssp/connected_components re-derive
+    # a replica-fixed part graph like k_core/bfs (dims don't grow), so
+    # their ratio measures pair-generation + iteration shuffle scaling
+    "cusum_changepoints",
+    "event_transitions",
+    "trend_slope_per_user",
+    "token_drift",
+    "exact_quantiles_qty",
+    "decile_lift",
+    "rrf_fusion",
+    "weighted_sample_k",
+    "incremental_join",
+    "sssp_weighted",
+    "connected_components",
 ]
 
 

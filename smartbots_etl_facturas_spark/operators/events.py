@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -119,4 +119,54 @@ def cohort_retention(
             (F.col("__bucket") - F.col("cohort_bucket")).alias("bucket_offset"),
         )
         .agg(F.countDistinct(user_col).alias("n_users"))
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts/probabilities over each
+    user's time-ordered event sequence: for every observed
+    ``(from_type, to_type)`` adjacency, the transition count and its
+    row-normalized probability.
+
+    Probabilities are exact integer micro-units —
+    ``prob_micros = (n · 1e6) div row_total`` — so the matrix is
+    bit-identical across engines (the :mod:`.graph` integer-nanos
+    discipline; float division would round non-portably near ties).
+    ``tie_col`` makes the per-user ordering total, so lag() is
+    deterministic even when one user has same-timestamp events.
+
+    Plan: one user-keyed window (the lag), one (from,to)-keyed count
+    aggregation, one from-keyed total aggregation + equi-join — all
+    shuffles keyed, matrix size is |types|², never corpus-scale.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(tie_col))
+    )
+    pairs = (
+        df.select(
+            F.col(user_col), F.col(ts_col), F.col(tie_col),
+            F.col(type_col).alias("to_type"),
+        )
+        .withColumn("from_type", F.lag("to_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("__tot"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("(n * 1000000) div __tot").cast("long").alias("prob_micros"),
+        )
     )

@@ -210,6 +210,63 @@ def k_core(
     )
 
 
+def sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src: str = "s",
+    dst: str = "t",
+    weight: str = "w",
+    node: str = "node",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Weighted single-source(-set) shortest paths by ``rounds`` of
+    synchronous Bellman-Ford relaxation — the weighted generalization
+    of :func:`bfs_levels`. Per round: the current distance frontier
+    joins the edge list on the source key (one equi-join), proposes
+    ``dist + w`` to each neighbor, and a keyed min-aggregation folds
+    proposals into the running distances. After ``rounds`` rounds the
+    result is the exact minimum distance over all paths of at most
+    ``rounds`` edges — a deterministic, hop-bounded contract (like
+    ``bfs_levels``' ``max_depth``) that a depth-bounded recursive CTE
+    can value-check on any engine. Callers needing full convergence
+    run ``rounds >= |V| - 1`` or iterate to fixpoint.
+
+    Weights must be non-negative integers so every distance is exact
+    int64 arithmetic — no float accumulation order to disagree on.
+    ``edges`` is directed (pass both orientations for undirected
+    graphs). Returns ``(node, dist)`` for every node reached within
+    the hop bound; seeds are at distance 0.
+
+    Scale: two keyed shuffles per round (join + min-agg), frontier
+    never leaves the cluster, lineage cut every ``checkpoint_every``
+    rounds — the Pregel SSSP schedule.
+    """
+    e = edges.select(
+        F.col(src).alias("__s"),
+        F.col(dst).alias("__t"),
+        F.col(weight).cast("long").alias("__w"),
+    )
+    dist = (
+        seeds.select(F.col(node).alias("n"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    for r in range(rounds):
+        relax = dist.join(e, dist.n == e.__s).select(
+            F.col("__t").alias("n"),
+            (F.col("dist") + F.col("__w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("n")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if checkpoint_every and (r + 1) % checkpoint_every == 0:
+            dist = dist.localCheckpoint(eager=True)
+    return dist.select(F.col("n").alias(node), F.col("dist"))
+
+
 def bfs_levels(
     edges: DataFrame,
     seeds: DataFrame,
@@ -259,3 +316,69 @@ def bfs_levels(
     return visited.select(
         F.col("n").alias(node), F.col("dist").cast("long").alias("dist")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_rounds: int = 32,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Connected components of the UNDIRECTED graph ``edges`` by
+    min-label propagation to FIXPOINT: every node starts labeled with
+    itself; each round takes the min of its own and its neighbors'
+    labels (one equi-join + one keyed min-agg); converged when no
+    label changed — at most diameter rounds, ``max_rounds`` is a
+    runaway bound. The per-round convergence probe is a bounded
+    driver read (``limit(1).count()`` — the operators/dedup.py
+    label-propagation policy), and lineage is checkpoint-cut like
+    every iterative operator here.
+
+    Component ids are the component's MINIMUM node id — a canonical,
+    partition-order-free labeling any engine reproduces, so a
+    reachability oracle (recursive CTE, min reachable label) can
+    value-check every (node, component) row.
+
+    Returns ``(node, component)``. For the billion-edge regime the
+    literature's large-star/small-star alternation cuts round count;
+    min-label keeps the per-round plan to the same two keyed shuffles
+    as pagerank and is exact at any size.
+    """
+    sym = (
+        edges.select(F.col(a).alias("s"), F.col(b).alias("t"))
+        .unionAll(edges.select(F.col(b).alias("s"), F.col(a).alias("t")))
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for i in range(max_rounds):
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "t")
+                     .withColumnRenamed("label", "nbr_label"), "t")
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.min("nbr_label").alias("nbr_label"))
+        )
+        new = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("__changed"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            new = new.localCheckpoint(eager=True)
+        changed = new.filter(F.col("__changed")).limit(1).count()
+        labels = new.drop("__changed")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))

@@ -105,6 +105,43 @@ def merge_agg_state(
     return out
 
 
+def join_view_delta(
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: Sequence[str] | str,
+) -> DataFrame:
+    """Delta rows for the maintained inner equi-join view
+    ``V = A ⋈ B`` under insert-only deltas — the join half of
+    incremental view maintenance (the aggregate half is
+    :func:`incremental_agg`).
+
+    With ``A_new = A ∪ ΔA`` and ``B_new = B ∪ ΔB``::
+
+        ΔV = (ΔA ⋈ B_old) ∪ (A_old ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+
+    so ``V_old ∪ ΔV = A_new ⋈ B_new`` exactly (multiset semantics —
+    unionByName never dedups). The three terms partition the new join
+    rows by which side(s) contributed a fresh row, so no row is
+    produced twice.
+
+    Scale design: the full ``A_old ⋈ B_old`` recompute is never run —
+    each delta term joins a (typically small) delta batch against the
+    other side on the join key, broadcastable when the delta is
+    small; cost is O(|ΔA| + |ΔB| + matched rows), independent of
+    |V_old|. Retractions compose via the op-multiplier convention of
+    :func:`aggregate_state` when V is maintained as a counted
+    multiset; this helper covers the dominant append-only case.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    return (
+        delta_a.join(b_old, on)
+        .unionByName(a_old.join(delta_b, on))
+        .unionByName(delta_a.join(delta_b, on))
+    )
+
+
 def incremental_agg(
     state: DataFrame,
     delta: DataFrame,

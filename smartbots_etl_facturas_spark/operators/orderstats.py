@@ -1,0 +1,74 @@
+"""Exact distributed order statistics WITHOUT a global sort.
+
+The classic histogram-selection scheme: aggregate the corpus to one
+count per DISTINCT VALUE (a keyed map-side-combining shuffle), take a
+cumulative sum over that reduced frame, and select each requested
+quantile as the smallest value whose cumulative count reaches its
+target rank. The global window runs on the distinct-VALUE frame —
+bounded by the value domain (e.g. 50 quantity levels), not the corpus
+— the same reduced-frame discipline as ``vocab_coverage``; the corpus
+itself is touched by exactly one aggregation pass.
+
+This is the exact complement to ``approx_percentile_sketch``: sketches
+for wide domains, histogram selection when the domain is bounded —
+which at 100 TB is the common case for coded/categorical/integer
+measures (quantities, statuses, bucketed latencies).
+
+Cross-engine determinism: ranks are exact integers — for probability
+num/den the target rank is ``ceil(n·num/den)`` computed as
+``(n·num + den - 1) div den`` — matching SQL ``quantile_disc``
+semantics (lower interpolation, 1-based ceil rank) with zero float
+arithmetic anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: Sequence[tuple[str, int, int]] = (
+        ("p25", 1, 4),
+        ("p50", 1, 2),
+        ("p75", 3, 4),
+        ("p90", 9, 10),
+        ("p99", 99, 100),
+    ),
+) -> DataFrame:
+    """Exact quantiles of ``value_col`` (orderable, bounded-domain).
+
+    ``probs`` are (label, numerator, denominator) rationals so the
+    rank arithmetic stays integer-exact. Returns one row per label:
+    ``(quantile, value)`` where value is the smallest v with
+    cumulative count >= ceil(n·num/den) — ``quantile_disc``
+    semantics. NULL values are excluded (SQL aggregate convention).
+    """
+    spark = df.sparkSession
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    cum = counts.withColumn("cum", F.sum("c").over(w))
+    total = counts.agg(F.sum("c").cast("long").alias("__n"))
+    pframe = spark.createDataFrame(
+        [(lbl, num, den) for lbl, num, den in probs],
+        ["quantile", "__num", "__den"],
+    )
+    ranks = pframe.crossJoin(F.broadcast(total)).select(
+        "quantile",
+        F.expr("(__n * __num + __den - 1) div __den").alias("__rank"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(ranks))
+        .filter(F.col("cum") >= F.col("__rank"))
+        .groupBy("quantile")
+        .agg(F.min("v").alias("value"))
+    )

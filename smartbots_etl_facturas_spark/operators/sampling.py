@@ -84,3 +84,66 @@ def temperature_resample(
         df.join(F.broadcast(rates), source_col)
         .filter(_uniform_hash(F.col(id_col)) < F.col("accept_prob"))
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wsamp-v1",
+    max_weight: int = 64,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the
+    Efraimidis–Spirakis (A-ES, 2006) scheme — order by ``u^(1/w)``
+    descending, take k — re-expressed in EXACT integer arithmetic so
+    every engine picks the identical sample.
+
+    The float-free trick: ``u^(1/w)`` ranks identically to the MAX of
+    ``w`` independent uniforms (the max of w Exp(1) draws is Exp(w)
+    in the inverted view), so for integer weights each row explodes
+    into ``w`` replicas, each replica gets a 52-bit integer hash draw
+    keyed on (salt, id, replica), and the row's sort key is the MAX
+    draw — pure int64 comparisons, no pow/ln to round differently
+    across engines. Rows with weight <= 0 are excluded (A-ES
+    semantics: zero weight never sampled).
+
+    ``max_weight`` bounds the explode fan-out (cost is O(Σw) rows
+    through one narrow pass); weights are clamped into [1, max_weight]
+    after the positivity filter. For unbounded float weights use the
+    classic double-precision key — this operator trades that for
+    cross-engine exactness.
+
+    Plan: explode (narrow) → per-id max-agg (one keyed shuffle) →
+    TakeOrderedAndProject(k) — per-partition top-k + a k-row merge,
+    never a global sort.
+    """
+    rep = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn(
+            "__w",
+            F.least(F.col(weight_col).cast("long"), F.lit(int(max_weight))),
+        )
+        .withColumn("__j", F.explode(F.sequence(F.lit(1), F.col("__w"))))
+    )
+    # the draw stays a fixed-length lowercase-hex STRING: 13 hex chars
+    # compare lexicographically == numerically, so max/orderBy need no
+    # base conversion and every engine sorts the identical bytes
+    draw = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(salt + ":"),
+                F.col(id_col).cast("string"),
+                F.lit(":"),
+                F.col("__j").cast("string"),
+            )
+        ),
+        1,
+        13,
+    )
+    keys = (
+        rep.withColumn("__draw", draw)
+        .groupBy(id_col)
+        .agg(F.max("__draw").alias("sample_key"))
+    )
+    return keys.orderBy(F.col("sample_key").desc(), F.col(id_col)).limit(k)

@@ -62,3 +62,30 @@ def scd2_from_changelog(
         F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
         F.lead(F.col(ts_col)).over(w2).isNull().alias("is_current"),
     )
+
+
+def scd2_lookup(
+    history: DataFrame,
+    probes: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+) -> DataFrame:
+    """Point-in-time lookup against an SCD2 history: for each probe
+    row, attach the attribute version whose validity interval covers
+    the probe's timestamp (``valid_from <= ts < valid_to``, open
+    current interval matches everything from its valid_from).
+
+    Plan: ONE equi-join on the entity key + an interval filter — each
+    probe meets only its own entity's versions (bounded by per-entity
+    change count, never corpus-scale), so this is a plain keyed
+    shuffle join at any history size; no range-join machinery needed
+    because the key carries all the selectivity. Probes before the
+    entity's first interval drop out (inner-join semantics).
+
+    ``probes``' ``ts_col`` must be the same type/scale as the
+    history's ``valid_from``/``valid_to``.
+    """
+    cond = (F.col(ts_col) >= F.col("valid_from")) & (
+        F.col("valid_to").isNull() | (F.col(ts_col) < F.col("valid_to"))
+    )
+    return probes.join(history, on=list(key_cols), how="inner").filter(cond)

@@ -20,7 +20,8 @@ Float EWMA would accumulate non-portable rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -67,3 +68,44 @@ def ewma_smooth(
         .groupBy(key_col)
         .applyInPandas(_group, out_schema)
     )
+
+
+def cusum(
+    df: DataFrame,
+    x_col: str,
+    target_units: int,
+    slack_units: int = 0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """One-sided (upper) CUSUM drift statistic per key over the
+    integer-unit series ``x_col``:
+
+        s_0 = 0;   s_i = max(0, s_{i-1} + (x_i - target - slack))
+
+    Although the recurrence looks sequential like EWMA, the max-reset
+    has a closed window form — with d_i = x_i - (target + slack) and
+    prefix sums S_i,  s_i = S_i - min(0, min_{j<=i} S_j)  (the
+    running-drawdown identity) — so unlike :func:`ewma_smooth` this
+    runs as two key-partitioned WINDOW expressions, whole-stage
+    codegen, no Python anywhere. All arithmetic is int64 on
+    pre-scaled units: bit-identical across engines.
+
+    Returns the input keys/ordering columns plus ``cusum_units``;
+    callers flag change points by filtering ``cusum_units > h``.
+    Plan: ONE key shuffle shared by both window frames.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(tie_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = (F.col(x_col).cast("long") - F.lit(int(target_units + slack_units)))
+    out = df.withColumn("__S", F.sum(d).over(w))
+    out = out.withColumn(
+        "cusum_units",
+        (F.col("__S") - F.least(F.lit(0).cast("long"), F.min("__S").over(w)))
+        .cast("long"),
+    )
+    return out.drop("__S")

@@ -1,0 +1,125 @@
+"""Tests for exact histogram-selection quantiles
+(operators/orderstats.py), per-key OLS trend sums
+(operators/regression.py), and min-label connected components
+(operators/graph.py:connected_components)."""
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from smartbots_etl_facturas_spark.operators.orderstats import exact_quantiles
+from smartbots_etl_facturas_spark.operators.regression import group_trend
+from smartbots_etl_facturas_spark.operators.graph import connected_components
+
+
+class TestExactQuantiles:
+    def test_quantile_disc_semantics(self, spark):
+        # 1..4: ceil-rank semantics — p25->1, p50->2, p75->3, p90->4
+        df = spark.createDataFrame([(v,) for v in [10, 20, 30, 40]], ["x"])
+        got = {r.quantile: r.value for r in exact_quantiles(df, "x").collect()}
+        assert (got["p25"], got["p50"], got["p75"], got["p90"]) == (
+            10, 20, 30, 40)
+
+    def test_matches_duckdb_quantile_disc(self, spark):
+        import duckdb
+
+        vals = [(i * 7 + 3) % 23 for i in range(200)]
+        df = spark.createDataFrame([(v,) for v in vals], ["x"])
+        got = {r.quantile: r.value for r in exact_quantiles(df, "x").collect()}
+        want = duckdb.sql(
+            "SELECT quantile_disc(x, 0.25), quantile_disc(x, 0.5), "
+            "quantile_disc(x, 0.75), quantile_disc(x, 0.9), "
+            "quantile_disc(x, 0.99) FROM (SELECT unnest($v) AS x)",
+            params={"v": vals},
+        ).fetchone()
+        assert (got["p25"], got["p50"], got["p75"], got["p90"],
+                got["p99"]) == want
+
+    def test_duplicates_and_nulls(self, spark):
+        df = spark.createDataFrame(
+            [(1,)] * 9 + [(2,)] + [(None,)] * 5, "x: int"
+        )
+        got = {r.quantile: r.value for r in exact_quantiles(df, "x").collect()}
+        assert got["p50"] == 1 and got["p99"] == 2
+
+    def test_partition_invariance(self, spark):
+        df = spark.createDataFrame([(i % 13,) for i in range(500)], ["x"])
+        a = sorted(map(tuple, exact_quantiles(df, "x").collect()))
+        b = sorted(map(tuple, exact_quantiles(df.repartition(11), "x").collect()))
+        assert a == b
+
+
+class TestGroupTrend:
+    def test_known_slope(self, spark):
+        # y = 3x + 7 exactly -> slope_num/slope_den == 3
+        rows = [("k", x, 3 * x + 7) for x in range(10)]
+        df = spark.createDataFrame(rows, ["k", "x", "y"])
+        r = group_trend(df, "k", "x", "y").head()
+        assert r.slope_den != 0
+        assert r.slope_num == 3 * r.slope_den
+
+    def test_matches_numpy_polyfit(self, spark):
+        import numpy as np
+
+        xs = [0, 2, 3, 7, 11, 13, 20]
+        ys = [5, 4, 8, 2, 9, 14, 1]
+        df = spark.createDataFrame(
+            [("k", x, y) for x, y in zip(xs, ys)], ["k", "x", "y"]
+        )
+        r = group_trend(df, "k", "x", "y").head()
+        got = float(r.slope_num) / float(r.slope_den)
+        want = np.polyfit(np.array(xs, float), np.array(ys, float), 1)[0]
+        assert abs(got - want) < 1e-9
+
+    def test_constant_x_zero_denominator(self, spark):
+        df = spark.createDataFrame(
+            [("k", 5, 1), ("k", 5, 9)], ["k", "x", "y"]
+        )
+        r = group_trend(df, "k", "x", "y").head()
+        assert r.slope_den == Decimal(0)
+
+    def test_single_row_key(self, spark):
+        df = spark.createDataFrame([("k", 3, 4)], ["k", "x", "y"])
+        r = group_trend(df, "k", "x", "y").head()
+        assert (r.n, r.slope_num, r.slope_den) == (1, Decimal(0), Decimal(0))
+
+    def test_per_key_isolation(self, spark):
+        rows = [("up", x, 2 * x) for x in range(5)] + [
+            ("down", x, -2 * x) for x in range(5)
+        ]
+        df = spark.createDataFrame(rows, ["k", "x", "y"])
+        got = {r.k: (r.slope_num, r.slope_den)
+               for r in group_trend(df, "k", "x", "y").collect()}
+        assert got["up"][0] == 2 * got["up"][1]
+        assert got["down"][0] == -2 * got["down"][1]
+
+
+class TestConnectedComponents:
+    def _cc(self, spark, pairs, **kw):
+        df = spark.createDataFrame(pairs, ["a", "b"])
+        return {r.node: r.component
+                for r in connected_components(df, **kw).collect()}
+
+    def test_two_components(self, spark):
+        got = self._cc(spark, [(1, 2), (2, 3), (10, 11)])
+        assert got[1] == got[2] == got[3] == 1
+        assert got[10] == got[11] == 10
+
+    def test_chain_converges_past_fixed_rounds(self, spark):
+        # a long path needs ~diameter rounds: fixpoint loop must get there
+        n = 12
+        got = self._cc(spark, [(i, i + 1) for i in range(n)])
+        assert set(got.values()) == {0} and len(got) == n + 1
+
+    def test_partition_invariance(self, spark):
+        pairs = [(i, (i * 5 + 2) % 17) for i in range(17)]
+        df = spark.createDataFrame(pairs, ["a", "b"])
+        a = {r.node: r.component for r in connected_components(df).collect()}
+        b = {r.node: r.component
+             for r in connected_components(df.repartition(7)).collect()}
+        assert a == b
+
+    def test_self_loops_ignored(self, spark):
+        got = self._cc(spark, [(1, 1), (1, 2)])
+        assert got == {1: 1, 2: 1}

@@ -97,6 +97,45 @@ ALLOW: dict[str, tuple[set, str]] = {
         "bigram-count frame (the PMI normalizer); the unigram joins are "
         "shuffled equi joins on the word key",
     ),
+    "exact_quantiles_qty": (
+        {"gwin", "bnlj"},
+        "histogram selection: the cumulative window and the 5-row "
+        "rank broadcast run on the DISTINCT-VALUE frame (50 quantity "
+        "levels), not the corpus — the corpus is touched by exactly "
+        "one keyed count aggregation (vocab_coverage discipline)",
+    ),
+    "decile_lift": (
+        {"gwin"},
+        "the ntile(10) ranking is a global order BY NATURE but runs "
+        "on the per-USER aggregate frame (users, not events — "
+        "vocab_coverage reduced-frame discipline)",
+    ),
+    "rrf_fusion": (
+        {"gwin", "bnlj"},
+        "the two rank windows run on the MATCHED-CANDIDATE frame "
+        "(docs containing a query term — index-bounded, like every "
+        "top-N retrieval), never the corpus; the bnlj is the 1-row "
+        "corpus-stats (n_docs, total_len) broadcast onto the "
+        "candidates (lm_quality normalizer pattern)",
+    ),
+    "time_to_convert": (
+        {"gwin", "bnlj"},
+        "exact_quantiles on the per-USER conversion-delta frame: "
+        "cumulative window + 5-row rank broadcast on a user-bounded "
+        "reduced frame (see exact_quantiles_qty)",
+    ),
+    "token_drift": (
+        {"bnlj"},
+        "broadcast of the 1-row (total_en, total_rest) token-mass "
+        "normalizer onto the VOCABULARY-scale counts frame (same "
+        "pattern as lm_quality/vocab_coverage); the token counts "
+        "themselves are one keyed aggregation",
+    ),
+    "token_drift_total": (
+        {"bnlj"},
+        "same 1-row token-mass normalizer as token_drift, folded to "
+        "the single TV-distance row",
+    ),
     "temperature_resample": (
         {"bnlj"},
         "broadcast of the 1-row (sum(w_s), N) normalizer onto the "
