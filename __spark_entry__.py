@@ -8679,6 +8679,147 @@ GROUP BY 1, 2
 """
 
 
+_TEXT_INDEX_CACHE: dict[str, str] = {}
+
+
+def ensure_text_index(spark, sf_dir: str) -> str:
+    """Build-once half of the text-retrieval split: persist the
+    inverted index (postings (term, doc_id, tf), doc lengths, and the
+    1-row corpus stats) through the versioned sink, once per process.
+    This is the build-once/probe-many pattern ann_pq_prebuilt /
+    minhash_incremental / hll_incremental establish, applied to the
+    lexical index a real search path keeps between queries."""
+    base = _TEXT_INDEX_CACHE.get(sf_dir)
+    if base is None:
+        from smartbots_etl_facturas_spark.functions.text import tokens
+        from smartbots_etl_facturas_spark.sinks.staged import publish
+
+        base = _scratch_dir("text_index_")
+        docs = _read(spark, sf_dir, "documents")
+        tok = docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        postings = tok.groupBy("term", "doc_id").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        stats = tok.agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("total_len"),
+        )
+        publish(postings, os.path.join(base, "postings"))
+        publish(dl, os.path.join(base, "doclen"))
+        publish(stats, os.path.join(base, "stats"))
+        _TEXT_INDEX_CACHE[sf_dir] = base
+    return base
+
+
+def q_bm25_prebuilt(spark, sf_dir):
+    """Probe-only BM25 against the PERSISTED inverted index
+    (ensure_text_index): the query touches the postings of its three
+    terms (a pushed-down term filter on the postings scan — never
+    re-tokenizing the corpus), derives df from those postings, joins
+    doc lengths, broadcasts the 1-row stats, and scores exactly like
+    bm25_search — which is why it shares bm25_search's full-recompute
+    oracle. The lexical build-once/probe-many split every serving
+    path has; bench times the probe alone."""
+    from smartbots_etl_facturas_spark.sinks.staged import read_published
+
+    q_terms = ["spark", "join", "window"]
+    base = ensure_text_index(spark, sf_dir)
+    postings = read_published(spark, os.path.join(base, "postings"))
+    dl = read_published(spark, os.path.join(base, "doclen"))
+    stats = read_published(spark, os.path.join(base, "stats")).withColumn(
+        "__k", F.lit(1)
+    )
+    qp = postings.filter(F.col("term").isin(q_terms))
+    dfreq = qp.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    m = (
+        qp.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .withColumn("__k", F.lit(1))
+        .join(stats, "__k")
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    denom = F.col("tf").cast("double") + 1.2 * (
+        0.25
+        + 0.75
+        * (
+            (F.col("dl") * F.col("n_docs")).cast("double")
+            / F.col("total_len").cast("double")
+        )
+    )
+    term_score = F.round(
+        idf * (F.col("tf").cast("double") * 2.2) / denom, 6
+    ).cast("decimal(28,6)")
+    return (
+        m.select("doc_id", term_score.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("s").alias("__bm"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("__bm"), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            F.col("__bm").cast("double").alias("bm25"),
+            "n_terms_matched",
+        )
+    )
+
+
+def q_spend_gini(spark, sf_dir):
+    """Gini concentration of per-customer order spend — the
+    inequality metric a revenue-concentration monitor alerts on.
+    Reported as the exact integer ratio
+    (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over cents, never divided:
+    deterministic on any engine (ties in spend cannot change Σ i·x —
+    swapping equal values leaves it fixed — so the total order is for
+    rank stability only). The ranking window runs on the per-CUSTOMER
+    aggregate (reduced frame)."""
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum("cents").cast("long").alias("x")
+    )
+    w = Window.orderBy(F.col("x"), F.col("o_custkey"))
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (2 * F.sum(F.col("i") * F.col("x"))
+         - (F.count(F.lit(1)) + 1) * F.sum("x"))
+        .cast("decimal(38,0)")
+        .alias("gini_num"),
+        (F.count(F.lit(1)) * F.sum("x"))
+        .cast("decimal(38,0)")
+        .alias("gini_den"),
+    )
+
+
+SQL_SPEND_GINI = """
+WITH spend AS (
+  SELECT o_custkey,
+         sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM spend)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DECIMAL(38,0))
+         AS gini_num,
+       CAST(count(*) * sum(x) AS DECIMAL(38,0)) AS gini_den
+FROM ranked
+"""
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8714,6 +8855,8 @@ _QUERIES: dict[str, Callable] = {
     "rrf_fusion": q_rrf_fusion,
     "time_to_convert": q_time_to_convert,
     "label_centroid_pairs": q_label_centroid_pairs,
+    "bm25_prebuilt": q_bm25_prebuilt,
+    "spend_gini": q_spend_gini,
     "xlsx_datasource_scan": q_xlsx_datasource_scan,
     "relational_division": q_relational_division,
     "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -9055,6 +9198,8 @@ _ORACLES: dict[str, str] = {
     "rrf_fusion": SQL_RRF_FUSION,
     "time_to_convert": SQL_TIME_TO_CONVERT,
     "label_centroid_pairs": SQL_LABEL_CENTROID_PAIRS,
+    "bm25_prebuilt": SQL_BM25_SEARCH,
+    "spend_gini": SQL_SPEND_GINI,
     # ann_lsh / ann_ivf / ann_pq / ann_pq_prebuilt / minhash_lsh_pairs
     # / minhash_incremental / simhash_docs / bpe_merges: intentionally
     # no oracle (approximate, iterative, or

@@ -127,6 +127,8 @@ HEADLINE = [
     "trend_slope_per_user",
     "decile_lift",
     "connected_components",
+    "bm25_prebuilt",
+    "spend_gini",
 ]
 
 
@@ -255,6 +257,9 @@ def main() -> None:
     # same split for the sketch state: hll_incremental times the
     # merge-with-delta path, not the corpus sketch build
     entrymod.ensure_sketch_state(spark, sf_dir)
+    # same split for the inverted index: bm25_prebuilt times the
+    # term-pruned probe, not the corpus tokenization
+    entrymod.ensure_text_index(spark, sf_dir)
 
     # best-of-2 per query: single-shot timings on a shared machine are
     # ±30% noisy; the minimum is the reproducible cost of the plan

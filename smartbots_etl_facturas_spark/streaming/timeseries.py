@@ -119,3 +119,85 @@ def ewma_stateful(
     return df.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def cusum_stateful(
+    df: DataFrame,
+    target_units: int,
+    slack_units: int = 0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    units_col: str = "x_units",
+    tie_col: str | None = None,
+):
+    """Streaming twin of :func:`...operators.timeseries.cusum`: the
+    one-sided CUSUM drift statistic carried across micro-batches.
+
+    Unlike the batch twin — which exploits the drawdown identity to
+    run as two windows — the stream keeps the DIRECT recurrence
+    ``s = max(0, s + (x - target - slack))`` as per-key state: ONE
+    int64 per key (plus the (ts, tie) boundary), so state size is
+    O(distinct keys) forever. The two formulations are equal by the
+    drawdown identity; tests pin stream == batch row for row.
+
+    Ordering/late-data contract is ewma_stateful's: in-batch rows fold
+    in stable (ts, tie) order, rows at-or-before the state's last
+    processed position are dropped.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, {ts_col} timestamp, "
+        f"{units_col} long, cusum_units long"
+    )
+    if tie_col:
+        tie_type = df.schema[tie_col].dataType.simpleString()
+        state_schema = f"s long, last_us long, last_tie {tie_type}"
+    else:
+        state_schema = "s long, last_us long"
+    sort_cols = [ts_col] + ([tie_col] if tie_col else [])
+    drift = int(target_units + slack_units)
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values(
+            sort_cols, kind="mergesort"
+        )
+        ts_us = (rows[ts_col].astype("int64") // 1000).tolist()
+        xs = rows[units_col].astype("int64").tolist()
+        ties = rows[tie_col].tolist() if tie_col else None
+
+        if state.exists:
+            st = state.get
+            s, bound_us = st[0], st[1]
+            bound_tie = st[2] if tie_col else None
+        else:
+            s, bound_us, bound_tie = 0, -1, None
+
+        last_us, last_tie = bound_us, bound_tie
+        out_t, out_x, out_s = [], [], []
+        for i, (t, x) in enumerate(zip(ts_us, xs)):
+            if t < bound_us:
+                continue
+            if t == bound_us and (ties is None or ties[i] <= bound_tie):
+                continue
+            s = max(0, s + int(x) - drift)
+            last_us = t
+            last_tie = ties[i] if ties is not None else None
+            out_t.append(t)
+            out_x.append(x)
+            out_s.append(s)
+        state.update((s, last_us, last_tie) if tie_col else (s, last_us))
+        if out_t:
+            yield pd.DataFrame({
+                key_col: [key[0]] * len(out_t),
+                ts_col: [pd.Timestamp(t, unit="us") for t in out_t],
+                units_col: out_x,
+                "cusum_units": out_s,
+            })
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

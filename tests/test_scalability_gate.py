@@ -110,6 +110,17 @@ ALLOW: dict[str, tuple[set, str]] = {
         "on the per-USER aggregate frame (users, not events — "
         "vocab_coverage reduced-frame discipline)",
     ),
+    "spend_gini": (
+        {"gwin"},
+        "the Gini rank window runs on the per-CUSTOMER spend "
+        "aggregate (reduced frame, vocab_coverage discipline)",
+    ),
+    "bm25_prebuilt": (
+        {"bnlj"},
+        "1-row corpus-stats broadcast onto the term-filtered "
+        "postings (lm_quality normalizer pattern); the postings scan "
+        "itself is term-pruned",
+    ),
     "rrf_fusion": (
         {"gwin", "bnlj"},
         "the two rank windows run on the MATCHED-CANDIDATE frame "

@@ -860,3 +860,57 @@ def test_sketch_stream_matches_batch(spark, tmp_path):
     before = (dict(acc.hll), dict(acc.cms))
     acc(full, batch_id=min(acc._seen))
     assert (acc.hll, acc.cms) == before
+
+
+def test_cusum_stream_matches_batch(spark, tmp_path):
+    """Streaming CUSUM (applyInPandasWithState, direct max(0, s+d)
+    recurrence) == batch CUSUM (two-window drawdown identity): the
+    per-key statistic carries across micro-batches and every emitted
+    row matches operators/timeseries.cusum on the same data — the
+    identity between the two formulations, pinned end to end."""
+    from smartbots_etl_facturas_spark.operators.timeseries import cusum
+    from smartbots_etl_facturas_spark.streaming.timeseries import cusum_stateful
+
+    src = str(tmp_path / "cusum-src")
+    ckpt = str(tmp_path / "cusum-ckpt")
+    out = str(tmp_path / "cusum-out")
+    schema = "user_id long, ts timestamp, x_units long"
+
+    def _slice(rows):
+        (spark.createDataFrame(rows, "user_id long, ts string, x_units long")
+         .withColumn("ts", F.to_timestamp("ts"))
+         .coalesce(1).write.mode("append").parquet(src))
+
+    _slice([(1, "2024-01-01 10:00:00", 100),
+            (1, "2024-01-01 10:01:00", 200),
+            (2, "2024-01-01 10:00:30", 350)])
+    _slice([(1, "2024-01-01 10:02:00", 60),
+            (2, "2024-01-01 10:03:00", 90),
+            (1, "2024-01-01 10:04:00", 1000)])
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src)
+              .withWatermark("ts", "0 seconds"))
+    q = (cusum_stateful(stream, target_units=100)
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.user_id, int(r.ts.timestamp())): r.cusum_units
+           for r in spark.read.parquet(out).collect()}
+    batch_src = (spark.read.parquet(src)
+                 .withColumn("tsl", F.unix_micros("ts"))
+                 .withColumn("event_id", F.unix_micros("ts")))
+    batch = {(r.user_id, r.tsl // 1_000_000): r.cusum_units
+             for r in cusum(batch_src, "x_units", target_units=100,
+                            ts_col="tsl").collect()}
+    assert len(got) == 6
+    assert got == batch
+    # hand-checked: user 1 -> 0, 100, 60, 960 (batch 2 continues s=100
+    # from batch 1); user 2 -> 250, 240
+    u1 = [v for (u, _), v in sorted(got.items()) if u == 1]
+    assert u1 == [0, 100, 60, 960]
+    u2 = [v for (u, _), v in sorted(got.items()) if u == 2]
+    assert u2 == [250, 240]
