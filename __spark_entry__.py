@@ -8820,6 +8820,135 @@ FROM ranked
 """
 
 
+def q_stickiness_dau_wau(spark, sf_dir):
+    """Daily/weekly active users + stickiness (DAU/WAU) per day — the
+    engagement ratio every product dashboard tracks. Exact trailing-
+    7-day distinct counts WITHOUT a sliding countDistinct: each
+    (user, day) activity fans out to the ≤7 window-end days it covers
+    (a BOUNDED sequence-explode — cost 7×|activity|, the standard
+    exact-sliding-distinct rewrite), then one distinct + one count
+    per day. Stickiness ships as integer micro-units; only days with
+    activity are reported."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id", F.expr("ts div 86400000000000").alias("day")
+    ).distinct()
+    dau = ev.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    wau = (
+        ev.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + 6)
+            ).alias("day"),
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("long").alias("day"),
+            "dau",
+            "wau",
+            F.expr("(dau * 1000000) div wau").cast("long")
+            .alias("stickiness_micros"),
+        )
+    )
+
+
+SQL_STICKINESS_DAU_WAU = """
+WITH act AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+  FROM events),
+dau AS (SELECT day, count(*) AS dau FROM act GROUP BY 1),
+fan AS (
+  SELECT DISTINCT user_id, day + i AS day
+  FROM act, unnest(generate_series(0, 6)) AS g(i)),
+wau AS (SELECT day, count(*) AS wau FROM fan GROUP BY 1)
+SELECT CAST(d.day AS BIGINT) AS day, CAST(d.dau AS BIGINT) AS dau,
+       CAST(w.wau AS BIGINT) AS wau,
+       CAST((d.dau * 1000000) // w.wau AS BIGINT) AS stickiness_micros
+FROM dau d JOIN wau w ON d.day = w.day
+"""
+
+
+def q_embedding_project(spark, sf_dir):
+    """Deterministic random-projection dimensionality reduction
+    (Achlioptas-style sparse integer weights) as a DISTRIBUTED
+    matrix multiply re-expressed join-aggregate: embeddings explode
+    to (vec_id, i, x_units) long form (exact micro-units via the
+    embedding_quantize floor(x·1e6+0.5) tie rule), the 16×64 weight
+    matrix — w(j,i) = (md5-hex8(j:i) mod 7) − 3, derivable on ANY
+    engine — broadcasts onto the dimension key, and one keyed
+    aggregation sums per (vec_id, j). All int64: the projected
+    matrix is bit-identical everywhere. The long-form output (no
+    array reassembly) is the shape the next pipeline stage consumes."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("x").cast("double") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("x_units"),
+    )
+    weights = (
+        spark.range(16 * 64)
+        .select(
+            (F.col("id") % 64).cast("int").alias("i"),
+            F.expr("id div 64").cast("long").alias("j"),
+        )
+        .withColumn(
+            "w",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("proj-v1:"),
+                                F.col("j").cast("string"),
+                                F.lit(":"),
+                                F.col("i").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 7
+                - 3
+            ).cast("long"),
+        )
+    )
+    return (
+        emb.join(F.broadcast(weights), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("x_units") * F.col("w")).cast("long").alias("y_units"))
+    )
+
+
+SQL_EMBEDDING_PROJECT = f"""
+WITH ex AS (
+  SELECT vec_id, i - 1 AS i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           AS x_units
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS g(i)),
+w AS (
+  SELECT CAST(ij % 64 AS INT) AS i, ij // 64 AS j,
+         {_SQL_HEX8.format(h="md5('proj-v1:' || CAST(ij // 64 AS VARCHAR)"
+                             " || ':' || CAST(ij % 64 AS VARCHAR))")}
+           % 7 - 3 AS wv
+  FROM unnest(generate_series(0, 16 * 64 - 1)) AS t(ij))
+SELECT e.vec_id, CAST(w.j AS BIGINT) AS j,
+       CAST(sum(e.x_units * w.wv) AS BIGINT) AS y_units
+FROM ex e JOIN w ON e.i = w.i
+GROUP BY 1, 2
+"""
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8857,6 +8986,8 @@ _QUERIES: dict[str, Callable] = {
     "label_centroid_pairs": q_label_centroid_pairs,
     "bm25_prebuilt": q_bm25_prebuilt,
     "spend_gini": q_spend_gini,
+    "stickiness_dau_wau": q_stickiness_dau_wau,
+    "embedding_project": q_embedding_project,
     "xlsx_datasource_scan": q_xlsx_datasource_scan,
     "relational_division": q_relational_division,
     "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -9200,6 +9331,8 @@ _ORACLES: dict[str, str] = {
     "label_centroid_pairs": SQL_LABEL_CENTROID_PAIRS,
     "bm25_prebuilt": SQL_BM25_SEARCH,
     "spend_gini": SQL_SPEND_GINI,
+    "stickiness_dau_wau": SQL_STICKINESS_DAU_WAU,
+    "embedding_project": SQL_EMBEDDING_PROJECT,
     # ann_lsh / ann_ivf / ann_pq / ann_pq_prebuilt / minhash_lsh_pairs
     # / minhash_incremental / simhash_docs / bpe_merges: intentionally
     # no oracle (approximate, iterative, or

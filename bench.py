@@ -129,6 +129,8 @@ HEADLINE = [
     "connected_components",
     "bm25_prebuilt",
     "spend_gini",
+    "stickiness_dau_wau",
+    "embedding_project",
 ]
 
 

@@ -119,6 +119,8 @@ QUERIES = [
     "incremental_join",
     "sssp_weighted",
     "connected_components",
+    "stickiness_dau_wau",
+    "embedding_project",
 ]
 
 
