@@ -8949,6 +8949,129 @@ GROUP BY 1, 2
 """
 
 
+def q_important_parts(spark, sf_dir):
+    """TPC-H Q11-shaped 'important stock': parts whose lineitem
+    revenue exceeds 1/2000 of GLOBAL revenue — a grouped aggregate
+    HAVING-compared against a 1-row global total broadcast (the
+    fraction test cross-multiplied in exact decimals: rev · 2000 >
+    total, no division). The classic share-of-total gate at any
+    scale: one keyed agg + one 1-row broadcast."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("rev").cast("decimal(38,2)").alias("part_rev")
+    )
+    total = per_part.agg(
+        F.sum("part_rev").cast("decimal(38,2)").alias("__total")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_rev") * 2000 > F.col("__total"))
+        .select("l_partkey", "part_rev")
+    )
+
+
+SQL_IMPORTANT_PARTS = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS part_rev
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT CAST(sum(part_rev) AS DECIMAL(38,2)) AS total FROM per_part)
+SELECT l_partkey, part_rev
+FROM per_part, tot
+WHERE part_rev * 2000 > total
+"""
+
+
+def q_idle_customers(spark, sf_dir):
+    """TPC-H Q22-shaped 'global sales opportunity': customers with
+    ABOVE-AVERAGE account balance who have placed NO orders since
+    2000-01-01 (lapsed high-value accounts) — a scalar-subquery
+    threshold (1-row broadcast, avg compared by cross-multiplication:
+    bal · n > total, exact decimals) plus a left-anti join against
+    the recent-orders set. Aggregated per market segment so the
+    output is segment counts + balance mass, the report shape the
+    original query ships."""
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    stats = cust.agg(
+        F.sum("bal").cast("decimal(38,2)").alias("__total"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").cast("date")
+            >= F.lit("2000-01-01").cast("date")
+        )
+        .select("o_custkey")
+    )
+    rich = cust.crossJoin(F.broadcast(stats)).filter(
+        F.col("bal") * F.col("__n") > F.col("__total")
+    )
+    idle = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_custs"),
+        F.sum("bal").cast("decimal(38,2)").alias("total_bal"),
+    )
+
+
+SQL_IDLE_CUSTOMERS = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer),
+stats AS (SELECT CAST(sum(bal) AS DECIMAL(38,2)) AS total,
+                 count(*) AS n FROM c),
+rich AS (
+  SELECT c.* FROM c, stats WHERE bal * n > total),
+idle AS (
+  SELECT * FROM rich
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = rich.c_custkey
+                      AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01'))
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(bal) AS DECIMAL(38,2)) AS total_bal
+FROM idle GROUP BY 1
+"""
+
+
+def q_connected_components_star(spark, sf_dir):
+    """The SAME connected-components problem as connected_components,
+    solved by the alternating large-star/small-star scheme (Kiveris
+    2014, operators/graph.py:connected_components_star) — O(log² n)
+    rounds instead of O(diameter), the tier a 100 TB path-shaped
+    graph needs. Must hash-match the identical reachability oracle:
+    two independent algorithms, one answer (the xlsx_datasource_scan
+    pattern applied to graphs)."""
+    from smartbots_etl_facturas_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 25 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") != F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+    )
+    return connected_components_star(pairs)
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8988,6 +9111,9 @@ _QUERIES: dict[str, Callable] = {
     "spend_gini": q_spend_gini,
     "stickiness_dau_wau": q_stickiness_dau_wau,
     "embedding_project": q_embedding_project,
+    "important_parts": q_important_parts,
+    "idle_customers": q_idle_customers,
+    "connected_components_star": q_connected_components_star,
     "xlsx_datasource_scan": q_xlsx_datasource_scan,
     "relational_division": q_relational_division,
     "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -9333,6 +9459,9 @@ _ORACLES: dict[str, str] = {
     "spend_gini": SQL_SPEND_GINI,
     "stickiness_dau_wau": SQL_STICKINESS_DAU_WAU,
     "embedding_project": SQL_EMBEDDING_PROJECT,
+    "important_parts": SQL_IMPORTANT_PARTS,
+    "idle_customers": SQL_IDLE_CUSTOMERS,
+    "connected_components_star": SQL_CONNECTED_COMPONENTS,
     # ann_lsh / ann_ivf / ann_pq / ann_pq_prebuilt / minhash_lsh_pairs
     # / minhash_incremental / simhash_docs / bpe_merges: intentionally
     # no oracle (approximate, iterative, or

@@ -131,6 +131,9 @@ HEADLINE = [
     "spend_gini",
     "stickiness_dau_wau",
     "embedding_project",
+    "important_parts",
+    "idle_customers",
+    "connected_components_star",
 ]
 
 

@@ -382,3 +382,85 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
+
+
+def _canon(e: DataFrame) -> DataFrame:
+    """Canonical larger->smaller orientation, self-loops dropped."""
+    return (
+        e.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    rounds (Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond") — the O(log² n)-round scale tier next to
+    :func:`connected_components`' min-label propagation (which needs
+    O(diameter) rounds and suffers on path-shaped graphs).
+
+    Per round: large-star connects every strictly-larger neighbor of
+    u to m = min(N(u) ∪ {u}); small-star does the same for the
+    smaller-or-equal neighbors on larger-to-smaller-oriented edges.
+    Each phase is one keyed min-aggregation + one equi-join — the
+    pagerank shuffle budget — and provably halves component heights
+    until every component is a star rooted at its minimum node.
+    Convergence is checked with bounded driver probes
+    (``exceptAll().limit(1).count()``, the dedup.py policy).
+
+    Returns ``(node, component)``, component = min node id —
+    IDENTICAL labeling to connected_components, pinned by tests on
+    both random and adversarial path graphs.
+    """
+    cur = _canon(
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        # large-star
+        sym = cur.select("u", "v").unionAll(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("__mn"))
+        m = F.least(F.col("__mn"), F.col("u"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+        )
+        # small-star on larger->smaller orientation
+        ori = large.select(
+            F.greatest(F.col("u"), F.col("v")).alias("s"),
+            F.least(F.col("u"), F.col("v")).alias("t"),
+        ).filter(F.col("s") != F.col("t"))
+        smins = ori.groupBy("s").agg(F.min("t").alias("__m"))
+        small = (
+            ori.join(smins, "s")
+            .select(F.col("t").alias("u"), F.col("__m").alias("v"))
+            .unionAll(
+                smins.select(F.col("s").alias("u"), F.col("__m").alias("v"))
+            )
+        )
+        nxt = _canon(small).localCheckpoint(eager=True)
+        grew = nxt.exceptAll(cur).limit(1).count()
+        shrank = cur.exceptAll(nxt).limit(1).count()
+        cur = nxt
+        if grew == 0 and shrank == 0:
+            break
+    # at the star fixpoint every edge is (member, root); roots label
+    # themselves
+    members = cur.select(
+        F.col("u").alias("node"), F.col("v").alias("component")
+    )
+    roots = cur.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return members.unionByName(roots)

@@ -123,3 +123,44 @@ class TestConnectedComponents:
     def test_self_loops_ignored(self, spark):
         got = self._cc(spark, [(1, 1), (1, 2)])
         assert got == {1: 1, 2: 1}
+
+
+class TestStarCC:
+    """connected_components_star (large-star/small-star) must produce
+    the IDENTICAL (node, component) labeling as min-label
+    propagation, including on the adversarial path graph where
+    min-label needs O(diameter) rounds."""
+
+    def _both(self, spark, pairs):
+        from smartbots_etl_facturas_spark.operators.graph import (
+            connected_components,
+            connected_components_star,
+        )
+
+        df = spark.createDataFrame(pairs, ["a", "b"])
+        lbl = {r.node: r.component
+               for r in connected_components(df).collect()}
+        star = {r.node: r.component
+                for r in connected_components_star(df).collect()}
+        return lbl, star
+
+    def test_random_graphs_match(self, spark):
+        for seed in (3, 7, 11):
+            pairs = [((i * seed + 1) % 40, (i * 13 + seed) % 40)
+                     for i in range(60)]
+            pairs = [(x, y) for x, y in pairs if x != y]
+            lbl, star = self._both(spark, pairs)
+            assert lbl == star
+
+    def test_long_path_matches(self, spark):
+        # 30-node path: diameter 30; star alternation converges in
+        # O(log^2 n) rounds and must land on the same labels
+        lbl, star = self._both(spark, [(i, i + 1) for i in range(30)])
+        assert lbl == star
+        assert set(star.values()) == {0}
+
+    def test_two_components_and_pair(self, spark):
+        lbl, star = self._both(
+            spark, [(5, 9), (9, 2), (30, 31), (100, 7), (7, 2)]
+        )
+        assert lbl == star

@@ -110,6 +110,18 @@ ALLOW: dict[str, tuple[set, str]] = {
         "on the per-USER aggregate frame (users, not events — "
         "vocab_coverage reduced-frame discipline)",
     ),
+    "important_parts": (
+        {"bnlj"},
+        "1-row global-revenue broadcast onto the per-part aggregate "
+        "(share-of-total HAVING; temperature_resample normalizer "
+        "pattern)",
+    ),
+    "idle_customers": (
+        {"bnlj"},
+        "1-row (sum, count) scalar-subquery broadcast onto customers "
+        "(cross-multiplied avg threshold); the orders probe is a "
+        "keyed left-anti join",
+    ),
     "spend_gini": (
         {"gwin"},
         "the Gini rank window runs on the per-CUSTOMER spend "
