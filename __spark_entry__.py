@@ -9072,6 +9072,44 @@ def q_connected_components_star(spark, sf_dir):
     return connected_components_star(pairs)
 
 
+def q_event_trigrams(spark, sf_dir):
+    """Top-10 three-step behavior paths: the most frequent
+    (step1, step2, step3) event-type trigrams over per-user
+    time-ordered sequences — sequence mining's workhorse report.
+    Two lag() frames under one user-keyed window (single shuffle),
+    one trigram count aggregation (|types|³-bounded), top-10 via
+    TakeOrdered. The 3-step extension of event_transitions."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("s3")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    tri = (
+        ev.withColumn("s2", F.lag("s3", 1).over(w))
+        .withColumn("s1", F.lag("s3", 2).over(w))
+        .filter(F.col("s1").isNotNull())
+    )
+    return (
+        tri.groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "s1", "s2", "s3")
+        .limit(10)
+    )
+
+
+SQL_EVENT_TRIGRAMS = """
+WITH e AS (
+  SELECT user_id, event_type AS s3,
+         lag(event_type, 1) OVER w AS s2,
+         lag(event_type, 2) OVER w AS s1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
+SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+FROM e WHERE s1 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, s1, s2, s3 LIMIT 10
+"""
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -9114,6 +9152,7 @@ _QUERIES: dict[str, Callable] = {
     "important_parts": q_important_parts,
     "idle_customers": q_idle_customers,
     "connected_components_star": q_connected_components_star,
+    "event_trigrams": q_event_trigrams,
     "xlsx_datasource_scan": q_xlsx_datasource_scan,
     "relational_division": q_relational_division,
     "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -9462,6 +9501,7 @@ _ORACLES: dict[str, str] = {
     "important_parts": SQL_IMPORTANT_PARTS,
     "idle_customers": SQL_IDLE_CUSTOMERS,
     "connected_components_star": SQL_CONNECTED_COMPONENTS,
+    "event_trigrams": SQL_EVENT_TRIGRAMS,
     # ann_lsh / ann_ivf / ann_pq / ann_pq_prebuilt / minhash_lsh_pairs
     # / minhash_incremental / simhash_docs / bpe_merges: intentionally
     # no oracle (approximate, iterative, or

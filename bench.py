@@ -134,6 +134,7 @@ HEADLINE = [
     "important_parts",
     "idle_customers",
     "connected_components_star",
+    "event_trigrams",
 ]
 
 

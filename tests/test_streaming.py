@@ -914,3 +914,59 @@ def test_cusum_stream_matches_batch(spark, tmp_path):
     assert u1 == [0, 100, 60, 960]
     u2 = [v for (u, _), v in sorted(got.items()) if u == 2]
     assert u2 == [250, 240]
+
+
+def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join: clicks with no
+    conversion inside the interval must STILL be emitted (with null
+    right side) once the watermark passes their match window — the
+    outer-join-on-streams capability inner joins don't exercise.
+    Late cycles advance the watermark so earlier unmatched rows
+    finalize."""
+    from smartbots_etl_facturas_spark.streaming.joins import interval_join
+
+    upper_s = 600
+    base = 1_700_000_000
+    clicks_src = str(tmp_path / "lo-clicks")
+    conv_src = str(tmp_path / "lo-convs")
+    ckpt = str(tmp_path / "lo-ckpt")
+    out = str(tmp_path / "lo-out")
+    schema = "user_id long, ts timestamp, tag string"
+
+    def _write(src, rows):
+        (spark.createDataFrame(rows, "user_id long, ts double, tag string")
+         .withColumn("ts", F.col("ts").cast("timestamp"))
+         .coalesce(1).write.mode("append").parquet(src))
+
+    # cycle structure: users 1,2 click at t0; only user 1 converts.
+    # a second far-future cycle pushes the watermark past t0+upper.
+    _write(clicks_src, [(1, float(base), "c1"), (2, float(base), "c2")])
+    _write(conv_src, [(1, float(base + 60), "v1")])
+    _write(clicks_src, [(9, float(base + 10_000), "c9")])
+    _write(conv_src, [(9, float(base + 10_060), "v9")])
+
+    def on_batch(bdf, batch_id):
+        bdf.write.mode("overwrite").parquet(f"{out}/b{batch_id}")
+
+    for cycle in range(2):
+        sc = spark.readStream.schema(schema).parquet(clicks_src)
+        sv = spark.readStream.schema(schema).parquet(conv_src)
+        q = (interval_join(sc, sv, "user_id", 0, upper_s,
+                           how="left_outer")
+             .writeStream.foreachBatch(on_batch)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{out}/b*").collect()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r.user_id, []).append(r)
+    # matched users carry their conversion
+    assert [r.r_tag for r in by_user[1]] == ["v1"]
+    assert [r.r_tag for r in by_user[9]] == ["v9"]
+    # user 2 never converted: emitted exactly once with a NULL right
+    # side after the watermark passed base+upper
+    assert len(by_user[2]) == 1
+    assert by_user[2][0].r_tag is None and by_user[2][0].r_ts is None
