@@ -323,7 +323,6 @@ def connected_components(
     a: str = "a",
     b: str = "b",
     max_rounds: int = 32,
-    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Connected components of the UNDIRECTED graph ``edges`` by
     min-label propagation to FIXPOINT: every node starts labeled with
@@ -332,8 +331,9 @@ def connected_components(
     label changed — at most diameter rounds, ``max_rounds`` is a
     runaway bound. The per-round convergence probe is a bounded
     driver read (``limit(1).count()`` — the operators/dedup.py
-    label-propagation policy), and lineage is checkpoint-cut like
-    every iterative operator here.
+    label-propagation policy); since that probe forces each round's
+    plan anyway, every round is checkpoint-materialized first, which
+    both cuts lineage and avoids computing the round twice.
 
     Component ids are the component's MINIMUM node id — a canonical,
     partition-order-free labeling any engine reproduces, so a
@@ -375,8 +375,12 @@ def connected_components(
                 (F.col("nbr_label") < F.col("label")).alias("__changed"),
             )
         )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            new = new.localCheckpoint(eager=True)
+        # the convergence probe forces this round's plan anyway, so
+        # materialize it FIRST — otherwise every un-checkpointed round
+        # is computed twice (once for the probe, once as next-round
+        # lineage) and lineage still compounds (measured 4.6 s -> 2.9 s
+        # at sf0.1)
+        new = new.localCheckpoint(eager=True)
         changed = new.filter(F.col("__changed")).limit(1).count()
         labels = new.drop("__changed")
         if changed == 0:
