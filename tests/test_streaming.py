@@ -970,3 +970,60 @@ def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
     # side after the watermark passed base+upper
     assert len(by_user[2]) == 1
     assert by_user[2][0].r_tag is None and by_user[2][0].r_ts is None
+
+
+def test_streaming_join_view_maintenance(spark, tmp_path):
+    """Streaming materialized JOIN-VIEW maintenance: each micro-batch
+    of fact deltas extends the published view V = A ⋈ B via
+    join_view_delta (ΔA⋈B only — B is static here), appended through
+    the versioned sink, and the final view equals a full recompute
+    over everything streamed. The join half of what
+    test_streaming_incremental_agg_maintenance proves for aggregates."""
+    from smartbots_etl_facturas_spark.operators.incremental import (
+        join_view_delta,
+    )
+    from smartbots_etl_facturas_spark.sinks.staged import (
+        publish,
+        read_published,
+    )
+
+    src = str(tmp_path / "jv-src")
+    ckpt = str(tmp_path / "jv-ckpt")
+    view_base = str(tmp_path / "jv-view")
+    schema = "id long, k long, x long"
+    dim = spark.createDataFrame(
+        [(0, "zero"), (1, "one"), (2, "two")], ["k", "name"]
+    )
+
+    def _slice(rows):
+        (spark.createDataFrame(rows, schema)
+         .coalesce(1).write.mode("append").parquet(src))
+
+    _slice([(1, 0, 10), (2, 1, 20), (3, 9, 30)])   # k=9 never joins
+    _slice([(4, 2, 40), (5, 0, 50)])
+
+    empty_a = spark.createDataFrame([], schema)
+    empty_b = dim.filter("k < 0")
+
+    def on_batch(bdf, batch_id):
+        delta = join_view_delta(empty_a, bdf, dim, empty_b, "k")
+        try:
+            view = read_published(spark, view_base)
+        except FileNotFoundError:
+            merged = delta
+        else:
+            merged = view.unionByName(delta)
+        publish(merged, view_base)
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", "1").parquet(src)
+         .writeStream.foreachBatch(on_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = sorted(tuple(r) for r in read_published(spark, view_base).collect())
+    full = sorted(tuple(r)
+                  for r in spark.read.parquet(src).join(dim, "k").collect())
+    assert got == full
+    assert len(got) == 4  # k=9 fact row correctly absent
