@@ -7949,14 +7949,22 @@ def q_incremental_join(spark, sf_dir):
     )
     v_old = a_old.join(b_old, "c_custkey")
     delta = join_view_delta(a_old, delta_a, b_old, delta_b, "c_custkey")
+    # Final output ships DOUBLE, not DECIMAL: the harness compare goes
+    # through pandas, where DuckDB renders decimals as float64 while
+    # Spark keeps decimal.Decimal — '123.50' vs '123.5' hash-mismatch.
+    # Both engines cast the same exact decimal to the identical double.
     return v_old.unionByName(delta).select(
-        "o_orderkey", "c_custkey", "o_totalprice", "c_name"
+        "o_orderkey",
+        "c_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "c_name",
     )
 
 
 SQL_INCREMENTAL_JOIN = """
 SELECT o.o_orderkey, c.c_custkey,
-       CAST(o.o_totalprice AS DECIMAL(18,2)) AS o_totalprice, c.c_name
+       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+       c.c_name
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
@@ -8260,7 +8268,17 @@ def q_trend_slope_per_user(spark, sf_dir):
         F.expr("(ts - __t0) div 60000000000").alias("x"),
         "y",
     )
-    return group_trend(xy, "user_id", "x", "y")
+    t = group_trend(xy, "user_id", "x", "y")
+    # Exact integer ratios ship as STRING: the values exceed 2^53, so a
+    # double cast would be lossy, and pandas-layer decimal rendering
+    # differs between engines ('115…292' vs '115…292.0'). Both engines
+    # render the same integer to the same digits.
+    return t.select(
+        "user_id",
+        "n",
+        F.col("slope_num").cast("string").alias("slope_num"),
+        F.col("slope_den").cast("string").alias("slope_den"),
+    )
 
 
 SQL_TREND_SLOPE_PER_USER = """
@@ -8278,8 +8296,8 @@ s AS (
          sum(x * y) AS sxy, sum(x * x) AS sxx
   FROM xy GROUP BY user_id)
 SELECT user_id, CAST(n AS BIGINT) AS n,
-       CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
-       CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS slope_den
+       CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS VARCHAR) AS slope_num,
+       CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS VARCHAR) AS slope_den
 FROM s
 """
 
@@ -8656,8 +8674,12 @@ def q_label_centroid_pairs(spark, sf_dir):
         .filter(F.col("label_a") <= F.col("label_b"))
         .groupBy("label_a", "label_b")
         .agg(
+            # STRING, not DECIMAL(38,0): dot_units exceeds 2^53, and
+            # the harness pandas compare renders decimals differently
+            # per engine; the digits of the exact integer are portable.
             F.sum(F.col("sa") * F.col("sb"))
             .cast("decimal(38,0)")
+            .cast("string")
             .alias("dot_units")
         )
     )
@@ -8673,7 +8695,7 @@ sums AS (
          sum(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS s
   FROM ex GROUP BY 1, 2)
 SELECT a.label AS label_a, b.label AS label_b,
-       CAST(sum(a.s * b.s) AS DECIMAL(38,0)) AS dot_units
+       CAST(CAST(sum(a.s * b.s) AS DECIMAL(38,0)) AS VARCHAR) AS dot_units
 FROM sums a JOIN sums b ON a.pos = b.pos AND a.label <= b.label
 GROUP BY 1, 2
 """
@@ -8793,14 +8815,18 @@ def q_spend_gini(spark, sf_dir):
     )
     w = Window.orderBy(F.col("x"), F.col("o_custkey"))
     ranked = spend.withColumn("i", F.row_number().over(w))
+    # The exact ratio ships as STRING digits (not DECIMAL): portable
+    # across the harness pandas compare, lossless past 2^53.
     return ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         (2 * F.sum(F.col("i") * F.col("x"))
          - (F.count(F.lit(1)) + 1) * F.sum("x"))
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("gini_num"),
         (F.count(F.lit(1)) * F.sum("x"))
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("gini_den"),
     )
 
@@ -8813,9 +8839,9 @@ WITH spend AS (
 ranked AS (
   SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM spend)
 SELECT CAST(count(*) AS BIGINT) AS n,
-       CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DECIMAL(38,0))
-         AS gini_num,
-       CAST(count(*) * sum(x) AS DECIMAL(38,0)) AS gini_den
+       CAST(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DECIMAL(38,0))
+            AS VARCHAR) AS gini_num,
+       CAST(CAST(count(*) * sum(x) AS DECIMAL(38,0)) AS VARCHAR) AS gini_den
 FROM ranked
 """
 
@@ -8966,10 +8992,15 @@ def q_important_parts(spark, sf_dir):
     total = per_part.agg(
         F.sum("part_rev").cast("decimal(38,2)").alias("__total")
     )
+    # The share-of-total GATE stays in exact decimals (no float
+    # threshold drift); only the SHIPPED column casts to double, the
+    # pandas-portable rendering both engines agree on bit-for-bit.
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("part_rev") * 2000 > F.col("__total"))
-        .select("l_partkey", "part_rev")
+        .select(
+            "l_partkey", F.col("part_rev").cast("double").alias("part_rev")
+        )
     )
 
 
@@ -8980,7 +9011,7 @@ WITH per_part AS (
            AS part_rev
   FROM lineitem GROUP BY 1),
 tot AS (SELECT CAST(sum(part_rev) AS DECIMAL(38,2)) AS total FROM per_part)
-SELECT l_partkey, part_rev
+SELECT l_partkey, CAST(part_rev AS DOUBLE) AS part_rev
 FROM per_part, tot
 WHERE part_rev * 2000 > total
 """
@@ -9018,9 +9049,11 @@ def q_idle_customers(spark, sf_dir):
     idle = rich.join(
         orders, rich.c_custkey == orders.o_custkey, "left_anti"
     )
+    # Exact decimal internally; double at the ship boundary (see
+    # important_parts — pandas-portable rendering across engines).
     return idle.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("long").alias("n_custs"),
-        F.sum("bal").cast("decimal(38,2)").alias("total_bal"),
+        F.sum("bal").cast("decimal(38,2)").cast("double").alias("total_bal"),
     )
 
 
@@ -9039,7 +9072,7 @@ idle AS (
                     WHERE o.o_custkey = rich.c_custkey
                       AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01'))
 SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs,
-       CAST(sum(bal) AS DECIMAL(38,2)) AS total_bal
+       CAST(CAST(sum(bal) AS DECIMAL(38,2)) AS DOUBLE) AS total_bal
 FROM idle GROUP BY 1
 """
 

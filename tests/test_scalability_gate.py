@@ -245,6 +245,22 @@ def test_query_plan_is_scalable(spark, sf_dir, name):
         f"(allowed: {sorted(allowed) or 'none'}) — fix the plan or add an "
         "explicit allowlist entry with its design justification"
     )
+    # Ship-boundary discipline: no DecimalType may leave a registered
+    # query. The harness compares results through pandas, where DuckDB
+    # renders decimals as float64 ('123.5') while Spark keeps
+    # decimal.Decimal ('123.50') — a guaranteed hash mismatch. Exact
+    # decimal math stays INSIDE the plan; the shipped column casts to
+    # double (money) or string digits (exact >2^53 integer ratios).
+    from pyspark.sql.types import DecimalType
+
+    leaked = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)
+    ]
+    assert not leaked, (
+        f"{name}: decimal column(s) {leaked} at the ship boundary — cast "
+        "to double (money) or string (exact big-int ratios) in BOTH the "
+        "Spark query and its oracle SQL"
+    )
 
 
 def test_allowlist_has_no_stale_entries(spark, sf_dir):
