@@ -27,6 +27,7 @@ joins actually drop the Exchange.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -104,7 +105,26 @@ def write_bucketed(
 
     ``sort_cols`` additionally sorts within each bucket file, letting
     sort-merge joins skip the per-task sort too.
+
+    Overwrite is crash-robust: a session killed between creating the
+    warehouse directory and registering the table leaves an ORPHAN
+    location that makes every later ``saveAsTable`` fail with
+    LOCATION_ALREADY_EXISTS. On overwrite of a table the catalog does
+    not know, the stale directory is cleared first.
     """
+    if mode == "overwrite":
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        if not spark.catalog.tableExists(table):
+            import shutil
+            from urllib.parse import urlparse
+
+            warehouse = urlparse(
+                spark.conf.get("spark.sql.warehouse.dir")
+            ).path
+            stale = os.path.join(warehouse, table.split(".")[-1].lower())
+            if os.path.isdir(stale):
+                shutil.rmtree(stale, ignore_errors=True)
     writer = df.write.mode(mode).bucketBy(int(n_buckets), *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
