@@ -9143,6 +9143,40 @@ ORDER BY n DESC, s1, s2, s3 LIMIT 10
 """
 
 
+def q_spatial_radius_join(spark, sf_dir):
+    """Spatial radius self-join (operators/spatial.py:radius_join):
+    all customer pairs within planar radius 1200 on a deterministic
+    integer point cloud (two multiplicative congruences of c_custkey
+    — identical arithmetic in any engine). Grid-cell bucketing with
+    3×3 border replication turns the quadratic all-pairs test into a
+    keyed (cell_x, cell_y) equi-join — lossless (every true pair
+    shares a replicated cell), ×9 fixed fan-out, no cross join. The
+    ORACLE is the brute-force distance join, so the losslessness
+    claim itself is what the harness checks."""
+    from smartbots_etl_facturas_spark.operators.spatial import radius_join
+
+    pts = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.expr("(c_custkey * 48271) % 100000").alias("x"),
+        F.expr("(c_custkey * 69621) % 100000").alias("y"),
+    )
+    return radius_join(pts, 1200)
+
+
+SQL_SPATIAL_RADIUS_JOIN = """
+WITH p AS (
+  SELECT c_custkey AS id,
+         (c_custkey * 48271) % 100000 AS x,
+         (c_custkey * 69621) % 100000 AS y
+  FROM customer)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST((a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq
+FROM p a JOIN p b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 1200 * 1200
+"""
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -9186,6 +9220,7 @@ _QUERIES: dict[str, Callable] = {
     "idle_customers": q_idle_customers,
     "connected_components_star": q_connected_components_star,
     "event_trigrams": q_event_trigrams,
+    "spatial_radius_join": q_spatial_radius_join,
     "xlsx_datasource_scan": q_xlsx_datasource_scan,
     "relational_division": q_relational_division,
     "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -9535,6 +9570,7 @@ _ORACLES: dict[str, str] = {
     "idle_customers": SQL_IDLE_CUSTOMERS,
     "connected_components_star": SQL_CONNECTED_COMPONENTS,
     "event_trigrams": SQL_EVENT_TRIGRAMS,
+    "spatial_radius_join": SQL_SPATIAL_RADIUS_JOIN,
     # ann_lsh / ann_ivf / ann_pq / ann_pq_prebuilt / minhash_lsh_pairs
     # / minhash_incremental / simhash_docs / bpe_merges: intentionally
     # no oracle (approximate, iterative, or

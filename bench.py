@@ -347,6 +347,41 @@ def main() -> None:
                  "floor": floor.get("min_skew_speedup", 2.0), "ratio": None}
             )
 
+    # Quiet re-probe: best-of-2 on a shared box is bimodal — rounds 4
+    # and 5 both recorded flags that failed to reproduce when re-timed
+    # by hand on a quiet machine. Re-time every flagged query (4 more
+    # runs, after the full loop so concurrent load has had time to
+    # pass) and keep the flag only if the regression reproduces; the
+    # artifact records both timings either way, so a cleared flag is
+    # auditable, not silently dropped.
+    reprobed_cleared = []
+    if regressions and machine_factor is not None:
+        norm = max(machine_factor, 1.0)
+        rel_tol = floor.get("relative_tolerance", 1.5)
+        hard_cap = floor.get("hard_cap", 3.0)
+        still = []
+        for reg in regressions:
+            name = reg["query"]
+            fn = qs.get(name)
+            if fn is None or name not in floor.get("queries", {}):
+                still.append(reg)  # skew_speedup and friends: no re-probe path
+                continue
+            best = None
+            for _ in range(4):
+                t0 = time.perf_counter()
+                _force(fn(spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            reg["sec_reprobe"] = round(best, 3)
+            reg["reprobed"] = True
+            ratio = min(reg["sec"], best) / floor["queries"][name]
+            reg["ratio_reprobe"] = round(ratio, 2)
+            if ratio / norm > rel_tol or ratio > hard_cap:
+                still.append(reg)
+            else:
+                reprobed_cleared.append(reg)
+        regressions = still
+
     # The median-normalized gate is outlier-only by construction: a
     # CORRELATED slowdown (every query ~2.5x) moves machine_factor
     # with it and reports zero regressions until the hard_cap. Bound
@@ -376,6 +411,7 @@ def main() -> None:
         "machine_factor": machine_factor,
         "machine_factor_warning": machine_factor_warning,
         "regressions": regressions,
+        "reprobed_cleared": reprobed_cleared,
     }))
     if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
         sys.exit(1)
