@@ -7416,7 +7416,10 @@ def q_k_core(spark, sf_dir):
             F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
         )
     )
-    return k_core(pairs, k=8, rounds=4)
+    # strict=False: this query's CONTRACT is the fixed-round peel —
+    # the oracle unrolls the same 4 rounds, so both engines agree
+    # whether or not the peel reached fixpoint at this scale
+    return k_core(pairs, k=8, rounds=4, strict=False)
 
 
 SQL_K_CORE = """
@@ -9145,9 +9148,13 @@ ORDER BY n DESC, s1, s2, s3 LIMIT 10
 
 def q_spatial_radius_join(spark, sf_dir):
     """Spatial radius self-join (operators/spatial.py:radius_join):
-    all customer pairs within planar radius 1200 on a deterministic
+    all customer pairs within planar radius 600 on a deterministic
     integer point cloud (two multiplicative congruences of c_custkey
-    — identical arithmetic in any engine). Grid-cell bucketing with
+    mod 10000 — identical arithmetic in any engine; the 10^4 domain
+    is sized so the join is NON-EMPTY at every test scale: 111 pairs
+    at sf0.001, 12,380 at sf0.01 — a vacuous zero-row oracle match
+    would never exercise the grid join's losslessness). Grid-cell
+    bucketing with
     3×3 border replication turns the quadratic all-pairs test into a
     keyed (cell_x, cell_y) equi-join — lossless (every true pair
     shares a replicated cell), ×9 fixed fan-out, no cross join. The
@@ -9157,23 +9164,23 @@ def q_spatial_radius_join(spark, sf_dir):
 
     pts = _read(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"),
-        F.expr("(c_custkey * 48271) % 100000").alias("x"),
-        F.expr("(c_custkey * 69621) % 100000").alias("y"),
+        F.expr("(c_custkey * 48271) % 10000").alias("x"),
+        F.expr("(c_custkey * 69621) % 10000").alias("y"),
     )
-    return radius_join(pts, 1200)
+    return radius_join(pts, 600)
 
 
 SQL_SPATIAL_RADIUS_JOIN = """
 WITH p AS (
   SELECT c_custkey AS id,
-         (c_custkey * 48271) % 100000 AS x,
-         (c_custkey * 69621) % 100000 AS y
+         (c_custkey * 48271) % 10000 AS x,
+         (c_custkey * 69621) % 10000 AS y
   FROM customer)
 SELECT a.id AS id_a, b.id AS id_b,
        CAST((a.x - b.x) * (a.x - b.x)
             + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq
 FROM p a JOIN p b ON a.id < b.id
-WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 1200 * 1200
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 600 * 600
 """
 
 

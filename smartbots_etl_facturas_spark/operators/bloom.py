@@ -101,15 +101,15 @@ def build_bloom(
     )
 
 
-def bloom_probe(pos_cols: list[str]) -> Column:
+def bloom_probe(pos_cols: list[str], bitmap_col: str = "bf") -> Column:
     """Boolean Column: the bit named by each position column (already
-    in [0, m)) is set in the in-scope DENSE array column ``bf``
-    (1-based positional access, O(1) per probe). Built as a SQL
-    expression because shift amounts are columns (the PySpark
+    in [0, m)) is set in the in-scope DENSE array column
+    ``bitmap_col`` (1-based positional access, O(1) per probe). Built
+    as a SQL expression because shift amounts are columns (the PySpark
     shiftleft/shiftrightunsigned wrappers only take int literals)."""
     tests = [
         "(shiftrightunsigned("
-        f"element_at(bf, CAST({p} DIV 64 AS INT) + 1),"
+        f"element_at({bitmap_col}, CAST({p} DIV 64 AS INT) + 1),"
         f" CAST({p} % 64 AS INT)) & 1) = 1"
         for p in pos_cols
     ]
@@ -145,12 +145,28 @@ def bloom_prefilter(
     dim count — the pass every sizing-aware runtime filter pays)."""
     if m_bits is None:
         m_bits = auto_m_bits(dim.count())
-    bloom = build_bloom(dim, dim_key, m_bits=m_bits, k=k)
+    # namespace the bitmap frame's columns so a fact table that
+    # already has bf/m_bits/k columns joins without ambiguity or
+    # silent column loss — only the __bloom_* helpers are dropped
+    bloom = build_bloom(dim, dim_key, m_bits=m_bits, k=k).select(
+        F.col("bf").alias("__bloom_bf"),
+        F.col("m_bits").alias("__bloom_m_bits"),
+        F.col("k").alias("__bloom_k"),
+    )
     pos = _positions(F.col(fact_key), m_bits, k)
     probed = fact.crossJoin(F.broadcast(bloom))
     for i, p in enumerate(pos):
         probed = probed.withColumn(f"__bp{i}", p)
     return (
-        probed.filter(bloom_probe([f"__bp{i}" for i in range(k)]))
-        .drop("bf", "m_bits", "k", *[f"__bp{i}" for i in range(k)])
+        probed.filter(
+            bloom_probe(
+                [f"__bp{i}" for i in range(k)], bitmap_col="__bloom_bf"
+            )
+        )
+        .drop(
+            "__bloom_bf",
+            "__bloom_m_bits",
+            "__bloom_k",
+            *[f"__bp{i}" for i in range(k)],
+        )
     )

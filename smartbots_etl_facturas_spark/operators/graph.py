@@ -30,6 +30,13 @@ from pyspark.sql import functions as F
 NANO = 1_000_000_000
 
 
+class GraphNotConverged(RuntimeError):
+    """A bounded fixpoint loop exhausted its round budget before
+    converging. Raised instead of silently returning a partially
+    propagated labeling (which could emit a node as both member and
+    root, i.e. conflicting component labels)."""
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -163,6 +170,7 @@ def k_core(
     a: str = "a",
     b: str = "b",
     checkpoint_every: int = 3,
+    strict: bool = True,
 ) -> DataFrame:
     """The k-core of the UNDIRECTED graph ``edges`` by ``rounds`` of
     synchronous peeling (Seidman 1983; the Pregel-style formulation):
@@ -202,12 +210,27 @@ def k_core(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             cur = cur.localCheckpoint(eager=True)
-    return (
+    cur = cur.localCheckpoint(eager=True)
+    out = (
         cur.select(F.col("u").alias("node"))
         .unionAll(cur.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    if strict:
+        # Fixpoint iff every surviving node keeps degree >= k in the
+        # surviving subgraph — one bounded probe over checkpointed
+        # edges, the connected_components convergence-probe policy.
+        # strict=False restores the raw hop-bounded contract for
+        # unrolled-CTE oracles that pin a fixed round count.
+        if out.filter(F.col("deg") < k).limit(1).count() > 0:
+            raise GraphNotConverged(
+                f"k_core: peeling did not reach fixpoint within "
+                f"rounds={rounds} (a surviving node still has degree "
+                f"< {k}). Raise rounds, or pass strict=False for the "
+                f"hop-bounded contract."
+            )
+    return out
 
 
 def sssp(
@@ -385,6 +408,12 @@ def connected_components(
         labels = new.drop("__changed")
         if changed == 0:
             break
+    else:
+        raise GraphNotConverged(
+            f"connected_components: no fixpoint within max_rounds="
+            f"{max_rounds}; labels would be partially propagated. "
+            f"Raise max_rounds (>= graph diameter)."
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -459,6 +488,12 @@ def connected_components_star(
         cur = nxt
         if grew == 0 and shrank == 0:
             break
+    else:
+        raise GraphNotConverged(
+            f"connected_components_star: no star fixpoint within "
+            f"max_rounds={max_rounds}; a node could be emitted as both "
+            f"member and root. Raise max_rounds (O(log^2 n) suffices)."
+        )
     # at the star fixpoint every edge is (member, root); roots label
     # themselves
     members = cur.select(

@@ -122,7 +122,15 @@ def weighted_sample_topk(
         df.filter(F.col(weight_col) > 0)
         .withColumn(
             "__w",
-            F.least(F.col(weight_col).cast("long"), F.lit(int(max_weight))),
+            # ceil, not truncate: a fractional weight in (0, 1) (e.g.
+            # 0.9) passes the positivity filter but cast('long') would
+            # round it to ZERO replicas and silently drop the row from
+            # the sample — ceil maps it to 1 replica instead (integer
+            # weights are unchanged: ceil(n) == n)
+            F.least(
+                F.ceil(F.col(weight_col)).cast("long"),
+                F.lit(int(max_weight)),
+            ),
         )
         .withColumn("__j", F.explode(F.sequence(F.lit(1), F.col("__w"))))
     )

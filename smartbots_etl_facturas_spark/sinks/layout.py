@@ -106,29 +106,73 @@ def write_bucketed(
     ``sort_cols`` additionally sorts within each bucket file, letting
     sort-merge joins skip the per-task sort too.
 
-    Overwrite is crash-robust: a session killed between creating the
-    warehouse directory and registering the table leaves an ORPHAN
+    Overwrite is crash-robust AND failure-atomic: the new data is
+    written to a staging table FIRST, then the old table is dropped
+    and the staging table renamed into place — a failed write never
+    loses the previous table. A session killed between creating the
+    warehouse directory and registering a table leaves an ORPHAN
     location that makes every later ``saveAsTable`` fail with
-    LOCATION_ALREADY_EXISTS. On overwrite of a table the catalog does
-    not know, the stale directory is cleared first.
+    LOCATION_ALREADY_EXISTS; an orphan is detected as "managed
+    location exists but the catalog has no such table" (checked
+    BEFORE any drop — after a drop the check would be vacuously true
+    and could clear live data) and only then cleared. The managed
+    location is resolved per-database (``warehouse/<db>.db/<tbl>``
+    for a non-default database, ``warehouse/<tbl>`` otherwise) so a
+    database-qualified overwrite never touches a same-named
+    default-database table's directory.
     """
-    if mode == "overwrite":
-        spark = df.sparkSession
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        if not spark.catalog.tableExists(table):
-            import shutil
-            from urllib.parse import urlparse
+    spark = df.sparkSession
+    parts = [p.strip("`") for p in table.split(".")]
+    quoted = ".".join(f"`{p}`" for p in parts)
+    if mode != "overwrite":
+        writer = df.write.mode(mode).bucketBy(int(n_buckets), *bucket_cols)
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.format("parquet").saveAsTable(table)
+        return
 
-            warehouse = urlparse(
-                spark.conf.get("spark.sql.warehouse.dir")
-            ).path
-            stale = os.path.join(warehouse, table.split(".")[-1].lower())
-            if os.path.isdir(stale):
-                shutil.rmtree(stale, ignore_errors=True)
-    writer = df.write.mode(mode).bucketBy(int(n_buckets), *bucket_cols)
+    import shutil
+    import uuid
+    from urllib.parse import urlparse
+
+    if len(parts) == 1:
+        db = (spark.catalog.currentDatabase() or "default").lower()
+        tbl = parts[0].lower()
+    else:
+        db, tbl = parts[-2].lower(), parts[-1].lower()
+
+    def _managed_location(name: str) -> str:
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        if db == "default":
+            return os.path.join(warehouse, name)
+        return os.path.join(warehouse, f"{db}.db", name)
+
+    def _clear_orphan(name: str, qualified: str) -> None:
+        # orphan = directory exists but the catalog holds no entry —
+        # checked while the table (if any) is still registered, so a
+        # live table's data can never match this predicate
+        loc = _managed_location(name)
+        if not spark.catalog.tableExists(qualified) and os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+
+    staging_tbl = f"{tbl}__staging_{uuid.uuid4().hex[:12]}"
+    staging_q = (
+        f"`{db}`.`{staging_tbl}`" if len(parts) > 1 else f"`{staging_tbl}`"
+    )
+    _clear_orphan(staging_tbl, staging_q)
+    writer = df.write.mode("errorifexists").bucketBy(
+        int(n_buckets), *bucket_cols
+    )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
-    writer.format("parquet").saveAsTable(table)
+    writer.format("parquet").saveAsTable(staging_q.replace("`", ""))
+    try:
+        _clear_orphan(tbl, quoted)
+        spark.sql(f"DROP TABLE IF EXISTS {quoted}")
+        spark.sql(f"ALTER TABLE {staging_q} RENAME TO {quoted}")
+    except Exception:
+        spark.sql(f"DROP TABLE IF EXISTS {staging_q}")
+        raise
 
 
 def scan_partition_filters(df: DataFrame) -> str:

@@ -153,9 +153,18 @@ class XlsxGridWriter(DataSourceWriter):
         if self.overwrite:
             for f in _glob.glob(os.path.join(self.path, "part-*.xlsx")):
                 os.remove(f)
+        # Append must not clobber a previous job's workbooks: continue
+        # part numbering after the highest existing part-N index.
+        start = 0
+        if not self.overwrite:
+            for f in _glob.glob(os.path.join(self.path, "part-*.xlsx")):
+                stem = os.path.basename(f)[len("part-"):-len(".xlsx")]
+                if stem.isdigit():
+                    start = max(start, int(stem) + 1)
         for i, m in enumerate(messages):
             os.replace(
-                m.staged, os.path.join(self.path, f"part-{i:05d}.xlsx")
+                m.staged,
+                os.path.join(self.path, f"part-{start + i:05d}.xlsx"),
             )
 
     def abort(self, messages) -> None:

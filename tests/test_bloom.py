@@ -82,3 +82,20 @@ def test_auto_sizing_keeps_pruning_when_dim_grows(spark):
     auto = bloom_prefilter(fact, "fk", big_dim, "dk", m_bits=None, k=5).count()
     assert sat >= 39000  # saturated: nearly everything passes
     assert auto < 22000  # auto-sized: close to the 20k true matches
+
+
+def test_fact_with_colliding_bitmap_column_names(spark):
+    # regression: the broadcast bitmap frame used to carry bare
+    # bf/m_bits/k columns — a fact table already owning any of those
+    # names hit ambiguous-reference or silent column loss
+    dim = spark.createDataFrame([(1,), (2,)], "dk long")
+    fact = spark.createDataFrame(
+        [(1, "keep-bf", 7, 99), (5, "drop", 8, 98)],
+        "fk long, bf string, m_bits long, k long",
+    )
+    out = bloom_prefilter(fact, "fk", dim, "dk", m_bits=M, k=K)
+    assert set(out.columns) == {"fk", "bf", "m_bits", "k"}
+    rows = out.collect()
+    assert [(r.fk, r.bf, r.m_bits, r.k) for r in rows] == [
+        (1, "keep-bf", 7, 99)
+    ]

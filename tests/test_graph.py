@@ -142,7 +142,9 @@ def test_kcore_insufficient_rounds_is_partial_more_rounds_fixpoint(spark):
     # round from each end — 1 round leaves an inner remnant, 3 rounds
     # reach the (empty) fixpoint and further rounds stay there
     path = _und(spark, [(i, i + 1) for i in range(6)])
-    assert k_core(path, k=2, rounds=1).count() > 0
+    # strict=False opts into the raw hop-bounded contract; the
+    # default raises on a non-fixpoint exit (see TestBudgetExit)
+    assert k_core(path, k=2, rounds=1, strict=False).count() > 0
     assert k_core(path, k=2, rounds=3).count() == 0
     assert k_core(path, k=2, rounds=10).count() == 0
 
@@ -211,3 +213,64 @@ def test_bfs_partition_invariance(spark):
     r2 = {(r.node, r.dist) for r in
           bfs_levels(df.repartition(9), _seeds(spark, [0]), max_depth=4).collect()}
     assert r1 == r2
+
+
+# --- budget-exit convergence flags ------------------------------------------
+
+from smartbots_etl_facturas_spark.operators.graph import (  # noqa: E402
+    GraphNotConverged,
+    connected_components,
+    connected_components_star,
+)
+
+
+class TestBudgetExit:
+    """A bounded fixpoint loop that exhausts its round budget before
+    converging must raise, never silently return partially propagated
+    labels (which could emit conflicting component ids)."""
+
+    def test_cc_raises_on_long_path(self, spark):
+        # min-label needs ~diameter rounds; a 12-edge path at
+        # max_rounds=3 cannot converge
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], ["a", "b"]
+        )
+        with pytest.raises(GraphNotConverged, match="connected_components"):
+            connected_components(df, max_rounds=3).collect()
+
+    def test_cc_converges_within_budget_no_raise(self, spark):
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], ["a", "b"]
+        )
+        got = {r.node: r.component
+               for r in connected_components(df, max_rounds=32).collect()}
+        assert set(got.values()) == {0} and len(got) == 13
+
+    def test_star_cc_raises_on_budget_exhaustion(self, spark):
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(64)], ["a", "b"]
+        )
+        with pytest.raises(GraphNotConverged, match="star"):
+            connected_components_star(df, max_rounds=1).collect()
+
+    def test_star_cc_no_conflicting_labels_at_fixpoint(self, spark):
+        # the hazard the flag guards: a node emitted as both member
+        # and root — at a true fixpoint every node has EXACTLY one
+        # component label
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(64)], ["a", "b"]
+        )
+        rows = connected_components_star(df, max_rounds=16).collect()
+        assert len({r.node for r in rows}) == len(rows) == 65
+        assert {r.component for r in rows} == {0}
+
+    def test_kcore_strict_raises_before_fixpoint(self, spark):
+        df = spark.createDataFrame(
+            [(min(i, i + 1), max(i, i + 1)) for i in range(6)], ["a", "b"]
+        )
+        with pytest.raises(GraphNotConverged, match="k_core"):
+            k_core(df, k=2, rounds=1)
+
+    def test_kcore_strict_ok_at_fixpoint(self, spark):
+        cyc = _und(spark, [(i, (i + 1) % 6) for i in range(6)])
+        assert k_core(cyc, k=2, rounds=3).count() == 6

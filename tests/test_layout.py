@@ -185,3 +185,50 @@ def test_zorder_skips_files_on_second_dim(spark, tmp_path):
     assert z_hit <= l_hit // 2, f"z-order {z_hit} vs linear {l_hit}"
     # and x stays skippable too (both layouts cluster x)
     assert files_intersecting(zpath, "x", 0, 31) <= files // 2
+
+
+def test_bucketed_overwrite_qualified_name_spares_default_db_twin(
+    spark, sf_dir
+):
+    """Regression (data loss): overwriting db.t used to resolve the
+    stale-warehouse path as warehouse/t — the DEFAULT database's
+    same-named table directory — and rmtree a live table's data. The
+    managed location must resolve per-database
+    (warehouse/<db>.db/<tbl>)."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS aux_db")
+    spark.sql("DROP TABLE IF EXISTS t_twin")
+    spark.sql("DROP TABLE IF EXISTS aux_db.t_twin")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey"
+        )
+        write_bucketed(orders, "t_twin", ["o_orderkey"], 4)
+        n = spark.table("t_twin").count()
+        write_bucketed(orders.limit(10), "aux_db.t_twin", ["o_orderkey"], 4)
+        # the default-db twin must still be fully readable
+        assert spark.table("t_twin").count() == n
+        assert spark.table("aux_db.t_twin").count() == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_twin")
+        spark.sql("DROP TABLE IF EXISTS aux_db.t_twin")
+        spark.sql("DROP DATABASE IF EXISTS aux_db")
+
+
+def test_bucketed_overwrite_replaces_existing_table(spark, sf_dir):
+    """Second overwrite of the SAME table swaps in the new data and
+    leaves no staging table behind."""
+    spark.sql("DROP TABLE IF EXISTS t_reovw")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey"
+        )
+        write_bucketed(orders, "t_reovw", ["o_orderkey"], 4)
+        write_bucketed(orders.limit(7), "t_reovw", ["o_orderkey"], 4)
+        assert spark.table("t_reovw").count() == 7
+        leftovers = [
+            t.name for t in spark.catalog.listTables()
+            if "__staging_" in t.name
+        ]
+        assert leftovers == []
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_reovw")

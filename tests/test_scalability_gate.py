@@ -251,11 +251,23 @@ def test_query_plan_is_scalable(spark, sf_dir, name):
     # decimal.Decimal ('123.50') — a guaranteed hash mismatch. Exact
     # decimal math stays INSIDE the plan; the shipped column casts to
     # double (money) or string digits (exact >2^53 integer ratios).
-    from pyspark.sql.types import DecimalType
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
-    leaked = [
-        f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)
-    ]
+    def _has_decimal(dt) -> bool:
+        # recurse: a decimal nested inside a struct/array/map leaks
+        # through the harness's pandas compare just as surely as a
+        # top-level one
+        if isinstance(dt, DecimalType):
+            return True
+        if isinstance(dt, StructType):
+            return any(_has_decimal(f.dataType) for f in dt.fields)
+        if isinstance(dt, ArrayType):
+            return _has_decimal(dt.elementType)
+        if isinstance(dt, MapType):
+            return _has_decimal(dt.keyType) or _has_decimal(dt.valueType)
+        return False
+
+    leaked = [f.name for f in df.schema.fields if _has_decimal(f.dataType)]
     assert not leaked, (
         f"{name}: decimal column(s) {leaked} at the ship boundary — cast "
         "to double (money) or string (exact big-int ratios) in BOTH the "

@@ -224,3 +224,21 @@ class TestWeightedSample:
             [(i, 10**9) for i in range(5)], ["doc_id", "w"]
         )
         assert weighted_sample_topk(d, "w", k=3, max_weight=8).count() == 3
+
+
+    def test_fractional_weight_rounds_up_not_out(self, spark):
+        # regression: cast('long') truncated weight 0.9 to ZERO
+        # replicas — the row passed the positivity filter then
+        # silently vanished from the sample. ceil keeps it (1 replica)
+        d = spark.createDataFrame(
+            [(1, 0.9), (2, 0.4), (3, 2.7)], ["doc_id", "w"]
+        )
+        got = {r.doc_id for r in weighted_sample_topk(d, "w", k=3).collect()}
+        assert got == {1, 2, 3}
+
+    def test_integer_weights_unchanged_by_ceil(self, spark):
+        d_int = self._docs(spark)
+        d_dbl = d_int.select("doc_id", F.col("w").cast("double").alias("w"))
+        a = [r.doc_id for r in weighted_sample_topk(d_int, "w", k=15).collect()]
+        b = [r.doc_id for r in weighted_sample_topk(d_dbl, "w", k=15).collect()]
+        assert a == b

@@ -83,3 +83,16 @@ def test_radius_join_rejects_bad_radius(spark):
     df = spark.createDataFrame([(1, 0, 0)], "id long, x long, y long")
     with pytest.raises(ValueError):
         radius_join(df, 0)
+
+
+def test_registered_query_nonempty_at_test_scale(spark):
+    """The driver-registered spatial_radius_join must return a
+    NON-TRIVIAL row count at every test scale — a zero-row oracle
+    match is vacuous and never exercises the grid join's
+    losslessness (round-6 ADVICE)."""
+    import __spark_entry__ as entry
+
+    n = entry.queries()["spatial_radius_join"](
+        spark, "/root/testdata/sf0.001"
+    ).count()
+    assert n == 111  # brute-force ground truth for the %10000 cloud

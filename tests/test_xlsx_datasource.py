@@ -150,3 +150,36 @@ def test_write_overwrite_clears_previous_parts(registered, tmp_path):
     assert n_first == 3 and len(parts) == 1
     back = registered.read.format("xlsx_grid").option("n_cols", 1).load(out)
     assert sorted(r.c0 for r in back.collect()) == ["v", "y"]
+
+
+def test_append_into_nonempty_dir_keeps_both_jobs(registered, tmp_path):
+    # regression: commit() used to restart part numbering at 0 on
+    # every job, os.replace-clobbering the previous append's workbooks
+    import glob
+
+    out = str(tmp_path / "appends")
+    a = registered.createDataFrame([("A-1",), ("A-2",)], "v string").coalesce(1)
+    a.write.format("xlsx_grid").mode("append").save(out)
+    b = registered.createDataFrame([("B-1",)], "v string").coalesce(1)
+    b.write.format("xlsx_grid").mode("append").save(out)
+    parts = sorted(glob.glob(f"{out}/part-*.xlsx"))
+    assert len(parts) == 2, "second append must not clobber the first"
+    back = registered.read.format("xlsx_grid").option("n_cols", 1).load(out)
+    vals = sorted(r.c0 for r in back.collect())
+    assert vals == ["A-1", "A-2", "B-1", "v", "v"]
+
+
+def test_append_numbering_continues_after_multifile_job(registered, tmp_path):
+    import glob
+
+    out = str(tmp_path / "appends3")
+    a = registered.range(0, 30).selectExpr(
+        "CAST(id AS STRING) AS s"
+    ).repartition(3)
+    a.write.format("xlsx_grid").mode("append").save(out)
+    b = registered.createDataFrame([("tail",)], "s string").coalesce(1)
+    b.write.format("xlsx_grid").mode("append").save(out)
+    parts = sorted(glob.glob(f"{out}/part-*.xlsx"))
+    assert len(parts) == 4
+    back = registered.read.format("xlsx_grid").option("n_cols", 1).load(out)
+    assert back.count() == 30 + 1 + 4  # data + 4 header rows
