@@ -97,7 +97,11 @@ from smartbots_etl_facturas_spark.sources.readers import (
 )
 from smartbots_etl_facturas_spark.operators.validation import split_valid, with_validation
 from smartbots_etl_facturas_spark.plans.invoices import invoice_view, invoices_cte
-from smartbots_etl_facturas_spark.sources.manifest import newest_first, pending_files
+from smartbots_etl_facturas_spark.sources.manifest import (
+    find_file,
+    newest_first,
+    pending_files,
+)
 
 DEC = "decimal(18,2)"
 PK = ["invoice_number", "reference_number"]
@@ -6008,6 +6012,35 @@ LIMIT 5
 """
 
 
+def q_find_file_by_name(spark, sf_dir):
+    """S6 find-file-by-name (sources/manifest.py:find_file; reference
+    oauth_google_drive_adapter.py:113-127 lists the folder and returns
+    the first exact-name match): the same derived manifest as
+    manifest_listing, probed for one exact file_name. The manifest
+    keys are unique (one row per file bucket) so limit(1) is
+    deterministic and the oracle is a plain equality filter."""
+    orders = _read(spark, sf_dir, "orders")
+    manifest = orders.groupBy(
+        F.concat(
+            F.lit("file_"), (F.col("o_custkey") % 20).cast("string")
+        ).alias("file_name")
+    ).agg(
+        F.max("o_orderdate").cast("date").alias("modified_time"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return find_file(manifest, "file_7")
+
+
+SQL_FIND_FILE_BY_NAME = """
+SELECT 'file_' || CAST(o_custkey % 20 AS VARCHAR) AS file_name,
+       CAST(max(o_orderdate) AS DATE) AS modified_time,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM orders
+GROUP BY 1
+HAVING 'file_' || CAST(o_custkey % 20 AS VARCHAR) = 'file_7'
+"""
+
+
 GOLDEN_RAW_ROWS = [
     (0, " F-001 ", None, "clp", "Aprobado por: Ana Soto", "x"),
     (1, "F-002", "OE-9", None, "  Luis Rojas ", "y"),
@@ -9329,6 +9362,7 @@ _QUERIES: dict[str, Callable] = {
     "display_casts": q_display_casts,
     "sessions": q_sessions,
     "manifest_listing": q_manifest_listing,
+    "find_file_by_name": q_find_file_by_name,
     "cleaners": q_cleaners,
     "brand_revenue": q_brand_revenue,
     "top_parts_by_size": q_top_parts_by_size,
@@ -9481,6 +9515,7 @@ _ORACLES: dict[str, str] = {
     "display_casts": SQL_DISPLAY_CASTS,
     "sessions": SQL_SESSIONS,
     "manifest_listing": SQL_MANIFEST_LISTING,
+    "find_file_by_name": SQL_FIND_FILE_BY_NAME,
     "cleaners": SQL_CLEANERS,
     "brand_revenue": SQL_BRAND_REVENUE,
     "top_parts_by_size": SQL_TOP_PARTS_BY_SIZE,

@@ -1,0 +1,134 @@
+"""Engine observability: per-query run reports (plan fingerprint +
+wall time) appended to the audit trail.
+
+The reference makes every run auditable through structlog timestamps
+(src/infrastructure/logging_config.py:1-27) and its SQLite tracker
+(src/infrastructure/sqlite_tracker.py): each execution leaves a row a
+human can query later. The engine's analog: every registered query
+execution can emit one row into a ``query_runs`` parquet table —
+query name, a STABLE fingerprint of the optimized plan, wall-clock
+seconds, row count, status, and timestamp — using the same
+append-only parquet discipline as sinks/audit.py (S9).
+
+Why a plan fingerprint and not the plan text: the fingerprint is the
+drift detector. Two rounds of the same query with different
+fingerprints means Catalyst picked a different plan (a regressed
+broadcast, a new shuffle) even when the answer is identical — exactly
+the thing BENCH comparisons can only see as a latency blip.
+Expression ids (``#123``), plan ids and codegen ids are
+session-assigned and differ run-to-run, so they are normalized out
+before hashing; the fingerprint is stable across sessions for the
+same logical plan, and changes when the plan shape changes.
+
+Scale: one driver-side plan-string render + one 1-row append per
+query — O(plan size), independent of data volume. The table is
+partition-parallel parquet like every audit relation; at cluster
+scale it points at an object store and feeds the same dashboards the
+reference's tracker did.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+QUERY_RUN_SCHEMA = T.StructType([
+    T.StructField("run_uuid", T.StringType(), False),
+    T.StructField("query_name", T.StringType(), False),
+    T.StructField("plan_fingerprint", T.StringType(), True),
+    T.StructField("wall_seconds", T.DoubleType(), True),
+    T.StructField("n_rows", T.LongType(), True),
+    T.StructField("status", T.StringType(), True),
+    T.StructField("error_message", T.StringType(), True),
+])
+
+# session-assigned identifiers that must not perturb the fingerprint:
+# expression ids (`name#123`, `#123L`), plan ids (`[plan_id=42]`),
+# codegen stage ids, and bare object addresses
+_VOLATILE = [
+    (re.compile(r"#\d+[A-Za-z]*"), "#?"),
+    (re.compile(r"plan_id=\d+"), "plan_id=?"),
+    (re.compile(r"\[id=#?\d+\]"), "[id=?]"),
+    (re.compile(r"@[0-9a-f]{6,}"), "@?"),
+]
+
+
+def normalize_plan(plan: str) -> str:
+    """The plan string with session-volatile ids masked out — what
+    two executions of the same logical plan have in common."""
+    for rx, sub in _VOLATILE:
+        plan = rx.sub(sub, plan)
+    return plan
+
+
+def plan_fingerprint(df: DataFrame) -> str:
+    """Stable 16-hex-char fingerprint of the frame's OPTIMIZED plan
+    (post-Catalyst, pre-AQE): same logical plan → same fingerprint
+    across sessions; a changed join strategy, a new Exchange, or a
+    lost pushed filter changes it."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    return hashlib.sha256(normalize_plan(plan).encode()).hexdigest()[:16]
+
+
+class QueryRunReporter:
+    """Append-only ``query_runs`` reporter rooted at ``base_dir`` —
+    the engine's own executions become audit rows, like the
+    reference's tracker made its runs queryable."""
+
+    def __init__(self, spark: SparkSession, base_dir: str, run_uuid: str | None = None):
+        import uuid
+
+        self.spark = spark
+        self.base = base_dir
+        self.run_uuid = run_uuid or str(uuid.uuid4())
+
+    def _append(self, row: tuple) -> None:
+        df = self.spark.createDataFrame([row], QUERY_RUN_SCHEMA).withColumn(
+            "created_at", F.current_timestamp()
+        )
+        df.write.mode("append").parquet(os.path.join(self.base, "query_runs"))
+
+    def run(self, query_name: str, df: DataFrame) -> int:
+        """Execute ``df`` (count action), report one row, return the
+        row count. Failures are reported too (status=ERROR) and
+        re-raised — an invisible failed run is the observability gap
+        this module closes."""
+        fp = plan_fingerprint(df)
+        t0 = time.perf_counter()
+        try:
+            n = df.count()
+        except Exception as exc:  # report, then propagate
+            self._append((
+                self.run_uuid, query_name, fp,
+                time.perf_counter() - t0, None, "ERROR", str(exc)[:500],
+            ))
+            raise
+        self._append((
+            self.run_uuid, query_name, fp,
+            time.perf_counter() - t0, n, "COMPLETED", None,
+        ))
+        return n
+
+    def table(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.base, "query_runs"))
+
+    def drifted(self, other_run_uuid: str) -> DataFrame:
+        """Queries whose plan fingerprint differs between this run and
+        ``other_run_uuid`` — the round-over-round plan-drift report,
+        as one self-join on the audit table."""
+        t = self.table()
+        a = t.filter(F.col("run_uuid") == self.run_uuid).select(
+            "query_name", F.col("plan_fingerprint").alias("fp_now")
+        )
+        b = t.filter(F.col("run_uuid") == other_run_uuid).select(
+            "query_name", F.col("plan_fingerprint").alias("fp_then")
+        )
+        return a.join(b, "query_name").filter(
+            F.col("fp_now") != F.col("fp_then")
+        )
