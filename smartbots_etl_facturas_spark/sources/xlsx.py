@@ -376,11 +376,15 @@ _CT = (
     '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
     '<Default Extension="xml" ContentType="application/xml"/>'
     '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
-    "{sheet_overrides}{ss_override}</Types>"
+    "{sheet_overrides}{ss_override}{styles_override}</Types>"
 )
 _SHEET_CT = (
     '<Override PartName="/xl/worksheets/sheet{i}.xml" '
     'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+)
+_STYLES_CT = (
+    '<Override PartName="/xl/styles.xml" '
+    'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>'
 )
 _SS_CT = (
     '<Override PartName="/xl/sharedStrings.xml" '
@@ -398,6 +402,42 @@ def _esc(s: str) -> str:
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 
+def _esc_attr(s: str) -> str:
+    return _esc(s).replace('"', "&quot;")
+
+
+def read_column_formats(path, sheet_name=0) -> dict[int, str]:
+    """Round-trip probe for ``column_formats``: {0-based column index
+    -> number-format code} as carried by the workbook's styles part.
+    Resolves each cell's ``s=`` ref through cellXfs -> numFmtId ->
+    numFmts formatCode (custom ids only — exactly what write_xlsx
+    emits); first formatted cell per column wins. Empty dict when the
+    workbook has no styles part."""
+    with zipfile.ZipFile(path) as zf:
+        try:
+            styles = ET.fromstring(zf.read("xl/styles.xml"))
+        except KeyError:
+            return {}
+        code_of_fmt = {
+            nf.get("numFmtId"): nf.get("formatCode")
+            for nf in styles.iter(f"{_NS}numFmt")
+        }
+        cellxfs = styles.find(f"{_NS}cellXfs")
+        code_of_style: dict[str, str] = {}
+        if cellxfs is not None:
+            for i, xf in enumerate(cellxfs.findall(f"{_NS}xf")):
+                code = code_of_fmt.get(xf.get("numFmtId"))
+                if code is not None:
+                    code_of_style[str(i)] = code
+        out: dict[int, str] = {}
+        sheet = ET.fromstring(zf.read(_resolve_sheet_path(zf, sheet_name)))
+        for cell in sheet.iter(f"{_NS}c"):
+            code = code_of_style.get(cell.get("s", ""))
+            if code is not None:
+                out.setdefault(_col_ord(cell.get("r", "A1")), code)
+    return out
+
+
 def _ref(ri: int, ci: int) -> str:
     col = ""
     ci += 1
@@ -407,31 +447,51 @@ def _ref(ri: int, ci: int) -> str:
     return f"{col}{ri + 1}"
 
 
-def write_xlsx(path, sheets, use_shared_strings: bool = False) -> None:
+def write_xlsx(
+    path,
+    sheets,
+    use_shared_strings: bool = False,
+    column_formats: dict[int, str] | None = None,
+) -> None:
     """Write a minimal ECMA-376 workbook. ``sheets`` is either a list
     of row-lists (single 'Sheet1') or a dict {sheet_name: rows}.
     Cell typing: str -> inline/shared string, bool -> b, int/float ->
-    numeric, None -> omitted (sparse). Enough surface to exercise the
-    full read path (shared + inline strings, sparse cells, multiple
-    sheets); presentation features (styles/images) are the declared
-    non-goal from SURVEY §2 S8."""
+    numeric, None -> omitted (sparse).
+
+    ``column_formats`` maps 0-based column index -> Excel number-
+    format code (e.g. ``{0: "0", 4: "dd/mm/yyyy"}``) — the S8
+    presentation-fidelity surface the reference pins per column
+    (excel_handler.py:17-36 COLUMN_FORMATS, applied at :119-131).
+    Every code is emitted as a CUSTOM numFmt (ids from 164) in
+    xl/styles.xml plus one cellXf per distinct code; data cells
+    (row index >= 1 — the header row stays text) in a mapped column
+    carry the matching ``s=`` style ref. ``read_column_formats``
+    round-trips them. Remaining presentation non-goals (alignment,
+    images, template-preserving append) are recorded in SURVEY §7.1."""
     if not isinstance(sheets, dict):
         sheets = {"Sheet1": sheets}
     shared: dict[str, int] = {}
+    fmts = dict(column_formats or {})
+    # one cellXf per DISTINCT code; style index 0 is the default xf
+    codes = sorted(set(fmts.values()))
+    style_of_code = {c: i + 1 for i, c in enumerate(codes)}
+    style_of_col = {ci: style_of_code[c] for ci, c in fmts.items()}
 
     def cell_xml(ri: int, ci: int, v) -> str:
         ref = _ref(ri, ci)
+        style = style_of_col.get(ci, 0) if ri >= 1 else 0
+        s_attr = f' s="{style}"' if style else ""
         if v is None:
             return ""
         if isinstance(v, bool):
-            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+            return f'<c r="{ref}"{s_attr} t="b"><v>{1 if v else 0}</v></c>'
         if isinstance(v, (int, float)):
-            return f'<c r="{ref}"><v>{v}</v></c>'
+            return f'<c r="{ref}"{s_attr}><v>{v}</v></c>'
         s = str(v)
         if use_shared_strings:
             idx = shared.setdefault(s, len(shared))
-            return f'<c r="{ref}" t="s"><v>{idx}</v></c>'
-        return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{_esc(s)}</t></is></c>'
+            return f'<c r="{ref}"{s_attr} t="s"><v>{idx}</v></c>'
+        return f'<c r="{ref}"{s_attr} t="inlineStr"><is><t xml:space="preserve">{_esc(s)}</t></is></c>'
 
     sheet_parts = []
     for rows in sheets.values():
@@ -457,11 +517,19 @@ def write_xlsx(path, sheets, use_shared_strings: bool = False) -> None:
         f'<Relationship Id="rId{i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet{i + 1}.xml"/>'
         for i in range(len(sheets))
     )
+    next_rid = len(sheets) + 1
     if use_shared_strings:
         rels += (
-            f'<Relationship Id="rId{len(sheets) + 1}" '
+            f'<Relationship Id="rId{next_rid}" '
             'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" '
             'Target="sharedStrings.xml"/>'
+        )
+        next_rid += 1
+    if codes:
+        rels += (
+            f'<Relationship Id="rId{next_rid}" '
+            'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" '
+            'Target="styles.xml"/>'
         )
     wb_rels = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -474,6 +542,7 @@ def write_xlsx(path, sheets, use_shared_strings: bool = False) -> None:
             _CT.format(
                 sheet_overrides="".join(_SHEET_CT.format(i=i + 1) for i in range(len(sheets))),
                 ss_override=_SS_CT if use_shared_strings else "",
+                styles_override=_STYLES_CT if codes else "",
             ),
         )
         zf.writestr("_rels/.rels", _ROOT_RELS)
@@ -481,6 +550,32 @@ def write_xlsx(path, sheets, use_shared_strings: bool = False) -> None:
         zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
         for i, part in enumerate(sheet_parts):
             zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", part)
+        if codes:
+            # every code becomes a CUSTOM numFmt (ids from 164, even
+            # codes that shadow built-ins like "0") so read-back never
+            # needs the implicit built-in format table
+            num_fmts = "".join(
+                f'<numFmt numFmtId="{164 + i}" formatCode="{_esc_attr(c)}"/>'
+                for i, c in enumerate(codes)
+            )
+            xfs = "".join(
+                f'<xf numFmtId="{164 + i}" fontId="0" fillId="0" '
+                'borderId="0" xfId="0" applyNumberFormat="1"/>'
+                for i in range(len(codes))
+            )
+            zf.writestr(
+                "xl/styles.xml",
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                f'<styleSheet xmlns="{_NS[1:-1]}">'
+                f'<numFmts count="{len(codes)}">{num_fmts}</numFmts>'
+                '<fonts count="1"><font/></fonts>'
+                '<fills count="1"><fill><patternFill patternType="none"/></fill></fills>'
+                '<borders count="1"><border/></borders>'
+                '<cellStyleXfs count="1"><xf/></cellStyleXfs>'
+                f'<cellXfs count="{len(codes) + 1}">'
+                '<xf numFmtId="0" fontId="0" fillId="0" borderId="0" xfId="0"/>'
+                f"{xfs}</cellXfs></styleSheet>",
+            )
         if use_shared_strings:
             items = "".join(
                 f'<si><t xml:space="preserve">{_esc(s)}</t></si>'

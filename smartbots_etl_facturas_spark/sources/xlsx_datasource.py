@@ -137,6 +137,26 @@ class XlsxGridWriter(DataSourceWriter):
         self.overwrite = overwrite
         sheet = options.get("sheet_name", "Sheet1")
         self.sheet_name = sheet
+        # S8 presentation fidelity: option column_formats is a JSON
+        # object {column NAME: Excel number-format code} (the
+        # reference's COLUMN_FORMATS table keyed the same way);
+        # resolved here to 0-based indices against the write schema.
+        # Unknown names fail fast — a silently dropped format is the
+        # presentation bug this option exists to prevent.
+        self.column_formats: dict[int, str] = {}
+        raw = options.get("column_formats")
+        if raw:
+            import json
+
+            by_name = json.loads(raw)
+            unknown = sorted(set(by_name) - set(self.columns))
+            if unknown:
+                raise ValueError(
+                    f"column_formats names not in write schema: {unknown}"
+                )
+            self.column_formats = {
+                self.columns.index(n): code for n, code in by_name.items()
+            }
 
     def write(self, iterator) -> _XlsxCommit:
         from smartbots_etl_facturas_spark.sources.xlsx import write_xlsx
@@ -146,7 +166,11 @@ class XlsxGridWriter(DataSourceWriter):
         staged = os.path.join(
             self.path, f".staging-{_uuid.uuid4().hex}.xlsx"
         )
-        write_xlsx(staged, {self.sheet_name: [list(self.columns)] + rows})
+        write_xlsx(
+            staged,
+            {self.sheet_name: [list(self.columns)] + rows},
+            column_formats=self.column_formats,
+        )
         return _XlsxCommit(staged, len(rows))
 
     def commit(self, messages) -> None:

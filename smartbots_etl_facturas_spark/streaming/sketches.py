@@ -18,9 +18,26 @@ This is the streaming twin of ``hll_distinct``/``cms_heavy_hitters``
 the same way streaming/dedup.py twins ``dedup_exact_docs``: identical
 hash definitions, so stream-final state is BIT-IDENTICAL to the batch
 sketch — not merely approximately equal.
+
+Exactly-once across DRIVER RESTARTS: foreachBatch may redeliver the
+last in-flight batch after recovery, and CMS cells are SUM-merged, so
+a redelivered batch that is not recognized double-counts. With
+``state_dir`` set, the accumulator persists (registers, cells, seen
+batch ids) as one atomically-replaced JSON snapshot AFTER each merge
+— the same stage-then-``os.replace`` publish discipline as
+sinks/staged.py — so a restarted accumulator reloads the snapshot and
+skips any batch id it already folded in. A crash between merge and
+persist loses only the un-persisted merge, and the redelivery then
+re-merges it: every batch lands exactly once in the persisted state.
+Without ``state_dir`` the seen-set lives in driver memory only, which
+is sufficient for single-process ``availableNow`` runs but NOT for
+recovery-with-redelivery.
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -40,24 +57,80 @@ class SketchAccumulator:
 
     Usage::
 
-        acc = SketchAccumulator(key="user_id", p=6, d=4, w=256)
+        acc = SketchAccumulator(key="user_id", p=6, d=4, w=256,
+                                state_dir=ckpt + "/sketch_state")
         stream.writeStream.foreachBatch(acc).trigger(availableNow=True)
 
     After the stream drains, ``acc.hll`` / ``acc.cms`` hold the merged
-    sketches as plain dicts; ``merge`` is re-runnable (idempotent per
-    batch id — foreachBatch may redeliver a batch on recovery, so the
-    hook tracks seen batch ids)."""
+    sketches as plain dicts. ``merge`` is idempotent per batch id:
+    redelivered batches are skipped via the seen-id set, which is
+    PERSISTED beside the sketch state when ``state_dir`` is given —
+    that is what makes the skip survive a real driver restart (the
+    in-memory set alone only covers same-process redelivery)."""
 
-    def __init__(self, key: str, p: int = 6, d: int = 4, w: int = 256):
+    def __init__(
+        self,
+        key: str,
+        p: int = 6,
+        d: int = 4,
+        w: int = 256,
+        state_dir: str | None = None,
+    ):
         self.key, self.p, self.d, self.w = key, p, d, w
         self.hll: dict[int, int] = {}
         self.cms: dict[tuple[int, int], int] = {}
         self._seen: set[int] = set()
+        self.state_dir = state_dir
+        if state_dir:
+            self._load()
+
+    # --- durable state ------------------------------------------------------
+
+    def _state_path(self) -> str:
+        return os.path.join(self.state_dir, "sketch_state.json")
+
+    def _load(self) -> None:
+        path = self._state_path()
+        if not os.path.exists(path):
+            return
+        with open(path) as fh:
+            st = json.load(fh)
+        if (st["p"], st["d"], st["w"]) != (self.p, self.d, self.w):
+            raise ValueError(
+                f"persisted sketch state at {path} was built with "
+                f"(p,d,w)=({st['p']},{st['d']},{st['w']}), not "
+                f"({self.p},{self.d},{self.w}) — sketches with "
+                "different shapes are not mergeable"
+            )
+        self.hll = {int(b): r for b, r in st["hll"].items()}
+        self.cms = {
+            (int(row), int(col)): cnt for row, col, cnt in st["cms"]
+        }
+        self._seen = set(st["seen"])
+
+    def _persist(self) -> None:
+        os.makedirs(self.state_dir, exist_ok=True)
+        staged = self._state_path() + ".staging"
+        with open(staged, "w") as fh:
+            json.dump(
+                {
+                    "p": self.p, "d": self.d, "w": self.w,
+                    "hll": {str(b): r for b, r in self.hll.items()},
+                    "cms": [
+                        [row, col, cnt]
+                        for (row, col), cnt in self.cms.items()
+                    ],
+                    "seen": sorted(self._seen),
+                },
+                fh,
+            )
+        os.replace(staged, self._state_path())
+
+    # --- foreachBatch hook --------------------------------------------------
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in self._seen:  # redelivery after recovery
+        if batch_id in self._seen:  # redelivery (same process OR restart)
             return
-        self._seen.add(batch_id)
         for r in hll_registers(batch_df, self.key, p=self.p).collect():
             cur = self.hll.get(r.bucket, 0)
             if r.rho_max > cur:
@@ -65,3 +138,9 @@ class SketchAccumulator:
         for r in cms_cells(batch_df, self.key, d=self.d, w=self.w).collect():
             cell = (r.row, r.col)
             self.cms[cell] = self.cms.get(cell, 0) + r.cnt
+        # mark seen only after the merge succeeded, persist after
+        # marking: a crash anywhere in between re-runs this batch on
+        # recovery against the LAST PERSISTED state — exactly once
+        self._seen.add(batch_id)
+        if self.state_dir:
+            self._persist()

@@ -1027,3 +1027,59 @@ def test_streaming_join_view_maintenance(spark, tmp_path):
                   for r in spark.read.parquet(src).join(dim, "k").collect())
     assert got == full
     assert len(got) == 4  # k=9 fact row correctly absent
+
+
+def test_sketch_state_survives_driver_restart_redelivery(spark, tmp_path):
+    """Durable exactly-once for the sketch accumulator: a RESTARTED
+    driver (new accumulator process, same state_dir) must recognize a
+    redelivered batch id and not double-count the sum-merged CMS
+    cells — the in-memory seen-set alone cannot (round-6 ADVICE).
+    Crash-window semantics: a batch merged but not yet persisted is
+    re-merged on recovery against the last persisted state, so every
+    batch lands exactly once."""
+    from smartbots_etl_facturas_spark.operators.sketches import (
+        cms_cells,
+        hll_registers,
+    )
+    from smartbots_etl_facturas_spark.streaming.sketches import (
+        SketchAccumulator,
+    )
+
+    state = str(tmp_path / "sk-state")
+    b0 = spark.range(0, 200).select((F.col("id") % 97).alias("user_id"))
+    b1 = spark.range(150, 350).select((F.col("id") % 97).alias("user_id"))
+    b2 = spark.range(300, 500).select((F.col("id") % 97).alias("user_id"))
+
+    acc = SketchAccumulator(key="user_id", p=6, d=4, w=256, state_dir=state)
+    acc(b0, batch_id=0)
+    acc(b1, batch_id=1)
+
+    # driver restart: fresh instance, empty memory, same state_dir
+    acc2 = SketchAccumulator(key="user_id", p=6, d=4, w=256, state_dir=state)
+    assert acc2._seen == {0, 1} and acc2.cms == acc.cms
+    before = dict(acc2.cms)
+    acc2(b1, batch_id=1)  # post-restart redelivery
+    assert acc2.cms == before, "redelivered batch double-counted CMS"
+    acc2(b2, batch_id=2)
+
+    full = b0.unionByName(b1).unionByName(b2)
+    assert acc2.hll == {
+        r.bucket: r.rho_max
+        for r in hll_registers(full, "user_id", p=6).collect()
+    }
+    assert acc2.cms == {
+        (r.row, r.col): r.cnt
+        for r in cms_cells(full, "user_id", d=4, w=256).collect()
+    }
+
+
+def test_sketch_state_shape_mismatch_rejected(spark, tmp_path):
+    from smartbots_etl_facturas_spark.streaming.sketches import (
+        SketchAccumulator,
+    )
+
+    state = str(tmp_path / "sk-shape")
+    acc = SketchAccumulator(key="user_id", p=6, d=4, w=256, state_dir=state)
+    acc(spark.range(10).select(F.col("id").alias("user_id")), batch_id=0)
+    with pytest.raises(ValueError, match="not mergeable"):
+        SketchAccumulator(key="user_id", p=7, d=4, w=256, state_dir=state)

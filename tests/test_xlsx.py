@@ -182,3 +182,68 @@ def test_distributed_scan_skips_blank_workbook(spark, tmp_path):
     write_xlsx(str(tmp_path / "blank.xlsx"), {"Hoja1": []})
     out = read_xlsx_distributed(spark, str(tmp_path / "*.xlsx"), ["A", "B"])
     assert out.count() == 1
+
+
+# --- S8 presentation fidelity: per-column number formats --------------------
+
+from smartbots_etl_facturas_spark.sources.xlsx import (  # noqa: E402
+    read_column_formats,
+    read_xlsx_grid_distributed,
+)
+
+
+def test_column_formats_roundtrip(tmp_path):
+    """The reference pins per-column number formats
+    (excel_handler.py:17-36); write_xlsx must carry them through
+    styles.xml and read_column_formats must recover the exact codes."""
+    path = str(tmp_path / "fmt.xlsx")
+    fmts = {
+        0: "0",
+        2: r'_ "$"* #,##0_ ;_ "$"* \-#,##0_ ;_ "$"* "-"_ ;_ @_ ',
+        3: "dd/mm/yyyy",
+    }
+    rows = [
+        ["invoice", "carrier", "total", "issued"],
+        [1001, "ACME", 1500, "2024-01-05"],
+        [1002, "BETA", 25, "2024-02-11"],
+    ]
+    write_xlsx(path, rows, column_formats=fmts)
+    assert read_column_formats(path) == fmts
+
+
+def test_column_formats_header_row_unstyled_and_values_intact(tmp_path, spark):
+    path = str(tmp_path / "fmt2.xlsx")
+    write_xlsx(
+        path,
+        [["n", "d"], [7, "2024-03-01"], [8, "2024-03-02"]],
+        column_formats={0: "0", 1: "dd/mm/yyyy"},
+    )
+    # values unchanged by styling — the existing grid reader sees the
+    # same canonical strings
+    df = read_xlsx_grid_distributed(spark, path, n_cols=2)
+    got = sorted((r.row_idx, r.c0, r.c1) for r in df.collect())
+    assert got == [
+        (0, "n", "d"), (1, "7", "2024-03-01"), (2, "8", "2024-03-02")
+    ]
+    # header cells carry no style ref: only data rows are formatted
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as zf:
+        sheet = ET.fromstring(zf.read("xl/worksheets/sheet1.xml"))
+    by_row = {}
+    for row in sheet.iter(f"{ns}row"):
+        by_row[row.get("r")] = [c.get("s") for c in row.iter(f"{ns}c")]
+    assert by_row["1"] == [None, None]
+    assert all(s is not None for s in by_row["2"])
+
+
+def test_no_formats_means_no_styles_part(tmp_path):
+    path = str(tmp_path / "plain.xlsx")
+    write_xlsx(path, [["a"], ["1"]])
+    import zipfile
+
+    with zipfile.ZipFile(path) as zf:
+        assert "xl/styles.xml" not in zf.namelist()
+    assert read_column_formats(path) == {}

@@ -183,3 +183,44 @@ def test_append_numbering_continues_after_multifile_job(registered, tmp_path):
     assert len(parts) == 4
     back = registered.read.format("xlsx_grid").option("n_cols", 1).load(out)
     assert back.count() == 30 + 1 + 4  # data + 4 header rows
+
+
+def test_writer_column_formats_option_roundtrip(registered, tmp_path):
+    """S8 fidelity through the DataSource writer: the column_formats
+    option (JSON {column name: number-format code}) lands in every
+    part's styles, keyed by schema position."""
+    import glob
+    import json
+
+    from smartbots_etl_facturas_spark.sources.xlsx import (
+        read_column_formats,
+    )
+
+    out = str(tmp_path / "fmt-ds")
+    df = registered.createDataFrame(
+        [("F-1", 1500, "2024-01-05"), ("F-2", 25, "2024-02-11")],
+        "invoice string, total long, issued string",
+    ).coalesce(1)
+    fmts = {"total": '"$"#,##0', "issued": "dd/mm/yyyy"}
+    (
+        df.write.format("xlsx_grid")
+        .option("column_formats", json.dumps(fmts))
+        .mode("append")
+        .save(out)
+    )
+    parts = glob.glob(f"{out}/part-*.xlsx")
+    assert len(parts) == 1
+    assert read_column_formats(parts[0]) == {1: '"$"#,##0', 2: "dd/mm/yyyy"}
+
+
+def test_writer_column_formats_unknown_name_fails_fast(registered, tmp_path):
+    import json
+
+    df = registered.createDataFrame([("x",)], "v string").coalesce(1)
+    with pytest.raises(Exception, match="column_formats"):
+        (
+            df.write.format("xlsx_grid")
+            .option("column_formats", json.dumps({"nope": "0"}))
+            .mode("append")
+            .save(str(tmp_path / "bad"))
+        )
