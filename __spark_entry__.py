@@ -97,6 +97,10 @@ from smartbots_etl_facturas_spark.sources.readers import (
 )
 from smartbots_etl_facturas_spark.operators.validation import split_valid, with_validation
 from smartbots_etl_facturas_spark.plans.invoices import invoice_view, invoices_cte
+from smartbots_etl_facturas_spark.operators.ranking import (
+    global_order_index,
+    ntile_from_rank,
+)
 from smartbots_etl_facturas_spark.sources.manifest import (
     find_file,
     newest_first,
@@ -4531,25 +4535,24 @@ def q_vocab_coverage(spark, sf_dir):
     many types cover P% of the token mass"): rank terms by corpus
     frequency, integer cumulative sums, and for each target percent
     the smallest vocabulary size reaching it. All-integer arithmetic
-    (cum·100 >= total·p), so exact on both engines. The ranking
-    window is GLOBAL by nature but runs on the VOCABULARY-scale frame
-    (distinct terms), not the corpus — see the plan-gate allowlist
-    entry."""
+    (cum·100 >= total·p), so exact on both engines. Rank and running
+    token mass come from the two-pass range-partitioned scheme
+    (operators/ranking.py), so even a 10M-type vocabulary never
+    lands on one task."""
     toks = _read(spark, sf_dir, "documents").select(
         F.explode(tokens(F.col("text"))).alias("term")
     )
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy(F.col("c").desc(), F.col("term").asc())
-    ranked = counts.select(
-        "term",
-        "c",
-        F.row_number().over(w).cast("long").alias("rank"),
-        F.sum("c").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).cast("long").alias("cum"),
+    # two-pass range-partitioned rank + running sum; the grand total
+    # falls out of the offsets pass as a literal, so no 1-row
+    # normalizer crossJoin either
+    j = global_order_index(
+        counts,
+        [F.col("c").desc(), F.col("term").asc()],
+        rank_col="rank",
+        cumsum_cols={"cum": "c"},
+        total_sum_cols={"total": "c"},
     )
-    total = counts.agg(F.sum("c").cast("long").alias("total"))
-    j = ranked.crossJoin(F.broadcast(total))
     # ONE pass over the ranked frame: conditional mins per threshold,
     # then explode to rows (an earlier per-threshold-aggregation form
     # executed the global window three times)
@@ -8343,9 +8346,10 @@ def q_decile_lift(spark, sf_dir):
     users ranked by total spend, split into ntile(10) deciles under a
     TOTAL (spend desc, user_id) order, each decile reporting size,
     spend mass, and conversion rate (any 'purchase' event) in exact
-    integer micro-units. The ntile window is global BY NATURE but
-    runs on the per-USER aggregate (150 rows at sf0.01; user-scale,
-    not event-scale — the vocab_coverage reduced-frame discipline)."""
+    integer micro-units. The ntile is DERIVED from a two-pass range-
+    partitioned rank (operators/ranking.py: global_order_index +
+    ntile_from_rank, closed-form NTILE semantics) — no global window
+    anywhere, so the plan survives a 100M-user frame unchanged."""
     ev = read_events(spark, sf_dir).select(
         "user_id",
         (F.col("value").cast("decimal(18,4)") * 10000)
@@ -8357,8 +8361,15 @@ def q_decile_lift(spark, sf_dir):
         F.sum("units").cast("long").alias("spend_units"),
         F.max("p").alias("converted"),
     )
-    w = Window.orderBy(F.col("spend_units").desc(), F.col("user_id"))
-    deciles = users.withColumn("decile", F.ntile(10).over(w))
+    ranked = global_order_index(
+        users,
+        [F.col("spend_units").desc(), F.col("user_id")],
+        rank_col="__i",
+        total_count_col="__n",
+    )
+    deciles = ranked.withColumn(
+        "decile", ntile_from_rank(F.col("__i"), F.col("__n"), 10)
+    ).drop("__i", "__n")
     return (
         deciles.groupBy("decile")
         .agg(
@@ -8838,8 +8849,9 @@ def q_spend_gini(spark, sf_dir):
     (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over cents, never divided:
     deterministic on any engine (ties in spend cannot change Σ i·x —
     swapping equal values leaves it fixed — so the total order is for
-    rank stability only). The ranking window runs on the per-CUSTOMER
-    aggregate (reduced frame)."""
+    rank stability only). Ranks come from the TWO-PASS range-
+    partitioned scheme (operators/ranking.py:global_order_index), so
+    no single task ever owns the whole customer frame."""
     orders = _read(spark, sf_dir, "orders").select(
         "o_custkey",
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
@@ -8849,8 +8861,12 @@ def q_spend_gini(spark, sf_dir):
     spend = orders.groupBy("o_custkey").agg(
         F.sum("cents").cast("long").alias("x")
     )
-    w = Window.orderBy(F.col("x"), F.col("o_custkey"))
-    ranked = spend.withColumn("i", F.row_number().over(w))
+    # two-pass distributed rank (operators/ranking.py): range-
+    # partitioned local row_number + broadcast offsets — no
+    # single-partition window even at a 100M-customer frame
+    ranked = global_order_index(
+        spend, [F.col("x"), F.col("o_custkey")], rank_col="i"
+    )
     # The exact ratio ships as STRING digits (not DECIMAL): portable
     # across the harness pandas compare, lossless past 2^53.
     return ranked.agg(

@@ -1,0 +1,129 @@
+"""Distributed global ranking: total-order row numbers, running sums
+and ntile buckets WITHOUT a single-partition window.
+
+``Window.orderBy(...)`` with no partition key collapses the whole
+frame into ONE task — the classic scale cliff: fine on a
+customer-scale aggregate at sf0.1, a straggler at a 100M-customer
+rank. The standard two-pass rewrite (the same scheme Spark's own
+sort and zipWithIndex use):
+
+  1. ``repartitionByRange(n, *order)`` — Spark samples the sort key
+     and assigns contiguous key ranges to partitions 0..n-1 in order
+     (ascending partition id == ascending range position).
+  2. The frame is ``localCheckpoint``-pinned. REQUIRED for
+     correctness, not a perf nicety: the range partitioner samples
+     bounds per job, so without materialization the offsets job and
+     the output job could see different partition assignments.
+  3. Per-partition local ``row_number``/running sums under
+     ``Window.partitionBy(partition_id)`` — parallel windows, no
+     global collapse.
+  4. Per-partition (count, sum) totals — ONE bounded driver collect
+     of n_partitions rows (cluster-parallelism-scale metadata, the
+     repo's bounded-collect policy) — cumulated into offsets and
+     broadcast-joined back.
+
+Global rank = local rank + offset; global running sum = local
+running sum + sum-offset. Exact for any TOTAL order (callers must
+tie-break to uniqueness, which every registered caller already does
+for cross-engine determinism); with a total order no two rows share
+a key, so range boundaries cannot split a tie group.
+
+ntile is derived from the global rank in closed form (matching SQL
+NTILE's first-buckets-get-the-remainder contract) instead of its own
+window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["global_order_index", "ntile_from_rank"]
+
+
+def global_order_index(
+    df: DataFrame,
+    order: list[Column],
+    rank_col: str = "rank",
+    cumsum_cols: dict[str, str] | None = None,
+    total_count_col: str | None = None,
+    total_sum_cols: dict[str, str] | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """``df`` + ``rank_col`` (1-based global row_number under the
+    total order ``order``) without a global window.
+
+    ``cumsum_cols``: {out_name: source_col} global running sums in
+    the same order (inclusive of the current row).
+    ``total_count_col`` / ``total_sum_cols``: optionally attach the
+    driver-known grand totals as LITERAL columns — they fall out of
+    the offsets pass for free, replacing the 1-row normalizer
+    crossJoin that a separate total aggregation would need.
+    """
+    cumsum_cols = dict(cumsum_cols or {})
+    total_sum_cols = dict(total_sum_cols or {})
+    sum_srcs = sorted(set(cumsum_cols.values()) | set(total_sum_cols.values()))
+    n_part = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_part, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # bounded driver read: one row per PARTITION (parallelism-scale,
+    # not data-scale)
+    stats = ranged.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        *[F.sum(c).cast("long").alias(f"__s_{c}") for c in sum_srcs],
+    ).collect()
+    stats.sort(key=lambda r: r["__pid"])
+    rows, run_cnt = [], 0
+    run_sum = {c: 0 for c in sum_srcs}
+    for r in stats:
+        rows.append((r["__pid"], run_cnt, *[run_sum[c] for c in sum_srcs]))
+        run_cnt += r["__cnt"]
+        for c in sum_srcs:
+            run_sum[c] += r[f"__s_{c}"] or 0
+    off_schema = "__pid int, __off_cnt long" + "".join(
+        f", __off_{c} long" for c in sum_srcs
+    )
+    offsets = df.sparkSession.createDataFrame(rows, off_schema)
+
+    w = Window.partitionBy("__pid").orderBy(*order)
+    out = ranged.withColumn("__lrank", F.row_number().over(w))
+    for name, src in cumsum_cols.items():
+        out = out.withColumn(
+            f"__lcum_{name}",
+            F.sum(src).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("long"),
+        )
+    out = out.join(F.broadcast(offsets), "__pid").withColumn(
+        rank_col, (F.col("__lrank") + F.col("__off_cnt")).cast("long")
+    )
+    for name, src in cumsum_cols.items():
+        out = out.withColumn(
+            name, (F.col(f"__lcum_{name}") + F.col(f"__off_{src}")).cast("long")
+        )
+    if total_count_col:
+        out = out.withColumn(total_count_col, F.lit(run_cnt).cast("long"))
+    for name, src in total_sum_cols.items():
+        out = out.withColumn(name, F.lit(run_sum[src]).cast("long"))
+    drop = ["__pid", "__lrank", "__off_cnt"]
+    drop += [f"__lcum_{n}" for n in cumsum_cols]
+    drop += [f"__off_{c}" for c in sum_srcs]
+    return out.drop(*drop)
+
+
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """SQL NTILE(k) derived from a 1-based global rank and the total
+    row count: the first ``n % k`` buckets get ``n div k + 1`` rows,
+    the rest ``n div k`` — identical assignment to the window
+    function, as pure integer Column arithmetic."""
+    q = (n / k).cast("long")  # floor for non-negative
+    r = n - q * k
+    big = r * (q + 1)  # rows living in the oversized buckets
+    return (
+        F.when(rank <= big, ((rank + q) / (q + 1)).cast("long"))
+        .otherwise(r + ((rank - big + q - 1) / q).cast("long"))
+        .cast("long")
+    )

@@ -104,12 +104,6 @@ ALLOW: dict[str, tuple[set, str]] = {
         "levels), not the corpus — the corpus is touched by exactly "
         "one keyed count aggregation (vocab_coverage discipline)",
     ),
-    "decile_lift": (
-        {"gwin"},
-        "the ntile(10) ranking is a global order BY NATURE but runs "
-        "on the per-USER aggregate frame (users, not events — "
-        "vocab_coverage reduced-frame discipline)",
-    ),
     "important_parts": (
         {"bnlj"},
         "1-row global-revenue broadcast onto the per-part aggregate "
@@ -121,11 +115,6 @@ ALLOW: dict[str, tuple[set, str]] = {
         "1-row (sum, count) scalar-subquery broadcast onto customers "
         "(cross-multiplied avg threshold); the orders probe is a "
         "keyed left-anti join",
-    ),
-    "spend_gini": (
-        {"gwin"},
-        "the Gini rank window runs on the per-CUSTOMER spend "
-        "aggregate (reduced frame, vocab_coverage discipline)",
     ),
     "bm25_prebuilt": (
         {"bnlj"},
@@ -171,13 +160,6 @@ ALLOW: dict[str, tuple[set, str]] = {
         "(d structs) onto the corpus — the standard 1-row normalizer "
         "pattern (see source_mixture); the stats agg itself is keyed "
         "on pos",
-    ),
-    "vocab_coverage": (
-        {"gwin", "bnlj"},
-        "the coverage-curve ranking is a global order BY NATURE but "
-        "runs on the VOCABULARY-scale frame (distinct terms after the "
-        "count agg), not the corpus; the 1-row token-mass total "
-        "broadcasts onto it (same normalizer pattern as source_mixture)",
     ),
     "hll_distinct": (
         {"bnlj"},
