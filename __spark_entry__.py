@@ -2973,6 +2973,60 @@ GROUP BY l_returnflag
 """
 
 
+def q_kll_quantiles(spark, sf_dir):
+    """Mergeable KLL quantile sketch (operators/quantiles.py) with
+    MAP-SIDE per-(group, partition) partials — the engine-portable,
+    persistable percentile path: unlike approx_percentile (engine-
+    private bytes) the sketch is plain array<array<double>> rows that
+    any engine can merge, and the only shuffle carries the bounded
+    sketches, not the raw values. Verified by value-checking the TRUE
+    rank of each estimate: ``n_rows`` is genuinely recomputed by the
+    oracle; ``rank_err_ok`` (|rank(est) − q·n| ≤ max(1%·n, 1)) is the
+    pinned invariant (estimates themselves are partitioning-specific).
+    The rank probe is a broadcast of the groups×qs estimate table —
+    no second sort."""
+    from smartbots_etl_facturas_spark.operators.quantiles import (
+        kll_group_quantiles,
+    )
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("price")
+    )
+    qs = [0.25, 0.5, 0.75, 0.95]
+    est = kll_group_quantiles(li, "l_returnflag", "price", qs, k=256)
+    return (
+        li.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag", "q", "n")
+        .agg(
+            F.sum(F.when(F.col("price") <= F.col("est"), 1).otherwise(0))
+            .cast("long")
+            .alias("rank_of_est"),
+        )
+        .select(
+            "l_returnflag",
+            "q",
+            F.col("n").alias("n_rows"),
+            (
+                F.abs(F.col("rank_of_est") - F.col("q") * F.col("n"))
+                <= F.greatest(F.col("n") * 0.01, F.lit(1.0))
+            ).alias("rank_err_ok"),
+        )
+        .orderBy("l_returnflag", "q")
+    )
+
+
+SQL_KLL_QUANTILES = """
+SELECT l_returnflag,
+       q,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       TRUE AS rank_err_ok
+FROM lineitem
+CROSS JOIN (VALUES (0.25), (0.5), (0.75), (0.95)) AS qs(q)
+GROUP BY l_returnflag, q
+ORDER BY l_returnflag, q
+"""
+
+
 def q_summary_row_filter(spark, sf_dir):
     """P7 keyword row filter (uppercased concat match)."""
     docs = _read(spark, sf_dir, "documents")
@@ -9352,6 +9406,7 @@ _QUERIES: dict[str, Callable] = {
     "skew_salted_agg": q_skew_salted_agg,
     "group_percentiles": q_group_percentiles,
     "approx_percentile_sketch": q_approx_percentile_sketch,
+    "kll_quantiles": q_kll_quantiles,
     "pivot_status": q_pivot_status,
     "set_ops": q_set_ops,
     "nullsafe_join": q_nullsafe_join,
@@ -9483,6 +9538,7 @@ _ORACLES: dict[str, str] = {
     "skew_salted_agg": SQL_SKEW_SALTED_AGG,
     "group_percentiles": SQL_GROUP_PERCENTILES,
     "approx_percentile_sketch": SQL_APPROX_PERCENTILE_SKETCH,
+    "kll_quantiles": SQL_KLL_QUANTILES,
     "pivot_status": SQL_PIVOT_STATUS,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "hll_distinct": SQL_HLL_DISTINCT,

@@ -135,6 +135,9 @@ HEADLINE = [
     "idle_customers",
     "connected_components_star",
     "event_trigrams",
+    # round-7 additions, sf-scaled only until their first floor recording
+    "spatial_radius_join",
+    "kll_quantiles",
 ]
 
 
