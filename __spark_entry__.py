@@ -7873,6 +7873,142 @@ FROM ex, agg
 """
 
 
+_SQL_HEX12 = (
+    "((strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 17592186044416"
+    " + (strpos('0123456789abcdef', substr({h}, 2, 1)) - 1) * 1099511627776"
+    " + (strpos('0123456789abcdef', substr({h}, 3, 1)) - 1) * 68719476736"
+    " + (strpos('0123456789abcdef', substr({h}, 4, 1)) - 1) * 4294967296"
+    " + (strpos('0123456789abcdef', substr({h}, 5, 1)) - 1) * 268435456"
+    " + (strpos('0123456789abcdef', substr({h}, 6, 1)) - 1) * 16777216"
+    " + (strpos('0123456789abcdef', substr({h}, 7, 1)) - 1) * 1048576"
+    " + (strpos('0123456789abcdef', substr({h}, 8, 1)) - 1) * 65536"
+    " + (strpos('0123456789abcdef', substr({h}, 9, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr({h}, 10, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr({h}, 11, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr({h}, 12, 1)) - 1))"
+)
+
+
+def q_kmv_set_cardinality(spark, sf_dir):
+    """K-minimum-values sketch set operations (operators/sketches.py:
+    kmv_minima/kmv_set_estimates, Beyer et al. 2007): union AND
+    intersection cardinality of the urgent-priority vs high-priority
+    customer sets estimated from two 64-row hash-minima sketches.
+    The capability HLL lacks: the minima are an md5-uniform sample of
+    the distinct values, so the INTERSECTION is estimated directly
+    (shared members under the combined 64th minimum), not by
+    inclusion–exclusion. Every minima row, count and both estimates
+    are reproduced BIT-FOR-BIT by the DuckDB oracle (the estimates
+    are fixed-shape IEEE divisions of exactly-agreed integers). Plan:
+    raw custkeys never shuffle — a map-side Arrow pass keeps ≤ 64
+    unique hashes per partition, then k-row TakeOrdered merges; every
+    join in the set algebra is sketch-sized (≤ 64 rows)."""
+    from smartbots_etl_facturas_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_minima,
+        kmv_set_estimates,
+    )
+
+    orders = _read(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    ma, mb = kmv_minima(a, "o_custkey", k=64), kmv_minima(b, "o_custkey", k=64)
+    ea = kmv_estimate(ma, 64).select(
+        F.col("n_minima").alias("n_minima_a"),
+        F.col("kmv_estimate").alias("est_a"),
+    )
+    eb = kmv_estimate(mb, 64).select(
+        F.col("n_minima").alias("n_minima_b"),
+        F.col("kmv_estimate").alias("est_b"),
+    )
+    sets = kmv_set_estimates(ma, mb, k=64)
+    da, db = a.distinct(), b.distinct()
+    exact = (
+        da.unionByName(db)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_union"))
+        .crossJoin(
+            da.join(db, "o_custkey", "left_semi").agg(
+                F.count(F.lit(1)).cast("long").alias("n_exact_intersect")
+            )
+        )
+    )
+    return exact.crossJoin(ea).crossJoin(eb).crossJoin(sets).select(
+        "n_exact_union",
+        "n_exact_intersect",
+        "n_minima_a",
+        "n_minima_b",
+        "est_a",
+        "est_b",
+        "n_union_minima",
+        "union_kth_h",
+        "n_both",
+        "est_union",
+        "est_intersect",
+        (
+            F.abs(F.col("est_union") - F.col("n_exact_union"))
+            / F.col("n_exact_union").cast("double")
+            < 0.5
+        ).alias("union_err_ok"),
+        (
+            F.abs(F.col("est_intersect") - F.col("n_exact_intersect"))
+            / F.col("n_exact_intersect").cast("double")
+            < 0.5
+        ).alias("intersect_err_ok"),
+    )
+
+
+SQL_KMV_SET_CARDINALITY = f"""
+WITH da AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'),
+db AS (SELECT DISTINCT o_custkey FROM orders
+       WHERE o_orderpriority = '2-HIGH'),
+ha AS (SELECT {_SQL_HEX12.format(h="md5('kmv-v1:' || CAST(o_custkey AS VARCHAR))")} AS h
+       FROM da),
+hb AS (SELECT {_SQL_HEX12.format(h="md5('kmv-v1:' || CAST(o_custkey AS VARCHAR))")} AS h
+       FROM db),
+ma AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+mb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+mu AS (SELECT h FROM (SELECT h FROM ma UNION SELECT h FROM mb) u
+       ORDER BY h LIMIT 64),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM ma) AS n_minima_a,
+         (SELECT CAST(count(*) AS BIGINT) FROM mb) AS n_minima_b,
+         (SELECT CAST(count(*) AS BIGINT) FROM mu) AS n_union_minima,
+         (SELECT max(h) FROM mu) AS union_kth_h,
+         (SELECT CAST(count(*) AS BIGINT) FROM mu
+          WHERE h IN (SELECT h FROM ma) AND h IN (SELECT h FROM mb)) AS n_both,
+         (SELECT max(h) FROM ma) AS kth_a,
+         (SELECT max(h) FROM mb) AS kth_b),
+ests AS (
+  SELECT *,
+    CASE WHEN n_minima_a < 64 THEN CAST(n_minima_a AS DOUBLE)
+         ELSE round(CAST(63 AS DOUBLE) * 281474976710656.0
+                    / CAST(kth_a AS DOUBLE), 3) END AS est_a,
+    CASE WHEN n_minima_b < 64 THEN CAST(n_minima_b AS DOUBLE)
+         ELSE round(CAST(63 AS DOUBLE) * 281474976710656.0
+                    / CAST(kth_b AS DOUBLE), 3) END AS est_b,
+    CASE WHEN n_union_minima < 64 THEN CAST(n_union_minima AS DOUBLE)
+         ELSE round(CAST(63 AS DOUBLE) * 281474976710656.0
+                    / CAST(union_kth_h AS DOUBLE), 3) END AS est_union
+  FROM stats),
+ex AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT)
+          FROM (SELECT o_custkey FROM da UNION SELECT o_custkey FROM db) u
+         ) AS n_exact_union,
+         (SELECT CAST(count(*) AS BIGINT) FROM da
+          WHERE o_custkey IN (SELECT o_custkey FROM db)) AS n_exact_intersect)
+SELECT n_exact_union, n_exact_intersect, n_minima_a, n_minima_b,
+       est_a, est_b, n_union_minima, union_kth_h, n_both, est_union,
+       round(CAST(n_both AS DOUBLE) * est_union
+             / CAST(n_union_minima AS DOUBLE), 3) AS est_intersect,
+       (abs(est_union - n_exact_union) / CAST(n_exact_union AS DOUBLE) < 0.5)
+         AS union_err_ok,
+       (abs(round(CAST(n_both AS DOUBLE) * est_union
+                  / CAST(n_union_minima AS DOUBLE), 3) - n_exact_intersect)
+        / CAST(n_exact_intersect AS DOUBLE) < 0.5) AS intersect_err_ok
+FROM ex, ests
+"""
 
 
 def q_bfs_reach(spark, sf_dir):
@@ -9407,6 +9543,7 @@ _QUERIES: dict[str, Callable] = {
     "group_percentiles": q_group_percentiles,
     "approx_percentile_sketch": q_approx_percentile_sketch,
     "kll_quantiles": q_kll_quantiles,
+    "kmv_set_cardinality": q_kmv_set_cardinality,
     "pivot_status": q_pivot_status,
     "set_ops": q_set_ops,
     "nullsafe_join": q_nullsafe_join,
@@ -9539,6 +9676,7 @@ _ORACLES: dict[str, str] = {
     "group_percentiles": SQL_GROUP_PERCENTILES,
     "approx_percentile_sketch": SQL_APPROX_PERCENTILE_SKETCH,
     "kll_quantiles": SQL_KLL_QUANTILES,
+    "kmv_set_cardinality": SQL_KMV_SET_CARDINALITY,
     "pivot_status": SQL_PIVOT_STATUS,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "hll_distinct": SQL_HLL_DISTINCT,

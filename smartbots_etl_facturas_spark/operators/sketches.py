@@ -30,7 +30,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_registers", "hll_estimate", "cms_cells", "cms_lookup"]
+__all__ = [
+    "hll_registers",
+    "hll_estimate",
+    "cms_cells",
+    "cms_lookup",
+    "kmv_minima",
+    "kmv_estimate",
+    "kmv_set_estimates",
+]
 
 # 48-bit hashes: 12 hex chars of md5 — wide enough that rho saturation
 # is unreachable at any realistic cardinality, small enough that
@@ -162,4 +170,120 @@ def cms_lookup(
         probe_cells.join(cells, ["row", "col"], "left")
         .groupBy(key)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("cms_est"))
+    )
+
+
+def kmv_minima(
+    df: DataFrame, key: str, k: int = 64, seed: str = "kmv-v1"
+) -> DataFrame:
+    """k-minimum-values distinct sketch (Beyer et al. 2007, "On
+    synopses for distinct-value estimation under multiset
+    operations"): the k smallest DISTINCT 48-bit md5-derived hashes
+    of ``df[key]``, one ``h`` column, ≤ k rows.
+
+    What HLL cannot do and KMV can: the minima are an md5-uniform
+    SAMPLE of the distinct values, so two sketches support direct
+    INTERSECTION estimation (count shared members under the combined
+    k-th minimum) — HLL only gets there by inclusion–exclusion, whose
+    error is unbounded relative to a small intersection.
+
+    Plan shape: the hash is a pure Column (same ``_u48`` idiom as
+    HLL, so any engine reproduces the minima bit-for-bit); a map-side
+    Arrow pass keeps the k smallest unique hashes PER PARTITION
+    (bounded k rows each — the raw values never shuffle, matching the
+    64-rows-per-partition exchange discipline of ``hll_registers``),
+    then a k-row TakeOrdered merge. Merge of two sketches = union →
+    distinct → k smallest, i.e. this same tail over their union."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    hashed = df.select(_u48(F.col(key), seed).alias("h"))
+
+    def _partial(it):
+        import pandas as pd
+
+        best: set = set()
+        cap = None
+        for pdf in it:
+            for h in pdf["h"].to_numpy():
+                h = int(h)
+                if cap is not None and h >= cap:
+                    continue
+                best.add(h)
+                if len(best) > k:
+                    best.remove(max(best))
+                    cap = max(best)
+        if best:
+            yield pd.DataFrame({"h": sorted(best)})
+
+    partials = hashed.mapInPandas(_partial, "h long")
+    return partials.distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(minima: DataFrame, k: int = 64) -> DataFrame:
+    """One row ``(n_minima, kth_h, kmv_estimate)`` from a minima
+    table. With fewer than k distinct values the sketch holds ALL of
+    them and is exact (estimate = n_minima); otherwise the classic
+    unbiased estimator (k-1)·2^48 / h_k — a single IEEE division of
+    two exactly-agreed integers, rounded to 3 places (the
+    ``hll_estimate`` float discipline)."""
+    w = float(1 << HLL_BITS)
+    return minima.agg(
+        F.count(F.lit(1)).cast("long").alias("n_minima"),
+        F.max("h").alias("kth_h"),
+    ).select(
+        "n_minima",
+        "kth_h",
+        F.when(F.col("n_minima") < k, F.col("n_minima").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1)) * F.lit(w) / F.col("kth_h").cast("double"),
+                3,
+            )
+        )
+        .alias("kmv_estimate"),
+    )
+
+
+def kmv_set_estimates(
+    minima_a: DataFrame, minima_b: DataFrame, k: int = 64
+) -> DataFrame:
+    """Union / intersection cardinality estimates from two KMV
+    sketches over the SAME (k, seed): one row ``(n_union_minima,
+    union_kth_h, n_both, est_union, est_intersect)``.
+
+    K = k smallest of distinct(A ∪ B) is exactly the KMV sketch of
+    the UNION, so est_union follows from ``kmv_estimate``; within K,
+    the fraction ρ = |K ∩ A ∩ B| / |K| of members carried by BOTH
+    input sketches estimates the Jaccard similarity, and
+    est_intersect = ρ · est_union (Beyer 2007 §4). Every count is an
+    exact integer; the two estimates are fixed-shape IEEE expressions
+    an oracle engine replays bit-for-bit. All frames here are ≤ k
+    rows — the joins are sketch-sized, never data-sized."""
+    union_min = minima_a.unionByName(minima_b).distinct().orderBy("h").limit(k)
+    both = minima_a.intersect(minima_b)
+    in_both = union_min.join(both, "h", "left_semi")
+    stats = union_min.agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_minima"),
+        F.max("h").alias("union_kth_h"),
+    ).crossJoin(in_both.agg(F.count(F.lit(1)).cast("long").alias("n_both")))
+    w = float(1 << HLL_BITS)
+    est_union = F.when(
+        F.col("n_union_minima") < k, F.col("n_union_minima").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(k - 1)) * F.lit(w) / F.col("union_kth_h").cast("double"),
+            3,
+        )
+    )
+    return stats.select(
+        "n_union_minima",
+        "union_kth_h",
+        "n_both",
+        est_union.alias("est_union"),
+        F.round(
+            F.col("n_both").cast("double")
+            * est_union
+            / F.col("n_union_minima").cast("double"),
+            3,
+        ).alias("est_intersect"),
     )

@@ -177,6 +177,14 @@ ALLOW: dict[str, tuple[set, str]] = {
         "total_len) onto the matched postings — Catalyst folds the "
         "constant-key equi-join into a 1-row broadcast",
     ),
+    "kmv_set_cardinality": (
+        {"bnlj"},
+        "crossJoins of five ≤64-row sketch/count frames (two KMV "
+        "minima estimates, the union-minima set stats and two exact "
+        "1-row counts) into the single report row — every frame is "
+        "sketch-sized, the corpus is touched only by the map-side "
+        "minima passes and two distinct aggregations",
+    ),
     "join_cardinality_estimate": (
         {"bnlj"},
         "crossJoin of four ONE-ROW frames (three 64-register HLL "

@@ -100,3 +100,86 @@ def test_cms_absent_key_estimates_low(spark):
     est = cms_lookup(cells, ghost, "k", d=4, w=64).collect()
     # never-seen keys only pick up collision mass
     assert all(r.cms_est <= 2 * 2000 / 64 for r in est)
+
+
+# ---------------------------------------------------------------- KMV
+def test_kmv_exact_below_k(spark):
+    from smartbots_etl_facturas_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_minima,
+    )
+
+    df = spark.range(10).selectExpr("id % 7 AS k")  # 7 distinct
+    est = kmv_estimate(kmv_minima(df, "k", k=64), k=64).collect()[0]
+    assert est["n_minima"] == 7
+    assert est["kmv_estimate"] == 7.0  # sketch holds everything: exact
+
+
+def test_kmv_minima_bounded_sorted_distinct(spark):
+    from smartbots_etl_facturas_spark.operators.sketches import kmv_minima
+
+    df = _keys(spark, n=5000, mod=1201).repartition(8)
+    rows = [r["h"] for r in kmv_minima(df, "k", k=32).collect()]
+    assert len(rows) == 32
+    assert rows == sorted(set(rows))  # distinct, and the k SMALLEST
+
+
+def test_kmv_partition_invariant(spark):
+    from smartbots_etl_facturas_spark.operators.sketches import kmv_minima
+
+    df = _keys(spark, n=4000, mod=701)
+    a = sorted(r["h"] for r in kmv_minima(df.repartition(2), "k", 48).collect())
+    b = sorted(r["h"] for r in kmv_minima(df.repartition(13), "k", 48).collect())
+    assert a == b  # minima are a property of the SET, not the layout
+
+
+def test_kmv_estimate_accuracy(spark):
+    from smartbots_etl_facturas_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_minima,
+    )
+
+    df = _keys(spark, n=20000, mod=4999)  # 4999 distinct
+    est = kmv_estimate(kmv_minima(df, "k", k=128), k=128).collect()[0]
+    assert abs(est["kmv_estimate"] - 4999) / 4999 < 0.25
+
+
+def test_kmv_set_estimates_intersection(spark):
+    from smartbots_etl_facturas_spark.operators.sketches import (
+        kmv_minima,
+        kmv_set_estimates,
+    )
+
+    a = spark.range(3000).selectExpr("id AS k")          # 0..2999
+    b = spark.range(1500, 5000).selectExpr("id AS k")    # 1500..4999
+    ma, mb = kmv_minima(a, "k", 128), kmv_minima(b, "k", 128)
+    row = kmv_set_estimates(ma, mb, k=128).collect()[0]
+    assert row["n_union_minima"] == 128
+    # true union 5000, true intersection 1500
+    assert abs(row["est_union"] - 5000) / 5000 < 0.3
+    assert abs(row["est_intersect"] - 1500) / 1500 < 0.45
+
+
+def test_kmv_merge_equals_rebuild(spark):
+    from smartbots_etl_facturas_spark.operators.sketches import kmv_minima
+
+    a = spark.range(2000).selectExpr("id AS k")
+    b = spark.range(1000, 4000).selectExpr("id AS k")
+    ma, mb = kmv_minima(a, "k", 64), kmv_minima(b, "k", 64)
+    merged = sorted(
+        r["h"]
+        for r in ma.unionByName(mb).distinct().orderBy("h").limit(64).collect()
+    )
+    rebuilt = sorted(
+        r["h"] for r in kmv_minima(a.unionByName(b), "k", 64).collect()
+    )
+    assert merged == rebuilt  # union of sketches == sketch of union
+
+
+def test_kmv_rejects_tiny_k(spark):
+    import pytest as _pytest
+
+    from smartbots_etl_facturas_spark.operators.sketches import kmv_minima
+
+    with _pytest.raises(ValueError):
+        kmv_minima(spark.range(5), "id", k=1)
