@@ -7873,6 +7873,107 @@ FROM ex, agg
 """
 
 
+_KLL_STATE_CACHE: dict[str, str] = {}
+
+
+def ensure_kll_state(spark, sf_dir: str) -> str:
+    """Build-once half of the incremental-quantile split: persist the
+    per-(group, partition) KLL partials of the standing lineitem
+    corpus (l_orderkey % 10 != 0) through the versioned sink, once
+    per process. The partials table IS the durable state a
+    percentile service keeps between ingest batches — O(groups ×
+    partitions) sketch rows at any corpus size, each O(k·log(n/k))
+    doubles."""
+    base = _KLL_STATE_CACHE.get(sf_dir)
+    if base is None:
+        from smartbots_etl_facturas_spark.operators.quantiles import (
+            kll_group_partials,
+        )
+        from smartbots_etl_facturas_spark.sinks.staged import publish
+
+        base = _scratch_dir("kll_state_")
+        corpus = (
+            _read(spark, sf_dir, "lineitem")
+            .filter(F.col("l_orderkey") % 10 != 0)
+            .select(
+                "l_returnflag",
+                F.col("l_extendedprice").cast("double").alias("price"),
+            )
+        )
+        publish(kll_group_partials(corpus, "l_returnflag", "price", k=256), base)
+        _KLL_STATE_CACHE[sf_dir] = base
+    return base
+
+
+def q_kll_incremental(spark, sf_dir):
+    """Incremental percentile maintenance against PERSISTED sketch
+    state (operators/quantiles.py): the stored KLL partials table
+    (published once by ensure_kll_state) unions with the freshly-
+    arriving batch's partials — touching ONLY the sketch rows and the
+    delta, never re-reading the corpus — and the merged estimates are
+    rank-checked against the FULL corpus exactly like kll_quantiles:
+    the oracle recomputes true per-group row counts and the pinned
+    invariant is |rank(est) − q·n| ≤ max(1%·n, 1). Delta partials get
+    a disjoint __pid range so the pinned merge order stays total.
+    The quantile member of the persisted-state family
+    (hll_incremental / minhash_incremental / ann_pq_prebuilt)."""
+    from smartbots_etl_facturas_spark.operators.quantiles import (
+        kll_group_partials,
+        kll_group_quantiles,
+    )
+    from smartbots_etl_facturas_spark.sinks.staged import read_published
+
+    base = ensure_kll_state(spark, sf_dir)
+    stored = read_published(spark, base)
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("price"),
+    )
+    delta = li.filter(F.col("l_orderkey") % 10 == 0).select(
+        "l_returnflag", "price"
+    )
+    delta_partials = kll_group_partials(delta, "l_returnflag", "price", k=256)
+    partials = stored.unionByName(
+        delta_partials.withColumn("__pid", F.col("__pid") + F.lit(1_000_000))
+    )
+    qs = [0.25, 0.5, 0.75, 0.95]
+    est = kll_group_quantiles(
+        li, "l_returnflag", "price", qs, k=256, partials=partials
+    )
+    return (
+        li.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag", "q", "n")
+        .agg(
+            F.sum(F.when(F.col("price") <= F.col("est"), 1).otherwise(0))
+            .cast("long")
+            .alias("rank_of_est"),
+        )
+        .select(
+            "l_returnflag",
+            "q",
+            F.col("n").alias("n_rows"),
+            (
+                F.abs(F.col("rank_of_est") - F.col("q") * F.col("n"))
+                <= F.greatest(F.col("n") * 0.01, F.lit(1.0))
+            ).alias("rank_err_ok"),
+        )
+        .orderBy("l_returnflag", "q")
+    )
+
+
+SQL_KLL_INCREMENTAL = """
+SELECT l_returnflag,
+       q,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       TRUE AS rank_err_ok
+FROM lineitem
+CROSS JOIN (VALUES (0.25), (0.5), (0.75), (0.95)) AS qs(q)
+GROUP BY l_returnflag, q
+ORDER BY l_returnflag, q
+"""
+
+
 _SQL_HEX12 = (
     "((strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 17592186044416"
     " + (strpos('0123456789abcdef', substr({h}, 2, 1)) - 1) * 1099511627776"
@@ -9544,6 +9645,7 @@ _QUERIES: dict[str, Callable] = {
     "approx_percentile_sketch": q_approx_percentile_sketch,
     "kll_quantiles": q_kll_quantiles,
     "kmv_set_cardinality": q_kmv_set_cardinality,
+    "kll_incremental": q_kll_incremental,
     "pivot_status": q_pivot_status,
     "set_ops": q_set_ops,
     "nullsafe_join": q_nullsafe_join,
@@ -9677,6 +9779,7 @@ _ORACLES: dict[str, str] = {
     "approx_percentile_sketch": SQL_APPROX_PERCENTILE_SKETCH,
     "kll_quantiles": SQL_KLL_QUANTILES,
     "kmv_set_cardinality": SQL_KMV_SET_CARDINALITY,
+    "kll_incremental": SQL_KLL_INCREMENTAL,
     "pivot_status": SQL_PIVOT_STATUS,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "hll_distinct": SQL_HLL_DISTINCT,

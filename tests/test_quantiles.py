@@ -154,3 +154,45 @@ class TestKllSpark:
         # q=0.5 of [1,3]: rank target 1 -> smallest with cum>=1 -> 1.0
         assert got["a"] == (2, 1.0)
         assert "b" not in got
+
+
+    def test_incremental_partials_merge_rank_valid(self, spark, sf_dir):
+        """Persisted-state split: partials(corpus) ∪ partials(delta)
+        probed together must rank-match the union corpus — the
+        kll_incremental contract (delta pids offset to keep the
+        merge order total)."""
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey",
+            "l_returnflag",
+            F.col("l_extendedprice").cast("double").alias("v"),
+        )
+        corpus = li.filter(F.col("l_orderkey") % 10 != 0).select(
+            "l_returnflag", "v"
+        )
+        delta = li.filter(F.col("l_orderkey") % 10 == 0).select(
+            "l_returnflag", "v"
+        )
+        pa = kll_group_partials(corpus, "l_returnflag", "v", k=128)
+        pb = kll_group_partials(delta, "l_returnflag", "v", k=128).withColumn(
+            "__pid", F.col("__pid") + F.lit(1_000_000)
+        )
+        est = kll_group_quantiles(
+            li,
+            "l_returnflag",
+            "v",
+            [0.5, 0.9],
+            k=128,
+            partials=pa.unionByName(pb),
+        ).collect()
+        import bisect
+
+        by_key = {}
+        for r in li.collect():
+            by_key.setdefault(r["l_returnflag"], []).append(r["v"])
+        for key in by_key:
+            by_key[key].sort()
+        for r in est:
+            vals = by_key[r["l_returnflag"]]
+            assert r["n"] == len(vals)
+            rank = bisect.bisect_right(vals, r["est"])
+            assert abs(rank - r["q"] * len(vals)) <= max(0.01 * len(vals), 1.0)
