@@ -47,7 +47,7 @@ from smartbots_etl_facturas_spark.operators.sketches import (
     hll_registers,
 )
 
-__all__ = ["SketchAccumulator"]
+__all__ = ["SketchAccumulator", "QuantileAccumulator"]
 
 
 class SketchAccumulator:
@@ -144,3 +144,109 @@ class SketchAccumulator:
         self._seen.add(batch_id)
         if self.state_dir:
             self._persist()
+
+
+class QuantileAccumulator:
+    """foreachBatch hook maintaining per-group KLL quantile sketches
+    (operators/quantiles.py) as stream state — the quantile member of
+    the streaming-sketch family above. Per micro-batch: build the
+    bounded per-(group, partition) partials MAP-SIDE (the raw values
+    never leave their executors), collect the sketch rows (O(groups ×
+    partitions × k·log n) doubles — metadata, not data) and fold them
+    into the running per-group compactor hierarchies.
+
+    Exactness contract: the deterministic KLL merge is sequential,
+    not commutative, so the stream-final sketch is pinned to the
+    BATCH path that merges the same per-batch partials in (batch id,
+    partition id) order — i.e. ``kll_group_quantiles(partials=union
+    of per-batch partials with batch-offset __pid)`` reproduces the
+    stream state bit-for-bit (tests/test_streaming.py). The
+    rank-error bound eps·n holds regardless of slicing (each merge
+    round obeys the compaction error budget), which is what callers
+    consume.
+
+    Durable exactly-once: with ``state_dir`` the per-group sketches
+    and seen batch ids persist as one atomically-replaced JSON
+    snapshot after each merge — the SketchAccumulator recovery
+    discipline, so post-restart redelivery is a no-op."""
+
+    def __init__(
+        self,
+        key: str,
+        value: str,
+        k: int = 256,
+        state_dir: str | None = None,
+    ):
+        from smartbots_etl_facturas_spark.operators.quantiles import KllSketch
+
+        self._sketch_cls = KllSketch
+        self.key, self.value, self.k = key, value, int(k)
+        self.groups: dict = {}
+        self._seen: set[int] = set()
+        self.state_dir = state_dir
+        if state_dir:
+            self._load()
+
+    def _state_path(self) -> str:
+        return os.path.join(self.state_dir, "quantile_state.json")
+
+    def _load(self) -> None:
+        path = self._state_path()
+        if not os.path.exists(path):
+            return
+        with open(path) as fh:
+            st = json.load(fh)
+        if st["k"] != self.k:
+            raise ValueError(
+                f"persisted quantile state at {path} was built with "
+                f"k={st['k']}, not k={self.k} — sketches with different "
+                "k are not mergeable"
+            )
+        self.groups = {
+            g: self._sketch_cls.from_row(self.k, n, levels)
+            for g, (n, levels) in st["groups"].items()
+        }
+        self._seen = set(st["seen"])
+
+    def _persist(self) -> None:
+        os.makedirs(self.state_dir, exist_ok=True)
+        staged = self._state_path() + ".staging"
+        with open(staged, "w") as fh:
+            json.dump(
+                {
+                    "k": self.k,
+                    "groups": {
+                        str(g): list(s.to_row())
+                        for g, s in sorted(self.groups.items())
+                    },
+                    "seen": sorted(self._seen),
+                },
+                fh,
+            )
+        os.replace(staged, self._state_path())
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from smartbots_etl_facturas_spark.operators.quantiles import (
+            kll_group_partials,
+        )
+
+        if batch_id in self._seen:  # redelivery (same process OR restart)
+            return
+        rows = kll_group_partials(
+            batch_df, self.key, self.value, self.k
+        ).collect()
+        # (group, __pid) order pins the sequential merge — identical
+        # to the batch merge over batch-offset __pid partials
+        for r in sorted(rows, key=lambda r: (str(r[self.key]), r["__pid"])):
+            delta = self._sketch_cls.from_row(self.k, r["n"], r["levels"])
+            cur = self.groups.get(str(r[self.key]))
+            if cur is None:
+                self.groups[str(r[self.key])] = delta
+            else:
+                cur.merge(delta)
+        self._seen.add(batch_id)
+        if self.state_dir:
+            self._persist()
+
+    def quantile(self, group, q: float) -> float:
+        return self.groups[str(group)].quantile(q)

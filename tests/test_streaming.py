@@ -1083,3 +1083,115 @@ def test_sketch_state_shape_mismatch_rejected(spark, tmp_path):
     acc(spark.range(10).select(F.col("id").alias("user_id")), batch_id=0)
     with pytest.raises(ValueError, match="not mergeable"):
         SketchAccumulator(key="user_id", p=7, d=4, w=256, state_dir=state)
+
+
+def test_quantile_stream_rank_valid_and_bounded(spark, tmp_path):
+    """Streaming KLL quantiles (streaming/sketches.py:
+    QuantileAccumulator): drain a keyed value stream one file per
+    micro-batch; the final per-group sketches must carry EXACT group
+    counts, satisfy the 1% rank-error contract against the union of
+    all data, and hold bounded state (compactor levels, not rows)."""
+    import bisect
+
+    from smartbots_etl_facturas_spark.streaming.sketches import (
+        QuantileAccumulator,
+    )
+
+    src = str(tmp_path / "kq-src")
+    ckpt = str(tmp_path / "kq-ckpt")
+    for i in range(4):
+        (spark.range(i * 500, i * 500 + 700)
+         .selectExpr("CAST(id % 3 AS STRING) AS g",
+                     "CAST((id * 48271) % 99991 AS DOUBLE) AS v")
+         .coalesce(1).write.mode("append").parquet(src))
+
+    acc = QuantileAccumulator(key="g", value="v", k=128)
+    q = (spark.readStream.schema("g string, v double")
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.foreachBatch(acc)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert len(acc._seen) >= 2, "expected multiple micro-batches"
+
+    by_g = {}
+    for r in spark.read.parquet(src).collect():
+        by_g.setdefault(r["g"], []).append(r["v"])
+    for g, vals in by_g.items():
+        vals.sort()
+        sk = acc.groups[g]
+        assert sk.n == len(vals)  # exact counts survive slicing
+        assert sum(len(l) for l in sk.levels) <= 128 * 25  # bounded
+        for qq in (0.1, 0.5, 0.9):
+            rank = bisect.bisect_right(vals, acc.quantile(g, qq))
+            assert abs(rank - qq * len(vals)) <= max(0.01 * len(vals), 1.0)
+
+
+def test_quantile_fold_matches_batch_partials_merge(spark):
+    """The QuantileAccumulator fold is BIT-IDENTICAL to the batch
+    path over the same per-batch partials with batch-offset __pid —
+    the kll_incremental merge-order contract carried into streaming:
+    slicing is visible only as partial boundaries, which the pinned
+    (batch, pid) merge order reproduces exactly."""
+    from smartbots_etl_facturas_spark.operators.quantiles import (
+        kll_group_partials,
+        kll_group_quantiles,
+    )
+    from smartbots_etl_facturas_spark.streaming.sketches import (
+        QuantileAccumulator,
+    )
+
+    batches = [
+        spark.range(i * 1000, i * 1000 + 1300).selectExpr(
+            "CAST(id % 2 AS STRING) AS g",
+            "CAST((id * 69621) % 65521 AS DOUBLE) AS v",
+        )
+        for i in range(3)
+    ]
+    acc = QuantileAccumulator(key="g", value="v", k=64)
+    for i, b in enumerate(batches):
+        acc(b, batch_id=i)
+
+    union_partials = None
+    for i, b in enumerate(batches):
+        p = kll_group_partials(b, "g", "v", k=64).withColumn(
+            "__pid", F.col("__pid") + F.lit(i * 1_000_000)
+        )
+        union_partials = p if union_partials is None else union_partials.unionByName(p)
+    est = kll_group_quantiles(
+        batches[0], "g", "v", [0.25, 0.5, 0.75], k=64, partials=union_partials
+    ).collect()
+    for r in est:
+        assert r["n"] == acc.groups[r["g"]].n
+        assert r["est"] == acc.quantile(r["g"], r["q"])  # bit-identical
+
+
+def test_quantile_accumulator_restart_redelivery(spark, tmp_path):
+    """Durable exactly-once for the quantile stream state: fresh
+    accumulator + same state_dir reloads sketches and seen ids; a
+    redelivered batch after the restart is a no-op; k mismatch on
+    reload fails fast."""
+    import pytest as _pytest
+
+    from smartbots_etl_facturas_spark.streaming.sketches import (
+        QuantileAccumulator,
+    )
+
+    state = str(tmp_path / "kq-state")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "CAST(id % 2 AS STRING) AS g", "CAST(id AS DOUBLE) AS v"
+    )
+    acc = QuantileAccumulator(key="g", value="v", k=64, state_dir=state)
+    acc(mk(0, 400), batch_id=0)
+    acc(mk(300, 800), batch_id=1)
+
+    acc2 = QuantileAccumulator(key="g", value="v", k=64, state_dir=state)
+    assert acc2._seen == {0, 1}
+    before = {g: s.to_row() for g, s in acc2.groups.items()}
+    acc2(mk(300, 800), batch_id=1)  # post-restart redelivery
+    assert {g: s.to_row() for g, s in acc2.groups.items()} == before
+    acc2(mk(800, 1000), batch_id=2)
+    assert acc2.groups["0"].n + acc2.groups["1"].n == 400 + 500 + 200
+
+    with _pytest.raises(ValueError):
+        QuantileAccumulator(key="g", value="v", k=128, state_dir=state)
