@@ -9526,6 +9526,491 @@ WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 600 * 600
 
 # --- contract ---------------------------------------------------------------
 
+# --- round-7 batch 2: profiling, drift, scale-first ranking ---------------
+
+
+def q_topk_two_pass(spark, sf_dir):
+    """Top-3 lineitems by price per supplier via the two-pass bounded
+    top-k (operators/ranking.py:topk_per_group): local prune keyed by
+    (group, source partition) spreads hot groups, then the global
+    pass sorts only the k*n_partitions survivors per group — no full
+    group ever sorts on one task. The window_rank query is the naive
+    single-window formulation; this is its 100 TB-shaped rewrite,
+    oracle-checked to the identical SQL semantics."""
+    from smartbots_etl_facturas_spark.operators.ranking import topk_per_group
+
+    li = _read(spark, sf_dir, "lineitem")
+    out = topk_per_group(
+        li,
+        ["l_suppkey"],
+        [F.desc("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
+        3,
+        rank_col="rn",
+    )
+    return out.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("rn").cast("long").alias("rn"),
+    )
+
+
+SQL_TOPK_TWO_PASS = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(l_extendedprice AS DOUBLE) AS price,
+       CAST(rn AS BIGINT) AS rn
+FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_suppkey
+                                ORDER BY l_extendedprice DESC,
+                                         l_orderkey, l_linenumber) AS rn
+      FROM lineitem)
+WHERE rn <= 3
+"""
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index of the order-price distribution,
+    early era (<=1997) vs late: per-bin counts + PSI contribution
+    (operators/drift.py:psi_bins). Count-exact until one final
+    per-bin double expression; 1-row broadcast normalizer, no
+    window."""
+    from smartbots_etl_facturas_spark.operators.drift import psi_bins
+
+    orders = _read(spark, sf_dir, "orders")
+    return psi_bins(
+        orders,
+        "o_totalprice",
+        F.year("o_orderdate") <= F.lit(1997),
+        lo=0.0,
+        hi=500000.0,
+        nbins=10,
+    )
+
+
+SQL_PSI_DRIFT = """
+WITH binned AS (
+  SELECT least(greatest(CAST(floor((o_totalprice - 0.0) / 50000.0)
+                        AS BIGINT), 0), 9) AS bin,
+         CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END AS a
+  FROM orders),
+counts AS (
+  SELECT r.range AS bin,
+         CAST(COALESCE(sum(b.a), 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(sum(1 - b.a), 0) AS BIGINT) AS n_b
+  FROM range(10) r LEFT JOIN binned b ON b.bin = r.range
+  GROUP BY 1),
+tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+               CAST(sum(n_b) AS BIGINT) AS tot_b FROM counts)
+SELECT bin, n_a, n_b,
+       round((greatest(CAST(n_a AS DOUBLE), 0.5) / tot_a
+              - greatest(CAST(n_b AS DOUBLE), 0.5) / tot_b)
+             * ln((greatest(CAST(n_a AS DOUBLE), 0.5) / tot_a)
+                  / (greatest(CAST(n_b AS DOUBLE), 0.5) / tot_b)), 9)
+         AS psi_contrib
+FROM counts CROSS JOIN tot
+"""
+
+
+def q_chi_square_cells(spark, sf_dir):
+    """Chi-square contingency cells of order priority x status
+    (operators/drift.py:chi_square_cells): observed / expected /
+    per-cell contribution, all derived from exact long totals so the
+    oracle reproduces every double bit-for-bit before the round."""
+    from smartbots_etl_facturas_spark.operators.drift import chi_square_cells
+
+    orders = _read(spark, sf_dir, "orders")
+    return chi_square_cells(orders, "o_orderpriority", "o_orderstatus")
+
+
+SQL_CHI_SQUARE_CELLS = """
+WITH cells AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y,
+         CAST(count(*) AS BIGINT) AS observed
+  FROM orders GROUP BY 1, 2),
+rt AS (SELECT x, CAST(sum(observed) AS BIGINT) AS rt FROM cells GROUP BY 1),
+ct AS (SELECT y, CAST(sum(observed) AS BIGINT) AS ct FROM cells GROUP BY 1),
+g AS (SELECT CAST(sum(observed) AS BIGINT) AS g FROM cells)
+SELECT c.x, c.y, c.observed,
+       round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(g AS DOUBLE), 9)
+         AS expected,
+       round(pow(CAST(c.observed AS DOUBLE)
+                 - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                   / CAST(g AS DOUBLE), 2)
+             / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                / CAST(g AS DOUBLE)), 9) AS chi2_contrib
+FROM cells c JOIN rt ON c.x = rt.x JOIN ct ON c.y = ct.y CROSS JOIN g
+"""
+
+
+def q_fd_violations(spark, sf_dir):
+    """Functional-dependency discovery (operators/profile.py:
+    fd_violations): every nation key whose customers span more than
+    one market segment — the DISCOVERY direction of the reference's
+    fixed-rule validation (src/domain/validators.py). One hash
+    aggregation; output bounded by violating keys."""
+    from smartbots_etl_facturas_spark.operators.profile import fd_violations
+
+    cust = _read(spark, sf_dir, "customer")
+    return fd_violations(cust, "c_nationkey", "c_mktsegment")
+
+
+SQL_FD_VIOLATIONS = """
+SELECT c_nationkey AS lhs,
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_rhs_values,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(c_mktsegment) AS VARCHAR) AS rhs_min,
+       CAST(max(c_mktsegment) AS VARCHAR) AS rhs_max
+FROM customer
+GROUP BY 1
+HAVING count(DISTINCT c_mktsegment) > 1
+"""
+
+
+def q_column_profile(spark, sf_dir):
+    """One-scan dataset profile of the orders table
+    (operators/profile.py:column_profile): null count, exact distinct
+    count, min/max per column as a tidy frame — all statistics are
+    expressions of a SINGLE agg(), not a per-column scan loop."""
+    from smartbots_etl_facturas_spark.operators.profile import column_profile
+
+    orders = _read(spark, sf_dir, "orders")
+    return column_profile(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderpriority"],
+    )
+
+
+SQL_COLUMN_PROFILE = """
+SELECT 'o_orderkey' AS col_name,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_custkey',
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus',
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+       CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_totalprice) AS BIGINT),
+       CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+       CAST(min(o_orderpriority) AS VARCHAR),
+       CAST(max(o_orderpriority) AS VARCHAR)
+FROM orders
+"""
+
+
+def q_acf_daily_orders(spark, sf_dir):
+    """Autocorrelation (lags 1-3) of the daily order-count series
+    (operators/timeseries.py:acf_lags). The lag join is a shifted
+    equi-join on the integer day axis — never a global window — and
+    the five sufficient statistics are exact LONG sums, so the single
+    final double per lag is bit-portable to the oracle."""
+    from smartbots_etl_facturas_spark.operators.timeseries import acf_lags
+
+    orders = _read(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return acf_lags(daily, "d", "cnt", [1, 2, 3])
+
+
+SQL_ACF_DAILY_ORDERS = """
+WITH s AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS t,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+p AS (
+  SELECT l.lag_k, a.x AS x, b.x AS y
+  FROM (VALUES (1), (2), (3)) l(lag_k)
+  JOIN s a ON TRUE
+  JOIN s b ON b.t = a.t + l.lag_k),
+agg AS (
+  SELECT CAST(lag_k AS BIGINT) AS lag_k,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM p GROUP BY 1)
+SELECT lag_k, n_pairs,
+       round((CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n_pairs AS DOUBLE) * syy - sy * sy)), 9) AS acf
+FROM agg
+"""
+
+
+# --- round-7 batch 3: statistical profiling at scale -----------------------
+
+
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation of the four lineitem measures in
+    ONE scan (operators/profile.py:corr_matrix): every sufficient
+    statistic is an exact integer sum (cents-scaled inputs, LONG
+    products, DECIMAL(38,0) accumulation — bit-equal to DuckDB's
+    128-bit sums), map-side partial aggregation reduces each
+    partition to one stats row, and the pair unpivot is F.inline on
+    the 1-row result. Pearson is scale-invariant, so the cents
+    correlation IS the dollars correlation."""
+    from smartbots_etl_facturas_spark.operators.profile import corr_matrix
+
+    li = _read(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    return corr_matrix(
+        li,
+        {
+            "qty": cents("l_quantity"),
+            "price": cents("l_extendedprice"),
+            "disc": cents("l_discount"),
+            "tax": cents("l_tax"),
+        },
+    )
+
+
+SQL_CORR_MATRIX = """
+WITH v AS (
+  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+         CAST(round(l_discount * 100) AS BIGINT) AS d,
+         CAST(round(l_tax * 100) AS BIGINT) AS t
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(q) AS sq, sum(p) AS sp, sum(d) AS sd, sum(t) AS st,
+         sum(q * q) AS sqq, sum(p * p) AS spp,
+         sum(d * d) AS sdd, sum(t * t) AS stt,
+         sum(q * p) AS sqp, sum(q * d) AS sqd, sum(q * t) AS sqt,
+         sum(p * d) AS spd, sum(p * t) AS spt, sum(d * t) AS sdt
+  FROM v)
+SELECT 'qty' AS col_x, 'price' AS col_y, n,
+       round((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+              - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                     - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                       - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 9)
+         AS corr FROM s
+UNION ALL
+SELECT 'qty', 'disc', n,
+       round((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE)
+              - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                     - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                       - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 9)
+  FROM s
+UNION ALL
+SELECT 'qty', 'tax', n,
+       round((CAST(n AS DOUBLE) * CAST(sqt AS DOUBLE)
+              - CAST(sq AS DOUBLE) * CAST(st AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                     - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                       - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))), 9)
+  FROM s
+UNION ALL
+SELECT 'price', 'disc', n,
+       round((CAST(n AS DOUBLE) * CAST(spd AS DOUBLE)
+              - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                     - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                       - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 9)
+  FROM s
+UNION ALL
+SELECT 'price', 'tax', n,
+       round((CAST(n AS DOUBLE) * CAST(spt AS DOUBLE)
+              - CAST(sp AS DOUBLE) * CAST(st AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                     - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                       - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))), 9)
+  FROM s
+UNION ALL
+SELECT 'disc', 'tax', n,
+       round((CAST(n AS DOUBLE) * CAST(sdt AS DOUBLE)
+              - CAST(sd AS DOUBLE) * CAST(st AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                     - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                       - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))), 9)
+  FROM s
+"""
+
+
+def q_categorical_entropy(spark, sf_dir):
+    """Per-category Shannon-entropy contributions of the two orders
+    enum columns (operators/profile.py:categorical_entropy): one
+    generator unpivot (no shuffle) + ONE hash aggregation; the
+    per-column totals re-aggregate the category-scale counts frame
+    and return via broadcast. Summing a column's h_contrib gives its
+    entropy; each double is a single expression over exact longs."""
+    from smartbots_etl_facturas_spark.operators.profile import (
+        categorical_entropy,
+    )
+
+    orders = _read(spark, sf_dir, "orders")
+    return categorical_entropy(orders, ["o_orderstatus", "o_orderpriority"])
+
+
+SQL_CATEGORICAL_ENTROPY = """
+WITH u AS (
+  SELECT 'o_orderstatus' AS col_name, CAST(o_orderstatus AS VARCHAR) AS value
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders),
+c AS (
+  SELECT col_name, value, CAST(count(*) AS BIGINT) AS cnt
+  FROM u WHERE value IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT col_name, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1)
+SELECT c.col_name, c.value, c.cnt,
+       round(-(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS h_contrib
+FROM c JOIN t USING (col_name)
+"""
+
+
+def q_mi_cells(spark, sf_dir):
+    """Mutual-information contributions per (priority, status) cell
+    (operators/drift.py:mi_cells) — the dependence measure paired
+    with chi_square_cells, same bounded plan: one cells aggregation,
+    broadcast margins, 1-row grand-total normalizer. Sum of
+    mi_contrib = I(X;Y)."""
+    from smartbots_etl_facturas_spark.operators.drift import mi_cells
+
+    orders = _read(spark, sf_dir, "orders")
+    return mi_cells(orders, "o_orderpriority", "o_orderstatus")
+
+
+SQL_MI_CELLS = """
+WITH cells AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y,
+         CAST(count(*) AS BIGINT) AS n_xy
+  FROM orders GROUP BY 1, 2),
+rt AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS nx FROM cells GROUP BY 1),
+ct AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS ny FROM cells GROUP BY 1),
+g AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cells)
+SELECT c.x, c.y, c.n_xy,
+       round((CAST(c.n_xy AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(n AS DOUBLE) * CAST(c.n_xy AS DOUBLE)
+                  / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))), 9)
+         AS mi_contrib
+FROM cells c JOIN rt ON c.x = rt.x JOIN ct ON c.y = ct.y CROSS JOIN g
+"""
+
+
+def q_key_skew_topk(spark, sf_dir):
+    """Heavy-hitter profile of lineitem's supplier key
+    (operators/skew.py:key_skew_profile): top-20 keys by row count
+    with table share — the measurement behind auto_salt_buckets and
+    broadcast decisions. groupBy+count is map-side-combined
+    (skew-safe on the frame that measures skew), top-k is
+    TakeOrdered (per-partition heap, never a global sort), share via
+    1-row broadcast normalizer."""
+    from smartbots_etl_facturas_spark.operators.skew import key_skew_profile
+
+    li = _read(spark, sf_dir, "lineitem")
+    return key_skew_profile(li, "l_suppkey", 20)
+
+
+SQL_KEY_SKEW_TOPK = """
+WITH c AS (
+  SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+SELECT key, cnt,
+       round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 9) AS share
+FROM c CROSS JOIN t
+ORDER BY cnt DESC, key
+LIMIT 20
+"""
+
+
+def q_frequent_pairs(spark, sf_dir):
+    """Market-basket mining: top-25 part pairs co-ordered in the same
+    order (operators/baskets.py:frequent_pairs). ONE shuffle builds
+    sorted distinct per-order item arrays; pair generation is a
+    pure-Column generator bounded by basket size (never a self-join
+    of the fact); the cut is TakeOrdered with key tie-breaks."""
+    from smartbots_etl_facturas_spark.operators.baskets import frequent_pairs
+
+    li = _read(spark, sf_dir, "lineitem")
+    return frequent_pairs(li, "l_orderkey", "l_partkey", 25)
+
+
+SQL_FREQUENT_PAIRS = """
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem)
+SELECT a.item AS item_a, c.item AS item_b,
+       CAST(count(*) AS BIGINT) AS support
+FROM b a JOIN b c ON a.bk = c.bk AND a.item < c.item
+GROUP BY 1, 2
+ORDER BY support DESC, item_a, item_b
+LIMIT 25
+"""
+
+
+def q_seasonal_dow(spark, sf_dir):
+    """Day-of-week seasonal index of order volume
+    (operators/timeseries.py:seasonal_index): one 7-row hash
+    aggregation + 1-row broadcast normalizer. The dow axis is pure
+    integer arithmetic on days-since-epoch ((d+3)%7, 0=Monday) so
+    both engines compute the identical period with no calendar-API
+    divergence."""
+    from smartbots_etl_facturas_spark.operators.timeseries import (
+        seasonal_index,
+    )
+
+    orders = _read(spark, sf_dir, "orders")
+    dow = (
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        + 3
+    ) % 7
+    return seasonal_index(orders, dow.cast("long"), 7)
+
+
+SQL_SEASONAL_DOW = """
+WITH c AS (
+  SELECT CAST((date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) + 3) % 7 AS BIGINT)
+           AS period,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+SELECT period, cnt,
+       round(CAST(cnt AS DOUBLE) * 7.0 / CAST(total AS DOUBLE), 9)
+         AS seas_index
+FROM c CROSS JOIN t
+"""
+
+
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship_consolidation(spark, "/root/testdata/sf0.001")
@@ -9568,6 +10053,18 @@ _QUERIES: dict[str, Callable] = {
     "connected_components_star": q_connected_components_star,
     "event_trigrams": q_event_trigrams,
     "spatial_radius_join": q_spatial_radius_join,
+    "topk_two_pass": q_topk_two_pass,
+    "psi_drift": q_psi_drift,
+    "chi_square_cells": q_chi_square_cells,
+    "fd_violations": q_fd_violations,
+    "column_profile": q_column_profile,
+    "acf_daily_orders": q_acf_daily_orders,
+    "corr_matrix": q_corr_matrix,
+    "categorical_entropy": q_categorical_entropy,
+    "mi_cells": q_mi_cells,
+    "key_skew_topk": q_key_skew_topk,
+    "frequent_pairs": q_frequent_pairs,
+    "seasonal_dow": q_seasonal_dow,
     "xlsx_datasource_scan": q_xlsx_datasource_scan,
     "relational_division": q_relational_division,
     "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -9926,6 +10423,18 @@ _ORACLES: dict[str, str] = {
     "connected_components_star": SQL_CONNECTED_COMPONENTS,
     "event_trigrams": SQL_EVENT_TRIGRAMS,
     "spatial_radius_join": SQL_SPATIAL_RADIUS_JOIN,
+    "topk_two_pass": SQL_TOPK_TWO_PASS,
+    "psi_drift": SQL_PSI_DRIFT,
+    "chi_square_cells": SQL_CHI_SQUARE_CELLS,
+    "fd_violations": SQL_FD_VIOLATIONS,
+    "column_profile": SQL_COLUMN_PROFILE,
+    "acf_daily_orders": SQL_ACF_DAILY_ORDERS,
+    "corr_matrix": SQL_CORR_MATRIX,
+    "categorical_entropy": SQL_CATEGORICAL_ENTROPY,
+    "mi_cells": SQL_MI_CELLS,
+    "key_skew_topk": SQL_KEY_SKEW_TOPK,
+    "frequent_pairs": SQL_FREQUENT_PAIRS,
+    "seasonal_dow": SQL_SEASONAL_DOW,
     # ann_lsh / ann_ivf / ann_pq / ann_pq_prebuilt / minhash_lsh_pairs
     # / minhash_incremental / simhash_docs / bpe_merges: intentionally
     # no oracle (approximate, iterative, or

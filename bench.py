@@ -138,6 +138,19 @@ HEADLINE = [
     # round-7 additions, sf-scaled only until their first floor recording
     "spatial_radius_join",
     "kll_quantiles",
+    "kmv_set_cardinality",
+    "topk_two_pass",
+    "psi_drift",
+    "chi_square_cells",
+    "fd_violations",
+    "column_profile",
+    "acf_daily_orders",
+    "corr_matrix",
+    "categorical_entropy",
+    "mi_cells",
+    "key_skew_topk",
+    "frequent_pairs",
+    "seasonal_dow",
 ]
 
 

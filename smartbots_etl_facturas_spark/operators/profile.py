@@ -1,0 +1,200 @@
+"""Dataset profiling and data-quality discovery operators.
+
+The reference validates invoices against a FIXED rule table
+(src/domain/validators.py); production data work also needs the
+DISCOVERY direction — profile an unfamiliar table and find where its
+implicit contracts break. Two operators:
+
+``column_profile``: per-column null rate / distinct count / min /
+max in ONE scan. The naive per-column loop (`for c in cols:
+df.select(...)`) is N full scans; here every statistic is an
+aggregate expression in a single ``agg()`` so Spark computes all of
+them in one pass with map-side partial aggregation, then the 1-row
+result is unpivoted driver-side (column-count-scale, not data-scale)
+into a tidy (col_name, stat...) frame.
+
+``fd_violations``: functional-dependency check lhs -> rhs. Groups by
+the lhs, counts distinct rhs values, and reports every lhs value
+that maps to more than one rhs (with the min/max conflicting rhs as
+evidence). One hash shuffle on the lhs; distinct-counting is
+per-group, never global.
+
+Scale: both are single-aggregation plans — the profile collects ONE
+row (bounded by column count), the FD check's output is bounded by
+the number of VIOLATING keys. No windows, no crossJoin, no driver
+loop over data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "column_profile",
+    "fd_violations",
+    "corr_matrix",
+    "categorical_entropy",
+]
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Tidy per-column profile (col_name, n_null, n_distinct,
+    min_str, max_str) of ``cols`` computed in one scan.
+
+    min/max are shipped as strings so heterogeneous column types fit
+    one tidy frame; numeric columns keep a portable plain format
+    (DOUBLE renders via the engine; callers wanting exact numerics
+    profile those columns alone).
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]  # bounded: ONE row, 4*|cols| cells
+    tidy = [
+        (c, row[f"__nn_{c}"], row[f"__nd_{c}"], row[f"__mn_{c}"], row[f"__mx_{c}"])
+        for c in cols
+    ]
+    return df.sparkSession.createDataFrame(
+        tidy,
+        "col_name string, n_null long, n_distinct long, "
+        "min_str string, max_str string",
+    )
+
+
+def fd_violations(df: DataFrame, lhs: str, rhs: str) -> DataFrame:
+    """Rows of (lhs, n_rhs_values, n_rows, rhs_min, rhs_max) for every
+    lhs value that violates the functional dependency lhs -> rhs
+    (i.e. maps to >1 distinct rhs). Empty result == FD holds."""
+    return (
+        df.groupBy(F.col(lhs).alias("lhs"))
+        .agg(
+            F.count_distinct(F.col(rhs)).alias("n_rhs_values"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(F.col(rhs)).cast("string").alias("rhs_min"),
+            F.max(F.col(rhs)).cast("string").alias("rhs_max"),
+        )
+        .filter(F.col("n_rhs_values") > 1)
+    )
+
+
+def corr_matrix(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
+    """Pairwise Pearson correlation of every column pair in ONE scan:
+    (col_x, col_y, n, corr) for each unordered pair, i < j in the
+    insertion order of ``cols``.
+
+    ``cols`` maps output name -> an EXACT INTEGER Column (callers
+    scale decimals/doubles to cents with round(x*100) — Pearson is
+    invariant under per-variable positive affine maps, so the scaled
+    correlation IS the raw correlation). Integer inputs make every
+    sufficient statistic (n, Σx, Σx², Σxy per pair) a lossless sum:
+    per-row products are computed as LONG (cents² ≈ 1e14 fits) and
+    summed as DECIMAL(38,0) — mergeable, reduction-order independent,
+    and bit-equal to the oracle's 128-bit integer sums — so the one
+    final double expression per pair is portable. The cast-to-double
+    happens per SUM (not per intermediate product) to mirror the SQL
+    oracle exactly.
+
+    Plan shape: ONE agg() over the scan — map-side partial
+    aggregation reduces every partition to a single sufficient-stats
+    row, the shuffle moves |cols|²-scale cells, and the pair unpivot
+    is F.inline over the 1-row result (no second scan, no driver
+    collect). Rows with a NULL in ANY profiled column are dropped
+    first so all pairs share one n (complete-case correlation).
+    """
+    names = list(cols)
+    base = df.select(
+        *[c.cast("long").alias(f"__v_{n}") for n, c in cols.items()]
+    ).na.drop()
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for n in names:
+        v = F.col(f"__v_{n}")
+        aggs.append(F.sum(v.cast("decimal(38,0)")).alias(f"__s_{n}"))
+        aggs.append(
+            F.sum((v * v).cast("decimal(38,0)")).alias(f"__ss_{n}")
+        )
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+    for a, b in pairs:
+        aggs.append(
+            F.sum(
+                (F.col(f"__v_{a}") * F.col(f"__v_{b}")).cast("decimal(38,0)")
+            ).alias(f"__sp_{a}_{b}")
+        )
+    stats = base.agg(*aggs)
+
+    def _corr(a: str, b: str) -> Column:
+        n = F.col("__n").cast("double")
+        sa = F.col(f"__s_{a}").cast("double")
+        sb = F.col(f"__s_{b}").cast("double")
+        ssa = F.col(f"__ss_{a}").cast("double")
+        ssb = F.col(f"__ss_{b}").cast("double")
+        sp = F.col(f"__sp_{a}_{b}").cast("double")
+        num = n * sp - sa * sb
+        den = F.sqrt((n * ssa - sa * sa) * (n * ssb - sb * sb))
+        return F.round(num / den, 9)
+
+    return stats.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_x"),
+                        F.lit(b).alias("col_y"),
+                        F.col("__n").alias("n"),
+                        _corr(a, b).alias("corr"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        )
+    )
+
+
+def categorical_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-category Shannon-entropy contributions for each profiled
+    column: (col_name, value, cnt, h_contrib) where h_contrib =
+    -(c/N)·ln(c/N) and N is the column's non-null total. The caller
+    sums a column's rows for its entropy (the frame is
+    category-scale, bounded by Σ distinct values, independent of row
+    count) — shipping contributions keeps every double a SINGLE
+    expression of exact longs, so the oracle reproduces it
+    bit-for-bit with no cross-partition float-summation order.
+
+    Plan: one generator projection unpivots the columns (map-side,
+    no shuffle), ONE hash aggregation counts (col_name, value), and
+    the per-column totals re-aggregate the category-scale counts
+    frame and come back as a broadcast equi-join. NULLs are dropped
+    (entropy is over observed values).
+    """
+    kv = df.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        )
+    ).filter(F.col("value").isNotNull())
+    counts = kv.groupBy("col_name", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.groupBy("col_name").agg(F.sum("cnt").alias("__n"))
+    p = F.col("cnt").cast("double") / F.col("__n").cast("double")
+    return (
+        counts.join(F.broadcast(totals), "col_name")
+        .select(
+            "col_name",
+            "value",
+            "cnt",
+            F.round(-p * F.log(p), 9).alias("h_contrib"),
+        )
+    )

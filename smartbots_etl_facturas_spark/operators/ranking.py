@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_order_index", "ntile_from_rank"]
+__all__ = ["global_order_index", "ntile_from_rank", "topk_per_group"]
 
 
 def global_order_index(
@@ -112,6 +112,62 @@ def global_order_index(
     drop += [f"__lcum_{n}" for n in cumsum_cols]
     drop += [f"__off_{c}" for c in sum_srcs]
     return out.drop(*drop)
+
+
+def topk_per_group(
+    df: DataFrame,
+    keys: list[str],
+    order: list[Column],
+    k: int,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Top-``k`` rows per group under the total order ``order``,
+    WITHOUT sorting any full group.
+
+    The naive ``row_number().over(partitionBy(keys).orderBy(order))
+    <= k`` plan shuffles every row to its group's task and sorts the
+    ENTIRE group to keep k of it — a hot group (one carrier = 30% of
+    a 100 TB fact) lands on one task and sorts there. Two-pass
+    rewrite:
+
+      1. Local prune: window over ``(keys, spark_partition_id())``.
+         The same total shuffle volume, but the hash key now includes
+         the source partition id, so a hot group is SPREAD over up to
+         n_input_partitions tasks (built-in salting — the salt is
+         free and collision-less because it's the source partition
+         id) and each task sorts only its slice. At most ``k`` rows
+         per (group, source partition) survive.
+      2. Global select: the same window keyed by ``keys`` alone, over
+         the surviving candidate set — bounded at
+         ``k * n_input_partitions`` rows PER GROUP regardless of
+         group size, so the per-group sort that was the scale cliff
+         is now metadata-sized.
+
+    Exact for any TOTAL order (callers tie-break to uniqueness, as
+    every registered caller does): the true global top-k of a group
+    is a subset of the union of its per-slice top-k.
+
+    ``rank_col``: optionally keep the 1-based global rank (from pass
+    2's row_number) in the output.
+    """
+    pruned = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lrk",
+            F.row_number().over(
+                Window.partitionBy(*keys, "__pid").orderBy(*order)
+            ),
+        )
+        .filter(F.col("__lrk") <= k)
+        .drop("__pid", "__lrk")
+    )
+    out = pruned.withColumn(
+        "__grk",
+        F.row_number().over(Window.partitionBy(*keys).orderBy(*order)),
+    ).filter(F.col("__grk") <= k)
+    if rank_col:
+        return out.withColumnRenamed("__grk", rank_col)
+    return out.drop("__grk")
 
 
 def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:

@@ -109,3 +109,95 @@ def cusum(
         .cast("long"),
     )
     return out.drop("__S")
+
+
+def acf_lags(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    lags: list[int],
+) -> DataFrame:
+    """Autocorrelation of an integer-valued regular series at each
+    lag in ``lags``: one row (lag_k, n_pairs, acf) per requested lag.
+
+    r_k is the Pearson correlation of the PAIRED series
+    {(x_t, x_{t+k}) : both present} — the lag-k join is an equi-join
+    on the shifted integer time index (``time_col`` must be an
+    integer axis, e.g. days-since-epoch), NOT a global window: a
+    window ``lag(k)`` over the whole series would collapse it onto
+    one task, while the shifted self-join shuffles by time key and
+    scales with the series.
+
+    Determinism: ``value_col`` must be integral (counts). All five
+    sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) are LONG sums —
+    exact and reduction-order independent — so the single final
+    double expression per lag is bit-portable to the SQL oracle;
+    it ships rounded to 9 places.
+    """
+    a = series.select(
+        F.col(time_col).cast("long").alias("__t"),
+        F.col(value_col).cast("long").alias("__x"),
+    )
+    per_lag = []
+    for k in lags:
+        b = series.select(
+            (F.col(time_col).cast("long") + F.lit(int(k))).alias("__t"),
+            F.col(value_col).cast("long").alias("__y"),
+        )
+        paired = a.join(b, "__t")
+        per_lag.append(
+            paired.agg(
+                F.lit(int(k)).cast("long").alias("lag_k"),
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum("__x").alias("__sx"),
+                F.sum("__y").alias("__sy"),
+                F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+                F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+                F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+            )
+        )
+    out = per_lag[0]
+    for frame in per_lag[1:]:
+        out = out.unionByName(frame)
+    m = F.col("n_pairs").cast("double")
+    num = m * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.sqrt(
+        (m * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+        * (m * F.col("__syy") - F.col("__sy") * F.col("__sy"))
+    )
+    return out.select(
+        "lag_k", "n_pairs", F.round(num / den, 9).alias("acf")
+    )
+
+
+def seasonal_index(
+    df: DataFrame,
+    period_col: Column,
+    n_periods: int,
+) -> DataFrame:
+    """Multiplicative seasonal index over a cyclic period axis:
+    (period, cnt, seas_index) where seas_index = cnt · n_periods /
+    total — how far each cycle position (day-of-week, month) runs
+    above/below the cycle mean. 1.0 = no seasonality.
+
+    One map-side-combined hash aggregation builds the period counts
+    (frame bounded at ``n_periods`` rows); the total returns as a
+    1-row broadcast normalizer. The index is a single double
+    expression over exact longs — portable to the SQL oracle."""
+    counts = df.groupBy(period_col.alias("period")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))  # 1-row normalizer
+        .select(
+            "period",
+            "cnt",
+            F.round(
+                F.col("cnt").cast("double")
+                * F.lit(float(n_periods))
+                / F.col("__total").cast("double"),
+                9,
+            ).alias("seas_index"),
+        )
+    )

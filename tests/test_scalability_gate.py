@@ -97,6 +97,33 @@ ALLOW: dict[str, tuple[set, str]] = {
         "bigram-count frame (the PMI normalizer); the unigram joins are "
         "shuffled equi joins on the word key",
     ),
+    "psi_drift": (
+        {"bnlj"},
+        "broadcast of the 1-row per-cohort totals onto the bin-count "
+        "frame (bin-count rows, fixed at nbins); the binning itself is "
+        "one hash aggregation",
+    ),
+    "chi_square_cells": (
+        {"bnlj"},
+        "broadcast of the 1-row grand total onto the contingency-cell "
+        "frame (category-scale rows); row/column totals join as "
+        "broadcast equi joins",
+    ),
+    "mi_cells": (
+        {"bnlj"},
+        "broadcast of the 1-row grand total onto the contingency-cell "
+        "frame (category-scale rows), same shape as chi_square_cells",
+    ),
+    "key_skew_topk": (
+        {"bnlj"},
+        "broadcast of the 1-row table total onto the TakeOrdered "
+        "top-k frame (k rows, k=20)",
+    ),
+    "seasonal_dow": (
+        {"bnlj"},
+        "broadcast of the 1-row table total onto the 7-row period-count "
+        "frame",
+    ),
     "exact_quantiles_qty": (
         {"gwin", "bnlj"},
         "histogram selection: the cumulative window and the 5-row "
