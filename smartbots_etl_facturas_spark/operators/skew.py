@@ -156,3 +156,35 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>"))
     )
     return lhs.join(rhs, on=keys + ["__salt"], how=how).drop("__salt")
+
+
+def key_skew_profile(df: DataFrame, key: str, k: int = 20) -> DataFrame:
+    """Heavy-hitter profile of a prospective join/agg key: the top
+    ``k`` keys by row count with each key's share of the table —
+    (key, cnt, share) — the measurement that drives
+    ``auto_salt_buckets`` and broadcast-vs-shuffle decisions.
+
+    Plan shape: ``groupBy(key).count()`` is itself skew-safe
+    (map-side partials collapse the hot key before the shuffle);
+    the top-k is ``orderBy(...).limit(k)`` — Spark's TakeOrdered,
+    a per-partition k-heap + single k-row merge, never a global
+    sort — and the total arrives as a 1-row broadcast crossJoin.
+    Ties at the boundary are broken by the key value, so the result
+    is deterministic. Output is k rows regardless of input size.
+    """
+    counts = df.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    top = counts.orderBy(F.desc("cnt"), F.col("key")).limit(k)
+    return (
+        top.crossJoin(F.broadcast(total))  # 1-row normalizer
+        .select(
+            "key",
+            "cnt",
+            F.round(
+                F.col("cnt").cast("double") / F.col("__total").cast("double"),
+                9,
+            ).alias("share"),
+        )
+    )
