@@ -149,6 +149,19 @@ def topk_per_group(
 
     ``rank_col``: optionally keep the 1-based global rank (from pass
     2's row_number) in the output.
+
+    MEASURED trade-off (scripts/topk_skew_experiment.py, local[32],
+    30% hot group): the naive window is 1.2-1.8x FASTER at 8-32M
+    rows, because locally a shuffle is a memcpy and sorting the
+    whole hot group on one task is cheap — while this plan pays a
+    second (survivor-sized) pass. The rewrite is for the cluster
+    regime the local box cannot exhibit: there the naive plan
+    fetches the hot group's entire shuffle output INTO ONE executor
+    (30% of the table through one NIC) and must fit/spill it in one
+    task, which stops scaling long before wall-clock parity matters;
+    this plan bounds per-task rows at k·n_input_partitions at ANY
+    skew. Prefer the naive window when the largest group is known to
+    fit a task comfortably.
     """
     pruned = (
         df.withColumn("__pid", F.spark_partition_id())
