@@ -9950,6 +9950,114 @@ LIMIT 20
 """
 
 
+def q_linreg_price(spark, sf_dir):
+    """Multivariate OLS fit of lineitem price on (quantity, discount)
+    — the distributed half is ONE sufficient-statistics aggregation
+    (operators/regression.py:linreg_sufficient_stats, exact
+    DECIMAL(38,0) sums of cents-scaled integers, bit-equal to the
+    oracle's 128-bit sums); the 3x3 normal equations are then solved
+    IN THE PLAN by Cramer's rule over double-cast sums, the exact
+    expression structure mirrored in the SQL oracle so intercept,
+    both coefficients AND R^2 reproduce bit-for-bit before the
+    round. (The general-k solver is fit_linear — exact rational
+    elimination, pytest-checked against numpy.)"""
+    from smartbots_etl_facturas_spark.operators.regression import (
+        linreg_sufficient_stats,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    stats = linreg_sufficient_stats(
+        li,
+        {"qty": cents("l_quantity"), "disc": cents("l_discount")},
+        cents("l_extendedprice"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n, sq, sd = d("n"), d("s_qty"), d("s_disc")
+    sqq, sqd, sdd = d("s_qty_qty"), d("s_qty_disc"), d("s_disc_disc")
+    sy, sqy, sdy, syy = d("sy"), d("s_qty_y"), d("s_disc_y"), d("syy")
+    det = (
+        n * (sqq * sdd - sqd * sqd)
+        - sq * (sq * sdd - sqd * sd)
+        + sd * (sq * sqd - sqq * sd)
+    )
+    det0 = (
+        sy * (sqq * sdd - sqd * sqd)
+        - sq * (sqy * sdd - sqd * sdy)
+        + sd * (sqy * sqd - sqq * sdy)
+    )
+    det1 = (
+        n * (sqy * sdd - sqd * sdy)
+        - sy * (sq * sdd - sqd * sd)
+        + sd * (sq * sdy - sqy * sd)
+    )
+    det2 = (
+        n * (sqq * sdy - sqy * sqd)
+        - sq * (sq * sdy - sqy * sd)
+        + sy * (sq * sqd - sqq * sd)
+    )
+    sse = syy - (det0 / det * sy + det1 / det * sqy + det2 / det * sdy)
+    sst = syy - sy * sy / n
+    return stats.select(
+        F.col("n").cast("long").alias("n"),
+        # scale 6, not the house 9: Spark's round() rounds the double's
+        # SHORTEST decimal rendering (BigDecimal.valueOf) while the
+        # oracle rounds the exact binary value — they can disagree when
+        # integer digits + scale reach double's ~16 significant digits
+        # (intercept is ~5e6 cents). 7+6 digits keeps both in agreement.
+        F.round(det0 / det, 6).alias("intercept"),
+        F.round(det1 / det, 6).alias("b_qty"),
+        F.round(det2 / det, 6).alias("b_disc"),
+        F.round(F.lit(1.0) - sse / sst, 9).alias("r2"),
+    )
+
+
+SQL_LINREG_PRICE = """
+WITH v AS (
+  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+         CAST(round(l_discount * 100) AS BIGINT) AS d,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    AND l_extendedprice IS NOT NULL),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(d) AS DOUBLE) AS sd,
+         CAST(sum(q * q) AS DOUBLE) AS sqq,
+         CAST(sum(q * d) AS DOUBLE) AS sqd,
+         CAST(sum(d * d) AS DOUBLE) AS sdd,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(q * y) AS DOUBLE) AS sqy,
+         CAST(sum(d * y) AS DOUBLE) AS sdy,
+         CAST(sum(y * y) AS DOUBLE) AS syy,
+         CAST(count(*) AS BIGINT) AS n_exact
+  FROM v),
+dets AS (
+  SELECT n_exact, sy, sqy, sdy, syy, n,
+         n * (sqq * sdd - sqd * sqd)
+           - sq * (sq * sdd - sqd * sd)
+           + sd * (sq * sqd - sqq * sd) AS det,
+         sy * (sqq * sdd - sqd * sqd)
+           - sq * (sqy * sdd - sqd * sdy)
+           + sd * (sqy * sqd - sqq * sdy) AS det0,
+         n * (sqy * sdd - sqd * sdy)
+           - sy * (sq * sdd - sqd * sd)
+           + sd * (sq * sdy - sqy * sd) AS det1,
+         n * (sqq * sdy - sqy * sqd)
+           - sq * (sq * sdy - sqy * sd)
+           + sy * (sq * sqd - sqq * sd) AS det2
+  FROM s)
+SELECT n_exact AS n,
+       round(det0 / det, 6) AS intercept,
+       round(det1 / det, 6) AS b_qty,
+       round(det2 / det, 6) AS b_disc,
+       round(1.0 - (syy - (det0 / det * sy + det1 / det * sqy
+                           + det2 / det * sdy))
+                   / (syy - sy * sy / n), 9) AS r2
+FROM dets
+"""
+
+
 def q_frequent_pairs(spark, sf_dir):
     """Market-basket mining: top-25 part pairs co-ordered in the same
     order (operators/baskets.py:frequent_pairs). ONE shuffle builds
@@ -10063,6 +10171,7 @@ _QUERIES: dict[str, Callable] = {
     "categorical_entropy": q_categorical_entropy,
     "mi_cells": q_mi_cells,
     "key_skew_topk": q_key_skew_topk,
+    "linreg_price": q_linreg_price,
     "frequent_pairs": q_frequent_pairs,
     "seasonal_dow": q_seasonal_dow,
     "xlsx_datasource_scan": q_xlsx_datasource_scan,
@@ -10433,6 +10542,7 @@ _ORACLES: dict[str, str] = {
     "categorical_entropy": SQL_CATEGORICAL_ENTROPY,
     "mi_cells": SQL_MI_CELLS,
     "key_skew_topk": SQL_KEY_SKEW_TOPK,
+    "linreg_price": SQL_LINREG_PRICE,
     "frequent_pairs": SQL_FREQUENT_PAIRS,
     "seasonal_dow": SQL_SEASONAL_DOW,
     # ann_lsh / ann_ivf / ann_pq / ann_pq_prebuilt / minhash_lsh_pairs

@@ -151,6 +151,7 @@ HEADLINE = [
     "key_skew_topk",
     "frequent_pairs",
     "seasonal_dow",
+    "linreg_price",
 ]
 
 

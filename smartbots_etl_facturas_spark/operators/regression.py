@@ -62,3 +62,105 @@ def group_trend(
         .cast(D38)
         .alias("slope_den"),
     )
+
+
+def linreg_sufficient_stats(
+    df: DataFrame,
+    features: dict[str, "F.Column"],
+    target: "F.Column",
+) -> DataFrame:
+    """Multivariate OLS sufficient statistics in ONE scan: the
+    normal-equation blocks X'X (with intercept: n, Σfᵢ, Σfᵢfⱼ for
+    i ≤ j) and X'y (Σy, Σfᵢy) plus Σy², every one an EXACT
+    DECIMAL(38,0) sum of integer columns (callers pre-scale to
+    cents/fixed-point — the engine's discipline). The output is ONE
+    row with deterministic column names ``n, s_<f>, s_<f>_<g>,
+    sy, s_<f>_y, syy`` — bounded by k² cells at any input size, the
+    distributed HALF of least squares; solving the (k+1)×(k+1)
+    system is driver-side arithmetic on this row (``fit_linear``).
+
+    Map-side partial aggregation reduces every partition to one
+    stats row before the single-cell shuffle. Rows with a NULL in
+    any used column are dropped first (complete-case fit).
+    """
+    names = list(features)
+    cols = [features[n].cast("long").alias(f"__f_{n}") for n in names]
+    base = df.select(*cols, target.cast("long").alias("__y")).na.drop()
+    aggs = [F.count(F.lit(1)).cast(D38).alias("n")]
+    for i, a in enumerate(names):
+        fa = F.col(f"__f_{a}")
+        aggs.append(F.sum(fa.cast(D38)).alias(f"s_{a}"))
+        for b in names[i:]:
+            aggs.append(
+                F.sum((fa * F.col(f"__f_{b}")).cast(D38)).alias(f"s_{a}_{b}")
+            )
+        aggs.append(F.sum((fa * F.col("__y")).cast(D38)).alias(f"s_{a}_y"))
+    aggs.append(F.sum(F.col("__y").cast(D38)).alias("sy"))
+    aggs.append(
+        F.sum((F.col("__y") * F.col("__y")).cast(D38)).alias("syy")
+    )
+    return base.agg(*aggs)
+
+
+def fit_linear(
+    df: DataFrame,
+    features: dict[str, "F.Column"],
+    target: "F.Column",
+) -> dict:
+    """Exact ordinary least squares with intercept: coefficients and
+    R² solved from the sufficient-statistics row by EXACT rational
+    Gaussian elimination (fractions.Fraction — no pivot-order float
+    drift, bit-reproducible on any machine), floated only at the
+    return boundary. Degenerate (collinear) systems raise.
+
+    Returns {"intercept": float, "coef": {name: float}, "r2": float,
+    "n": int}. The data-scale work is ONE aggregation
+    (``linreg_sufficient_stats``); this solve is O(k³) driver-side
+    arithmetic on a 1-row frame.
+    """
+    from fractions import Fraction
+
+    names = list(features)
+    row = linreg_sufficient_stats(df, features, target).collect()[0]
+    g = {k: Fraction(int(row[k])) for k in row.asDict()}
+
+    def cross(a: str, b: str) -> Fraction:
+        return g.get(f"s_{a}_{b}", g.get(f"s_{b}_{a}"))
+
+    k = len(names)
+    # augmented [X'X | X'y], intercept first
+    mat: list[list[Fraction]] = []
+    mat.append([g["n"]] + [g[f"s_{n}"] for n in names] + [g["sy"]])
+    for a in names:
+        mat.append(
+            [g[f"s_{a}"]]
+            + [cross(a, b) for b in names]
+            + [g[f"s_{a}_y"]]
+        )
+    dim = k + 1
+    for col in range(dim):
+        piv = next(
+            (r for r in range(col, dim) if mat[r][col] != 0), None
+        )
+        if piv is None:
+            raise ValueError("collinear features: singular normal equations")
+        mat[col], mat[piv] = mat[piv], mat[col]
+        pv = mat[col][col]
+        mat[col] = [v / pv for v in mat[col]]
+        for r in range(dim):
+            if r != col and mat[r][col] != 0:
+                f = mat[r][col]
+                mat[r] = [v - f * w for v, w in zip(mat[r], mat[col])]
+    beta = [mat[r][dim] for r in range(dim)]
+
+    # R² from the same stats: SSE = y'y - β'X'y ; SST = y'y - (Σy)²/n
+    xty = [g["sy"]] + [g[f"s_{a}_y"] for a in names]
+    sse = g["syy"] - sum(b * v for b, v in zip(beta, xty))
+    sst = g["syy"] - g["sy"] * g["sy"] / g["n"]
+    r2 = float(1 - sse / sst) if sst != 0 else float("nan")
+    return {
+        "intercept": float(beta[0]),
+        "coef": {n: float(b) for n, b in zip(names, beta[1:])},
+        "r2": r2,
+        "n": int(g["n"]),
+    }

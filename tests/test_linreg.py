@@ -1,0 +1,82 @@
+"""Multivariate OLS: exact-rational solve vs numpy lstsq, recovery of
+planted coefficients, collinearity refusal, and the one-scan shape of
+the sufficient-statistics aggregation."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from smartbots_etl_facturas_spark.operators.regression import (
+    fit_linear,
+    linreg_sufficient_stats,
+)
+
+
+def _toy(spark, n=400, seed=3):
+    rng = random.Random(seed)
+    rows = []
+    for _ in range(n):
+        x1 = rng.randrange(0, 100)
+        x2 = rng.randrange(0, 50)
+        noise = rng.randrange(-5, 6)
+        y = 7 + 3 * x1 - 2 * x2 + noise
+        rows.append((x1, x2, y))
+    return spark.createDataFrame(rows, "x1 long, x2 long, y long")
+
+
+def test_fit_linear_matches_numpy(spark):
+    np = pytest.importorskip("numpy")
+    df = _toy(spark)
+    got = fit_linear(
+        df, {"x1": F.col("x1"), "x2": F.col("x2")}, F.col("y")
+    )
+    rows = df.collect()
+    A = np.array([[1.0, r.x1, r.x2] for r in rows])
+    y = np.array([float(r.y) for r in rows])
+    beta = np.linalg.lstsq(A, y, rcond=None)[0]
+    assert got["intercept"] == pytest.approx(beta[0], abs=1e-8)
+    assert got["coef"]["x1"] == pytest.approx(beta[1], abs=1e-8)
+    assert got["coef"]["x2"] == pytest.approx(beta[2], abs=1e-8)
+    assert got["n"] == 400
+
+
+def test_fit_linear_exact_plane_r2_one(spark):
+    """Noise-free plane: coefficients recovered exactly (rational
+    solve, no float drift) and R^2 == 1."""
+    rows = [(i % 20, (i * 7) % 13, 10 + 4 * (i % 20) - 3 * ((i * 7) % 13))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+    got = fit_linear(df, {"x1": F.col("x1"), "x2": F.col("x2")}, F.col("y"))
+    assert got["intercept"] == pytest.approx(10.0, abs=1e-12)
+    assert got["coef"]["x1"] == pytest.approx(4.0, abs=1e-12)
+    assert got["coef"]["x2"] == pytest.approx(-3.0, abs=1e-12)
+    assert got["r2"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_fit_linear_rejects_collinear(spark):
+    rows = [(i, 2 * i, i * 3) for i in range(50)]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+    with pytest.raises(ValueError, match="collinear"):
+        fit_linear(df, {"x1": F.col("x1"), "x2": F.col("x2")}, F.col("y"))
+
+
+def test_sufficient_stats_single_aggregate_plan(spark):
+    """The stats frame is ONE aggregation over one scan — no join, no
+    window, no second exchange after the partial/final agg pair."""
+    df = _toy(spark, n=100)
+    stats = linreg_sufficient_stats(
+        df, {"x1": F.col("x1"), "x2": F.col("x2")}, F.col("y")
+    )
+    row = stats.collect()[0]
+    assert int(row["n"]) == 100
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan
+    # null rows are dropped before aggregation (complete-case)
+    df2 = spark.createDataFrame(
+        [(1, 1, 1), (None, 2, 2)], "x1 long, x2 long, y long"
+    )
+    row2 = linreg_sufficient_stats(
+        df2, {"x1": F.col("x1"), "x2": F.col("x2")}, F.col("y")
+    ).collect()[0]
+    assert int(row2["n"]) == 1
