@@ -149,6 +149,11 @@ ALLOW: dict[str, tuple[set, str]] = {
         "postings (lm_quality normalizer pattern); the postings scan "
         "itself is term-pruned",
     ),
+    "bm25_incremental": (
+        {"bnlj"},
+        "same 1-row corpus-stats broadcast as bm25_prebuilt, over the "
+        "monoid-merged (stored union delta) index",
+    ),
     "rrf_fusion": (
         {"gwin", "bnlj"},
         "the two rank windows run on the MATCHED-CANDIDATE frame "
