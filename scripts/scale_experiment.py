@@ -121,6 +121,29 @@ QUERIES = [
     "connected_components",
     "stickiness_dau_wau",
     "embedding_project",
+    # round-7 additions. Dim-derived queries (spatial_radius_join,
+    # fd_violations, corr over customer) are absent — their input is
+    # replica-fixed. kll/kmv must stay ~linear with BOUNDED output;
+    # profile/drift/entropy are single-agg passes over the orders
+    # fact; topk_two_pass bounds its pass-2 frame at k*slices;
+    # frequent_pairs' pair space is replica-fixed (same part sets)
+    # while its support counts grow; bm25_incremental times
+    # delta-tokenize + monoid merge + probe over the 8x corpus
+    "kll_quantiles",
+    "kmv_set_cardinality",
+    "topk_two_pass",
+    "psi_drift",
+    "chi_square_cells",
+    "mi_cells",
+    "column_profile",
+    "corr_matrix",
+    "categorical_entropy",
+    "acf_daily_orders",
+    "key_skew_topk",
+    "frequent_pairs",
+    "seasonal_dow",
+    "linreg_price",
+    "bm25_incremental",
 ]
 
 
