@@ -9180,6 +9180,87 @@ def ensure_text_index_base(spark, sf_dir: str) -> str:
     return base
 
 
+def q_hll_by_group(spark, sf_dir):
+    """GROUPED HyperLogLog (operators/sketches.py:hll_registers_by):
+    one independent 64-register sketch per order priority, all built
+    in ONE map-side-combinable aggregation — the cube/rollup form of
+    the distinct-count sketch (per-group tables re-max to the global
+    sketch, pinned in tests/test_sketches.py). Every per-group
+    register set, exact-integer harmonic sum, and estimate is
+    reproduced bit-for-bit by the oracle; the <35% relative-error
+    contract at m=64 is a value-checked boolean per group."""
+    from smartbots_etl_facturas_spark.operators.sketches import (
+        hll_estimate_by,
+        hll_registers_by,
+    )
+
+    orders = _read(spark, sf_dir, "orders")
+    est = hll_estimate_by(
+        hll_registers_by(orders, "o_orderpriority", "o_custkey", p=6), p=6
+    )
+    exact = orders.groupBy(
+        F.col("o_orderpriority").alias("grp")
+    ).agg(F.countDistinct("o_custkey").cast("long").alias("n_exact"))
+    return exact.join(est, "grp").select(
+        "grp",
+        "n_exact",
+        "int_sum",
+        "n_zero_buckets",
+        "hll_estimate",
+        (
+            F.abs(F.col("hll_estimate") - F.col("n_exact"))
+            / F.col("n_exact").cast("double")
+            < 0.35
+        ).alias("rel_err_ok"),
+    )
+
+
+SQL_HLL_BY_GROUP = """
+WITH h AS (
+  SELECT o_orderpriority AS grp,
+         ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 17592186044416
+   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 1099511627776
+   + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 68719476736
+   + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 4294967296
+   + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 268435456
+   + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 16777216
+   + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 1048576
+   + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) * 65536
+   + (strpos('0123456789abcdef', substr(h, 9, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substr(h, 10, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substr(h, 11, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substr(h, 12, 1)) - 1)) AS hv
+  FROM (SELECT o_orderpriority,
+               md5('hll-v1:' || CAST(o_custkey AS VARCHAR)) AS h
+        FROM orders)),
+br AS (
+  SELECT grp, CAST(hv // 4398046511104 AS BIGINT) AS bucket,
+         hv % 4398046511104 AS rest
+  FROM h),
+regs AS (
+  SELECT grp, bucket,
+         max(CASE WHEN rest = 0 THEN 43
+                  ELSE 42 - length(bin(rest)) + 1 END) AS rho_max
+  FROM br GROUP BY 1, 2),
+agg AS (
+  SELECT grp,
+         CAST(coalesce(sum(CAST(2 AS BIGINT) ** (43 - rho_max)), 0)
+              + (64 - count(*)) * 8796093022208 AS BIGINT) AS int_sum,
+         CAST(64 - count(*) AS BIGINT) AS n_zero_buckets
+  FROM regs GROUP BY 1),
+ex AS (SELECT o_orderpriority AS grp,
+              CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+       FROM orders GROUP BY 1)
+SELECT ex.grp, n_exact, int_sum, n_zero_buckets,
+       round(CAST(0.7093409548395029 AS DOUBLE) * 64 * 64 * 8796093022208.0
+             / CAST(int_sum AS DOUBLE), 3) AS hll_estimate,
+       (abs(round(CAST(0.7093409548395029 AS DOUBLE) * 64 * 64
+                  * 8796093022208.0 / CAST(int_sum AS DOUBLE), 3) - n_exact)
+        / CAST(n_exact AS DOUBLE)) < 0.35 AS rel_err_ok
+FROM ex JOIN agg ON ex.grp = agg.grp
+"""
+
+
 def q_bm25_incremental(spark, sf_dir):
     """INCREMENTAL inverted-index maintenance: the arriving batch
     (doc_id % 10 == 0) is tokenized ALONE — never re-reading the
@@ -10268,6 +10349,7 @@ _QUERIES: dict[str, Callable] = {
     "key_skew_topk": q_key_skew_topk,
     "linreg_price": q_linreg_price,
     "bm25_incremental": q_bm25_incremental,
+    "hll_by_group": q_hll_by_group,
     "frequent_pairs": q_frequent_pairs,
     "seasonal_dow": q_seasonal_dow,
     "xlsx_datasource_scan": q_xlsx_datasource_scan,
@@ -10621,6 +10703,7 @@ _ORACLES: dict[str, str] = {
     "label_centroid_pairs": SQL_LABEL_CENTROID_PAIRS,
     "bm25_prebuilt": SQL_BM25_SEARCH,
     "bm25_incremental": SQL_BM25_SEARCH,
+    "hll_by_group": SQL_HLL_BY_GROUP,
     "spend_gini": SQL_SPEND_GINI,
     "stickiness_dau_wau": SQL_STICKINESS_DAU_WAU,
     "embedding_project": SQL_EMBEDDING_PROJECT,

@@ -153,6 +153,7 @@ HEADLINE = [
     "seasonal_dow",
     "linreg_price",
     "bm25_incremental",
+    "hll_by_group",
 ]
 
 

@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "hll_registers",
     "hll_estimate",
+    "hll_registers_by",
+    "hll_estimate_by",
     "cms_cells",
     "cms_lookup",
     "kmv_minima",
@@ -102,6 +104,67 @@ def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
         ).alias("int_sum"),
         (F.lit(m) - F.count(F.lit(1))).cast("long").alias("n_zero_buckets"),
     ).select(
+        "int_sum",
+        "n_zero_buckets",
+        F.round(
+            F.lit(alpha * m * m)
+            * F.lit(float(1 << (s + 1)))
+            / F.col("int_sum").cast("double"),
+            3,
+        ).alias("hll_estimate"),
+    )
+
+
+def hll_registers_by(
+    df: DataFrame, group_col: str, key: str, p: int = 6, seed: str = "hll-v1"
+) -> DataFrame:
+    """GROUPED register tables: (grp, bucket, rho_max) — one
+    independent HLL per value of ``group_col``, built in the SAME
+    single map-side-combinable aggregation (the group key simply
+    joins the bucket in the groupBy). This is the cube/rollup form of
+    the sketch: per-group tables merge with groupBy(grp, bucket).max,
+    and rolling groups up (drop grp, re-max) yields exactly the
+    global sketch — the property that lets one pass serve every
+    drill-down level. ≤ groups·2^p rows at any input size."""
+    if not 2 <= p <= 14:
+        raise ValueError("p out of range")
+    rest_bits = HLL_BITS - p
+    h = _u48(F.col(key), seed)
+    bucket = (h / (1 << rest_bits)).cast("long")
+    rest = h % (1 << rest_bits)
+    rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits) - F.length(F.bin(rest)) + 1
+    )
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            bucket.alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+
+
+def hll_estimate_by(registers: DataFrame, p: int = 6) -> DataFrame:
+    """Per-group twin of ``hll_estimate``: (grp, int_sum,
+    n_zero_buckets, hll_estimate) from a grouped register table —
+    the same exact-integer harmonic sum per group, one IEEE division
+    each. Output is group-count-scale."""
+    m = 1 << p
+    s = HLL_BITS - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return registers.groupBy("grp").agg(
+        (
+            F.coalesce(
+                F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {s + 1} - rho_max)")),
+                F.lit(0).cast("long"),
+            )
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << (s + 1))
+        ).alias("int_sum"),
+        (F.lit(m) - F.count(F.lit(1))).cast("long").alias("n_zero_buckets"),
+    ).select(
+        "grp",
         "int_sum",
         "n_zero_buckets",
         F.round(

@@ -183,3 +183,41 @@ def test_kmv_rejects_tiny_k(spark):
 
     with _pytest.raises(ValueError):
         kmv_minima(spark.range(5), "id", k=1)
+
+
+def test_hll_by_group_rollup_equals_global(spark):
+    """Dropping the group key and re-maxing the grouped registers
+    yields EXACTLY the global register table (the drill-down/rollup
+    contract), and each per-group sketch matches a standalone build
+    over that group's rows."""
+    from pyspark.sql import functions as F
+
+    from smartbots_etl_facturas_spark.operators.sketches import (
+        hll_registers,
+        hll_registers_by,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", i % 97) for i in range(600)], "g string, k long"
+    )
+    grouped = hll_registers_by(df, "g", "k", p=4)
+    rolled = {
+        (r.bucket, r.rho_max)
+        for r in grouped.groupBy("bucket")
+        .agg(F.max("rho_max").alias("rho_max"))
+        .collect()
+    }
+    global_ = {
+        (r.bucket, r.rho_max) for r in hll_registers(df, "k", p=4).collect()
+    }
+    assert rolled == global_
+
+    one = {
+        (r.bucket, r.rho_max)
+        for r in hll_registers(df.filter("g = 'g1'"), "k", p=4).collect()
+    }
+    per = {
+        (r.bucket, r.rho_max)
+        for r in grouped.filter("grp = 'g1'").select("bucket", "rho_max").collect()
+    }
+    assert per == one
