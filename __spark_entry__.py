@@ -9180,6 +9180,59 @@ def ensure_text_index_base(spark, sf_dir: str) -> str:
     return base
 
 
+def q_impute_median(spark, sf_dir):
+    """Data repair (operators/quality.py:impute_group_median): a
+    deterministic 1-in-37 "sensor dropout" nulls lineitem quantities,
+    which are then filled with the EXACT rank-derived median of the
+    surviving values in the same (returnflag, linestatus) group —
+    pure integer rank arithmetic, no interpolation, so the filled
+    value is a number both engines agree on. Ships only the repaired
+    rows (bounded by the dropout rate); one key-partitioned window +
+    one keyed join, no global sort."""
+    from smartbots_etl_facturas_spark.operators.quality import (
+        impute_group_median,
+    )
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat_ws("|", "l_returnflag", "l_linestatus").alias("grp"),
+        F.when(
+            F.col("l_orderkey") % 37 == 0, F.lit(None).cast("long")
+        )
+        .otherwise(F.round(F.col("l_quantity")).cast("long"))
+        .alias("qty"),
+    )
+    out = impute_group_median(li, "grp", "qty", ["l_orderkey", "l_linenumber"])
+    return out.filter(F.col("was_imputed")).select(
+        "l_orderkey", "l_linenumber", "grp", "qty", "was_imputed"
+    )
+
+
+SQL_IMPUTE_MEDIAN = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         l_returnflag || '|' || l_linestatus AS grp,
+         CASE WHEN l_orderkey % 37 = 0 THEN NULL
+              ELSE CAST(round(l_quantity) AS BIGINT) END AS qty
+  FROM lineitem),
+ranked AS (
+  SELECT grp, qty,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY qty, l_orderkey, l_linenumber) AS rk,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM base WHERE qty IS NOT NULL),
+med AS (
+  SELECT grp, qty AS med FROM ranked
+  WHERE rk = CAST(ceil(n * 0.5) AS INTEGER))
+SELECT b.l_orderkey, b.l_linenumber, b.grp,
+       coalesce(b.qty, m.med) AS qty,
+       TRUE AS was_imputed
+FROM base b LEFT JOIN med m ON b.grp = m.grp
+WHERE b.qty IS NULL
+"""
+
+
 def q_hll_by_group(spark, sf_dir):
     """GROUPED HyperLogLog (operators/sketches.py:hll_registers_by):
     one independent 64-register sketch per order priority, all built
@@ -10350,6 +10403,7 @@ _QUERIES: dict[str, Callable] = {
     "linreg_price": q_linreg_price,
     "bm25_incremental": q_bm25_incremental,
     "hll_by_group": q_hll_by_group,
+    "impute_median": q_impute_median,
     "frequent_pairs": q_frequent_pairs,
     "seasonal_dow": q_seasonal_dow,
     "xlsx_datasource_scan": q_xlsx_datasource_scan,
@@ -10704,6 +10758,7 @@ _ORACLES: dict[str, str] = {
     "bm25_prebuilt": SQL_BM25_SEARCH,
     "bm25_incremental": SQL_BM25_SEARCH,
     "hll_by_group": SQL_HLL_BY_GROUP,
+    "impute_median": SQL_IMPUTE_MEDIAN,
     "spend_gini": SQL_SPEND_GINI,
     "stickiness_dau_wau": SQL_STICKINESS_DAU_WAU,
     "embedding_project": SQL_EMBEDDING_PROJECT,

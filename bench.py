@@ -154,6 +154,7 @@ HEADLINE = [
     "linreg_price",
     "bm25_incremental",
     "hll_by_group",
+    "impute_median",
 ]
 
 

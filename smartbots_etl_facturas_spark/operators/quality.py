@@ -19,7 +19,7 @@ from __future__ import annotations
 from functools import reduce
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -118,4 +118,47 @@ def table_diff(
     return (
         statuses.join(counted, "status", "left")
         .select("status", F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"))
+    )
+
+
+def impute_group_median(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    order_tiebreak: Sequence[str],
+) -> DataFrame:
+    """Data repair: fill NULLs in ``value_col`` with the EXACT median
+    of the column's non-null values within the same ``key`` group —
+    the standard imputation step before any distance/aggregate
+    modeling, with the engine's determinism discipline: the median is
+    the VALUE at rank ceil(n/2) under a total order (``value_col``
+    then ``order_tiebreak``), pure integer rank arithmetic, no
+    interpolation — so the filled value is an exact number both
+    engines agree on (the mad_outliers recipe, reused for repair).
+
+    Plan shape: one key-partitioned window over the NON-NULL rows
+    ranks each group (groups are key-partitioned — no global sort),
+    the one-row-per-key medians frame joins back on the key, and the
+    fill is a coalesce. Output = input columns + ``was_imputed``;
+    rows in a group with NO observed values keep their NULL (flag
+    still true) rather than inventing a number.
+    """
+    present = df.filter(F.col(value_col).isNotNull())
+    w = Window.partitionBy(key).orderBy(
+        F.col(value_col), *[F.col(c) for c in order_tiebreak]
+    )
+    ranked = present.select(
+        key,
+        F.col(value_col).alias("__v"),
+        F.row_number().over(w).alias("__rk"),
+        F.count(F.lit(1)).over(Window.partitionBy(key)).alias("__n"),
+    )
+    med = ranked.filter(
+        F.col("__rk") == F.ceil(F.col("__n") * 0.5).cast("int")
+    ).select(key, F.col("__v").alias("__med"))
+    return (
+        df.join(med, key, "left")
+        .withColumn("was_imputed", F.col(value_col).isNull())
+        .withColumn(value_col, F.coalesce(F.col(value_col), F.col("__med")))
+        .drop("__med")
     )
