@@ -9180,6 +9180,145 @@ def ensure_text_index_base(spark, sf_dir: str) -> str:
     return base
 
 
+def q_fx_normalize(spark, sf_dir):
+    """Multi-currency normalization — the reference parses localized
+    money (F1) in ONE currency; a consolidation across entities also
+    needs dated FX conversion. Orders are assigned a deterministic
+    currency (o_orderkey % 3), a SPARSE daily rate table (one quote
+    every 3 days, micro-unit integer rates from pure arithmetic) is
+    generated in-plan, and each order takes the LATEST QUOTE AT OR
+    BEFORE its date via the as-of join (operators/asof.py — the
+    sparse-quote semantics an equi-join cannot express). Conversion
+    stays exact: cents x micro-rate summed as DECIMAL(38,0), shipped
+    as digits. Output is (currency, year)-scale."""
+    from smartbots_etl_facturas_spark.operators.asof import asof_join
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("d"),
+        F.year(F.col("o_orderdate").cast("date")).cast("long").alias("yr"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        (F.col("o_orderkey") % 3).cast("long").alias("ccy"),
+    )
+    lo, hi = 8000, 10000  # orderdate day span (1992-1998) with margin
+    # one flat range enumerates (day, ccy) pairs — no generator join
+    day = F.expr("id div 3 * 3")
+    quotes = spark.range((lo // 3) * 3, (hi // 3 + 1) * 3).select(
+        (F.col("id") % 3).alias("ccy"),
+        day.alias("d"),
+        # micro-units: 0.8..1.3-ish, exact integer arithmetic
+        (
+            F.lit(800_000)
+            + ((day * 31 + (F.col("id") % 3) * 7919) % 500) * 1000
+        ).alias("rate_micro"),
+    )
+    enriched = asof_join(
+        orders, quotes, on="ccy", ts_col="d", payload_cols=["rate_micro"]
+    )
+    return (
+        enriched.groupBy("ccy", "yr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("cents") * F.col("matched_rate_micro")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("__sum"),
+        )
+        .select(
+            "ccy",
+            "yr",
+            "n",
+            F.col("__sum").cast("string").alias("sum_micro_cents"),
+        )
+    )
+
+
+SQL_FX_NORMALIZE = """
+WITH o AS (
+  SELECT o_orderkey,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+         CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST(o_orderkey % 3 AS BIGINT) AS ccy
+  FROM orders),
+q AS (
+  SELECT CAST(c.range AS BIGINT) AS ccy, CAST(r.range * 3 AS BIGINT) AS d,
+         CAST(800000 + ((r.range * 3 * 31 + c.range * 7919) % 500) * 1000
+              AS BIGINT) AS rate_micro
+  FROM range(2666, 3334) r CROSS JOIN range(3) c),
+m AS (
+  SELECT o.ccy, o.yr, o.cents, q.rate_micro
+  FROM o ASOF LEFT JOIN q ON o.ccy = q.ccy AND o.d >= q.d)
+SELECT ccy, yr, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(cents AS HUGEINT) * rate_micro) AS VARCHAR)
+         AS sum_micro_cents
+FROM m GROUP BY 1, 2
+"""
+
+
+def q_ar_aging(spark, sf_dir):
+    """Accounts-receivable AGING — the canonical invoice-ledger
+    report over the reference's domain: open orders (status <> 'F')
+    bucketed by age at the ledger date (the max order date, derived
+    in-plan as a 1-row broadcast so the report is reproducible on any
+    snapshot), exact decimal outstanding totals per (bucket,
+    priority). One scan + one bounded aggregation; the buckets are
+    integer day arithmetic."""
+    orders = _read(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderpriority",
+        F.col("o_orderstatus").alias("st"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("d"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    asof = o.agg(F.max("d").alias("__asof"))
+    age = F.col("__asof") - F.col("d")
+    bucket = (
+        F.when(age <= 30, F.lit("0-30"))
+        .when(age <= 60, F.lit("31-60"))
+        .when(age <= 90, F.lit("61-90"))
+        .otherwise(F.lit("90+"))
+    )
+    return (
+        o.filter(F.col("st") != "F")
+        .crossJoin(F.broadcast(asof))  # 1-row ledger-date normalizer
+        .groupBy(bucket.alias("age_bucket"), "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_open"),
+            F.sum("cents").cast("long").alias("outstanding_cents"),
+        )
+    )
+
+
+SQL_AR_AGING = """
+WITH o AS (
+  SELECT o_orderpriority, o_orderstatus AS st,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders),
+a AS (SELECT max(d) AS ref_d FROM o)
+SELECT CASE WHEN ref_d - d <= 30 THEN '0-30'
+            WHEN ref_d - d <= 60 THEN '31-60'
+            WHEN ref_d - d <= 90 THEN '61-90'
+            ELSE '90+' END AS age_bucket,
+       o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_open,
+       CAST(sum(cents) AS BIGINT) AS outstanding_cents
+FROM o CROSS JOIN a
+WHERE st <> 'F'
+GROUP BY 1, 2
+"""
+
+
 def q_impute_median(spark, sf_dir):
     """Data repair (operators/quality.py:impute_group_median): a
     deterministic 1-in-37 "sensor dropout" nulls lineitem quantities,
@@ -10404,6 +10543,8 @@ _QUERIES: dict[str, Callable] = {
     "bm25_incremental": q_bm25_incremental,
     "hll_by_group": q_hll_by_group,
     "impute_median": q_impute_median,
+    "fx_normalize": q_fx_normalize,
+    "ar_aging": q_ar_aging,
     "frequent_pairs": q_frequent_pairs,
     "seasonal_dow": q_seasonal_dow,
     "xlsx_datasource_scan": q_xlsx_datasource_scan,
@@ -10759,6 +10900,8 @@ _ORACLES: dict[str, str] = {
     "bm25_incremental": SQL_BM25_SEARCH,
     "hll_by_group": SQL_HLL_BY_GROUP,
     "impute_median": SQL_IMPUTE_MEDIAN,
+    "fx_normalize": SQL_FX_NORMALIZE,
+    "ar_aging": SQL_AR_AGING,
     "spend_gini": SQL_SPEND_GINI,
     "stickiness_dau_wau": SQL_STICKINESS_DAU_WAU,
     "embedding_project": SQL_EMBEDDING_PROJECT,

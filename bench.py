@@ -155,6 +155,8 @@ HEADLINE = [
     "bm25_incremental",
     "hll_by_group",
     "impute_median",
+    "fx_normalize",
+    "ar_aging",
 ]
 
 

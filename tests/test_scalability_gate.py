@@ -124,6 +124,11 @@ ALLOW: dict[str, tuple[set, str]] = {
         "broadcast of the 1-row table total onto the 7-row period-count "
         "frame",
     ),
+    "ar_aging": (
+        {"bnlj"},
+        "broadcast of the 1-row ledger date (max order day) onto the "
+        "open-orders scan before the bounded bucket aggregation",
+    ),
     "exact_quantiles_qty": (
         {"gwin", "bnlj"},
         "histogram selection: the cumulative window and the 5-row "
