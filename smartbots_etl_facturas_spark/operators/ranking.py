@@ -64,11 +64,19 @@ def global_order_index(
     total_sum_cols = dict(total_sum_cols or {})
     sum_srcs = sorted(set(cumsum_cols.values()) | set(total_sum_cols.values()))
     n_part = partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(n_part, *order)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
+    # repartitionByRange runs TWO jobs over the input lineage (range-
+    # bound sampling, then the shuffle); when the input is itself an
+    # aggregation that means two full upstream scans. Cache across the
+    # pair, release once the checkpoint has materialized.
+    cached = df.persist()
+    try:
+        ranged = (
+            cached.repartitionByRange(n_part, *order)
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cached.unpersist()
     # bounded driver read: one row per PARTITION (parallelism-scale,
     # not data-scale)
     stats = ranged.groupBy("__pid").agg(
