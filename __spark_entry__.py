@@ -9180,6 +9180,150 @@ def ensure_text_index_base(spark, sf_dir: str) -> str:
     return base
 
 
+_BENFORD = {
+    1: "0.301029995664", 2: "0.176091259056", 3: "0.124938736608",
+    4: "0.096910013008", 5: "0.079181246048", 6: "0.066946789631",
+    7: "0.057991946978", 8: "0.051152522447", 9: "0.045757490561",
+}
+
+
+def q_benford_digits(spark, sf_dir):
+    """Benford's-law fraud screen over the invoice ledger: first-digit
+    distribution of order amounts vs the log10(1+1/d) expectation,
+    with per-digit chi-square contributions. The digit is string
+    arithmetic on the exact cent integer (no float log); the Benford
+    probabilities are 12-place literals embedded IDENTICALLY in both
+    engines (computing log10 at runtime would race the two libms'
+    last ulp). One scan, one 9-row aggregation, 1-row total
+    broadcast. TPC-H amounts are uniform-ish, so the screen correctly
+    reports a Benford violation — the value-checked numbers are the
+    point, not conformance."""
+    orders = _read(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    counts = orders.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    total = counts.agg(F.sum("observed").alias("__n"))
+    p = F.element_at(
+        F.array(*[F.lit(float(_BENFORD[d])) for d in range(1, 10)]),
+        F.col("digit").cast("int"),
+    )
+    expected = F.col("__n").cast("double") * p
+    return (
+        counts.crossJoin(F.broadcast(total))  # 1-row normalizer
+        .select(
+            "digit",
+            "observed",
+            F.round(expected, 6).alias("expected"),
+            F.round(
+                (F.col("observed").cast("double") - expected) ** 2 / expected,
+                6,
+            ).alias("chi2_contrib"),
+        )
+    )
+
+
+SQL_BENFORD_DIGITS = """
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                               AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+           AS digit,
+         CAST(count(*) AS BIGINT) AS observed
+  FROM orders GROUP BY 1),
+t AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM c),
+p AS (
+  SELECT digit, observed, n,
+         CAST(n AS DOUBLE) * (CASE digit
+            WHEN 1 THEN 0.301029995664 WHEN 2 THEN 0.176091259056
+            WHEN 3 THEN 0.124938736608 WHEN 4 THEN 0.096910013008
+            WHEN 5 THEN 0.079181246048 WHEN 6 THEN 0.066946789631
+            WHEN 7 THEN 0.057991946978 WHEN 8 THEN 0.051152522447
+            ELSE 0.045757490561 END) AS expected
+  FROM c CROSS JOIN t)
+SELECT digit, observed, round(expected, 6) AS expected,
+       round(pow(CAST(observed AS DOUBLE) - expected, 2) / expected, 6)
+         AS chi2_contrib
+FROM p
+"""
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation (recency / frequency / monetary
+    quintiles) — every rank comes from the TWO-PASS range-partitioned
+    scheme (operators/ranking.py:global_order_index) + the integer
+    NTILE derivation (ntile_from_rank), so a 100M-customer frame
+    never lands a global sort on one task. Output is the 5x5x5
+    segment-count cube (at most 125 rows) with exact decimal spend
+    per segment."""
+    from smartbots_etl_facturas_spark.operators.ranking import (
+        global_order_index,
+        ntile_from_rank,
+    )
+
+    orders = _read(spark, sf_dir, "orders")
+    frame = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+        ).cast("long").alias("last_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        ).cast("long").alias("cents"),
+    )
+    ranked = global_order_index(
+        frame, [F.col("last_d"), F.col("o_custkey")], rank_col="__rr",
+        total_count_col="__n",
+    )
+    ranked = global_order_index(
+        ranked, [F.col("freq"), F.col("o_custkey")], rank_col="__fr"
+    )
+    ranked = global_order_index(
+        ranked, [F.col("cents"), F.col("o_custkey")], rank_col="__mr"
+    )
+    n = F.col("__n")
+    return (
+        ranked.select(
+            ntile_from_rank(F.col("__rr"), n, 5).alias("r_score"),
+            ntile_from_rank(F.col("__fr"), n, 5).alias("f_score"),
+            ntile_from_rank(F.col("__mr"), n, 5).alias("m_score"),
+            "cents",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").cast("long").alias("segment_cents"),
+        )
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH f AS (
+  SELECT o_custkey,
+         max(date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE))) AS last_d,
+         count(*) AS freq,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+s AS (
+  SELECT cents,
+         ntile(5) OVER (ORDER BY last_d, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY freq, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY cents, o_custkey) AS m_score
+  FROM f)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS segment_cents
+FROM s GROUP BY 1, 2, 3
+"""
+
+
 def q_fx_normalize(spark, sf_dir):
     """Multi-currency normalization — the reference parses localized
     money (F1) in ONE currency; a consolidation across entities also
@@ -10544,6 +10688,8 @@ _QUERIES: dict[str, Callable] = {
     "hll_by_group": q_hll_by_group,
     "impute_median": q_impute_median,
     "fx_normalize": q_fx_normalize,
+    "benford_digits": q_benford_digits,
+    "rfm_segments": q_rfm_segments,
     "ar_aging": q_ar_aging,
     "frequent_pairs": q_frequent_pairs,
     "seasonal_dow": q_seasonal_dow,
@@ -10901,6 +11047,8 @@ _ORACLES: dict[str, str] = {
     "hll_by_group": SQL_HLL_BY_GROUP,
     "impute_median": SQL_IMPUTE_MEDIAN,
     "fx_normalize": SQL_FX_NORMALIZE,
+    "benford_digits": SQL_BENFORD_DIGITS,
+    "rfm_segments": SQL_RFM_SEGMENTS,
     "ar_aging": SQL_AR_AGING,
     "spend_gini": SQL_SPEND_GINI,
     "stickiness_dau_wau": SQL_STICKINESS_DAU_WAU,

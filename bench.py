@@ -157,6 +157,8 @@ HEADLINE = [
     "impute_median",
     "fx_normalize",
     "ar_aging",
+    "benford_digits",
+    "rfm_segments",
 ]
 
 

@@ -129,6 +129,10 @@ ALLOW: dict[str, tuple[set, str]] = {
         "broadcast of the 1-row ledger date (max order day) onto the "
         "open-orders scan before the bounded bucket aggregation",
     ),
+    "benford_digits": (
+        {"bnlj"},
+        "broadcast of the 1-row total onto the 9-row digit-count frame",
+    ),
     "exact_quantiles_qty": (
         {"gwin", "bnlj"},
         "histogram selection: the cumulative window and the 5-row "
