@@ -9180,6 +9180,116 @@ def ensure_text_index_base(spark, sf_dir: str) -> str:
     return base
 
 
+def q_group_mode(spark, sf_dir):
+    """Exact MODE per group with a deterministic tie-break (highest
+    count, then smallest value — the convention SQL's ANY_VALUE-based
+    modes lack): per market segment, the modal nation of its
+    customers. One hash aggregation builds the (group, value) counts;
+    the argmax is a row_number over the COUNTS frame (category-scale,
+    key-partitioned — never over the data)."""
+    cust = _read(spark, sf_dir, "customer")
+    counts = cust.groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nation"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("seg").orderBy(F.desc("cnt"), F.col("nation"))
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("seg", F.col("nation").alias("mode_nation"), "cnt")
+    )
+
+
+SQL_GROUP_MODE = """
+WITH c AS (
+  SELECT c_mktsegment AS seg, c_nationkey AS nation,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM customer GROUP BY 1, 2),
+r AS (
+  SELECT seg, nation, cnt,
+         row_number() OVER (PARTITION BY seg
+                            ORDER BY cnt DESC, nation) AS rn
+  FROM c)
+SELECT seg, nation AS mode_nation, cnt FROM r WHERE rn = 1
+"""
+
+
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-space drift: cosine similarity between the centroids
+    of two embedding cohorts (vec_id parity), in EXACT integer
+    arithmetic — each float32 component is quantized to micro-units
+    (float→double is exact, so both engines quantize identically),
+    per-dimension sums are exact longs, and cosine is computed from
+    the SUM vectors (scale-invariant: cos(centroids) == cos(sums)) as
+    one final double expression. The numeric member of the drift
+    family (psi/chi-square/mi are categorical); one posexplode + one
+    (cohort, dim) aggregation — 2·dims rows — then a dim-scale join."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.select(
+        (F.col("vec_id") % 2).alias("c"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "c",
+        "pos",
+        F.round(F.col("x").cast("double") * 1e6).cast("long").alias("qv"),
+    )
+    sums = q.groupBy("c", "pos").agg(F.sum("qv").cast("long").alias("sv"))
+    a = sums.filter(F.col("c") == 0).select("pos", F.col("sv").alias("sa"))
+    b = sums.filter(F.col("c") == 1).select("pos", F.col("sv").alias("sb"))
+    j = a.join(b, "pos")
+    D38 = "decimal(38,0)"
+    stats = j.agg(
+        F.sum((F.col("sa").cast(D38) * F.col("sb").cast(D38))).alias("__dot"),
+        F.sum((F.col("sa").cast(D38) * F.col("sa").cast(D38))).alias("__naa"),
+        F.sum((F.col("sb").cast(D38) * F.col("sb").cast(D38))).alias("__nbb"),
+    )
+    counts = emb.agg(
+        F.sum(((F.col("vec_id") % 2) == 0).cast("long")).alias("n_a"),
+        F.sum(((F.col("vec_id") % 2) == 1).cast("long")).alias("n_b"),
+    )
+    return counts.crossJoin(F.broadcast(stats)).select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("__dot").cast("double")
+            / F.sqrt(
+                F.col("__naa").cast("double") * F.col("__nbb").cast("double")
+            ),
+            9,
+        ).alias("centroid_cosine"),
+    )
+
+
+SQL_EMBEDDING_DRIFT = """
+WITH q AS (
+  SELECT vec_id % 2 AS c, r.range + 1 AS pos,
+         CAST(round(CAST(embedding[r.range + 1] AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS qv
+  FROM embeddings CROSS JOIN range(64) r),
+s AS (SELECT c, pos, CAST(sum(qv) AS BIGINT) AS sv FROM q GROUP BY 1, 2),
+j AS (
+  SELECT a.sv AS sa, b.sv AS sb
+  FROM (SELECT pos, sv FROM s WHERE c = 0) a
+  JOIN (SELECT pos, sv FROM s WHERE c = 1) b USING (pos)),
+st AS (
+  SELECT sum(CAST(sa AS HUGEINT) * sb) AS dot,
+         sum(CAST(sa AS HUGEINT) * sa) AS naa,
+         sum(CAST(sb AS HUGEINT) * sb) AS nbb
+  FROM j),
+n AS (
+  SELECT CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b
+  FROM embeddings)
+SELECT n_a, n_b,
+       round(CAST(dot AS DOUBLE)
+             / sqrt(CAST(naa AS DOUBLE) * CAST(nbb AS DOUBLE)), 9)
+         AS centroid_cosine
+FROM n CROSS JOIN st
+"""
+
+
 _BENFORD = {
     1: "0.301029995664", 2: "0.176091259056", 3: "0.124938736608",
     4: "0.096910013008", 5: "0.079181246048", 6: "0.066946789631",
@@ -10689,6 +10799,8 @@ _QUERIES: dict[str, Callable] = {
     "impute_median": q_impute_median,
     "fx_normalize": q_fx_normalize,
     "benford_digits": q_benford_digits,
+    "group_mode": q_group_mode,
+    "embedding_drift": q_embedding_drift,
     "rfm_segments": q_rfm_segments,
     "ar_aging": q_ar_aging,
     "frequent_pairs": q_frequent_pairs,
@@ -11048,6 +11160,8 @@ _ORACLES: dict[str, str] = {
     "impute_median": SQL_IMPUTE_MEDIAN,
     "fx_normalize": SQL_FX_NORMALIZE,
     "benford_digits": SQL_BENFORD_DIGITS,
+    "group_mode": SQL_GROUP_MODE,
+    "embedding_drift": SQL_EMBEDDING_DRIFT,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "ar_aging": SQL_AR_AGING,
     "spend_gini": SQL_SPEND_GINI,

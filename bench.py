@@ -159,6 +159,8 @@ HEADLINE = [
     "ar_aging",
     "benford_digits",
     "rfm_segments",
+    "group_mode",
+    "embedding_drift",
 ]
 
 

@@ -133,6 +133,11 @@ ALLOW: dict[str, tuple[set, str]] = {
         {"bnlj"},
         "broadcast of the 1-row total onto the 9-row digit-count frame",
     ),
+    "embedding_drift": (
+        {"bnlj"},
+        "broadcast of the 1-row sufficient-stats frame (dot/norms over "
+        "the dim-scale sum vectors) onto the 1-row cohort counts",
+    ),
     "exact_quantiles_qty": (
         {"gwin", "bnlj"},
         "histogram selection: the cumulative window and the 5-row "
