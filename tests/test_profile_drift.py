@@ -293,3 +293,19 @@ def test_seasonal_index_flat_and_peaked(spark):
            seasonal_index(peaked, F.col("dow"), 7).collect()}
     assert got[0] == pytest.approx(60 * 7 / 100, abs=1e-9)
     assert got[1] == pytest.approx(20 * 7 / 100, abs=1e-9)
+
+
+# --- benford literal sync ---------------------------------------------------
+
+
+def test_benford_literals_match_log10():
+    """The 12-place Benford probabilities embedded in BOTH engines'
+    expressions must stay in sync with log10(1+1/d) (they are
+    literals precisely because the two libms' last-ulp log10 may
+    disagree; this guards against a typo)."""
+    import __spark_entry__ as entry
+
+    for d in range(1, 10):
+        want = math.log10(1 + 1 / d)
+        assert abs(float(entry._BENFORD[d]) - want) < 5e-13
+    assert abs(sum(float(v) for v in entry._BENFORD.values()) - 1.0) < 1e-10
