@@ -1,0 +1,145 @@
+"""Streaming heavy hitters: the CMS + candidate-set serving pattern
+as bounded stream state.
+
+The batch count-min sketch (operators/sketches.py:cms_cells) answers
+point queries; a serving layer also needs "which keys are big right
+now" WITHOUT remembering every key. The classic answer keeps two
+bounded structures per stream:
+
+  * the CMS cell matrix (d·w integers) — the frequency oracle,
+    sum-merged per micro-batch exactly like streaming/sketches.py;
+  * a CANDIDATE set of at most ``capacity`` keys — per micro-batch,
+    only that batch's top-``m`` keys (a TakeOrdered heap, never a
+    full collect of the batch's key space) are probed against the
+    merged CMS, inserted, and the set is re-trimmed to capacity by
+    estimate.
+
+No-miss property (pinned in tests/test_streaming_topk.py): any key
+whose TRUE total count is at least the stream's per-batch top-``m``
+entry bar appeared in some batch's top-m (a total that large cannot
+hide below m keys in EVERY batch it appears in — its largest batch
+share is at least total/n_batches), so it was probed at least once,
+and CMS estimates never under-count — once a candidate, its estimate
+only grows. Trimming can evict a then-small key, but it re-enters
+the next time it makes a batch top-m.
+
+Exactly-once across driver restarts follows the house contract:
+(cells, candidates, seen batch ids) persist as one atomically-
+replaced JSON snapshot after each merge; redelivered batch ids are
+skipped. State is O(d·w + capacity) forever.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from smartbots_etl_facturas_spark.operators.sketches import cms_cells
+
+__all__ = ["HeavyHittersMonitor"]
+
+
+class HeavyHittersMonitor:
+    """foreachBatch hook maintaining a CMS + bounded candidate set.
+
+    ``top(k)`` returns the current best-k [(key, cms_estimate)] by
+    estimate (desc), key (asc) — deterministic ties.
+
+    Usage::
+
+        mon = HeavyHittersMonitor("user_id", d=4, w=256, m=32,
+                                  capacity=64, state_dir=ckpt + "/hh")
+        stream.writeStream.foreachBatch(mon).trigger(availableNow=True)
+    """
+
+    def __init__(
+        self,
+        key: str,
+        d: int = 4,
+        w: int = 256,
+        m: int = 32,
+        capacity: int = 64,
+        seed: str = "cms-v1",
+        state_dir: str | None = None,
+    ):
+        self.key, self.d, self.w, self.m = key, d, w, m
+        self.capacity, self.seed = capacity, seed
+        self.cells: dict[tuple[int, int], int] = {}
+        self.candidates: dict[str, int] = {}  # key -> last CMS estimate
+        self.seen: set[int] = set()
+        self.state_dir = state_dir
+        if state_dir and os.path.exists(os.path.join(state_dir, "state.json")):
+            with open(os.path.join(state_dir, "state.json")) as fh:
+                snap = json.load(fh)
+            self.cells = {
+                (int(r), int(c)): int(v) for r, c, v in snap["cells"]
+            }
+            self.candidates = {k: int(v) for k, v in snap["candidates"]}
+            self.seen = set(snap["seen"])
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in self.seen:
+            return  # redelivered after recovery: already folded in
+        delta = cms_cells(
+            batch_df, self.key, d=self.d, w=self.w, seed=self.seed
+        ).collect()  # bounded: at most d*w rows
+        for r in delta:
+            cell = (int(r.row), int(r.col))
+            self.cells[cell] = self.cells.get(cell, 0) + int(r.cnt)
+        batch_top = (
+            batch_df.groupBy(self.key)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.col(self.key))
+            .limit(self.m)  # TakeOrdered: per-partition heap, m rows out
+            .collect()
+        )
+        for r in batch_top:
+            self.candidates[str(r[self.key])] = 0  # estimate refreshed below
+        # refresh EVERY candidate against the merged cells (estimates
+        # are monotone under sum-merge), then trim to capacity
+        for k in list(self.candidates):
+            self.candidates[k] = self._estimate(k)
+        if len(self.candidates) > self.capacity:
+            keep = sorted(
+                self.candidates.items(), key=lambda kv: (-kv[1], kv[0])
+            )[: self.capacity]
+            self.candidates = dict(keep)
+        self.seen.add(batch_id)
+        self._persist()
+
+    def _estimate(self, key_value: str) -> int:
+        import hashlib
+
+        est = None
+        for i in range(self.d):
+            h = hashlib.md5(
+                f"{self.seed}:{i}:{key_value}".encode()
+            ).hexdigest()
+            col = int(h[:12], 16) % self.w
+            v = self.cells.get((i, col), 0)
+            est = v if est is None else min(est, v)
+        return est or 0
+
+    def _persist(self) -> None:
+        if not self.state_dir:
+            return
+        os.makedirs(self.state_dir, exist_ok=True)
+        tmp = os.path.join(self.state_dir, "state.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "cells": [[r, c, v] for (r, c), v in self.cells.items()],
+                    "candidates": sorted(self.candidates.items()),
+                    "seen": sorted(self.seen),
+                },
+                fh,
+            )
+        os.replace(tmp, os.path.join(self.state_dir, "state.json"))
+
+    def top(self, k: int) -> list[tuple[str, int]]:
+        return sorted(
+            self.candidates.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:k]
