@@ -9180,6 +9180,174 @@ def ensure_text_index_base(spark, sf_dir: str) -> str:
     return base
 
 
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape (forecasting revenue change): one scan with all
+    three predicates pushed to the parquet reader, revenue = Σ price ×
+    discount kept EXACT in ten-thousandth-dollar integer units
+    (cents × discount-hundredths — no float multiply-accumulate), so
+    the single output row is engine-identical with no rounding at
+    all. The canonical filter-aggregate: no join, no shuffle beyond
+    the 1-row final combine."""
+    li = _read(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    pct = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.filter(
+            (F.year(F.col("l_shipdate").cast("date")) == 1996)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents * pct).cast("long").alias("revenue_ten_thousandths"),
+        )
+    )
+
+
+SQL_FORECAST_REVENUE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_ten_thousandths
+FROM lineitem
+WHERE year(CAST(l_shipdate AS DATE)) = 1996
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): the part dim broadcasts
+    onto the lineitem scan, discounted revenue is kept as EXACT
+    integer units (cents × (100-discount_pct)) for both the promo
+    numerator and the total, and the ratio is one final IEEE division
+    of two exactly-agreed longs."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.year(F.col("l_shipdate").cast("date")) == 1997
+    )
+    part = _read(spark, sf_dir, "part")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    disc = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.col("p_type").startswith("PROMO")
+    return j.agg(
+        F.sum(F.when(promo, cents * disc).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("promo_units"),
+        F.sum(cents * disc).cast("long").alias("total_units"),
+    ).select(
+        "promo_units",
+        "total_units",
+        F.round(
+            F.lit(100.0)
+            * F.col("promo_units").cast("double")
+            / F.col("total_units").cast("double"),
+            9,
+        ).alias("promo_pct"),
+    )
+
+
+SQL_PROMO_REVENUE = """
+WITH j AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS units,
+         p_type LIKE 'PROMO%' AS promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE year(CAST(l_shipdate AS DATE)) = 1997),
+s AS (
+  SELECT CAST(sum(CASE WHEN promo THEN units ELSE 0 END) AS BIGINT)
+           AS promo_units,
+         CAST(sum(units) AS BIGINT) AS total_units
+  FROM j)
+SELECT promo_units, total_units,
+       round(100.0 * CAST(promo_units AS DOUBLE)
+             / CAST(total_units AS DOUBLE), 9) AS promo_pct
+FROM s
+"""
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    "below 20% of this part's average quantity" predicate
+    DECORRELATED into a per-part aggregate joined back — and the
+    average threshold compared by EXACT integer cross-multiplication
+    (qty × 5 × n_part < Σqty_part), so no division ever happens.
+    Output: count + exact cent total of qualifying brand rows."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#3"
+    )
+    qty = F.round(F.col("l_quantity")).cast("long")
+    per_part = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(qty).cast("long").alias("__sq"),
+    )
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("__pk"))
+        .filter(qty * 5 * F.col("__n") < F.col("__sq"))
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum(cents), F.lit(0)).cast("long").alias("total_cents"),
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH pp AS (
+  SELECT l_partkey AS pk, count(*) AS n,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq
+  FROM lineitem GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                               AS BIGINT)), 0) AS BIGINT) AS total_cents
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#3'
+JOIN pp ON l_partkey = pp.pk
+WHERE CAST(round(l_quantity) AS BIGINT) * 5 * n < sq
+"""
+
+
+def q_top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): per-supplier discounted
+    revenue over one year in exact integer units, then the
+    supplier(s) achieving the MAXIMUM — the max arrives as a 1-row
+    broadcast onto the supplier-scale revenue frame (never a global
+    sort), and ties are all returned, exactly like the reference
+    query's nested max."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.year(F.col("l_shipdate").cast("date")) == 1996
+    )
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    disc = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(cents * disc).cast("long").alias("revenue_units")
+    )
+    mx = rev.agg(F.max("revenue_units").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))  # 1-row normalizer
+        .filter(F.col("revenue_units") == F.col("__mx"))
+        .select("l_suppkey", "revenue_units")
+    )
+
+
+SQL_TOP_SUPPLIER_REVENUE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS revenue_units
+  FROM lineitem
+  WHERE year(CAST(l_shipdate AS DATE)) = 1996
+  GROUP BY 1)
+SELECT l_suppkey, revenue_units
+FROM rev
+WHERE revenue_units = (SELECT max(revenue_units) FROM rev)
+"""
+
+
 def q_group_mode(spark, sf_dir):
     """Exact MODE per group with a deterministic tie-break (highest
     count, then smallest value — the convention SQL's ANY_VALUE-based
@@ -10800,6 +10968,10 @@ _QUERIES: dict[str, Callable] = {
     "fx_normalize": q_fx_normalize,
     "benford_digits": q_benford_digits,
     "group_mode": q_group_mode,
+    "forecast_revenue": q_forecast_revenue,
+    "promo_revenue": q_promo_revenue,
+    "small_qty_revenue": q_small_qty_revenue,
+    "top_supplier_revenue": q_top_supplier_revenue,
     "embedding_drift": q_embedding_drift,
     "rfm_segments": q_rfm_segments,
     "ar_aging": q_ar_aging,
@@ -11161,6 +11333,10 @@ _ORACLES: dict[str, str] = {
     "fx_normalize": SQL_FX_NORMALIZE,
     "benford_digits": SQL_BENFORD_DIGITS,
     "group_mode": SQL_GROUP_MODE,
+    "forecast_revenue": SQL_FORECAST_REVENUE,
+    "promo_revenue": SQL_PROMO_REVENUE,
+    "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
+    "top_supplier_revenue": SQL_TOP_SUPPLIER_REVENUE,
     "embedding_drift": SQL_EMBEDDING_DRIFT,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "ar_aging": SQL_AR_AGING,

@@ -161,6 +161,10 @@ HEADLINE = [
     "rfm_segments",
     "group_mode",
     "embedding_drift",
+    "forecast_revenue",
+    "promo_revenue",
+    "small_qty_revenue",
+    "top_supplier_revenue",
 ]
 
 
