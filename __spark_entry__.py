@@ -9180,6 +9180,166 @@ def ensure_text_index_base(spark, sf_dir: str) -> str:
     return base
 
 
+def q_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (three OR-blocks of brand x size x quantity
+    bands): the disjunction lives in ONE join condition over the
+    broadcast part dim, exercising Catalyst's predicate normalization
+    — each block still prunes (common l_quantity bounds factor out to
+    the scan). Revenue exact in integer units as everywhere."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    disc = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    qty = F.col("l_quantity")
+    block = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 10))
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 15))
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 25))
+            & qty.between(20, 30)
+        )
+    )
+    j = li.join(
+        F.broadcast(part),
+        (F.col("l_partkey") == F.col("p_partkey")) & block,
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum(cents * disc), F.lit(0))
+        .cast("long")
+        .alias("revenue_units"),
+    )
+
+
+SQL_DISJUNCTIVE_REVENUE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                               AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT))),
+                     0) AS BIGINT) AS revenue_units
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_interarrival_histogram(spark, sf_dir):
+    """Inter-arrival-time analysis: per-user consecutive event gaps
+    (a user-partitioned lag — partitions are per-user, never global)
+    binned into power-of-two second buckets via INTEGER bit-length
+    (length(bin(x)) — the HLL rho trick, no float log), one bounded
+    histogram out. The distribution behind session-gap and
+    rate-limit tuning."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.lag("ts").over(w).alias("__prev"),
+        )
+        .filter(F.col("__prev").isNotNull())
+        .select((F.col("ts") - F.col("__prev")).alias("__gap_ns"))
+        .select(F.expr("__gap_ns div 1000000000").alias("gap_s"))
+    )
+    bucket = (
+        F.when(F.col("gap_s") <= 0, F.lit(0))
+        .otherwise(F.length(F.bin(F.col("gap_s"))))
+        .cast("long")
+    )
+    return gaps.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
+SQL_INTERARRIVAL_HISTOGRAM = """
+WITH g AS (
+  SELECT CAST((ns - lag(ns) OVER (PARTITION BY user_id
+                                  ORDER BY ns, event_id))
+              // 1000000000 AS BIGINT) AS gap_s
+  FROM (SELECT user_id, event_id,
+               epoch_ns(CAST(ts AS TIMESTAMP)) AS ns FROM events)),
+b AS (
+  SELECT CASE WHEN gap_s <= 0 THEN 0
+              ELSE length(bin(gap_s)) END AS log2_bucket, gap_s
+  FROM g WHERE gap_s IS NOT NULL)
+SELECT CAST(log2_bucket AS BIGINT) AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s
+FROM b GROUP BY 1
+"""
+
+
+def q_decayed_revenue(spark, sf_dir):
+    """Half-life-decayed revenue per order priority — the recency
+    weighting behind trending-score feeds — with the decay EXACT: the
+    weight 2^-(age div halflife) is applied as an integer SHIFT of
+    cent amounts scaled by 2^max_bucket (ages are bounded, so the
+    scale is a constant), making the weighted sum a lossless long —
+    no exp(), no float accumulation. One scan + one bounded
+    aggregation + the 1-row ledger-date broadcast."""
+    orders = _read(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("d"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    ref = o.agg(F.max("d").alias("__ref"))
+    half_life_days = 365
+    max_bucket = 8  # ages span < 8*365 days in this data
+    bucket = F.least(
+        (F.col("__ref") - F.col("d")) / F.lit(half_life_days), F.lit(max_bucket)
+    ).cast("int")
+    # cents * 2^(max_bucket - bucket) == cents * 2^max_bucket * weight
+    scaled = F.col("cents") * F.pow(F.lit(2.0), F.lit(max_bucket) - bucket).cast(
+        "long"
+    )
+    return (
+        o.crossJoin(F.broadcast(ref))  # 1-row ledger-date normalizer
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(scaled).cast("long").alias("decayed_units_x256"),
+        )
+    )
+
+
+SQL_DECAYED_REVENUE = """
+WITH o AS (
+  SELECT o_orderpriority,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders),
+r AS (SELECT max(d) AS ref_d FROM o)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents * CAST(pow(2.0, 8 - least((ref_d - d) // 365, 8))
+                             AS BIGINT)) AS BIGINT) AS decayed_units_x256
+FROM o CROSS JOIN r
+GROUP BY 1
+"""
+
+
 def q_forecast_revenue(spark, sf_dir):
     """TPC-H Q6 shape (forecasting revenue change): one scan with all
     three predicates pushed to the parquet reader, revenue = Σ price ×
@@ -10969,6 +11129,9 @@ _QUERIES: dict[str, Callable] = {
     "benford_digits": q_benford_digits,
     "group_mode": q_group_mode,
     "forecast_revenue": q_forecast_revenue,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "interarrival_histogram": q_interarrival_histogram,
+    "decayed_revenue": q_decayed_revenue,
     "promo_revenue": q_promo_revenue,
     "small_qty_revenue": q_small_qty_revenue,
     "top_supplier_revenue": q_top_supplier_revenue,
@@ -11334,6 +11497,9 @@ _ORACLES: dict[str, str] = {
     "benford_digits": SQL_BENFORD_DIGITS,
     "group_mode": SQL_GROUP_MODE,
     "forecast_revenue": SQL_FORECAST_REVENUE,
+    "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
+    "interarrival_histogram": SQL_INTERARRIVAL_HISTOGRAM,
+    "decayed_revenue": SQL_DECAYED_REVENUE,
     "promo_revenue": SQL_PROMO_REVENUE,
     "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
     "top_supplier_revenue": SQL_TOP_SUPPLIER_REVENUE,

@@ -165,6 +165,9 @@ HEADLINE = [
     "promo_revenue",
     "small_qty_revenue",
     "top_supplier_revenue",
+    "disjunctive_revenue",
+    "interarrival_histogram",
+    "decayed_revenue",
 ]
 
 

@@ -133,6 +133,11 @@ ALLOW: dict[str, tuple[set, str]] = {
         {"bnlj"},
         "broadcast of the 1-row total onto the 9-row digit-count frame",
     ),
+    "decayed_revenue": (
+        {"bnlj"},
+        "broadcast of the 1-row ledger date (max order day) onto the "
+        "scan before the priority-scale decayed aggregation",
+    ),
     "embedding_drift": (
         {"bnlj"},
         "broadcast of the 1-row sufficient-stats frame (dot/norms over "
