@@ -112,19 +112,23 @@ def corr_matrix(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
         *[c.cast("long").alias(f"__v_{n}") for n, c in cols.items()]
     ).na.drop()
     aggs = [F.count(F.lit(1)).alias("__n")]
+
+    # Products multiply DECIMAL(19,0) factors (result: decimal(38,0))
+    # rather than raw longs: a long*long beyond ±9.2e18 silently wraps
+    # under non-ANSI Spark, whereas the decimal product stays exact up
+    # to 38 digits and NULLs (or raises under ANSI) past that — wrong
+    # answers become visible failures for inputs outside the cents
+    # scale this profile documents.
+    def _dec(name: str) -> Column:
+        return F.col(f"__v_{name}").cast("decimal(19,0)")
+
     for n in names:
         v = F.col(f"__v_{n}")
         aggs.append(F.sum(v.cast("decimal(38,0)")).alias(f"__s_{n}"))
-        aggs.append(
-            F.sum((v * v).cast("decimal(38,0)")).alias(f"__ss_{n}")
-        )
+        aggs.append(F.sum(_dec(n) * _dec(n)).alias(f"__ss_{n}"))
     pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
     for a, b in pairs:
-        aggs.append(
-            F.sum(
-                (F.col(f"__v_{a}") * F.col(f"__v_{b}")).cast("decimal(38,0)")
-            ).alias(f"__sp_{a}_{b}")
-        )
+        aggs.append(F.sum(_dec(a) * _dec(b)).alias(f"__sp_{a}_{b}"))
     stats = base.agg(*aggs)
 
     def _corr(a: str, b: str) -> Column:

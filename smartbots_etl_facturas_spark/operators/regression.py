@@ -87,17 +87,26 @@ def linreg_sufficient_stats(
     cols = [features[n].cast("long").alias(f"__f_{n}") for n in names]
     base = df.select(*cols, target.cast("long").alias("__y")).na.drop()
     aggs = [F.count(F.lit(1)).cast(D38).alias("n")]
+    # Factors are cast to DECIMAL(19,0) BEFORE multiplying (product
+    # type: decimal(38,0)) — a raw long*long past ±9.2e18 silently
+    # wraps under non-ANSI Spark; the decimal product stays exact to
+    # 38 digits and fails visibly (NULL / ANSI error) beyond that.
+    D19 = "decimal(19,0)"
     for i, a in enumerate(names):
         fa = F.col(f"__f_{a}")
         aggs.append(F.sum(fa.cast(D38)).alias(f"s_{a}"))
         for b in names[i:]:
             aggs.append(
-                F.sum((fa * F.col(f"__f_{b}")).cast(D38)).alias(f"s_{a}_{b}")
+                F.sum(fa.cast(D19) * F.col(f"__f_{b}").cast(D19)).alias(
+                    f"s_{a}_{b}"
+                )
             )
-        aggs.append(F.sum((fa * F.col("__y")).cast(D38)).alias(f"s_{a}_y"))
+        aggs.append(
+            F.sum(fa.cast(D19) * F.col("__y").cast(D19)).alias(f"s_{a}_y")
+        )
     aggs.append(F.sum(F.col("__y").cast(D38)).alias("sy"))
     aggs.append(
-        F.sum((F.col("__y") * F.col("__y")).cast(D38)).alias("syy")
+        F.sum(F.col("__y").cast(D19) * F.col("__y").cast(D19)).alias("syy")
     )
     return base.agg(*aggs)
 

@@ -106,6 +106,15 @@ class DriftMonitor:
         pseudo-counts — the same formula as the batch operator."""
         tot_live = sum(self.counts.values())
         tot_ref = sum(self.ref.values())
+        if tot_live == 0:
+            raise ValueError(
+                "psi undefined before any micro-batch has been folded "
+                "(live histogram is empty)"
+            )
+        if tot_ref == 0:
+            raise ValueError(
+                "psi undefined against an all-zero reference histogram"
+            )
         out = {}
         for b in range(self.nbins):
             p = max(self.counts.get(b, 0), 0.5) / tot_live

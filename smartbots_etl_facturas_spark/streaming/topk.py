@@ -14,19 +14,25 @@ bounded structures per stream:
     merged CMS, inserted, and the set is re-trimmed to capacity by
     estimate.
 
-No-miss property (pinned in tests/test_streaming_topk.py): any key
-whose TRUE total count is at least the stream's per-batch top-``m``
-entry bar appeared in some batch's top-m (a total that large cannot
-hide below m keys in EVERY batch it appears in — its largest batch
-share is at least total/n_batches), so it was probed at least once,
-and CMS estimates never under-count — once a candidate, its estimate
-only grows. Trimming can evict a then-small key, but it re-enters
-the next time it makes a batch top-m.
+Heuristic no-miss property (pinned in tests/test_streaming_topk.py):
+a key is probed — and its never-under-counting CMS estimate recorded
+— every time it makes some batch's top-``m``. Precisely: a key with
+total count T over n batches has a batch with count ≥ T/n_batches,
+and it enters the candidate set iff that count clears that batch's
+m-th-largest count; a sufficiently skewed adversarial stream can keep
+a large-total key below every batch's bar, so this is a strong
+heuristic for real skewed streams, not a worst-case guarantee.
+Trimming can evict a then-small key, but it re-enters the next time
+it makes a batch top-m.
 
 Exactly-once across driver restarts follows the house contract:
 (cells, candidates, seen batch ids) persist as one atomically-
 replaced JSON snapshot after each merge; redelivered batch ids are
-skipped. State is O(d·w + capacity) forever.
+skipped, and in-memory state is only mutated after BOTH per-batch
+Spark actions succeed, so a mid-batch failure + redelivery cannot
+double-fold. Sketch state is O(d·w + capacity); the seen-id set
+grows with the batch count (a few bytes per micro-batch — compact
+the snapshot offline if a stream runs for years).
 """
 
 from __future__ import annotations
@@ -83,21 +89,30 @@ class HeavyHittersMonitor:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in self.seen:
             return  # redelivered after recovery: already folded in
+        # Run BOTH Spark actions before touching any in-memory state:
+        # if either collect fails and the query restarts, this batch id
+        # is still absent from ``seen`` and the redelivery folds the
+        # delta exactly once (no partial mutation to double-count on).
         delta = cms_cells(
             batch_df, self.key, d=self.d, w=self.w, seed=self.seed
         ).collect()  # bounded: at most d*w rows
-        for r in delta:
-            cell = (int(r.row), int(r.col))
-            self.cells[cell] = self.cells.get(cell, 0) + int(r.cnt)
         batch_top = (
-            batch_df.groupBy(self.key)
+            # group by Spark's OWN string cast of the key so the
+            # candidate string matches what cms_cells hashed — Python
+            # str() renders booleans/timestamps/decimals differently
+            batch_df.groupBy(
+                F.col(self.key).cast("string").alias("__k")
+            )
             .agg(F.count(F.lit(1)).alias("c"))
-            .orderBy(F.desc("c"), F.col(self.key))
+            .orderBy(F.desc("c"), F.col("__k"))
             .limit(self.m)  # TakeOrdered: per-partition heap, m rows out
             .collect()
         )
+        for r in delta:
+            cell = (int(r.row), int(r.col))
+            self.cells[cell] = self.cells.get(cell, 0) + int(r.cnt)
         for r in batch_top:
-            self.candidates[str(r[self.key])] = 0  # estimate refreshed below
+            self.candidates[r["__k"]] = 0  # estimate refreshed below
         # refresh EVERY candidate against the merged cells (estimates
         # are monotone under sum-merge), then trim to capacity
         for k in list(self.candidates):
