@@ -7419,28 +7419,26 @@ def q_winsorized_stats(spark, sf_dir):
     BOUNDARY VALUES (the value at rank ceil(q·n) — pure integer rank
     arithmetic, no interpolation, so both engines agree bit-for-bit)
     before the mean — the outlier-resistant aggregate a metrics
-    pipeline reports instead of a raw mean. Two key-partitioned
-    windows + one keyed aggregation; exact decimal mean numerator,
-    one final rounded division."""
+    pipeline reports instead of a raw mean. Scale-safe since round
+    8: the p10/p90 boundaries come from histogram selection
+    (operators/orderstats.py:group_quantile_values — corpus touched
+    by one map-side-combinable agg, cumulative window on the
+    (segment × distinct-value) frame), replacing the 5-segment data
+    rank that sorted ~20% of all customers per task; exact decimal
+    mean numerator, one final rounded division."""
+    from smartbots_etl_facturas_spark.operators.orderstats import (
+        group_quantile_values,
+    )
+
     cust = _read(spark, sf_dir, "customer")
-    val = F.col("c_acctbal").cast("decimal(12,2)")
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        val, F.col("c_custkey")
-    )
-    ranked = cust.select(
+    base = cust.select(
         "c_mktsegment",
-        val.alias("v"),
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment")).alias("n"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("v"),
     )
-    lo_rk = F.ceil(F.col("n") * 0.1).cast("int")
-    hi_rk = F.ceil(F.col("n") * 0.9).cast("int")
-    bounds = (
-        ranked.filter((F.col("rk") == lo_rk) | (F.col("rk") == hi_rk))
-        .groupBy("c_mktsegment")
-        .agg(F.min("v").alias("p10"), F.max("v").alias("p90"))
-    )
-    clipped = ranked.join(bounds, "c_mktsegment").select(
+    bounds = group_quantile_values(
+        base, ["c_mktsegment"], "v", [("p10", 1, 10), ("p90", 9, 10)]
+    ).select("c_mktsegment", "p10", "p90")
+    clipped = base.join(F.broadcast(bounds), "c_mktsegment").select(
         "c_mktsegment",
         F.least(F.greatest(F.col("v"), F.col("p10")), F.col("p90")).alias("cv"),
     )
@@ -7567,46 +7565,39 @@ def q_mad_outliers(spark, sf_dir):
     agree on — and the report counts accounts beyond median ± 3·MAD.
     The robust twin of group_anomalies (whose z-scores a single
     outlier can drag); MAD's 50% breakdown point is why profiling
-    suites prefer it at corpus scale. Two key-partitioned windows +
-    keyed aggs, no global sort."""
+    suites prefer it at corpus scale. Scale-safe since round 8: both
+    medians come from histogram selection
+    (operators/orderstats.py:group_quantile_values) — the corpus is
+    touched only by map-side-combinable groupBy aggregations and the
+    cumulative windows run on (segment × distinct-value) frames, so
+    no group ever sorts on a single task (the 5-segment data rank the
+    previous plan used put ~20% of all customers on each of 5
+    tasks)."""
+    from smartbots_etl_facturas_spark.operators.orderstats import (
+        group_quantile_values,
+    )
+
     cust = _read(spark, sf_dir, "customer")
-    val = F.col("c_acctbal").cast("decimal(12,2)")
-    w = Window.partitionBy("c_mktsegment").orderBy(val, F.col("c_custkey"))
-    ranked = cust.select(
+    base = cust.select(
         "c_mktsegment",
         F.col("c_custkey"),
-        val.alias("v"),
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment")).alias("n"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("v"),
     )
-    med = (
-        ranked.filter(F.col("rk") == F.ceil(F.col("n") * 0.5).cast("int"))
-        .select("c_mktsegment", F.col("v").alias("med"))
-    )
-    dev = ranked.join(med, "c_mktsegment").select(
+    med = group_quantile_values(
+        base, ["c_mktsegment"], "v", [("med", 1, 2)]
+    ).select("c_mktsegment", "med")
+    dev = base.join(F.broadcast(med), "c_mktsegment").select(
         "c_mktsegment",
         "c_custkey",
         "v",
         "med",
         F.abs(F.col("v") - F.col("med")).alias("ad"),
     )
-    w2 = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("ad"), F.col("c_custkey")
-    )
-    mad = (
-        dev.select(
-            "c_mktsegment",
-            "ad",
-            F.row_number().over(w2).alias("rk2"),
-            F.count(F.lit(1)).over(
-                Window.partitionBy("c_mktsegment")
-            ).alias("n2"),
-        )
-        .filter(F.col("rk2") == F.ceil(F.col("n2") * 0.5).cast("int"))
-        .select("c_mktsegment", F.col("ad").alias("mad"))
-    )
+    mad = group_quantile_values(
+        dev, ["c_mktsegment"], "ad", [("mad", 1, 2)]
+    ).select("c_mktsegment", "mad")
     return (
-        dev.join(mad, "c_mktsegment")
+        dev.join(F.broadcast(mad), "c_mktsegment")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n"),

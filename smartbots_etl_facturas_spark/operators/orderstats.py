@@ -72,3 +72,62 @@ def exact_quantiles(
         .groupBy("quantile")
         .agg(F.min("v").alias("value"))
     )
+
+
+def group_quantile_values(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    probs: Sequence[tuple[str, int, int]],
+) -> DataFrame:
+    """Per-key exact quantile VALUES by histogram selection — the
+    grouped form of ``exact_quantiles``, and the scale-safe
+    replacement for ``Window.partitionBy(key).orderBy(value)`` data
+    ranks when the key cardinality is far below the parallelism.
+
+    A fact-scale rank window puts an ENTIRE group's rows on one task
+    — with ~6 groups the whole corpus sorts on ≤6 tasks, the exact
+    hot-group cliff ``topk_per_group`` documents. Here the corpus is
+    touched by ONE map-side-combinable aggregation
+    (``groupBy(keys, value).count()``); every window after that runs
+    on the reduced (key × distinct-value) frame, bounded by the value
+    domain, not the row count.
+
+    ``probs`` are (out_column, numerator, denominator) rationals; the
+    selected value is the smallest v whose cumulative count reaches
+    rank ceil(n·num/den), computed as ``(n·num + den - 1) div den`` —
+    pure integer arithmetic, identical to ``quantile_disc`` and to
+    the rank-window convention ``rk == ceil(n·q)`` (the value at a
+    rank never depends on the tie-break order, only ties among EQUAL
+    values are reordered). NULL values are excluded.
+
+    Returns one row per key: ``(*keys, <label...>, __n)`` where
+    ``__n`` is the group's non-null count.
+    """
+    key_cols = [F.col(k) for k in keys]
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*key_cols, F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*keys)
+    cum = counts.select(
+        *keys,
+        "__v",
+        F.sum("__c").over(w_cum).alias("__cum"),
+        F.sum("__c").over(w_tot).alias("__n"),
+    )
+    aggs = []
+    for label, num, den in probs:
+        # integer ceil(n*num/den): (n*num + den - 1) div den
+        rank = F.expr(f"(__n * {int(num)} + {int(den) - 1}) div {int(den)}")
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= rank, F.col("__v"))).alias(label)
+        )
+    aggs.append(F.max("__n").alias("__n"))
+    return cum.groupBy(*keys).agg(*aggs)

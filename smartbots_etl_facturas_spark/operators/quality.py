@@ -135,27 +135,31 @@ def impute_group_median(
     then ``order_tiebreak``), pure integer rank arithmetic, no
     interpolation — so the filled value is an exact number both
     engines agree on (the mad_outliers recipe, reused for repair).
+    ``order_tiebreak`` is kept for API continuity but cannot change
+    the result: the value AT a rank is tie-break-independent (only
+    ties among equal values reorder).
 
-    Plan shape: one key-partitioned window over the NON-NULL rows
-    ranks each group (groups are key-partitioned — no global sort),
-    the one-row-per-key medians frame joins back on the key, and the
-    fill is a coalesce. Output = input columns + ``was_imputed``;
-    rows in a group with NO observed values keep their NULL (flag
-    still true) rather than inventing a number.
+    Plan shape (histogram selection — orderstats.py:
+    group_quantile_values): the non-null rows are reduced by ONE
+    map-side-combinable ``groupBy(key, value).count()``; the
+    cumulative window runs on that (key × distinct-value)-bounded
+    frame, NEVER on the data. The previous key-partitioned data rank
+    put each group's every row on one task — with key cardinality ≪
+    parallelism (e.g. 6 returnflag|linestatus groups over a 100 TB
+    fact) that is a single-task sort of the corpus, the hot-group
+    cliff topk_per_group documents. Medians join back per key
+    (broadcast-scale frame) and the fill is a coalesce. Output =
+    input columns + ``was_imputed``; rows in a group with NO
+    observed values keep their NULL (flag still true) rather than
+    inventing a number.
     """
-    present = df.filter(F.col(value_col).isNotNull())
-    w = Window.partitionBy(key).orderBy(
-        F.col(value_col), *[F.col(c) for c in order_tiebreak]
+    from smartbots_etl_facturas_spark.operators.orderstats import (
+        group_quantile_values,
     )
-    ranked = present.select(
-        key,
-        F.col(value_col).alias("__v"),
-        F.row_number().over(w).alias("__rk"),
-        F.count(F.lit(1)).over(Window.partitionBy(key)).alias("__n"),
-    )
-    med = ranked.filter(
-        F.col("__rk") == F.ceil(F.col("__n") * 0.5).cast("int")
-    ).select(key, F.col("__v").alias("__med"))
+
+    med = group_quantile_values(
+        df, [key], value_col, [("__med", 1, 2)]
+    ).select(key, "__med")
     return (
         df.join(med, key, "left")
         .withColumn("was_imputed", F.col(value_col).isNull())

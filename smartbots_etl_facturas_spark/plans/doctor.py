@@ -132,3 +132,62 @@ def assert_scalable(df: DataFrame, allow_nested_loop: bool = False) -> PlanRepor
             + "; report=" + repr(r.warnings)
         )
     return r
+
+
+def data_scale_windows(df: DataFrame) -> int:
+    """Count Window nodes whose input is DATA-scale: some leaf
+    relation is reachable beneath the Window without crossing an
+    Aggregate.
+
+    Why it matters: ``Window.partitionBy(key)`` puts each key group's
+    EVERY row on one task. That is fine when the key is
+    high-cardinality (user sessions, per-query ANN ranks) and a
+    single-task sort of the corpus when the key cardinality is far
+    below the parallelism (~6 returnflag|linestatus groups over a
+    100 TB fact) — the hot-group cliff. Cardinality is invisible in a
+    plan, so this is NOT a universal gate; it exists for the
+    order-statistics family (group_quantile_values and friends) whose
+    CONTRACT is "windows only ever run on an aggregated
+    (key × distinct-value) frame" — their regression tests pin this
+    count to zero, so a refactor that quietly reintroduces a
+    fact-scale rank fails even while the value oracle stays green.
+
+    Walks the OPTIMIZED logical plan (stable node names, no AQE
+    rewrites): depth = indentation of the ``numberedTreeString``-style
+    rendering Spark uses for ``toString``.
+    """
+    plan = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    nodes: list[tuple[int, str]] = []  # (depth, kind)
+    for raw in plan.splitlines():
+        m = re.match(r"^([: +-]*)(\w[\w]*)", raw)
+        if not m:
+            continue
+        prefix, name = m.group(1), m.group(2)
+        depth = len(prefix) // 3
+        nodes.append((depth, name))
+    count = 0
+    for i, (d, name) in enumerate(nodes):
+        if name != "Window":
+            continue
+        # scan the subtree: every node after i with depth > d until
+        # depth <= d again
+        blocked_depths: list[int] = []  # depths at/below an Aggregate
+        reachable_leaf = False
+        for d2, n2 in nodes[i + 1:]:
+            if d2 <= d:
+                break
+            while blocked_depths and d2 <= blocked_depths[-1]:
+                blocked_depths.pop()
+            if n2 == "Aggregate":
+                blocked_depths.append(d2)
+                continue
+            if not blocked_depths and n2 in (
+                "Relation",
+                "LogicalRelation",
+                "LocalRelation",
+                "Range",
+            ):
+                reachable_leaf = True
+        if reachable_leaf:
+            count += 1
+    return count

@@ -164,3 +164,80 @@ class TestStarCC:
             spark, [(5, 9), (9, 2), (30, 31), (100, 7), (7, 2)]
         )
         assert lbl == star
+
+
+class TestGroupQuantileValues:
+    """Per-key histogram selection (group_quantile_values) — the
+    scale-safe replacement for fact-scale Window.partitionBy(key)
+    ranks in the order-statistics family (round-8 rewrite)."""
+
+    def _gqv(self, spark, rows, probs):
+        from smartbots_etl_facturas_spark.operators.orderstats import (
+            group_quantile_values,
+        )
+
+        df = spark.createDataFrame(rows, ["g", "v"])
+        return {
+            r.g: r
+            for r in group_quantile_values(df, ["g"], "v", probs).collect()
+        }
+
+    def test_median_matches_rank_window_convention(self, spark):
+        # value at rank ceil(n/2): odd group -> middle, even -> lower
+        rows = [("a", v) for v in [5, 1, 3]] + [("b", v) for v in [4, 2, 8, 6]]
+        got = self._gqv(spark, rows, [("med", 1, 2)])
+        assert got["a"].med == 3 and got["a"]["__n"] == 3
+        assert got["b"].med == 4 and got["b"]["__n"] == 4
+
+    def test_duplicates_and_nulls(self, spark):
+        rows = [("a", 1), ("a", 1), ("a", 1), ("a", 9), ("a", None)]
+        got = self._gqv(spark, rows, [("med", 1, 2), ("p90", 9, 10)])
+        # n=4 non-null, rank ceil(4/2)=2 -> 1; p90 rank ceil(36/10)=4 -> 9
+        assert got["a"].med == 1 and got["a"].p90 == 9
+
+    def test_matches_duckdb_grouped_quantile_disc(self, spark):
+        import duckdb
+
+        rows = [
+            (f"g{i % 4}", (i * 13 + 7) % 31) for i in range(311)
+        ]
+        got = self._gqv(
+            spark, rows, [("p10", 1, 10), ("p50", 1, 2), ("p90", 9, 10)]
+        )
+        want = {
+            g: (p10, p50, p90)
+            for g, p10, p50, p90 in duckdb.sql(
+                "SELECT g, quantile_disc(v, 0.1), quantile_disc(v, 0.5), "
+                "quantile_disc(v, 0.9) FROM (SELECT unnest($g) AS g, "
+                "unnest($v) AS v) GROUP BY g",
+                params={"g": [r[0] for r in rows],
+                        "v": [r[1] for r in rows]},
+            ).fetchall()
+        }
+        for g, r in got.items():
+            assert (r.p10, r.p50, r.p90) == want[g], g
+
+    def test_no_data_scale_window_in_rewritten_queries(self, spark, sf_dir):
+        """The round-8 contract: impute_median / mad_outliers /
+        winsorized_stats / exact_quantiles_qty windows only ever run
+        on the aggregated (key x distinct-value) frame — never on the
+        fact. A refactor reintroducing the hot-group data rank fails
+        here even while the value oracle stays green."""
+        from pyspark.sql import Window
+
+        import __spark_entry__ as entry
+        from smartbots_etl_facturas_spark.plans.doctor import (
+            data_scale_windows,
+        )
+
+        # detector control: a genuine fact-scale rank is seen
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+        assert data_scale_windows(
+            li.select(F.row_number().over(w).alias("rk"))
+        ) == 1
+
+        qs = entry.queries()
+        for name in ("impute_median", "mad_outliers", "winsorized_stats",
+                     "exact_quantiles_qty"):
+            assert data_scale_windows(qs[name](spark, sf_dir)) == 0, name
