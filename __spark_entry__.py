@@ -9679,14 +9679,18 @@ FROM p
 
 def q_rfm_segments(spark, sf_dir):
     """RFM customer segmentation (recency / frequency / monetary
-    quintiles) — every rank comes from the TWO-PASS range-partitioned
-    scheme (operators/ranking.py:global_order_index) + the integer
-    NTILE derivation (ntile_from_rank), so a 100M-customer frame
-    never lands a global sort on one task. Output is the 5x5x5
-    segment-count cube (at most 125 rows) with exact decimal spend
-    per segment."""
+    quintiles) — the three independent ranks come from ONE
+    multi_order_index call (operators/ranking.py): the customer frame
+    is measured and pinned once, then ranked per order — the adaptive
+    small-frame tier runs all three as bounded single-task windows
+    locally, while past the measured threshold each rank takes the
+    two-pass range-partitioned scheme (three range shuffles are
+    inherent to three sort keys, but the triple persist/checkpoint
+    the round-7 chained form paid is not). Integer NTILE derivation
+    (ntile_from_rank) as before; output is the 5x5x5 segment-count
+    cube (at most 125 rows) with exact decimal spend per segment."""
     from smartbots_etl_facturas_spark.operators.ranking import (
-        global_order_index,
+        multi_order_index,
         ntile_from_rank,
     )
 
@@ -9703,15 +9707,14 @@ def q_rfm_segments(spark, sf_dir):
             (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
         ).cast("long").alias("cents"),
     )
-    ranked = global_order_index(
-        frame, [F.col("last_d"), F.col("o_custkey")], rank_col="__rr",
+    ranked = multi_order_index(
+        frame,
+        {
+            "__rr": [F.col("last_d"), F.col("o_custkey")],
+            "__fr": [F.col("freq"), F.col("o_custkey")],
+            "__mr": [F.col("cents"), F.col("o_custkey")],
+        },
         total_count_col="__n",
-    )
-    ranked = global_order_index(
-        ranked, [F.col("freq"), F.col("o_custkey")], rank_col="__fr"
-    )
-    ranked = global_order_index(
-        ranked, [F.col("cents"), F.col("o_custkey")], rank_col="__mr"
     )
     n = F.col("__n")
     return (

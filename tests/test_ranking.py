@@ -103,3 +103,71 @@ def test_ntile_from_rank_matches_window_ntile(spark, n, k):
         .collect()
     }
     assert got == want
+
+
+class TestAdaptiveTier:
+    """Round-8 adaptive small-frame tier: results are bit-identical
+    across the single-window and two-pass paths, and multi_order_index
+    matches chained global_order_index calls."""
+
+    def _frame(self, spark, n=500):
+        from pyspark.sql import functions as F
+
+        return spark.range(n).select(
+            (F.col("id") * 48271 % 197).alias("v"),
+            ((F.col("id") * 16807) % 89).alias("x"),
+            F.col("id"),
+        )
+
+    def test_small_tier_matches_two_pass(self, spark):
+        from pyspark.sql import functions as F
+
+        from smartbots_etl_facturas_spark.operators.ranking import (
+            global_order_index,
+        )
+
+        df = self._frame(spark)
+        order = [F.col("v"), F.col("id")]
+        kw = dict(
+            rank_col="r",
+            cumsum_cols={"cum_x": "x"},
+            total_count_col="n",
+            total_sum_cols={"tot_x": "x"},
+        )
+        small = global_order_index(df, order, **kw)  # default: small tier
+        two = global_order_index(df, order, small_frame_threshold=0, **kw)
+        cols = ["id", "r", "cum_x", "n", "tot_x"]
+        assert sorted(map(tuple, small.select(cols).collect())) == sorted(
+            map(tuple, two.select(cols).collect())
+        )
+        assert dict(small.dtypes) == dict(two.dtypes)
+
+    def test_multi_order_matches_chained(self, spark):
+        from pyspark.sql import functions as F
+
+        from smartbots_etl_facturas_spark.operators.ranking import (
+            global_order_index,
+            multi_order_index,
+        )
+
+        df = self._frame(spark)
+        orders = {
+            "r_v": [F.col("v"), F.col("id")],
+            "r_x": [F.col("x"), F.col("id")],
+        }
+        for thr in (None, 0):  # both tiers
+            got = multi_order_index(
+                df, orders, total_count_col="n", small_frame_threshold=thr
+            )
+            want = global_order_index(
+                df, orders["r_v"], rank_col="r_v", total_count_col="n",
+                small_frame_threshold=thr or 0,
+            )
+            want = global_order_index(
+                want, orders["r_x"], rank_col="r_x",
+                small_frame_threshold=thr or 0,
+            )
+            cols = ["id", "r_v", "r_x", "n"]
+            assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+                map(tuple, want.select(cols).collect())
+            ), thr
