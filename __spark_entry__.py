@@ -10663,6 +10663,56 @@ FROM orders
 """
 
 
+def q_column_profile_approx(spark, sf_dir):
+    """The 100 TB profile tier (operators/profile.py:column_profile
+    with approx=True): per-column distinct counts come from Spark's
+    native HLL++ (approx_count_distinct, rsd=0.05) instead of the
+    exact count_distinct EXPAND — the exact plan multiplies the one
+    aggregation into a distinct-shuffle per profiled column, the
+    sketch keeps it one fixed-size mergeable pass. The sketch
+    estimate itself is engine-specific, so the SHIPPED contract is
+    the invariant both engines can check: per column, the exact
+    distinct count plus a boolean pinning the estimate within 5x the
+    configured rsd (the same rel_err_ok pattern as hll_by_group)."""
+    from smartbots_etl_facturas_spark.operators.profile import column_profile
+
+    orders = _read(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    est = column_profile(orders, cols, approx=True, rsd=0.05).select(
+        "col_name", F.col("n_distinct").alias("n_est")
+    )
+    exact = column_profile(orders, cols).select(
+        "col_name", F.col("n_distinct").alias("n_exact")
+    )
+    return exact.join(est, "col_name").select(
+        "col_name",
+        "n_exact",
+        (
+            F.abs(F.col("n_est") - F.col("n_exact"))
+            / F.col("n_exact").cast("double")
+            < 0.25
+        ).alias("rel_err_ok"),
+    )
+
+
+SQL_COLUMN_PROFILE_APPROX = """
+SELECT 'o_orderkey' AS col_name,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_exact,
+       TRUE AS rel_err_ok
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(count(DISTINCT o_custkey) AS BIGINT), TRUE
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(DISTINCT o_orderstatus) AS BIGINT), TRUE
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+       TRUE
+FROM orders
+"""
+
+
 def q_acf_daily_orders(spark, sf_dir):
     """Autocorrelation (lags 1-3) of the daily order-count series
     (operators/timeseries.py:acf_lags). The lag join is a shifted
@@ -11110,6 +11160,7 @@ _QUERIES: dict[str, Callable] = {
     "chi_square_cells": q_chi_square_cells,
     "fd_violations": q_fd_violations,
     "column_profile": q_column_profile,
+    "column_profile_approx": q_column_profile_approx,
     "acf_daily_orders": q_acf_daily_orders,
     "corr_matrix": q_corr_matrix,
     "categorical_entropy": q_categorical_entropy,
@@ -11513,6 +11564,7 @@ _ORACLES: dict[str, str] = {
     "chi_square_cells": SQL_CHI_SQUARE_CELLS,
     "fd_violations": SQL_FD_VIOLATIONS,
     "column_profile": SQL_COLUMN_PROFILE,
+    "column_profile_approx": SQL_COLUMN_PROFILE_APPROX,
     "acf_daily_orders": SQL_ACF_DAILY_ORDERS,
     "corr_matrix": SQL_CORR_MATRIX,
     "categorical_entropy": SQL_CATEGORICAL_ENTROPY,

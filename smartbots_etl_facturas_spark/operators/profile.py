@@ -38,7 +38,12 @@ __all__ = [
 ]
 
 
-def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+def column_profile(
+    df: DataFrame,
+    cols: list[str],
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
     """Tidy per-column profile (col_name, n_null, n_distinct,
     min_str, max_str) of ``cols`` computed in one scan.
 
@@ -46,12 +51,29 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     one tidy frame; numeric columns keep a portable plain format
     (DOUBLE renders via the engine; callers wanting exact numerics
     profile those columns alone).
+
+    ``approx=True`` swaps exact ``count_distinct`` for Spark's native
+    HLL++ (``approx_count_distinct``, relative standard deviation
+    ``rsd``) — the 100 TB tier. Exact distinct counting expands the
+    single aggregation into one distinct-shuffle PER PROFILED COLUMN
+    (|cols| scans-worth of shuffle rows through one stage); the
+    sketch is fixed-size per column, fully map-side mergeable, and
+    keeps the plan at one genuine pass. Same contract as the repo's
+    own HLL operator family (operators/sketches.py) — the built-in is
+    used here because it composes into the one-shot ``agg()`` without
+    a per-column register explode. Relative-error contract pinned in
+    tests/test_profile_drift.py.
     """
     aggs = []
     for c in cols:
+        nd = (
+            F.approx_count_distinct(F.col(c), rsd)
+            if approx
+            else F.count_distinct(F.col(c))
+        )
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
-            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            nd.alias(f"__nd_{c}"),
             F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
             F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
         ]

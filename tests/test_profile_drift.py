@@ -130,6 +130,36 @@ def test_column_profile_stats(spark):
     assert (out["s"].min_str, out["s"].max_str) == ("a", "c")
 
 
+def test_column_profile_approx_relative_error(spark):
+    """The 100 TB tier: approx=True swaps exact count_distinct for
+    HLL++ (approx_count_distinct). Estimates must land within 5x the
+    configured rsd of the exact counts across a wide cardinality
+    range; the other statistics stay exact."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(60_000).select(
+        F.col("id").alias("hi"),              # 60k distinct
+        (F.col("id") % 700).alias("mid"),     # 700 distinct
+        (F.col("id") % 7).alias("lo"),        # 7 distinct
+    )
+    rsd = 0.05
+    exact = {r.col_name: r for r in
+             column_profile(df, ["hi", "mid", "lo"]).collect()}
+    est = {r.col_name: r for r in
+           column_profile(df, ["hi", "mid", "lo"], approx=True,
+                          rsd=rsd).collect()}
+    for c in ("hi", "mid", "lo"):
+        rel = abs(est[c].n_distinct - exact[c].n_distinct) / max(
+            exact[c].n_distinct, 1
+        )
+        assert rel <= 5 * rsd, (c, rel)
+        # non-distinct statistics are unaffected by the tier
+        assert est[c].n_null == exact[c].n_null
+        assert (est[c].min_str, est[c].max_str) == (
+            exact[c].min_str, exact[c].max_str
+        )
+
+
 def test_fd_violations_reports_only_violators(spark):
     df = spark.createDataFrame(
         [(1, "x"), (1, "x"), (2, "x"), (2, "y"), (3, "z")],
