@@ -19,6 +19,21 @@ row past a watermark. Under that contract stream-final stages equal
 the batch funnel over the union (pinned in
 tests/test_streaming_funnel.py).
 
+``funnel_stateful_buffered`` relaxes that contract to the standard
+watermark discipline a real event pipeline needs: events may arrive
+out of order within a bounded ``horizon_us``. The state buffers each
+user's not-yet-final events and only FOLDS an event once the user's
+observed max event time has moved ``horizon_us`` past it (the
+per-user watermark), at which point no reordering within the horizon
+can precede it anymore — so the greedy walk sees events in true
+event-time order and stream-final stages equal the batch funnel over
+the union for ANY within-horizon shuffle (pinned in
+tests/test_streaming_funnel.py). Events older than the already-
+finalized frontier are dropped exactly like rows past a watermark.
+Per-user state is (stage, bound, frontier) plus the buffer, whose
+size is bounded by the user's event volume inside one horizon — the
+same bound a watermarked window aggregation carries.
+
 Each accepted batch emits the group's CURRENT (user, stage,
 bound_ts) — consumers keep the latest row per user (update-mode
 shape); per-stage counts are then "users with stage >= i".
@@ -86,4 +101,108 @@ def funnel_stateful(
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def funnel_stateful_buffered(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    horizon_us: int = 600_000_000,
+):
+    """Watermark-buffered per-user streaming funnel: tolerates events
+    arriving out of order within ``horizon_us`` (microseconds) of the
+    user's max observed event time.
+
+    Folding rule: an event is final — and only then folded into the
+    greedy walk, in (event-time, type) order, matching the batch
+    twin's ``sort_array`` struct order — once the user's max observed
+    event time is at least ``horizon_us`` past it. Events at or
+    before the already-finalized frontier are dropped (late beyond
+    the horizon). ALL of the user's events advance the frontier
+    (non-step types fold as no-ops), so a stream with trailing
+    activity drains its buffer naturally.
+
+    Emits one row per (user, micro-batch touching that user):
+    (user, stage, bound_ts, n_buffered) — ``n_buffered`` is the
+    user's not-yet-final step events still held in state.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    if horizon_us < 0:
+        raise ValueError("horizon_us must be >= 0")
+    key_type = df.schema[user_col].dataType.simpleString()
+    out_schema = (
+        f"{user_col} {key_type}, stage long, bound_ts timestamp, "
+        "n_buffered long"
+    )
+    state_schema = (
+        "stage long, bound_us long, fin_us long, "
+        "buf_ts array<long>, buf_ty array<string>"
+    )
+    k = len(steps)
+    step_set = set(steps)
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        new_ts = (rows[ts_col].astype("int64") // 1000).tolist()
+        new_ty = rows[type_col].tolist()
+
+        if state.exists:
+            st = state.get
+            stage, bound_us, fin_us = int(st[0]), int(st[1]), int(st[2])
+            buf = list(zip(list(st[3] or []), list(st[4] or [])))
+        else:
+            stage, bound_us, fin_us = 0, -1, -(1 << 62)
+            buf = []
+
+        # admit new rows: anything at-or-before the finalized frontier
+        # arrived later than the horizon allows and is dropped; only
+        # step-typed rows consume buffer space (others just advance
+        # the frontier via max_us below)
+        max_us = max([fin_us + horizon_us] + new_ts) if new_ts else (
+            fin_us + horizon_us
+        )
+        for t, ty in zip(new_ts, new_ty):
+            if t > fin_us and ty in step_set:
+                buf.append((t, ty))
+
+        frontier = max(fin_us, max_us - horizon_us)
+        ready = sorted(
+            [e for e in buf if e[0] <= frontier]
+        )  # (ts, type) order == the batch twin's sort_array struct order
+        buf = [e for e in buf if e[0] > frontier]
+        for t, ty in ready:
+            if stage < k and ty == steps[stage] and t > bound_us:
+                stage += 1
+                bound_us = t
+
+        state.update((
+            int(stage), int(bound_us), int(frontier),
+            [int(t) for t, _ in buf], [ty for _, ty in buf],
+        ))
+        yield pd.DataFrame(
+            {
+                user_col: [key[0]],
+                "stage": [int(stage)],
+                "bound_ts": [
+                    pd.Timestamp(bound_us * 1000) if bound_us >= 0 else pd.NaT
+                ],
+                "n_buffered": [len(buf)],
+            }
+        )
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -121,6 +121,129 @@ def ewma_stateful(
     )
 
 
+def ewma_stateful_buffered(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    units_col: str = "x_units",
+    alpha_denom: int = 4,
+    tie_col: str | None = None,
+    horizon_us: int = 600_000_000,
+):
+    """Watermark-buffered streaming EWMA: tolerates events arriving
+    out of order within ``horizon_us`` (microseconds) of the key's
+    max observed event time — the relaxation of
+    :func:`ewma_stateful`'s strict ordered-delivery contract that a
+    real event pipeline needs (the buffered-funnel discipline,
+    streaming/funnel.py:funnel_stateful_buffered).
+
+    A row is FINAL — and only then folded into the recurrence and
+    emitted, in (ts, tie) order — once the key's max observed event
+    time is at least ``horizon_us`` past it; until then it waits in
+    state. Rows at or before the already-finalized frontier are
+    dropped (late beyond the horizon). Per-key state is the
+    accumulator + frontier + the within-horizon buffer (bounded by
+    one horizon's event volume, the watermarked-aggregation bound).
+    Stream-final output equals the batch EWMA over the union for ANY
+    within-horizon shuffle (pinned in tests/test_streaming.py).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if alpha_denom < 2:
+        raise ValueError("alpha_denom must be >= 2")
+    if horizon_us < 0:
+        raise ValueError("horizon_us must be >= 0")
+    key_type = df.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, {ts_col} timestamp, "
+        f"{units_col} long, ewma_units long"
+    )
+    if tie_col:
+        tie_type = df.schema[tie_col].dataType.simpleString()
+        state_schema = (
+            "acc long, fin_us long, buf_ts array<long>, "
+            f"buf_x array<long>, buf_tie array<{tie_type}>"
+        )
+    else:
+        state_schema = (
+            "acc long, fin_us long, buf_ts array<long>, buf_x array<long>"
+        )
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        new_ts = (rows[ts_col].astype("int64") // 1000).tolist()
+        new_x = rows[units_col].astype("int64").tolist()
+        new_tie = rows[tie_col].tolist() if tie_col else [None] * len(new_ts)
+
+        if state.exists:
+            st = state.get
+            acc = None if st[0] is None else int(st[0])
+            fin_us = int(st[1])
+            buf = list(zip(
+                list(st[2] or []), list(st[3] or []),
+                list(st[4] or []) if tie_col else [None] * len(st[2] or []),
+            ))
+        else:
+            acc, fin_us, buf = None, -(1 << 62), []
+
+        max_us = max([fin_us + horizon_us] + new_ts) if new_ts else (
+            fin_us + horizon_us
+        )
+        for t, x, tie in zip(new_ts, new_x, new_tie):
+            if t > fin_us:
+                buf.append((t, x, tie))
+
+        frontier = max(fin_us, max_us - horizon_us)
+        if tie_col:
+            ready = sorted(
+                (e for e in buf if e[0] <= frontier),
+                key=lambda e: (e[0], e[2]),
+            )
+        else:
+            # no tie column: equal-ts rows fold in buffer (arrival)
+            # order under a stable sort — same caveat as the strict
+            # variant's module-doc contract
+            ready = sorted(
+                (e for e in buf if e[0] <= frontier), key=lambda e: e[0]
+            )
+        buf = [e for e in buf if e[0] > frontier]
+
+        out_t, out_x, out_s = [], [], []
+        for t, x, _tie in ready:
+            if acc is None:
+                acc = int(x)
+            else:
+                d = int(x) - acc
+                q = abs(d) // alpha_denom  # truncation toward zero
+                acc = acc + (q if d >= 0 else -q)
+            out_t.append(t)
+            out_x.append(x)
+            out_s.append(acc)
+
+        buf_cols = (
+            [int(t) for t, _, _ in buf],
+            [int(x) for _, x, _ in buf],
+        )
+        if tie_col:
+            buf_cols = buf_cols + ([tie for _, _, tie in buf],)
+        state.update((
+            None if acc is None else int(acc), int(frontier), *buf_cols,
+        ))
+        if out_t:
+            yield pd.DataFrame({
+                key_col: [key[0]] * len(out_t),
+                ts_col: [pd.Timestamp(t, unit="us") for t in out_t],
+                units_col: out_x,
+                "ewma_units": out_s,
+            })
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def cusum_stateful(
     df: DataFrame,
     target_units: int,

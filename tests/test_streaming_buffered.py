@@ -1,0 +1,170 @@
+"""Watermark-buffered streaming variants (round 8): events shuffled
+out of order WITHIN the horizon still produce exactly the batch
+result — the buffered funnel / EWMA reorder them in state and fold at
+the per-key watermark — while events beyond the horizon are dropped
+like any late row."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from smartbots_etl_facturas_spark.operators.events import funnel_stages
+from smartbots_etl_facturas_spark.operators.timeseries import ewma_smooth
+from smartbots_etl_facturas_spark.streaming.funnel import (
+    funnel_stateful_buffered,
+)
+from smartbots_etl_facturas_spark.streaming.timeseries import (
+    ewma_stateful_buffered,
+)
+
+STEPS = ["view", "cart", "buy"]
+BASE = datetime.datetime(2026, 1, 1)
+MIN_US = 60_000_000
+
+
+def _ts(minutes):
+    return BASE + datetime.timedelta(minutes=minutes)
+
+
+def _drain(spark, batches, schema, tmp_path, build_stream, mode="update"):
+    """Write each batch as its own parquet dir, feed them one file per
+    trigger in batch order, collect per-batch foreachBatch outputs."""
+    src = str(tmp_path / "src")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i:02d}")
+    collected = []
+
+    def sink(batch_df, batch_id):
+        collected.extend(batch_df.collect())
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        build_stream(stream)
+        .writeStream.outputMode(mode)
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return collected
+
+
+def _funnel_fixture():
+    """40 users, funnel shapes as in test_streaming_funnel, but each
+    user's three events are DELIVERED scrambled across batches
+    (event 1 before event 0) with a 100-minute displacement, inside a
+    150-minute horizon. A final non-step 'ping' advances every user's
+    watermark past all data so the buffer drains."""
+    users = []
+    for u in range(40):
+        if u % 4 == 0:
+            kinds = ["view", "cart", "buy"]
+        elif u % 4 == 1:
+            kinds = ["view", "cart", "cart"]
+        elif u % 4 == 2:
+            kinds = ["cart", "view", "buy"]
+        else:
+            kinds = ["view"]
+        users.append(
+            [(u, _ts(u + 100 * i), k) for i, k in enumerate(kinds)]
+        )
+    # delivery order per user: event index 1, then 0, then the rest —
+    # every user's first two events arrive time-swapped across batches
+    b0 = [ev[1] for ev in users if len(ev) > 1]
+    b1 = [ev[0] for ev in users]
+    b2 = [e for ev in users for e in ev[2:]]
+    b3 = [(u, _ts(5000), "ping") for u in range(40)]
+    return users, [b0, b1, b2, b3]
+
+
+def test_buffered_funnel_matches_batch_on_shuffled_delivery(
+    spark, tmp_path
+):
+    users, batches = _funnel_fixture()
+    schema = "user_id long, ts timestamp, event_type string"
+    horizon_us = 150 * MIN_US
+    latest = {}
+    rows = _drain(
+        spark, batches, schema, tmp_path,
+        lambda s: funnel_stateful_buffered(s, STEPS, horizon_us=horizon_us),
+    )
+    for r in rows:
+        latest[r.user_id] = r
+
+    ev = spark.createDataFrame([e for u in users for e in u], schema)
+    want = {r.stage: r.n_users for r in funnel_stages(ev, STEPS).collect()}
+    got = {
+        i: sum(1 for r in latest.values() if r.stage >= i)
+        for i in range(1, len(STEPS) + 1)
+    }
+    assert got == {i: want.get(i, 0) for i in range(1, len(STEPS) + 1)}
+    assert got[1] > got[2] > got[3] > 0  # all fixture shapes occurred
+    # the trailing ping drained every buffer
+    assert all(r.n_buffered == 0 for r in latest.values())
+
+
+def test_buffered_funnel_drops_beyond_horizon(spark, tmp_path):
+    """An event older than the finalized frontier when it arrives is
+    dropped — watermark semantics, not silent reordering."""
+    schema = "user_id long, ts timestamp, event_type string"
+    batches = [
+        [(1, _ts(0), "view"), (1, _ts(500), "ping")],  # frontier -> 490
+        [(1, _ts(10), "cart")],                        # 10 < 490: late
+        [(1, _ts(495), "cart"), (1, _ts(2000), "ping")],
+    ]
+    latest = {}
+    for r in _drain(
+        spark, batches, schema, tmp_path,
+        lambda s: funnel_stateful_buffered(s, STEPS, horizon_us=10 * MIN_US),
+    ):
+        latest[r.user_id] = r
+    # the late cart never folded; the in-horizon cart at 495 did
+    assert latest[1].stage == 2
+    assert latest[1].bound_ts == _ts(495)
+
+
+def test_buffered_ewma_matches_batch_on_shuffled_delivery(spark, tmp_path):
+    """Per-key recurrence over shuffled-within-horizon delivery equals
+    ewma_smooth over the same rows in (ts, tie) order. A far-future
+    sentinel row per key drains the buffer; sentinels themselves stay
+    buffered (nothing ever passes their watermark) so emitted rows =
+    exactly the data rows."""
+    schema = "user_id long, ts timestamp, event_id long, x_units long"
+    data = {
+        1: [(0, 100), (1, 200), (2, 60), (3, 1000), (4, 40)],
+        2: [(0, 50), (1, 90), (2, 70)],
+    }
+    rows = {
+        u: [(u, _ts(m), m, x) for m, x in evs] for u, evs in data.items()
+    }
+    # deliver each key's rows scrambled: indices 1,0 then 3,2 then rest
+    def pick(idx):
+        return [rows[u][i] for u in rows for i in idx if i < len(rows[u])]
+
+    batches = [
+        pick([1]), pick([0, 3]), pick([2]), pick([4]),
+        [(u, _ts(9000), 9000, 0) for u in rows],  # sentinels: drain
+    ]
+    got_rows = _drain(
+        spark, batches, schema, tmp_path,
+        lambda s: ewma_stateful_buffered(
+            s, tie_col="event_id", horizon_us=5 * MIN_US
+        ),
+        mode="append",
+    )
+    got = {(r.user_id, r.ts): r.ewma_units for r in got_rows}
+
+    ev = spark.createDataFrame([r for u in rows for r in rows[u]], schema)
+    want = {
+        (r.user_id, r.ts): r.ewma_units
+        for r in ewma_smooth(ev, tie_col="event_id").collect()
+    }
+    assert got == want  # sentinels never emitted, all data rows exact
+    assert len(got) == sum(len(v) for v in data.values())
