@@ -25,14 +25,145 @@ def first_sentence(doc: str | None) -> str:
     return s if len(s) <= 400 else s[:397] + "..."
 
 
+# SURVEY.md §2 operator ID -> (registered queries, pinning tests).
+# Every query name listed here is validated against the live registry
+# at generation time, and the freshness guard
+# (tests/test_catalog_fresh.py) re-renders this file — so a renamed
+# or dropped query breaks the build, keeping the verdict's coverage
+# table mechanically derivable from this one map.
+OP_MAP: dict[str, tuple[str, list[str], list[str]]] = {
+    "S1": ("multi-engine Excel scan",
+           ["xlsx_distributed", "xlsx_datasource_scan"],
+           ["tests/test_xlsx.py", "tests/test_xlsx_datasource.py"]),
+    "S2": ("sheet/header-row read", ["header_discovery"],
+           ["tests/test_xlsx.py"]),
+    "S3": ("fixed-cell scan", ["fixed_cells"], ["tests/test_extract.py"]),
+    "S4": ("header-row discovery", ["header_discovery"],
+           ["tests/test_xlsx.py"]),
+    "S5": ("folder listing", ["manifest_listing"],
+           ["tests/test_catalog.py"]),
+    "S6": ("find-file-by-name", ["find_file_by_name"],
+           ["tests/test_catalog.py"]),
+    "S7": ("path resolver", ["path_resolve"], ["tests/test_catalog.py"]),
+    "S8": ("append-only Excel sink (values + number formats + atomic "
+           "commit; styles/images a recorded non-goal)",
+           ["xlsx_to_consolidated"],
+           ["tests/test_xlsx_datasource.py", "tests/test_sinks.py"]),
+    "S9": ("audit sink + engine run reports", ["run_report"],
+           ["tests/test_sinks.py", "tests/test_observability.py"]),
+    "S10": ("email report sink (render + MIME construction)",
+            ["report_render", "report_mime"], ["tests/test_schema_templating.py"]),
+    "S11": ("lifecycle / atomic publish", [], ["tests/test_sinks.py"]),
+    "P1": ("column-mapping projection", ["cleaners"],
+           ["tests/test_extract.py"]),
+    "P2": ("string clean", ["cleaners"], ["tests/test_plans.py"]),
+    "P3": ("currency normalize", ["cleaners"], ["tests/test_plans.py"]),
+    "P4": ("prefix strip", ["cleaners"], ["tests/test_plans.py"]),
+    "P5": ("all-null row drop", ["invoice_extract_golden"],
+           ["tests/test_extract.py"]),
+    "P6": ("null/blank key filter", ["invoice_extract_golden"],
+           ["tests/test_extract.py"]),
+    "P7": ("summary-row keyword filter", ["summary_row_filter"],
+           ["tests/test_ordered.py"]),
+    "P8": ("take-while (positional stop)", ["take_while"],
+           ["tests/test_ordered.py", "tests/test_properties.py"]),
+    "P9": ("domain-invariant validation", ["validation_valid"],
+           ["tests/test_validation_reconcile.py"]),
+    "P10": ("validation error side-channel", ["validation_errors"],
+            ["tests/test_validation_reconcile.py"]),
+    "J1": ("insert-only upsert (flagship)", ["flagship_consolidation"],
+           ["tests/test_upsert.py", "tests/test_consolidation_pipeline.py"]),
+    "J2": ("full upsert with update detection", ["upsert_full_status"],
+           ["tests/test_upsert.py"]),
+    "J3": ("reconciliation anti-join", ["reconciliation"],
+           ["tests/test_validation_reconcile.py"]),
+    "J4": ("semi-join amount cross-check", ["semi_join_amounts"],
+           ["tests/test_validation_reconcile.py"]),
+    "J5": ("idempotency anti-join", ["idempotency_pending"],
+           ["tests/test_consolidation_pipeline.py"]),
+    "J6": ("status lookup join", ["audit_actions"],
+           ["tests/test_upsert.py"]),
+    "A1": ("decimal sum", ["reconciliation"], ["tests/test_validation_reconcile.py"]),
+    "A2": ("amount-variance check (±1 exclusive)", [],
+           ["tests/test_validation_reconcile.py"]),
+    "A3": ("status counters", ["status_counts"], ["tests/test_consolidation_pipeline.py"]),
+    "A4": ("per-file counts", ["per_file_counts"],
+           ["tests/test_consolidation_pipeline.py"]),
+    "A5": ("run rollup + status derivation", ["run_report"],
+           ["tests/test_consolidation_pipeline.py"]),
+    "A6": ("component-sum with override", ["derived_total"],
+           ["tests/test_plans.py"]),
+    "A7": ("total-derivation defaults", ["derived_total"],
+           ["tests/test_plans.py"]),
+    "O1": ("ordered listing", ["manifest_listing"],
+           ["tests/test_catalog.py"]),
+    "O2": ("max-row scan — obsolete-by-design under parquet append "
+           "(SURVEY §2)", [], []),
+    "O3": ("top-N error truncation", ["top_errors"], []),
+    "O4": ("first-match limit", ["find_file_by_name"],
+           ["tests/test_catalog.py"]),
+    "U1": ("union", ["flagship_consolidation"], ["tests/test_upsert.py"]),
+    "U2": ("column-set diff", [], ["tests/test_xlsx.py"]),
+    "U3": ("PK set difference", ["reconciliation"],
+           ["tests/test_validation_reconcile.py"]),
+    "U4": ("first-wins dedup (order-sensitive)", ["dedup_first_wins"],
+           ["tests/test_dedup.py"]),
+    "F1": ("money parse", ["money_parse_golden"],
+           ["tests/test_money.py"]),
+    "F2": ("multi-format date parse", ["date_parse_golden"],
+           ["tests/test_dates.py"]),
+    "F3": ("Excel serial date", ["excel_serial_golden"],
+           ["tests/test_dates.py"]),
+    "F4": ("trim/upper/cast", ["cleaners"], ["tests/test_plans.py"]),
+    "F5": ("template substitution", ["report_render"],
+           ["tests/test_schema_templating.py"]),
+    "F6": ("HTML-to-text strip", ["report_mime"],
+           ["tests/test_schema_templating.py"]),
+    "F7": ("int-cast display", ["display_casts"], []),
+    "F8": ("ISO timestamping", [], ["tests/test_sinks.py"]),
+    "F9": ("drive-link construction", ["display_casts"], []),
+}
+
+
 def render() -> str:
     qs, osql = entry.queries(), entry.oracle_sql()
+    for op, (_, names, tests) in OP_MAP.items():
+        for n in names:
+            if n not in qs:
+                raise SystemExit(
+                    f"OP_MAP {op} references unknown query {n!r}"
+                )
+        for t in tests:
+            if not os.path.exists(os.path.join(REPO, t)):
+                raise SystemExit(f"OP_MAP {op} references missing test {t}")
     lines = [
         "# Query catalog (auto-generated — scripts/gen_catalog.py)",
         "",
         f"{len(qs)} registered queries, {len(osql)} with DuckDB value "
         "oracles (the rest are approximate/iterative tiers with "
         "oracle-checked invariant twins).",
+        "",
+        "## SURVEY §2 operator coverage (op ID -> query -> test)",
+        "",
+        "Validated at generation time: every query named here exists "
+        "in the registry, every test file exists on disk. Ops with no "
+        "query entry are pinned by tests alone (or recorded obsolete/"
+        "non-goal, as noted).",
+        "",
+        "| Op | Operator | Queries | Tests |",
+        "|---|---|---|---|",
+    ]
+    for op, (desc, names, tests) in OP_MAP.items():
+        qcell = ", ".join(f"`{n}`" for n in names) or "—"
+        tcell = ", ".join(f"`{t}`" for t in tests) or "—"
+        lines.append(f"| {op} | {desc} | {qcell} | {tcell} |")
+    lines += [
+        "",
+        "Sections §2.8 (streaming analogs), §2.9 (UDF/UDAF/UDTF) and "
+        "§2.10 (composed/extension components) are covered by the "
+        "full registry below — every row is a registered query.",
+        "",
+        "## Registered queries",
         "",
         "| Query | Oracle | What it computes |",
         "|---|---|---|",
