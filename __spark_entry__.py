@@ -11113,6 +11113,200 @@ FROM c CROSS JOIN t
 
 
 
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape — returned-item reporting: top-20 customers by
+    lost revenue from RETURNED lines (l_returnflag = 'R') in one
+    quarter, with customer and nation attributes. Plan: both fact
+    filters push to the scans, nation broadcasts, customer joins the
+    aggregated per-customer revenue (AQE picks broadcast once the agg
+    shrinks the build side), top-20 under a total order. Revenue sums
+    as EXACT decimal and ships via the string-digits→double idiom."""
+    cutoff = F.lit("1997-10-01").cast("date")
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= cutoff)
+        & (F.col("o_orderdate").cast("date")
+           < F.date_add(cutoff, 92))
+    ).select("o_orderkey", "o_custkey")
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select(
+        "l_orderkey",
+        (F.col("l_extendedprice").cast("decimal(12,2)")
+         * (1 - F.col("l_discount").cast("decimal(8,4)"))).alias("amt"),
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("amt").alias("rev"))
+    )
+    cust = _read(spark, sf_dir, "customer")
+    nation = F.broadcast(_read(spark, sf_dir, "nation"))
+    return (
+        rev.join(cust, rev.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.col("rev").cast("string").cast("double").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_RETURNED_ITEMS = """
+WITH rev AS (
+  SELECT o.o_custkey,
+         sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND CAST(o.o_orderdate AS DATE) >= DATE '1997-10-01'
+    AND CAST(o.o_orderdate AS DATE) < DATE '1997-10-01' + INTERVAL 92 DAY
+  GROUP BY 1)
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       CAST(c.c_acctbal AS DOUBLE) AS acctbal,
+       CAST(CAST(r.rev AS VARCHAR) AS DOUBLE) AS revenue
+FROM rev r
+JOIN customer c ON r.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_priority_late_orders(spark, sf_dir):
+    """TPC-H Q4 shape — order-priority checking: count orders per
+    priority in one quarter having AT LEAST ONE late line (this
+    schema carries no commit/receipt dates, so 'late' is derived:
+    l_shipdate more than 60 days after the order date — the SHAPE, a
+    distinct-preserving EXISTS semi-join into a grouped count, is the
+    point). The semi-join needs the order date on the probe side, so
+    it runs as a keyed equi-join + post-filter + distinct, never a
+    correlated per-row subquery."""
+    d0 = F.lit("1997-07-01").cast("date")
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= d0)
+        & (F.col("o_orderdate").cast("date") < F.date_add(d0, 92))
+    ).select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    late_orders = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("sd") > F.date_add(F.col("od"), 60))
+        .select("o_orderkey", "o_orderpriority")
+        .distinct()
+    )
+    return (
+        late_orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+SQL_PRIORITY_LATE_ORDERS = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE CAST(o.o_orderdate AS DATE) >= DATE '1997-07-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1997-07-01' + INTERVAL 92 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND CAST(l.l_shipdate AS DATE)
+          > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY)
+GROUP BY 1
+"""
+
+
+def q_blocking_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape — suppliers who kept multi-supplier orders
+    waiting: for finished orders, count per supplier the orders where
+    THEIR line shipped late (derived: >90 days after order date — no
+    commit/receipt dates in this schema), ANOTHER supplier also
+    participated, and NO other supplier was late. The double
+    correlated EXISTS / NOT EXISTS compiles to per-order supplier
+    statistics computed ONCE (one groupBy over the joined fact:
+    n_suppliers, n_late_suppliers via conditional distincts) and a
+    semi-join back — no per-row subquery, no repeated fact scan.
+    Top-10 by count under a total order."""
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        F.col("l_shipdate").cast("date").alias("sd"),
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("sd") > F.date_add(F.col("od"), 90)).alias("is_late"),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    # the blaming join: this supplier late, >=2 suppliers on the
+    # order, and exactly one late supplier (them)
+    blamed = (
+        j.filter(F.col("is_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+    )
+    supp = F.broadcast(_read(spark, sf_dir, "supplier"))
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_waiting_orders"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "n_waiting_orders")
+        .orderBy(F.desc("n_waiting_orders"), F.col("s_suppkey"))
+        .limit(10)
+    )
+
+
+SQL_BLOCKING_SUPPLIERS = """
+WITH j AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CAST(l.l_shipdate AS DATE)
+           > CAST(o.o_orderdate AS DATE) + INTERVAL 90 DAY AS is_late
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN is_late THEN l_suppkey END)
+           AS n_late_supp
+  FROM j GROUP BY 1),
+blamed AS (
+  SELECT DISTINCT j.l_orderkey, j.l_suppkey
+  FROM j
+  JOIN per_order p ON j.l_orderkey = p.l_orderkey
+  WHERE j.is_late AND p.n_supp >= 2 AND p.n_late_supp = 1)
+SELECT s.s_suppkey, s.s_name,
+       CAST(count(*) AS BIGINT) AS n_waiting_orders
+FROM blamed b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+GROUP BY 1, 2
+ORDER BY n_waiting_orders DESC, s_suppkey
+LIMIT 10
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship_consolidation(spark, "/root/testdata/sf0.001")
@@ -11120,6 +11314,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 _QUERIES: dict[str, Callable] = {
     "flagship_consolidation": q_flagship_consolidation,
+    "returned_items": q_returned_items,
+    "priority_late_orders": q_priority_late_orders,
+    "blocking_suppliers": q_blocking_suppliers,
     "triangle_count": q_triangle_count,
     "hll_distinct": q_hll_distinct,
     "join_cardinality_estimate": q_join_cardinality_estimate,
@@ -11353,6 +11550,9 @@ _QUERIES: dict[str, Callable] = {
 
 _ORACLES: dict[str, str] = {
     "flagship_consolidation": SQL_FLAGSHIP,
+    "returned_items": SQL_RETURNED_ITEMS,
+    "priority_late_orders": SQL_PRIORITY_LATE_ORDERS,
+    "blocking_suppliers": SQL_BLOCKING_SUPPLIERS,
     "upsert_insert_only": SQL_UPSERT_INSERT_ONLY,
     "upsert_full_status": SQL_UPSERT_FULL,
     "reconciliation": SQL_RECONCILIATION,
