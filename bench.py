@@ -168,6 +168,11 @@ HEADLINE = [
     "disjunctive_revenue",
     "interarrival_histogram",
     "decayed_revenue",
+    # round-8 additions
+    "column_profile_approx",
+    "returned_items",
+    "priority_late_orders",
+    "blocking_suppliers",
 ]
 
 

@@ -144,6 +144,19 @@ QUERIES = [
     "seasonal_dow",
     "linreg_price",
     "bm25_incremental",
+    # round-8 additions: impute_median/mad_outliers/winsorized now run
+    # on the histogram-selection plan (windows over the (key ×
+    # distinct-value) frame — expect ~linear scan cost, flat window
+    # cost); rfm_segments on the fused multi_order_index; the approx
+    # profile must stay a single sketch pass; the three TPC-H shapes
+    # are join+agg plans expected ~linear
+    "impute_median",
+    "rfm_segments",
+    "spend_gini",
+    "column_profile_approx",
+    "returned_items",
+    "priority_late_orders",
+    "blocking_suppliers",
 ]
 
 
