@@ -11307,6 +11307,57 @@ LIMIT 10
 """
 
 
+def q_holt_trend(spark, sf_dir):
+    """Holt linear-trend smoothing (operators/timeseries.py:
+    holt_linear) per user over the events value stream — the
+    forecasting step up from q_ewma_values: two coupled integer
+    recurrences (level α=1/4, trend β=1/8) with truncating division,
+    one-step forecast = level + trend per row. Inherently sequential
+    per key, run as one ordered applyInPandas pass; every
+    (level, trend, forecast) triple is bit-identical to the oracle's
+    recursive CTE replaying the same walk (exact int64 arithmetic,
+    both engines truncate integer division toward zero)."""
+    from smartbots_etl_facturas_spark.operators.timeseries import holt_linear
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(18,4)") * 10000)
+        .cast("long")
+        .alias("x_units"),
+    )
+    return holt_linear(ev, alpha_denom=4, beta_denom=8)
+
+
+SQL_HOLT_TREND = """
+WITH RECURSIVE base AS (
+  SELECT user_id, epoch_ns(ts) AS ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x_units,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ns(ts), event_id) AS rn
+  FROM events),
+walk(user_id, rn, ts, event_id, x_units, l, b) AS (
+  SELECT user_id, rn, ts, event_id, x_units, x_units, CAST(0 AS BIGINT)
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT nxt.user_id, nxt.rn, nxt.ts, nxt.event_id, nxt.x_units,
+         nxt.pred + (nxt.x_units - nxt.pred) // 4,
+         nxt.b + ((nxt.pred + (nxt.x_units - nxt.pred) // 4)
+                  - nxt.pred) // 8
+  FROM (
+    SELECT b2.user_id, b2.rn, b2.ts, b2.event_id, b2.x_units,
+           w.l + w.b AS pred, w.b AS b
+    FROM walk w JOIN base b2
+      ON b2.user_id = w.user_id AND b2.rn = w.rn + 1) nxt)
+SELECT user_id, CAST(ts AS BIGINT) AS ts, event_id, x_units,
+       CAST(l AS BIGINT) AS level_units,
+       CAST(b AS BIGINT) AS trend_units,
+       CAST(l + b AS BIGINT) AS forecast_units
+FROM walk
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship_consolidation(spark, "/root/testdata/sf0.001")
@@ -11317,6 +11368,7 @@ _QUERIES: dict[str, Callable] = {
     "returned_items": q_returned_items,
     "priority_late_orders": q_priority_late_orders,
     "blocking_suppliers": q_blocking_suppliers,
+    "holt_trend": q_holt_trend,
     "triangle_count": q_triangle_count,
     "hll_distinct": q_hll_distinct,
     "join_cardinality_estimate": q_join_cardinality_estimate,
@@ -11553,6 +11605,7 @@ _ORACLES: dict[str, str] = {
     "returned_items": SQL_RETURNED_ITEMS,
     "priority_late_orders": SQL_PRIORITY_LATE_ORDERS,
     "blocking_suppliers": SQL_BLOCKING_SUPPLIERS,
+    "holt_trend": SQL_HOLT_TREND,
     "upsert_insert_only": SQL_UPSERT_INSERT_ONLY,
     "upsert_full_status": SQL_UPSERT_FULL,
     "reconciliation": SQL_RECONCILIATION,

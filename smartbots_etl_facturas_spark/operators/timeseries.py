@@ -70,6 +70,77 @@ def ewma_smooth(
     )
 
 
+def holt_linear(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    units_col: str = "x_units",
+    alpha_denom: int = 4,
+    beta_denom: int = 8,
+) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing per key —
+    the forecasting step up from :func:`ewma_smooth`, which tracks a
+    level but goes flat on trending series. Two coupled integer
+    recurrences over the (ts, tie) total order:
+
+        pred_t  = l_{t-1} + b_{t-1}
+        l_t     = pred_t + trunc((x_t - pred_t) / alpha_denom)
+        b_t     = b_{t-1} + trunc((l_t - pred_t) / beta_denom)
+
+    seeded l_1 = x_1, b_1 = 0. All arithmetic is exact int64 with
+    truncation toward zero (SQL integer-division semantics), so every
+    (level, trend) pair is bit-identical across engines and
+    partitionings — the oracle replays the identical walk as a
+    recursive CTE. The one-step forecast for t+1 is level + trend,
+    shipped per row as ``forecast_units``.
+
+    Plan: ONE user-keyed applyInPandas (the sessionization bound) —
+    the recurrence is inherently sequential per key, and keys are
+    independent, which is exactly the parallelism a keyed shuffle
+    gives. O(rows) work, state O(1) per key.
+    """
+    if alpha_denom < 2 or beta_denom < 2:
+        raise ValueError("alpha_denom and beta_denom must be >= 2")
+    out_schema = T.StructType(
+        df.select(key_col, ts_col, tie_col, units_col).schema.fields
+        + [
+            T.StructField("level_units", T.LongType(), False),
+            T.StructField("trend_units", T.LongType(), False),
+            T.StructField("forecast_units", T.LongType(), False),
+        ]
+    )
+
+    def _trunc_div(n: int, d: int) -> int:
+        q = abs(n) // d
+        return q if n >= 0 else -q
+
+    def _group(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values([ts_col, tie_col]).reset_index(drop=True)
+        x = pdf[units_col].to_numpy(dtype=np.int64)
+        lvl = np.empty_like(x)
+        trd = np.empty_like(x)
+        level, trend = int(x[0]), 0
+        lvl[0], trd[0] = level, trend
+        for i in range(1, len(x)):
+            pred = level + trend
+            new_level = pred + _trunc_div(int(x[i]) - pred, alpha_denom)
+            trend = trend + _trunc_div(new_level - pred, beta_denom)
+            level = new_level
+            lvl[i], trd[i] = level, trend
+        return pdf[[key_col, ts_col, tie_col, units_col]].assign(
+            level_units=lvl, trend_units=trd, forecast_units=lvl + trd
+        )
+
+    return (
+        df.select(key_col, ts_col, tie_col, units_col)
+        .groupBy(key_col)
+        .applyInPandas(_group, out_schema)
+    )
+
+
 def cusum(
     df: DataFrame,
     x_col: str,

@@ -121,6 +121,105 @@ def ewma_stateful(
     )
 
 
+def holt_stateful(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    units_col: str = "x_units",
+    alpha_denom: int = 4,
+    beta_denom: int = 8,
+    tie_col: str | None = None,
+):
+    """Streaming twin of :func:`...operators.timeseries.holt_linear`:
+    the coupled (level, trend) integer recurrences carried across
+    micro-batches — per-key state is (level, trend, last position),
+    O(distinct keys) forever. Ordering/late-data contract is
+    ewma_stateful's: in-batch rows fold in stable (ts, tie) order,
+    rows at-or-before the state's last processed position are
+    dropped. Emits one row per accepted input row:
+    (key, ts, x_units, level_units, trend_units, forecast_units);
+    tests pin stream == batch bit-for-bit.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if alpha_denom < 2 or beta_denom < 2:
+        raise ValueError("alpha_denom and beta_denom must be >= 2")
+    key_type = df.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, {ts_col} timestamp, {units_col} long, "
+        "level_units long, trend_units long, forecast_units long"
+    )
+    if tie_col:
+        tie_type = df.schema[tie_col].dataType.simpleString()
+        state_schema = (
+            f"lvl long, trd long, last_us long, last_tie {tie_type}"
+        )
+    else:
+        state_schema = "lvl long, trd long, last_us long"
+    sort_cols = [ts_col] + ([tie_col] if tie_col else [])
+
+    def _trunc_div(n: int, d: int) -> int:
+        q = abs(n) // d
+        return q if n >= 0 else -q
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values(
+            sort_cols, kind="mergesort"
+        )
+        ts_us = (rows[ts_col].astype("int64") // 1000).tolist()
+        xs = rows[units_col].astype("int64").tolist()
+        ties = rows[tie_col].tolist() if tie_col else None
+
+        if state.exists:
+            st = state.get
+            level = None if st[0] is None else int(st[0])
+            trend, bound_us = int(st[1]), int(st[2])
+            bound_tie = st[3] if tie_col else None
+        else:
+            level, trend, bound_us, bound_tie = None, 0, -1, None
+
+        last_us, last_tie = bound_us, bound_tie
+        out_t, out_x, out_l, out_b = [], [], [], []
+        for i, (t, x) in enumerate(zip(ts_us, xs)):
+            if t < bound_us:
+                continue
+            if t == bound_us and (ties is None or ties[i] <= bound_tie):
+                continue
+            if level is None:
+                level, trend = int(x), 0
+            else:
+                pred = level + trend
+                new_level = pred + _trunc_div(int(x) - pred, alpha_denom)
+                trend = trend + _trunc_div(new_level - pred, beta_denom)
+                level = new_level
+            last_us = t
+            last_tie = ties[i] if ties is not None else None
+            out_t.append(t)
+            out_x.append(x)
+            out_l.append(level)
+            out_b.append(trend)
+        if level is not None:
+            state.update(
+                (level, trend, last_us, last_tie) if tie_col
+                else (level, trend, last_us)
+            )
+        if out_t:
+            yield pd.DataFrame({
+                key_col: [key[0]] * len(out_t),
+                ts_col: [pd.Timestamp(t, unit="us") for t in out_t],
+                units_col: out_x,
+                "level_units": out_l,
+                "trend_units": out_b,
+                "forecast_units": [a + b for a, b in zip(out_l, out_b)],
+            })
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def ewma_stateful_buffered(
     df: DataFrame,
     key_col: str = "user_id",

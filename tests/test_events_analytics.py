@@ -140,3 +140,63 @@ class TestEwma:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             ewma_smooth(df, alpha_denom=1)
+
+
+class TestHoltLinear:
+    def test_recurrence_exact(self, spark):
+        from smartbots_etl_facturas_spark.operators.timeseries import (
+            holt_linear,
+        )
+
+        rows = [(1, t, t, x) for t, x in
+                enumerate([100, 200, 60, 1000], start=1)]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts long, event_id long, x_units long"
+        )
+        out = sorted(holt_linear(df).collect(), key=lambda r: r.ts)
+        # t1: l=100 b=0
+        # t2: pred=100, l=100+(100//4)=125, b=0+(25//8)=3
+        # t3: pred=128, l=128+trunc(-68/4)=128-17=111,
+        #     b=3+trunc(-17/8)=3-2=1
+        # t4: pred=112, l=112+(888//4)=112+222=334, b=1+(222//8)=1+27=28
+        assert [(r.level_units, r.trend_units, r.forecast_units)
+                for r in out] == [
+            (100, 0, 100), (125, 3, 128), (111, 1, 112), (334, 28, 362)
+        ]
+
+    def test_tracks_linear_ramp(self, spark):
+        """On a pure linear series the trend converges to the slope
+        and the one-step forecast converges to the next value — the
+        property EWMA (flat-level) cannot have."""
+        from smartbots_etl_facturas_spark.operators.timeseries import (
+            holt_linear,
+        )
+
+        slope = 80
+        rows = [(1, t, t, 1000 + slope * t) for t in range(1, 61)]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts long, event_id long, x_units long"
+        )
+        out = sorted(holt_linear(df).collect(), key=lambda r: r.ts)
+        tail = out[-1]
+        assert abs(tail.trend_units - slope) <= 8  # converged near slope
+        nxt = 1000 + slope * 61
+        assert abs(tail.forecast_units - nxt) <= 40
+
+    def test_partition_invariance(self, spark, sf_dir):
+        import __spark_entry__ as entry
+        from pyspark.sql import functions as F
+        from smartbots_etl_facturas_spark.operators.timeseries import (
+            holt_linear,
+        )
+
+        ev = entry.read_events(spark, sf_dir).select(
+            "user_id", "ts", "event_id",
+            (F.col("value").cast("decimal(18,4)") * 10000)
+            .cast("long").alias("x_units"),
+        )
+        a = {(r.user_id, r.event_id): (r.level_units, r.trend_units)
+             for r in holt_linear(ev).collect()}
+        b = {(r.user_id, r.event_id): (r.level_units, r.trend_units)
+             for r in holt_linear(ev.repartition(17)).collect()}
+        assert a == b and len(a) > 0

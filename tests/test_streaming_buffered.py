@@ -168,3 +168,42 @@ def test_buffered_ewma_matches_batch_on_shuffled_delivery(spark, tmp_path):
     }
     assert got == want  # sentinels never emitted, all data rows exact
     assert len(got) == sum(len(v) for v in data.values())
+
+
+def test_holt_stream_matches_batch(spark, tmp_path):
+    """Streaming Holt (applyInPandasWithState) == batch holt_linear:
+    the (level, trend) pair carries across micro-batches and every
+    emission is an exact integer match."""
+    from smartbots_etl_facturas_spark.operators.timeseries import holt_linear
+    from smartbots_etl_facturas_spark.streaming.timeseries import (
+        holt_stateful,
+    )
+
+    schema = "user_id long, ts timestamp, event_id long, x_units long"
+    data = {
+        1: [(0, 100), (1, 200), (2, 60), (3, 1000), (4, 40)],
+        2: [(0, 500), (1, 580), (2, 660), (3, 740)],  # linear ramp
+    }
+    rows = {
+        u: [(u, _ts(m), m, x) for m, x in evs] for u, evs in data.items()
+    }
+    batches = [
+        [rows[1][0], rows[1][1], rows[2][0]],
+        [rows[1][2], rows[2][1], rows[2][2]],
+        [rows[1][3], rows[1][4], rows[2][3]],
+    ]
+    got_rows = _drain(
+        spark, batches, schema, tmp_path,
+        lambda s: holt_stateful(s, tie_col="event_id"),
+        mode="append",
+    )
+    got = {
+        (r.user_id, r.ts): (r.level_units, r.trend_units, r.forecast_units)
+        for r in got_rows
+    }
+    ev = spark.createDataFrame([r for u in rows for r in rows[u]], schema)
+    want = {
+        (r.user_id, r.ts): (r.level_units, r.trend_units, r.forecast_units)
+        for r in holt_linear(ev, tie_col="event_id").collect()
+    }
+    assert got == want and len(got) == 9
