@@ -4590,8 +4590,9 @@ def q_vocab_coverage(spark, sf_dir):
     frequency, integer cumulative sums, and for each target percent
     the smallest vocabulary size reaching it. All-integer arithmetic
     (cum·100 >= total·p), so exact on both engines. Rank and running
-    token mass come from the two-pass range-partitioned scheme
-    (operators/ranking.py), so even a 10M-type vocabulary never
+    token mass come from the adaptive rank (operators/ranking.py):
+    bounded single-window under the measured 2M-row crossover,
+    two-pass range-partitioned above it — a 10M-type vocabulary never
     lands on one task."""
     toks = _read(spark, sf_dir, "documents").select(
         F.explode(tokens(F.col("text"))).alias("term")
@@ -8628,10 +8629,13 @@ def q_decile_lift(spark, sf_dir):
     users ranked by total spend, split into ntile(10) deciles under a
     TOTAL (spend desc, user_id) order, each decile reporting size,
     spend mass, and conversion rate (any 'purchase' event) in exact
-    integer micro-units. The ntile is DERIVED from a two-pass range-
-    partitioned rank (operators/ranking.py: global_order_index +
-    ntile_from_rank, closed-form NTILE semantics) — no global window
-    anywhere, so the plan survives a 100M-user frame unchanged."""
+    integer micro-units. The ntile is DERIVED from the adaptive rank
+    (operators/ranking.py: global_order_index + ntile_from_rank,
+    closed-form NTILE semantics): a frame measured under the 2M-row
+    crossover ranks in one bounded constant-partitioned window, a
+    larger one takes the two-pass range-partitioned scheme — so the
+    plan survives a 100M-user frame unchanged AND pays no fixed
+    two-pass overhead locally."""
     ev = read_events(spark, sf_dir).select(
         "user_id",
         (F.col("value").cast("decimal(18,4)") * 10000)
@@ -10084,9 +10088,10 @@ def q_spend_gini(spark, sf_dir):
     (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over cents, never divided:
     deterministic on any engine (ties in spend cannot change Σ i·x —
     swapping equal values leaves it fixed — so the total order is for
-    rank stability only). Ranks come from the TWO-PASS range-
-    partitioned scheme (operators/ranking.py:global_order_index), so
-    no single task ever owns the whole customer frame."""
+    rank stability only). Ranks come from the adaptive tier
+    (operators/ranking.py:global_order_index): two-pass
+    range-partitioned past the measured 2M-row crossover — no single
+    task ever owns an UNMEASURED customer frame."""
     orders = _read(spark, sf_dir, "orders").select(
         "o_custkey",
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
