@@ -317,3 +317,77 @@ def test_similarity_join_matches_bruteforce(spark, lsets, rsets, tau):
         if len(a & b) / len(a | b) >= tau
     }
     assert got == brute
+
+
+# ---- round-8 property tests -------------------------------------------
+
+_gqv_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),
+              st.one_of(st.integers(-50, 50), st.none())),
+    min_size=1, max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=_gqv_rows)
+def test_group_quantile_values_matches_duckdb(spark, rows):
+    """Histogram selection == DuckDB quantile_disc on ANY grouped
+    integer multiset (with NULLs), for p10/p50/p90."""
+    import duckdb
+
+    from smartbots_etl_facturas_spark.operators.orderstats import (
+        group_quantile_values,
+    )
+
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r.g: (r.p10, r.p50, r.p90)
+        for r in group_quantile_values(
+            df, ["g"], "v",
+            [("p10", 1, 10), ("p50", 1, 2), ("p90", 9, 10)],
+        ).collect()
+    }
+    want = {
+        g: (p10, p50, p90)
+        for g, p10, p50, p90 in duckdb.sql(
+            "SELECT g, quantile_disc(v, 0.1), quantile_disc(v, 0.5), "
+            "quantile_disc(v, 0.9) FROM (SELECT unnest($g) AS g, "
+            "unnest($v) AS v) WHERE v IS NOT NULL GROUP BY g",
+            params={"g": [r[0] for r in rows], "v": [r[1] for r in rows]},
+        ).fetchall()
+    }
+    assert got == want
+
+
+_holt_xs = st.lists(st.integers(-10**6, 10**6), min_size=1, max_size=40)
+
+
+@settings(max_examples=10, deadline=None)
+@given(xs=_holt_xs)
+def test_holt_linear_matches_python_reference(spark, xs):
+    """The distributed Holt recurrence == a sequential pure-Python
+    replay, for any integer series — including the partition-shuffled
+    frame (ordering is recovered by the (ts, tie) sort)."""
+    from smartbots_etl_facturas_spark.operators.timeseries import holt_linear
+
+    def trunc_div(n, d):
+        q = abs(n) // d
+        return q if n >= 0 else -q
+
+    level, trend, want = None, 0, []
+    for x in xs:
+        if level is None:
+            level, trend = x, 0
+        else:
+            pred = level + trend
+            new_level = pred + trunc_div(x - pred, 4)
+            trend = trend + trunc_div(new_level - pred, 8)
+            level = new_level
+        want.append((level, trend))
+
+    df = spark.createDataFrame(
+        [(1, t, t, x) for t, x in enumerate(xs)],
+        "user_id long, ts long, event_id long, x_units long",
+    ).repartition(7)
+    out = sorted(holt_linear(df).collect(), key=lambda r: r.ts)
+    assert [(r.level_units, r.trend_units) for r in out] == want
