@@ -1,0 +1,109 @@
+"""Streaming EXACT-k deterministic uniform sample: the bottom-k-by-
+hash contract of the batch sampler (``q_sample_exact_k`` — smallest
+md5 draws win) carried across micro-batches as bounded stream state.
+
+Bottom-k is a MONOID: bottom_k(A ∪ B) = bottom_k(bottom_k(A) ∪
+bottom_k(B)), so each micro-batch reduces to its own ≤ k rows via
+TakeOrdered (a per-partition heap — never a full collect of the
+batch) and merges into the running sample with a k-row trim. The
+stream-final sample is therefore EXACTLY the batch bottom-k over the
+union of every batch — the reservoir-sampling contract with zero RNG
+state, identical on any delivery order or batch split (pinned in
+tests/test_streaming_buffered.py).
+
+Exactly-once across driver restarts follows the house sketch
+contract: (sample, seen batch ids) persist as one atomically-replaced
+JSON snapshot after each merge; redelivered batch ids are skipped,
+and the in-memory sample is only mutated after the batch's single
+Spark action succeeds. State is O(k) rows plus the seen-id set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["BottomKSampler"]
+
+
+class BottomKSampler:
+    """foreachBatch hook maintaining the k rows with the smallest
+    md5 draw over the whole stream.
+
+    ``id_col`` must uniquely identify rows (the draw is derived from
+    it, so duplicates of an id hash identically — re-deliveries of
+    the same row cannot inflate the sample). ``payload_cols`` ride
+    along. ``sample()`` returns the current [(draw, id, payload...)]
+    sorted by (draw, id).
+
+    Usage::
+
+        mon = BottomKSampler("doc_id", ["lang"], k=50,
+                             state_dir=ckpt + "/sample")
+        stream.writeStream.foreachBatch(mon).trigger(availableNow=True)
+    """
+
+    def __init__(
+        self,
+        id_col: str,
+        payload_cols: list[str] | None = None,
+        k: int = 50,
+        seed: str = "sample-v1",
+        state_dir: str | None = None,
+    ):
+        self.id_col = id_col
+        self.payload_cols = list(payload_cols or [])
+        self.k, self.seed = int(k), seed
+        # rows keyed by (draw, id_str): [draw, id_str, *payloads]
+        self.rows: list[list] = []
+        self.seen: set[int] = set()
+        self.state_dir = state_dir
+        if state_dir and os.path.exists(os.path.join(state_dir, "state.json")):
+            with open(os.path.join(state_dir, "state.json")) as fh:
+                snap = json.load(fh)
+            self.rows = snap["rows"]
+            self.seen = set(snap["seen"])
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in self.seen:
+            return  # redelivered after recovery: already merged
+        draw = F.md5(
+            F.concat(
+                F.lit(self.seed + ":"), F.col(self.id_col).cast("string")
+            )
+        )
+        batch_bottom = (
+            batch_df.select(
+                draw.alias("__draw"),
+                F.col(self.id_col).cast("string").alias("__id"),
+                *self.payload_cols,
+            )
+            .orderBy("__draw", "__id")
+            .limit(self.k)  # TakeOrdered: per-partition heap, ≤ k rows out
+            .collect()
+        )
+        merged = {(row[0], row[1]): row for row in self.rows}
+        for r in batch_bottom:
+            merged[(r["__draw"], r["__id"])] = [r["__draw"], r["__id"]] + [
+                r[c] for c in self.payload_cols
+            ]
+        self.rows = [
+            merged[key] for key in sorted(merged)[: self.k]
+        ]
+        self.seen.add(batch_id)
+        self._persist()
+
+    def sample(self) -> list[tuple]:
+        return [tuple(r) for r in self.rows]
+
+    def _persist(self) -> None:
+        if not self.state_dir:
+            return
+        os.makedirs(self.state_dir, exist_ok=True)
+        tmp = os.path.join(self.state_dir, "state.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"rows": self.rows, "seen": sorted(self.seen)}, fh)
+        os.replace(tmp, os.path.join(self.state_dir, "state.json"))

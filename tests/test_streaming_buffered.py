@@ -207,3 +207,61 @@ def test_holt_stream_matches_batch(spark, tmp_path):
         for r in holt_linear(ev, tie_col="event_id").collect()
     }
     assert got == want and len(got) == 9
+
+
+def test_bottom_k_sampler_stream_matches_batch(spark, tmp_path):
+    """Streaming exact-k sample (bottom-k by md5 draw) == the batch
+    bottom-k over the union, for ANY batch split — bottom-k is a
+    monoid — and restart redelivery merges exactly once."""
+    from smartbots_etl_facturas_spark.streaming.sampling import (
+        BottomKSampler,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [(i, f"lang{i % 3}") for i in range(500)]
+    for lo, hi in [(0, 200), (200, 350), (350, 500)]:
+        spark.createDataFrame(
+            rows[lo:hi], "doc_id long, lang string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    state = str(tmp_path / "state")
+    mon = BottomKSampler("doc_id", ["lang"], k=25, state_dir=state)
+    q = (
+        spark.readStream.schema("doc_id long, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(mon)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    want = [
+        (r["__draw"], r["__id"], r["lang"])
+        for r in spark.read.parquet(src)
+        .select(
+            F.md5(F.concat(F.lit("sample-v1:"),
+                           F.col("doc_id").cast("string"))).alias("__draw"),
+            F.col("doc_id").cast("string").alias("__id"),
+            "lang",
+        )
+        .orderBy("__draw", "__id")
+        .limit(25)
+        .collect()
+    ]
+    assert mon.sample() == want and len(want) == 25
+
+    # restart from the snapshot: redelivered batch is a no-op; a new
+    # batch can only improve draws already in the sample
+    mon2 = BottomKSampler("doc_id", ["lang"], k=25, state_dir=state)
+    assert mon2.sample() == want
+    mon2(spark.read.parquet(src).limit(100), max(mon.seen))
+    assert mon2.sample() == want
+    import hashlib
+
+    mon2(spark.createDataFrame([(777, "xx")], "doc_id long, lang string"),
+         max(mon.seen) + 1)
+    d777 = hashlib.md5(b"sample-v1:777").hexdigest()
+    want2 = sorted(want + [(d777, "777", "xx")])[:25]
+    assert mon2.sample() == [tuple(r) for r in want2]
