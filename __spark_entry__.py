@@ -11363,6 +11363,51 @@ FROM walk
 """
 
 
+def q_edit_distance_pairs(spark, sf_dir):
+    """Fuzzy-key self-join (operators/linkage.py:edit_distance_join —
+    PassJoin pigeonhole, Li/Deng/Feng 2011): all customer-name pairs
+    within Levenshtein distance 1, over the deterministic 1-in-10
+    customer subset. Candidates come from an EQUI-JOIN on (length,
+    segment index, substring) — any string within distance 1 must
+    contain one of the partner's 2 segments exactly, shifted by ≤1 —
+    and the exact verify touches only candidates, so the LOSSLESS
+    filter makes the operator exact and brute-force oracle-checkable
+    (the PPJoin discipline, for edit distance instead of token sets).
+    Candidate volume note: these synthetic names share a long
+    constant prefix, so the prefix-segment postings degrade toward a
+    block join WITHIN the shared-prefix group (bounded by that group,
+    never a cross join of the table) — the 1-in-10 subset keeps the
+    demonstration bounded at every sf; real fuzzy keys with normal
+    entropy prune far harder."""
+    from smartbots_etl_facturas_spark.operators.linkage import (
+        edit_distance_join,
+    )
+
+    cust = _read(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 10 == 0
+    )
+    return edit_distance_join(cust, "c_custkey", "c_name").select(
+        "a_id", "b_id", "a_val", "b_val",
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+SQL_EDIT_DISTANCE_PAIRS = """
+WITH c AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 10 = 0)
+SELECT least(a.c_custkey, b.c_custkey) AS a_id,
+       greatest(a.c_custkey, b.c_custkey) AS b_id,
+       CASE WHEN a.c_custkey < b.c_custkey THEN a.c_name
+            ELSE b.c_name END AS a_val,
+       CASE WHEN a.c_custkey < b.c_custkey THEN b.c_name
+            ELSE a.c_name END AS b_val,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM c a JOIN c b
+  ON a.c_custkey < b.c_custkey
+ AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship_consolidation(spark, "/root/testdata/sf0.001")
@@ -11374,6 +11419,7 @@ _QUERIES: dict[str, Callable] = {
     "priority_late_orders": q_priority_late_orders,
     "blocking_suppliers": q_blocking_suppliers,
     "holt_trend": q_holt_trend,
+    "edit_distance_pairs": q_edit_distance_pairs,
     "triangle_count": q_triangle_count,
     "hll_distinct": q_hll_distinct,
     "join_cardinality_estimate": q_join_cardinality_estimate,
@@ -11611,6 +11657,7 @@ _ORACLES: dict[str, str] = {
     "priority_late_orders": SQL_PRIORITY_LATE_ORDERS,
     "blocking_suppliers": SQL_BLOCKING_SUPPLIERS,
     "holt_trend": SQL_HOLT_TREND,
+    "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
     "upsert_insert_only": SQL_UPSERT_INSERT_ONLY,
     "upsert_full_status": SQL_UPSERT_FULL,
     "reconciliation": SQL_RECONCILIATION,

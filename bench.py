@@ -173,6 +173,8 @@ HEADLINE = [
     "returned_items",
     "priority_late_orders",
     "blocking_suppliers",
+    "holt_trend",
+    "edit_distance_pairs",
 ]
 
 

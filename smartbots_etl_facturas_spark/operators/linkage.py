@@ -166,3 +166,122 @@ def jaccard_similarity_join(
         .filter(F.col("jaccard") >= threshold)
         .select("left_id", "right_id", "jaccard")
     )
+
+
+def edit_distance_join(
+    df: "DataFrame",
+    id_col: str,
+    str_col: str,
+    max_dist: int = 1,
+) -> "DataFrame":
+    """All pairs with Levenshtein distance <= ``max_dist`` — the
+    STRING-similarity complement of the token-set join above, via the
+    PassJoin pigeonhole scheme (Li, Deng, Feng 2011): partition every
+    string into ``max_dist + 1`` contiguous segments; any string
+    within edit distance d must contain one segment EXACTLY, at a
+    start position shifted by at most d — so candidates come from an
+    EQUI-JOIN on (target length, segment index, substring), never a
+    cross join, and the exact Levenshtein verify touches only
+    candidates (LOSSLESS filter => exact operator => brute-force
+    oracle-checkable, the PPJoin discipline).
+
+    This implementation fixes ``max_dist = 1`` (the common fuzzy-key
+    case: one typo / one digit off), which keeps the probe fan-out a
+    FIXED 15 substrings per row, all generated as pure Column
+    expressions inside codegen. Strings must be length >= 2. Output:
+    one row per unordered pair, ``(a_id, b_id, a_val, b_val, dist)``
+    with a_id < b_id.
+
+    Scale: |index| = 2 rows/string, |probe| <= 15 rows/string, both
+    keyed by (L, seg, substring) — shuffle volume is linear in input
+    with a segment-postings-bounded candidate count; at 100 TB the
+    join hash-partitions like any equi-join and no task ever sees the
+    cross product.
+    """
+    if max_dist != 1:
+        raise NotImplementedError(
+            "edit_distance_join implements the max_dist=1 tier; wider "
+            "distances need d+1 segments and a (2d+1)-shift probe"
+        )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(str_col).alias("__s"),
+        F.length(str_col).alias("__L"),
+    ).filter(F.col("__L") >= 2)
+
+    # index side: the d+1 = 2 segments of each string
+    idx = base.select(
+        F.col("__id").alias("a_id"),
+        F.col("__s").alias("a_s"),
+        F.col("__L").alias("L"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("seg"),
+                    F.expr("substr(__s, 1, __L div 2)").alias("sub"),
+                ),
+                F.struct(
+                    F.lit(1).alias("seg"),
+                    F.expr(
+                        "substr(__s, __L div 2 + 1, __L - __L div 2)"
+                    ).alias("sub"),
+                ),
+            )
+        ).alias("e"),
+    ).select("a_id", "a_s", "L", F.col("e.seg").alias("seg"),
+             F.col("e.sub").alias("sub"))
+
+    # probe side: for every candidate partner length L in {M-1, M, M+1}
+    # emit the substrings that could equal one of ITS segments — seg 0
+    # starts within {0, 1}, seg 1 within {L1-1, L1, L1+1} (shift <= 1)
+    entries = []
+    for dl in (-1, 0, 1):
+        L = f"(__M + ({dl}))"
+        L1 = f"({L} div 2)"
+        L2 = f"({L} - {L1})"
+        for p in ("0", "1"):
+            cond = f"{L} >= 2 AND {L1} >= 1 AND {p} + {L1} <= __M"
+            entries.append(
+                f"named_struct('L', {L}, 'seg', 0, 'sub', "
+                f"IF({cond}, substr(__s, {p} + 1, {L1}), NULL))"
+            )
+        for p in (f"({L1} - 1)", L1, f"({L1} + 1)"):
+            cond = f"{L} >= 2 AND {p} >= 0 AND {p} + {L2} <= __M"
+            entries.append(
+                f"named_struct('L', {L}, 'seg', 1, 'sub', "
+                f"IF({cond}, substr(__s, {p} + 1, {L2}), NULL))"
+            )
+    probe = base.withColumnRenamed("__L", "__M").select(
+        "__id",
+        "__s",
+        F.explode(
+            F.expr(
+                "filter(array(" + ", ".join(entries) + "), "
+                "x -> x.sub IS NOT NULL)"
+            )
+        ).alias("e"),
+    ).select(
+        F.col("__id").alias("b_id"),
+        F.col("__s").alias("b_s"),
+        F.col("e.L").alias("L"),
+        F.col("e.seg").alias("seg"),
+        F.col("e.sub").alias("sub"),
+    )
+
+    cand = (
+        idx.join(probe, ["L", "seg", "sub"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+            F.when(F.col("a_id") < F.col("b_id"), F.col("a_s"))
+            .otherwise(F.col("b_s")).alias("a_val"),
+            F.when(F.col("a_id") < F.col("b_id"), F.col("b_s"))
+            .otherwise(F.col("a_s")).alias("b_val"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "a_id", "b_id", "a_val", "b_val",
+        F.levenshtein("a_val", "b_val").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)

@@ -81,3 +81,70 @@ def test_equi_join_plan_no_nested_loop(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+class TestEditDistanceJoin:
+    """PassJoin pigeonhole edit-distance self-join (round 8) — the
+    lossless-filter contract: candidates ⊇ all true pairs, verify is
+    exact, so output == brute force on any input."""
+
+    def _brute(self, rows):
+        import duckdb
+
+        return sorted(duckdb.sql(
+            "SELECT least(a.id,b.id), greatest(a.id,b.id), "
+            "levenshtein(a.s,b.s) "
+            "FROM (SELECT unnest($i) id, unnest($s) s) a "
+            "JOIN (SELECT unnest($i) id, unnest($s) s) b "
+            "ON a.id < b.id AND levenshtein(a.s,b.s) <= 1",
+            params={"i": [r[0] for r in rows], "s": [r[1] for r in rows]},
+        ).fetchall())
+
+    def test_matches_brute_force_varied_lengths(self, spark):
+        from smartbots_etl_facturas_spark.operators.linkage import (
+            edit_distance_join,
+        )
+
+        rows = [
+            (1, "kitten"), (2, "sitten"), (3, "sittin"), (4, "kitte"),
+            (5, "kitten"), (6, "xy"), (7, "yy"), (8, "abcd"),
+            (9, "abxd"), (10, "abcde"), (11, "zbcde"), (12, "ab"),
+        ]
+        df = spark.createDataFrame(rows, "id long, s string")
+        got = sorted(
+            (r.a_id, r.b_id, r.dist)
+            for r in edit_distance_join(df, "id", "s").collect()
+        )
+        assert got == self._brute(rows)
+        # insertion at the segment boundary and at both ends covered
+        assert (1, 4, 1) in got and (10, 11, 1) in got
+
+    def test_random_strings_match_brute_force(self, spark):
+        from smartbots_etl_facturas_spark.operators.linkage import (
+            edit_distance_join,
+        )
+
+        # deterministic pseudo-random short strings over a tiny
+        # alphabet: dense distance-1 neighborhoods, many length pairs
+        rows = [
+            (i, "".join("abc"[(i * 7 + j * 13) % 3]
+                        for j in range(2 + (i * 11) % 4)))
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "id long, s string").repartition(7)
+        got = sorted(
+            (r.a_id, r.b_id, r.dist)
+            for r in edit_distance_join(df, "id", "s").collect()
+        )
+        assert got == self._brute(rows) and len(got) > 50
+
+    def test_wider_distance_rejected(self, spark):
+        import pytest as _pytest
+
+        from smartbots_etl_facturas_spark.operators.linkage import (
+            edit_distance_join,
+        )
+
+        df = spark.createDataFrame([(1, "ab")], "id long, s string")
+        with _pytest.raises(NotImplementedError):
+            edit_distance_join(df, "id", "s", max_dist=2)
