@@ -268,20 +268,20 @@ def edit_distance_join(
         F.col("e.sub").alias("sub"),
     )
 
-    cand = (
+    # a_id < b_id at the JOIN is lossless: the pigeonhole holds for
+    # either partner's partition, so every true pair appears in both
+    # role orders — keeping one halves the candidate volume. The exact
+    # verify runs BEFORE the distinct so the dedup shuffle carries
+    # only true pairs (candidates can repeat per matching segment).
+    return (
         idx.join(probe, ["L", "seg", "sub"])
-        .filter(F.col("a_id") != F.col("b_id"))
+        .filter(F.col("a_id") < F.col("b_id"))
         .select(
-            F.least("a_id", "b_id").alias("a_id"),
-            F.greatest("a_id", "b_id").alias("b_id"),
-            F.when(F.col("a_id") < F.col("b_id"), F.col("a_s"))
-            .otherwise(F.col("b_s")).alias("a_val"),
-            F.when(F.col("a_id") < F.col("b_id"), F.col("b_s"))
-            .otherwise(F.col("a_s")).alias("b_val"),
+            "a_id", "b_id",
+            F.col("a_s").alias("a_val"),
+            F.col("b_s").alias("b_val"),
+            F.levenshtein("a_s", "b_s").alias("dist"),
         )
+        .filter(F.col("dist") <= max_dist)
         .distinct()
     )
-    return cand.select(
-        "a_id", "b_id", "a_val", "b_val",
-        F.levenshtein("a_val", "b_val").alias("dist"),
-    ).filter(F.col("dist") <= max_dist)
