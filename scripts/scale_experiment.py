@@ -157,6 +157,10 @@ QUERIES = [
     "returned_items",
     "priority_late_orders",
     "blocking_suppliers",
+    # holt is a linear per-key pass; edit-distance input is the fixed
+    # customer dim (replica-invariant), so its ratio measures overhead
+    "holt_trend",
+    "edit_distance_pairs",
 ]
 
 
