@@ -220,53 +220,54 @@ def holt_stateful(
     )
 
 
-def ewma_stateful_buffered(
+def _buffered_fold_stream(
     df: DataFrame,
-    key_col: str = "user_id",
-    ts_col: str = "ts",
-    units_col: str = "x_units",
-    alpha_denom: int = 4,
-    tie_col: str | None = None,
-    horizon_us: int = 600_000_000,
+    key_col: str,
+    ts_col: str,
+    units_col: str,
+    tie_col: str | None,
+    horizon_us: int,
+    state_extra_schema: str,
+    n_state: int,
+    fold_one,
+    out_extra_schema: str,
+    out_extra_names: list[str],
 ):
-    """Watermark-buffered streaming EWMA: tolerates events arriving
-    out of order within ``horizon_us`` (microseconds) of the key's
-    max observed event time — the relaxation of
-    :func:`ewma_stateful`'s strict ordered-delivery contract that a
-    real event pipeline needs (the buffered-funnel discipline,
-    streaming/funnel.py:funnel_stateful_buffered).
+    """Shared machinery for the watermark-buffered ordered-fold
+    family (EWMA / Holt / CUSUM buffered variants).
 
-    A row is FINAL — and only then folded into the recurrence and
-    emitted, in (ts, tie) order — once the key's max observed event
-    time is at least ``horizon_us`` past it; until then it waits in
-    state. Rows at or before the already-finalized frontier are
-    dropped (late beyond the horizon). Per-key state is the
-    accumulator + frontier + the within-horizon buffer (bounded by
-    one horizon's event volume, the watermarked-aggregation bound).
-    Stream-final output equals the batch EWMA over the union for ANY
-    within-horizon shuffle (pinned in tests/test_streaming.py).
+    Contract (the buffered-funnel discipline,
+    streaming/funnel.py:funnel_stateful_buffered): a row is FINAL —
+    and only then folded into the recurrence and emitted, in
+    (ts, tie) order — once the key's max observed event time is at
+    least ``horizon_us`` past it; until then it waits in state. Rows
+    at or before the already-finalized frontier are dropped (late
+    beyond the horizon). Per-key state = ``n_state`` fold fields
+    (None until the first fold) + frontier + the within-horizon
+    buffer — bounded by one horizon's event volume per key, the
+    watermarked-aggregation bound. Stream-final output equals the
+    batch twin over the union for ANY within-horizon shuffle.
+
+    ``fold_one(state_tuple_or_None, x) -> (state_tuple, out_tuple)``
+    defines the recurrence; it must be pure integer arithmetic so the
+    fold is bit-identical to the batch twin.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    if alpha_denom < 2:
-        raise ValueError("alpha_denom must be >= 2")
     if horizon_us < 0:
         raise ValueError("horizon_us must be >= 0")
     key_type = df.schema[key_col].dataType.simpleString()
     out_schema = (
         f"{key_col} {key_type}, {ts_col} timestamp, "
-        f"{units_col} long, ewma_units long"
+        f"{units_col} long, {out_extra_schema}"
+    )
+    state_schema = (
+        f"{state_extra_schema}, fin_us long, "
+        "buf_ts array<long>, buf_x array<long>"
     )
     if tie_col:
         tie_type = df.schema[tie_col].dataType.simpleString()
-        state_schema = (
-            "acc long, fin_us long, buf_ts array<long>, "
-            f"buf_x array<long>, buf_tie array<{tie_type}>"
-        )
-    else:
-        state_schema = (
-            "acc long, fin_us long, buf_ts array<long>, buf_x array<long>"
-        )
+        state_schema += f", buf_tie array<{tie_type}>"
 
     def fn(key, pdf_iter, state: GroupState):
         import pandas as pd
@@ -278,14 +279,20 @@ def ewma_stateful_buffered(
 
         if state.exists:
             st = state.get
-            acc = None if st[0] is None else int(st[0])
-            fin_us = int(st[1])
-            buf = list(zip(
-                list(st[2] or []), list(st[3] or []),
-                list(st[4] or []) if tie_col else [None] * len(st[2] or []),
-            ))
+            fold_st = (
+                None if st[0] is None
+                else tuple(int(v) for v in st[:n_state])
+            )
+            fin_us = int(st[n_state])
+            b_ts = list(st[n_state + 1] or [])
+            b_x = list(st[n_state + 2] or [])
+            b_tie = (
+                list(st[n_state + 3] or []) if tie_col
+                else [None] * len(b_ts)
+            )
+            buf = list(zip(b_ts, b_x, b_tie))
         else:
-            acc, fin_us, buf = None, -(1 << 62), []
+            fold_st, fin_us, buf = None, -(1 << 62), []
 
         max_us = max([fin_us + horizon_us] + new_ts) if new_ts else (
             fin_us + horizon_us
@@ -303,23 +310,18 @@ def ewma_stateful_buffered(
         else:
             # no tie column: equal-ts rows fold in buffer (arrival)
             # order under a stable sort — same caveat as the strict
-            # variant's module-doc contract
+            # variants' module-doc contract
             ready = sorted(
                 (e for e in buf if e[0] <= frontier), key=lambda e: e[0]
             )
         buf = [e for e in buf if e[0] > frontier]
 
-        out_t, out_x, out_s = [], [], []
+        out_t, out_x, out_extra = [], [], []
         for t, x, _tie in ready:
-            if acc is None:
-                acc = int(x)
-            else:
-                d = int(x) - acc
-                q = abs(d) // alpha_denom  # truncation toward zero
-                acc = acc + (q if d >= 0 else -q)
+            fold_st, out_vals = fold_one(fold_st, int(x))
             out_t.append(t)
             out_x.append(x)
-            out_s.append(acc)
+            out_extra.append(out_vals)
 
         buf_cols = (
             [int(t) for t, _, _ in buf],
@@ -327,19 +329,125 @@ def ewma_stateful_buffered(
         )
         if tie_col:
             buf_cols = buf_cols + ([tie for _, _, tie in buf],)
-        state.update((
-            None if acc is None else int(acc), int(frontier), *buf_cols,
-        ))
+        packed = (
+            (None,) * n_state if fold_st is None
+            else tuple(int(v) for v in fold_st)
+        )
+        state.update((*packed, int(frontier), *buf_cols))
         if out_t:
-            yield pd.DataFrame({
+            data = {
                 key_col: [key[0]] * len(out_t),
                 ts_col: [pd.Timestamp(t, unit="us") for t in out_t],
                 units_col: out_x,
-                "ewma_units": out_s,
-            })
+            }
+            for i, name in enumerate(out_extra_names):
+                data[name] = [vals[i] for vals in out_extra]
+            yield pd.DataFrame(data)
 
     return df.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def ewma_stateful_buffered(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    units_col: str = "x_units",
+    alpha_denom: int = 4,
+    tie_col: str | None = None,
+    horizon_us: int = 600_000_000,
+):
+    """Watermark-buffered streaming EWMA — :func:`ewma_stateful`'s
+    recurrence under the buffered ordered-fold contract (see
+    :func:`_buffered_fold_stream`): out-of-order delivery within
+    ``horizon_us`` reproduces the batch EWMA exactly (pinned in
+    tests/test_streaming_buffered.py); rows beyond the horizon drop
+    with watermark semantics."""
+    if alpha_denom < 2:
+        raise ValueError("alpha_denom must be >= 2")
+
+    def fold(st, x):
+        if st is None:
+            return (x,), (x,)
+        acc = st[0]
+        d = x - acc
+        q = abs(d) // alpha_denom  # truncation toward zero
+        acc = acc + (q if d >= 0 else -q)
+        return (acc,), (acc,)
+
+    return _buffered_fold_stream(
+        df, key_col, ts_col, units_col, tie_col, horizon_us,
+        state_extra_schema="acc long", n_state=1, fold_one=fold,
+        out_extra_schema="ewma_units long", out_extra_names=["ewma_units"],
+    )
+
+
+def holt_stateful_buffered(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    units_col: str = "x_units",
+    alpha_denom: int = 4,
+    beta_denom: int = 8,
+    tie_col: str | None = None,
+    horizon_us: int = 600_000_000,
+):
+    """Watermark-buffered streaming Holt — :func:`holt_stateful`'s
+    coupled (level, trend) recurrences under the buffered
+    ordered-fold contract: within-horizon shuffle reproduces the
+    batch ``holt_linear`` exactly."""
+    if alpha_denom < 2 or beta_denom < 2:
+        raise ValueError("alpha_denom and beta_denom must be >= 2")
+
+    def _trunc_div(n, d):
+        q = abs(n) // d
+        return q if n >= 0 else -q
+
+    def fold(st, x):
+        if st is None:
+            return (x, 0), (x, 0, x)
+        level, trend = st
+        pred = level + trend
+        new_level = pred + _trunc_div(x - pred, alpha_denom)
+        trend = trend + _trunc_div(new_level - pred, beta_denom)
+        return (new_level, trend), (new_level, trend, new_level + trend)
+
+    return _buffered_fold_stream(
+        df, key_col, ts_col, units_col, tie_col, horizon_us,
+        state_extra_schema="lvl long, trd long", n_state=2, fold_one=fold,
+        out_extra_schema=(
+            "level_units long, trend_units long, forecast_units long"
+        ),
+        out_extra_names=["level_units", "trend_units", "forecast_units"],
+    )
+
+
+def cusum_stateful_buffered(
+    df: DataFrame,
+    target_units: int,
+    slack_units: int = 0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    units_col: str = "x_units",
+    tie_col: str | None = None,
+    horizon_us: int = 600_000_000,
+):
+    """Watermark-buffered streaming CUSUM — :func:`cusum_stateful`'s
+    drift recurrence ``s = max(0, s + (x - target - slack))`` under
+    the buffered ordered-fold contract: within-horizon shuffle
+    reproduces the batch ``cusum`` exactly."""
+    drift = int(target_units + slack_units)
+
+    def fold(st, x):
+        s = 0 if st is None else st[0]
+        s = max(0, s + x - drift)
+        return (s,), (s,)
+
+    return _buffered_fold_stream(
+        df, key_col, ts_col, units_col, tie_col, horizon_us,
+        state_extra_schema="s long", n_state=1, fold_one=fold,
+        out_extra_schema="cusum_units long", out_extra_names=["cusum_units"],
     )
 
 

@@ -265,3 +265,71 @@ def test_bottom_k_sampler_stream_matches_batch(spark, tmp_path):
     d777 = hashlib.md5(b"sample-v1:777").hexdigest()
     want2 = sorted(want + [(d777, "777", "xx")])[:25]
     assert mon2.sample() == [tuple(r) for r in want2]
+
+
+def test_buffered_holt_and_cusum_match_batch(spark, tmp_path):
+    """The generic buffered ordered-fold: Holt and CUSUM variants
+    reproduce their batch twins exactly on shuffled-within-horizon
+    delivery (same discipline as the EWMA test)."""
+    from smartbots_etl_facturas_spark.operators.timeseries import (
+        cusum,
+        holt_linear,
+    )
+    from smartbots_etl_facturas_spark.streaming.timeseries import (
+        cusum_stateful_buffered,
+        holt_stateful_buffered,
+    )
+
+    schema = "user_id long, ts timestamp, event_id long, x_units long"
+    data = {
+        1: [(0, 100), (1, 200), (2, 60), (3, 1000), (4, 40)],
+        2: [(0, 500), (1, 580), (2, 660), (3, 740)],
+    }
+    rows = {
+        u: [(u, _ts(m), m, x) for m, x in evs] for u, evs in data.items()
+    }
+
+    def pick(idx):
+        return [rows[u][i] for u in rows for i in idx if i < len(rows[u])]
+
+    batches = [
+        pick([1]), pick([0, 3]), pick([2]), pick([4]),
+        [(u, _ts(9000), 9000, 0) for u in rows],  # drain sentinels
+    ]
+    ev = spark.createDataFrame([r for u in rows for r in rows[u]], schema)
+
+    got_h = {
+        (r.user_id, r.ts): (r.level_units, r.trend_units)
+        for r in _drain(
+            spark, batches, schema, tmp_path / "holt",
+            lambda s: holt_stateful_buffered(
+                s, tie_col="event_id", horizon_us=5 * MIN_US
+            ),
+            mode="append",
+        )
+    }
+    want_h = {
+        (r.user_id, r.ts): (r.level_units, r.trend_units)
+        for r in holt_linear(ev, tie_col="event_id").collect()
+    }
+    assert got_h == want_h and len(got_h) == 9
+
+    got_c = {
+        (r.user_id, r.ts): r.cusum_units
+        for r in _drain(
+            spark, batches, schema, tmp_path / "cusum",
+            lambda s: cusum_stateful_buffered(
+                s, target_units=300, tie_col="event_id",
+                horizon_us=5 * MIN_US,
+            ),
+            mode="append",
+        )
+    }
+    want_c = {
+        (r.user_id, r.ts): r.cusum_units
+        for r in cusum(
+            ev, "x_units", target_units=300, ts_col="ts",
+            tie_col="event_id",
+        ).collect()
+    }
+    assert got_c == want_c and len(got_c) == 9
