@@ -11366,26 +11366,27 @@ FROM walk
 def q_edit_distance_pairs(spark, sf_dir):
     """Fuzzy-key self-join (operators/linkage.py:edit_distance_join —
     PassJoin pigeonhole, Li/Deng/Feng 2011): all customer-name pairs
-    within Levenshtein distance 1, over the deterministic 1-in-10
-    customer subset. Candidates come from an EQUI-JOIN on (length,
-    segment index, substring) — any string within distance 1 must
-    contain one of the partner's 2 segments exactly, shifted by ≤1 —
-    and the exact verify touches only candidates, so the LOSSLESS
-    filter makes the operator exact and brute-force oracle-checkable
-    (the PPJoin discipline, for edit distance instead of token sets).
-    Candidate volume note: these synthetic names share a long
-    constant prefix, so the prefix-segment postings degrade toward a
-    block join WITHIN the shared-prefix group (bounded by that group,
-    never a cross join of the table) — the 1-in-10 subset keeps the
-    demonstration bounded at every sf; real fuzzy keys with normal
-    entropy prune far harder."""
+    within Levenshtein distance 1, over the FULL customer table.
+    Candidates come from an EQUI-JOIN on (length, segment index,
+    substring) — any string within distance 1 must contain one of the
+    partner's 2 segments exactly, shifted by ≤1 — and the exact
+    verify touches only candidates, so the LOSSLESS filter makes the
+    operator exact and brute-force oracle-checkable (the PPJoin
+    discipline, for edit distance instead of token sets).
+    Skew note (round 9): these synthetic names share a long constant
+    prefix, so the prefix-segment posting group holds the whole
+    table. The operator's frequency-aware recursion detects the hot
+    (length, segment, substring) groups with one map-side-combinable
+    count and re-applies the pigeonhole to the RESIDUAL string
+    (lossless: the matched segment's prefix/suffix script costs sum
+    to ≤ d), so the hot group resolves to per-suffix keys instead of
+    funneling |group|² candidates through one task — which is why the
+    round-8 demo's 1-in-10 subset is gone."""
     from smartbots_etl_facturas_spark.operators.linkage import (
         edit_distance_join,
     )
 
-    cust = _read(spark, sf_dir, "customer").filter(
-        F.col("c_custkey") % 10 == 0
-    )
+    cust = _read(spark, sf_dir, "customer")
     return edit_distance_join(cust, "c_custkey", "c_name").select(
         "a_id", "b_id", "a_val", "b_val",
         F.col("dist").cast("long").alias("dist"),
@@ -11394,7 +11395,7 @@ def q_edit_distance_pairs(spark, sf_dir):
 
 SQL_EDIT_DISTANCE_PAIRS = """
 WITH c AS (
-  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 10 = 0)
+  SELECT c_custkey, c_name FROM customer)
 SELECT least(a.c_custkey, b.c_custkey) AS a_id,
        greatest(a.c_custkey, b.c_custkey) AS b_id,
        CASE WHEN a.c_custkey < b.c_custkey THEN a.c_name
@@ -11405,6 +11406,47 @@ SELECT least(a.c_custkey, b.c_custkey) AS a_id,
 FROM c a JOIN c b
   ON a.c_custkey < b.c_custkey
  AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+def q_edit_distance_pairs_d2(spark, sf_dir):
+    """max_dist=2 tier of the PassJoin edit-distance self-join
+    (round-9 generalization: d+1=3 segments, position-aware-pruned
+    shift probe, same residual-recursion skew handling): all
+    supplier-name pairs within Levenshtein distance 2. Supplier names
+    share the constant 'Supplier#' prefix, so this exercises the
+    hot-group residual recursion at d=2; the exact verify keeps it
+    brute-force oracle-checkable. Fan-out note: probe emission is
+    bounded at (d+1) segments x the position-aware shift set (13 of
+    25 (length, shift) combos survive |δ| + |Δ-δ| <= d at d=2) per
+    row — fixed, never data-dependent. The TPC-H id corpus is
+    near-worst-case DENSE (~28% of all supplier-name pairs are within
+    distance 2, so the OUTPUT is inherently ~quadratic in the table);
+    real fuzzy-key corpora are far sparser and prune far harder."""
+    from smartbots_etl_facturas_spark.operators.linkage import (
+        edit_distance_join,
+    )
+
+    supp = _read(spark, sf_dir, "supplier")
+    return edit_distance_join(
+        supp, "s_suppkey", "s_name", max_dist=2
+    ).select(
+        "a_id", "b_id", "a_val", "b_val",
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+SQL_EDIT_DISTANCE_PAIRS_D2 = """
+SELECT least(a.s_suppkey, b.s_suppkey) AS a_id,
+       greatest(a.s_suppkey, b.s_suppkey) AS b_id,
+       CASE WHEN a.s_suppkey < b.s_suppkey THEN a.s_name
+            ELSE b.s_name END AS a_val,
+       CASE WHEN a.s_suppkey < b.s_suppkey THEN b.s_name
+            ELSE a.s_name END AS b_val,
+       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+FROM supplier a JOIN supplier b
+  ON a.s_suppkey < b.s_suppkey
+ AND levenshtein(a.s_name, b.s_name) <= 2
 """
 
 
@@ -11420,6 +11462,7 @@ _QUERIES: dict[str, Callable] = {
     "blocking_suppliers": q_blocking_suppliers,
     "holt_trend": q_holt_trend,
     "edit_distance_pairs": q_edit_distance_pairs,
+    "edit_distance_pairs_d2": q_edit_distance_pairs_d2,
     "triangle_count": q_triangle_count,
     "hll_distinct": q_hll_distinct,
     "join_cardinality_estimate": q_join_cardinality_estimate,
@@ -11658,6 +11701,7 @@ _ORACLES: dict[str, str] = {
     "blocking_suppliers": SQL_BLOCKING_SUPPLIERS,
     "holt_trend": SQL_HOLT_TREND,
     "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
+    "edit_distance_pairs_d2": SQL_EDIT_DISTANCE_PAIRS_D2,
     "upsert_insert_only": SQL_UPSERT_INSERT_ONLY,
     "upsert_full_status": SQL_UPSERT_FULL,
     "reconciliation": SQL_RECONCILIATION,

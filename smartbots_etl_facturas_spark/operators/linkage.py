@@ -168,120 +168,404 @@ def jaccard_similarity_join(
     )
 
 
+def _pieces(rl: str, d: int) -> list[tuple[str, str]]:
+    """SQL (length, start) expressions for the ``d + 1`` contiguous
+    pieces of a length-``rl`` string: the first pieces get
+    ``floor(rl / (d+1))`` chars, the last ``rl % (d+1)`` pieces one
+    extra (the remainder goes RIGHT — same split as the round-8
+    ``substr(s, 1, L div 2)`` / remainder-second-half convention)."""
+    n = d + 1
+    base = f"({rl} div {n})"
+    rem = f"({rl} % {n})"
+    out = []
+    for j in range(n):
+        m = f"({base} + IF({j} >= {n} - {rem}, 1, 0))"
+        r = f"({j} * {base} + greatest(0, {j} - ({n} - {rem})))"
+        out.append((m, r))
+    return out
+
+
+def _edit_idx_level0(mains: DataFrame, d: int) -> DataFrame:
+    """Index postings: one row per (string, segment). ``k`` hashes the
+    lossy-but-lossless join key (partner length, segment index,
+    segment substring) — a 64-bit collision can only ADD candidates
+    (the exact verify removes them), never lose a pair. ``res`` is
+    the string with the segment cut out (the recursion residual),
+    ``rl`` its length."""
+    entries = []
+    for i, (m, r) in enumerate(_pieces("__L", d)):
+        entries.append(
+            "named_struct("
+            f"'k', xxhash64(CAST(__L AS INT), {i}, substr(__s, {r} + 1, {m})), "
+            f"'res', concat(substr(__s, 1, {r}), substr(__s, {r} + {m} + 1)), "
+            f"'rl', CAST(__L - {m} AS INT))"
+        )
+    return mains.select(
+        F.col("__id").alias("a_id"),
+        F.col("__s").alias("a_s"),
+        F.explode(F.expr("array(" + ", ".join(entries) + ")")).alias("e"),
+    ).select("a_id", "a_s", "e.k", "e.res", "e.rl")
+
+
+def _edit_probe_level0(mains: DataFrame, d: int) -> DataFrame:
+    """Probe postings: for every candidate partner length
+    L in [M-d, M+d] and every segment i of a length-L string, the
+    substrings starting within d of that segment's home position —
+    <= (2d+1)^2 (d+1) entries per row, all pure Column expressions.
+    ``res`` removes the probed occurrence (so residual recursion sees
+    the complement around the SAME alignment); ``rl`` carries the
+    INDEX residual length so both sides agree on piece layout."""
+    n = d + 1
+    entries = []
+    for dl in range(-d, d + 1):
+        lx = f"(__L + ({dl}))"
+        for i, (m, r0) in enumerate(_pieces(lx, d)):
+            for sh in range(-d, d + 1):
+                # position-aware shift pruning (lossless): if the
+                # witness script preserves the segment at shift δ, its
+                # prefix costs c1 >= |δ| and its suffix costs
+                # c2 >= |Δ - δ| (pure length arithmetic), and
+                # c1 + c2 <= d. Here Δ = probe_len - index_len = -dl
+                # is a plan-time constant, so impossible (dl, sh)
+                # combinations are never even generated.
+                if abs(sh) + abs(-dl - sh) > d:
+                    continue
+                r = f"({r0} + ({sh}))"
+                cond = f"{lx} >= {n} AND {r} >= 0 AND {r} + {m} <= __L"
+                entries.append(
+                    f"IF({cond}, named_struct("
+                    f"'k', xxhash64(CAST({lx} AS INT), {i}, "
+                    f"substr(__s, {r} + 1, {m})), "
+                    f"'res', concat(substr(__s, 1, {r}), "
+                    f"substr(__s, {r} + {m} + 1)), "
+                    f"'rl', CAST({lx} - {m} AS INT)), NULL)"
+                )
+    return mains.select(
+        F.col("__id").alias("b_id"),
+        F.col("__s").alias("b_s"),
+        F.explode(
+            F.expr(
+                "filter(array(" + ", ".join(entries) + "), "
+                "x -> x IS NOT NULL)"
+            )
+        ).alias("e"),
+    ).select("b_id", "b_s", "e.k", "e.res", "e.rl")
+
+
+def _edit_refine_idx(idx: DataFrame, d: int) -> DataFrame:
+    """One recursion step on the index side: split the residual into
+    d+1 pieces, extend the key hash with (piece index, piece), cut
+    the piece out of the residual."""
+    entries = []
+    for j, (m, r) in enumerate(_pieces("rl", d)):
+        entries.append(
+            "named_struct("
+            f"'k', xxhash64(k, {j}, substr(res, {r} + 1, {m})), "
+            f"'res', concat(substr(res, 1, {r}), substr(res, {r} + {m} + 1)), "
+            f"'rl', CAST(rl - {m} AS INT))"
+        )
+    return idx.select(
+        "a_id", "a_s",
+        F.explode(F.expr("array(" + ", ".join(entries) + ")")).alias("e"),
+    ).select("a_id", "a_s", "e.k", "e.res", "e.rl")
+
+
+def _edit_refine_probe(probe: DataFrame, d: int) -> DataFrame:
+    """One recursion step on the probe side: piece layout comes from
+    the carried INDEX residual length ``rl``; each piece may start
+    within d of its home position inside the probe's own residual."""
+    entries = []
+    for j, (m, r0) in enumerate(_pieces("rl", d)):
+        for sh in range(-d, d + 1):
+            r = f"({r0} + ({sh}))"
+            # position-aware shift pruning, runtime form: the residual
+            # length difference Δ = length(res) - rl varies per row, so
+            # |δ| + |Δ - δ| <= d is evaluated as a cheap predicate.
+            cond = (
+                f"{r} >= 0 AND {r} + {m} <= length(res) AND "
+                f"abs({sh}) + abs(length(res) - rl - ({sh})) <= {d}"
+            )
+            entries.append(
+                f"IF({cond}, named_struct("
+                f"'k', xxhash64(k, {j}, substr(res, {r} + 1, {m})), "
+                f"'res', concat(substr(res, 1, {r}), "
+                f"substr(res, {r} + {m} + 1)), "
+                f"'rl', CAST(rl - {m} AS INT)), NULL)"
+            )
+    return probe.select(
+        "b_id", "b_s",
+        F.explode(
+            F.expr(
+                "filter(array(" + ", ".join(entries) + "), "
+                "x -> x IS NOT NULL)"
+            )
+        ).alias("e"),
+    ).select("b_id", "b_s", "e.k", "e.res", "e.rl")
+
+
+def _edit_candidates(
+    base: DataFrame,
+    d: int,
+    hot_threshold: int,
+    refine_levels: int,
+    salt_buckets: int,
+) -> DataFrame:
+    """Candidate pairs ``(a_id, b_id, a_s, b_s)`` (a_id < b_id,
+    superset of all true pairs, may repeat) — the skew-aware candidate
+    stage, exposed for the pruning experiment
+    (scripts/edit_skew_experiment.py). See edit_distance_join."""
+    n = d + 1
+    mains = base.filter(F.col("__L") >= n)
+    cands: list[DataFrame] = []
+    salted_idx: list[DataFrame] = []
+    salted_probe: list[DataFrame] = []
+
+    # ADAPTIVE skew loop. Each iteration runs ONE small action — the
+    # count of over-threshold posting keys (the count frame itself is
+    # map-side-combinable and reduced to <= #postings/threshold keys).
+    # A skew-free corpus exits after that single probe with a plan
+    # identical in shape to plain PassJoin. When skew exists, the hot
+    # posting frames are localCheckpoint'ed per level: lineage stays
+    # flat (each level re-references its inputs several times — an
+    # un-truncated recursion would grow the logical plan
+    # exponentially) and each level's postings are computed once.
+    # Checkpointed frames hold ONLY still-hot postings, which shrink
+    # per level as the key hash accumulates entropy.
+    idx_k = _edit_idx_level0(mains, d)
+    probe_k = _edit_probe_level0(mains, d)
+    for level in range(refine_levels + 1):
+        hot = (
+            idx_k.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > hot_threshold)
+            .select("k")
+        )
+        # ONE eager checkpoint per level holds both sides' hot
+        # postings (tagged) — lineage is truncated (the plan becomes
+        # an RDD scan, so the per-level multi-reference recursion
+        # cannot grow the logical plan exponentially), each level's
+        # hot postings are computed exactly once, and the empty-result
+        # probe doubles as the loop-termination signal.
+        both_hot = (
+            idx_k.withColumnRenamed("a_id", "__pid")
+            .withColumnRenamed("a_s", "__ps")
+            .withColumn("__idx", F.lit(True))
+            .unionByName(
+                probe_k.withColumnRenamed("b_id", "__pid")
+                .withColumnRenamed("b_s", "__ps")
+                .withColumn("__idx", F.lit(False))
+            )
+            .join(hot, "k", "left_semi")
+            .localCheckpoint()
+        )
+        if not both_hot.take(1):
+            # nothing hot: join everything here, recursion over.
+            cands.append(
+                idx_k.join(probe_k, "k")
+                .filter(F.col("a_id") < F.col("b_id"))
+                .select("a_id", "b_id", "a_s", "b_s")
+            )
+            break
+        idx_hot = (
+            both_hot.filter("__idx")
+            .select(F.col("__pid").alias("a_id"),
+                    F.col("__ps").alias("a_s"), "k", "res", "rl")
+        )
+        probe_hot = (
+            both_hot.filter("NOT __idx")
+            .select(F.col("__pid").alias("b_id"),
+                    F.col("__ps").alias("b_s"), "k", "res", "rl")
+        )
+        # cold join: probe rows with hot keys simply find no partner
+        # here (those keys are absent from idx_cold), so only the
+        # index side needs the anti-join (against the checkpointed
+        # hot keys, not a recomputed aggregation).
+        cands.append(
+            idx_k.join(idx_hot.select("k"), "k", "left_anti")
+            .join(probe_k, "k")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", "a_s", "b_s")
+        )
+        if level == refine_levels:
+            # out of refinement budget: whatever is still hot goes to
+            # the salted pass (lossless, spreads the group S ways).
+            salted_idx.append(idx_hot)
+            salted_probe.append(probe_hot)
+            break
+        # residuals too short to host d+1 non-empty pieces cannot be
+        # re-pigeonholed — salt those; refine the rest.
+        salted_idx.append(idx_hot.filter(F.col("rl") < n))
+        salted_probe.append(probe_hot.filter(F.col("rl") < n))
+        idx_k = _edit_refine_idx(idx_hot.filter(F.col("rl") >= n), d)
+        probe_k = _edit_refine_probe(probe_hot.filter(F.col("rl") >= n), d)
+
+    if salted_idx:
+        sidx = salted_idx[0]
+        for f in salted_idx[1:]:
+            sidx = sidx.unionByName(f)
+        sprobe = salted_probe[0]
+        for f in salted_probe[1:]:
+            sprobe = sprobe.unionByName(f)
+        # salt is a DETERMINISTIC hash of the index id (never rand()):
+        # same candidates every run, spread across salt_buckets tasks.
+        cands.append(
+            sidx.withColumn(
+                "__salt",
+                F.pmod(F.xxhash64("a_id"), F.lit(salt_buckets)).cast("int"),
+            )
+            .join(
+                sprobe.withColumn(
+                    "__salt",
+                    F.explode(F.expr(f"sequence(0, {salt_buckets - 1})")),
+                ).withColumn("__salt", F.col("__salt").cast("int")),
+                ["k", "__salt"],
+            )
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", "a_s", "b_s"),
+        )
+
+    out = cands[0]
+    for f in cands[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def edit_distance_join(
     df: "DataFrame",
     id_col: str,
     str_col: str,
     max_dist: int = 1,
+    hot_threshold: int = 512,
+    refine_levels: int = 6,
+    salt_buckets: int = 32,
 ) -> "DataFrame":
     """All pairs with Levenshtein distance <= ``max_dist`` — the
     STRING-similarity complement of the token-set join above, via the
-    PassJoin pigeonhole scheme (Li, Deng, Feng 2011): partition every
-    string into ``max_dist + 1`` contiguous segments; any string
-    within edit distance d must contain one segment EXACTLY, at a
-    start position shifted by at most d — so candidates come from an
-    EQUI-JOIN on (target length, segment index, substring), never a
-    cross join, and the exact Levenshtein verify touches only
-    candidates (LOSSLESS filter => exact operator => brute-force
-    oracle-checkable, the PPJoin discipline).
+    PassJoin pigeonhole scheme (Li, Deng, Feng 2011) with a
+    frequency-aware RECURSIVE refinement for skewed segment postings:
 
-    This implementation fixes ``max_dist = 1`` (the common fuzzy-key
-    case: one typo / one digit off), which keeps the probe fan-out a
-    FIXED 15 substrings per row, all generated as pure Column
-    expressions inside codegen. Strings must be length >= 2. Output:
-    one row per unordered pair, ``(a_id, b_id, a_val, b_val, dist)``
-    with a_id < b_id.
+    - Partition every string into d+1 contiguous segments (d =
+      max_dist); any string within edit distance d must contain one
+      segment EXACTLY, at a start position shifted by at most d — so
+      candidates come from an EQUI-JOIN on (partner length, segment
+      index, substring), never a cross join, and the exact
+      Levenshtein verify touches only candidates (LOSSLESS filter =>
+      exact operator => brute-force oracle-checkable, the PPJoin
+      discipline).
+    - SKEW: on low-entropy corpora (shared-prefix ids like
+      ``Customer#000…``) one (L, seg, substring) posting group can
+      hold most of the table and the equi-join would materialize
+      |group|^2 candidates through one hot key. A map-side-combinable
+      ``groupBy(key).count()`` pre-pass finds groups above
+      ``hot_threshold``; those are NOT joined directly. Instead the
+      pigeonhole is applied AGAIN to the residual string (the string
+      with the matched segment cut out): if ed(a, b) <= d and a's
+      segment occurs verbatim in b at shift c1 <= d, the optimal
+      script maps prefix->prefix and suffix->suffix with c1 + c2 <= d
+      edits, so ed(residual_a, residual_b) <= d by concatenation
+      subadditivity — the residuals satisfy the SAME contract and can
+      be re-split into d+1 pieces, extending the join key with (piece
+      index, piece). Recursion proceeds per-level only for keys still
+      hot, up to ``refine_levels`` deep; each level multiplies key
+      entropy, so shared-prefix corpora resolve to per-suffix groups.
+    - Keys still hot when the residual is shorter than d+1 chars (or
+      past the level budget) fall back to a SALTED join — candidates
+      unchanged but spread over ``salt_buckets`` tasks, removing the
+      single-task hot spot. Keys are accumulated as xxhash64 chains;
+      a collision can only ADD candidates (verify removes them).
+    - SHORT strings (length <= d) cannot host d+1 non-empty segments;
+      they are handled by a side channel over DISTINCT VALUES: any
+      partner has length <= 2d, so the value-level pair space is
+      bounded by the string DOMAIN of length <= 2d (alphabet^(2d)),
+      not the row count — the one (broadcast, domain-bounded) cross
+      join in this operator, re-expanded to ids by equi-joins.
 
-    Scale: |index| = 2 rows/string, |probe| <= 15 rows/string, both
-    keyed by (L, seg, substring) — shuffle volume is linear in input
-    with a segment-postings-bounded candidate count; at 100 TB the
-    join hash-partitions like any equi-join and no task ever sees the
-    cross product.
+    Output: one row per unordered pair,
+    ``(a_id, b_id, a_val, b_val, dist)`` with a_id < b_id. Exact for
+    any ``max_dist`` in [1, 6] (fan-out (2d+1)^2 (d+1) per probe row
+    caps practical d).
+
+    Scale: |index| = (d+1) rows/string, |probe| <= (2d+1)^2 (d+1)
+    rows/string, both keyed by a hashed (L, seg, substring) chain —
+    shuffle volume is linear in input; hot-group detection is one
+    reduced aggregation; refinement levels touch only still-hot
+    postings. At 100 TB the joins hash-partition like any equi-join
+    and no task ever sees a cross product or an unsplit hot group.
     """
-    if max_dist != 1:
-        raise NotImplementedError(
-            "edit_distance_join implements the max_dist=1 tier; wider "
-            "distances need d+1 segments and a (2d+1)-shift probe"
-        )
+    if not 1 <= max_dist <= 6:
+        raise ValueError("max_dist must be in [1, 6]")
+    if hot_threshold < 1 or refine_levels < 0 or salt_buckets < 1:
+        raise ValueError("hot_threshold/refine_levels/salt_buckets invalid")
+    d = max_dist
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(str_col).alias("__s"),
         F.length(str_col).alias("__L"),
-    ).filter(F.col("__L") >= 2)
+    ).filter(F.col("__s").isNotNull())
 
-    # index side: the d+1 = 2 segments of each string
-    idx = base.select(
-        F.col("__id").alias("a_id"),
-        F.col("__s").alias("a_s"),
-        F.col("__L").alias("L"),
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(0).alias("seg"),
-                    F.expr("substr(__s, 1, __L div 2)").alias("sub"),
-                ),
-                F.struct(
-                    F.lit(1).alias("seg"),
-                    F.expr(
-                        "substr(__s, __L div 2 + 1, __L - __L div 2)"
-                    ).alias("sub"),
-                ),
-            )
-        ).alias("e"),
-    ).select("a_id", "a_s", "L", F.col("e.seg").alias("seg"),
-             F.col("e.sub").alias("sub"))
-
-    # probe side: for every candidate partner length L in {M-1, M, M+1}
-    # emit the substrings that could equal one of ITS segments — seg 0
-    # starts within {0, 1}, seg 1 within {L1-1, L1, L1+1} (shift <= 1)
-    entries = []
-    for dl in (-1, 0, 1):
-        L = f"(__M + ({dl}))"
-        L1 = f"({L} div 2)"
-        L2 = f"({L} - {L1})"
-        for p in ("0", "1"):
-            cond = f"{L} >= 2 AND {L1} >= 1 AND {p} + {L1} <= __M"
-            entries.append(
-                f"named_struct('L', {L}, 'seg', 0, 'sub', "
-                f"IF({cond}, substr(__s, {p} + 1, {L1}), NULL))"
-            )
-        for p in (f"({L1} - 1)", L1, f"({L1} + 1)"):
-            cond = f"{L} >= 2 AND {p} >= 0 AND {p} + {L2} <= __M"
-            entries.append(
-                f"named_struct('L', {L}, 'seg', 1, 'sub', "
-                f"IF({cond}, substr(__s, {p} + 1, {L2}), NULL))"
-            )
-    probe = base.withColumnRenamed("__L", "__M").select(
-        "__id",
-        "__s",
-        F.explode(
-            F.expr(
-                "filter(array(" + ", ".join(entries) + "), "
-                "x -> x.sub IS NOT NULL)"
-            )
-        ).alias("e"),
-    ).select(
-        F.col("__id").alias("b_id"),
-        F.col("__s").alias("b_s"),
-        F.col("e.L").alias("L"),
-        F.col("e.seg").alias("seg"),
-        F.col("e.sub").alias("sub"),
+    cand = _edit_candidates(
+        base, d, hot_threshold, refine_levels, salt_buckets
     )
 
-    # a_id < b_id at the JOIN is lossless: the pigeonhole holds for
-    # either partner's partition, so every true pair appears in both
-    # role orders — keeping one halves the candidate volume. The exact
-    # verify runs BEFORE the distinct so the dedup shuffle carries
-    # only true pairs (candidates can repeat per matching segment).
+    # short-string side channel (length <= d: segmentation impossible;
+    # any partner has length <= 2d). Works on DISTINCT VALUES so the
+    # cross join is bounded by the <=2d-length string DOMAIN, then
+    # re-expands to ids via equi-joins. Covers short-short and
+    # short-main pairs; main-main pairs never enter (both sides per
+    # pair have length >= d+1 > d... one side here is always <= d).
+    shorts = base.filter(F.col("__L") <= d)
+    partners = base.filter(F.col("__L") <= 2 * d)
+    vpairs = (
+        partners.select(F.col("__s").alias("__v"))
+        .distinct()
+        .crossJoin(
+            F.broadcast(shorts.select(F.col("__s").alias("__u")).distinct())
+        )
+        .filter(F.levenshtein("__u", "__v", d) >= 0)
+    )
+    short_raw = (
+        shorts.select(
+            F.col("__id").alias("a_id"),
+            F.col("__s").alias("a_s"),
+            F.col("__s").alias("__u"),
+        )
+        .join(vpairs, "__u")
+        .join(
+            partners.select(
+                F.col("__id").alias("b_id"),
+                F.col("__s").alias("b_s"),
+                F.col("__s").alias("__v"),
+            ),
+            "__v",
+        )
+        .filter(F.col("a_id") != F.col("b_id"))
+    )
+    flip = F.col("a_id") > F.col("b_id")
+    short_cand = short_raw.select(
+        F.when(flip, F.col("b_id")).otherwise(F.col("a_id")).alias("a_id"),
+        F.when(flip, F.col("a_id")).otherwise(F.col("b_id")).alias("b_id"),
+        F.when(flip, F.col("b_s")).otherwise(F.col("a_s")).alias("a_s"),
+        F.when(flip, F.col("a_s")).otherwise(F.col("b_s")).alias("b_s"),
+    )
+
+    # dedup BEFORE the exact verify: a true pair reaches the union via
+    # many routes (one per matching (segment, shift) per refinement
+    # level — measured ~17x on low-entropy corpora), and a shuffled
+    # row costs ~1-2 µs while a thresholded levenshtein costs ~10-15,
+    # so one dropDuplicates shuffle on the candidate ids and a single
+    # verify per unique pair strictly beats verify-per-route (and
+    # makes a post-verify distinct unnecessary). levenshtein's
+    # threshold form early-exits at distance > d (an O(d*len) band
+    # instead of the O(len^2) full DP; returns -1 past the threshold,
+    # the exact distance within it).
     return (
-        idx.join(probe, ["L", "seg", "sub"])
-        .filter(F.col("a_id") < F.col("b_id"))
+        cand.unionByName(short_cand)
+        .dropDuplicates(["a_id", "b_id"])
         .select(
             "a_id", "b_id",
             F.col("a_s").alias("a_val"),
             F.col("b_s").alias("b_val"),
-            F.levenshtein("a_s", "b_s").alias("dist"),
+            F.levenshtein("a_s", "b_s", max_dist).alias("dist"),
         )
-        .filter(F.col("dist") <= max_dist)
-        .distinct()
+        .filter(F.col("dist") >= 0)
     )

@@ -88,7 +88,7 @@ class TestEditDistanceJoin:
     lossless-filter contract: candidates ⊇ all true pairs, verify is
     exact, so output == brute force on any input."""
 
-    def _brute(self, rows):
+    def _brute(self, rows, d=1):
         import duckdb
 
         return sorted(duckdb.sql(
@@ -96,7 +96,7 @@ class TestEditDistanceJoin:
             "levenshtein(a.s,b.s) "
             "FROM (SELECT unnest($i) id, unnest($s) s) a "
             "JOIN (SELECT unnest($i) id, unnest($s) s) b "
-            "ON a.id < b.id AND levenshtein(a.s,b.s) <= 1",
+            f"ON a.id < b.id AND levenshtein(a.s,b.s) <= {d}",
             params={"i": [r[0] for r in rows], "s": [r[1] for r in rows]},
         ).fetchall())
 
@@ -138,7 +138,96 @@ class TestEditDistanceJoin:
         )
         assert got == self._brute(rows) and len(got) > 50
 
-    def test_wider_distance_rejected(self, spark):
+    def test_max_dist_2_matches_brute_force(self, spark):
+        """Round-9 generalization: d+1 segments, (2d+1)-shift probe —
+        exact at max_dist=2 on a dense small-alphabet corpus with
+        many length pairs (insertions/deletions across segment
+        boundaries)."""
+        from smartbots_etl_facturas_spark.operators.linkage import (
+            edit_distance_join,
+        )
+
+        rows = [
+            (i, "".join("abc"[(i * 7 + j * 13) % 3]
+                        for j in range(3 + (i * 11) % 5)))
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "id long, s string").repartition(7)
+        got = sorted(
+            (r.a_id, r.b_id, r.dist)
+            for r in edit_distance_join(df, "id", "s", max_dist=2).collect()
+        )
+        assert got == self._brute(rows, d=2) and len(got) > 100
+
+    def test_short_strings_side_channel(self, spark):
+        """Length <= d strings cannot be segmented; the distinct-value
+        side channel must still pair them with every partner of
+        length <= 2d (round-8 ADVICE: they were silently dropped)."""
+        from smartbots_etl_facturas_spark.operators.linkage import (
+            edit_distance_join,
+        )
+
+        rows = [
+            (1, "a"), (2, "b"), (3, "ab"), (4, ""), (5, "a"),
+            (6, "xyz"), (7, "xy"), (8, "x"), (9, "abc"),
+        ]
+        df = spark.createDataFrame(rows, "id long, s string")
+        for d in (1, 2):
+            got = sorted(
+                (r.a_id, r.b_id, r.dist)
+                for r in edit_distance_join(df, "id", "s", max_dist=d).collect()
+            )
+            assert got == self._brute(rows, d=d)
+        # the len-1 / len-2 pair the round-8 tier missed
+        assert (1, 3, 1) in got or (1, 3, 1) in self._brute(rows, 1)
+
+    def test_hot_prefix_refinement_and_salt(self, spark):
+        """Skew path: a shared-prefix corpus with a tiny hot threshold
+        forces the recursive refinement AND the salted fallback;
+        output must stay bit-identical to brute force (losslessness
+        of the residual pigeonhole) and to the skew-free plan."""
+        from smartbots_etl_facturas_spark.operators.linkage import (
+            edit_distance_join,
+        )
+
+        rows = [(i, "Customer#%05d" % (i % 150)) for i in range(220)]
+        rows += [(1000 + i, "ab") for i in range(20)]  # hot + infeasible
+        df = spark.createDataFrame(rows, "id long, s string").repartition(5)
+        want = self._brute(rows, d=1)
+        got_hot = sorted(
+            (r.a_id, r.b_id, r.dist)
+            for r in edit_distance_join(
+                df, "id", "s",
+                hot_threshold=6, refine_levels=3, salt_buckets=4,
+            ).collect()
+        )
+        got_cold = sorted(
+            (r.a_id, r.b_id, r.dist)
+            for r in edit_distance_join(
+                df, "id", "s", hot_threshold=10_000_000,
+            ).collect()
+        )
+        assert got_hot == want and got_cold == want and len(want) > 200
+
+    def test_refine_budget_exhaustion_salts(self, spark):
+        """refine_levels=0 sends every hot group straight to the
+        salted pass — still exact."""
+        from smartbots_etl_facturas_spark.operators.linkage import (
+            edit_distance_join,
+        )
+
+        rows = [(i, "PFX%04d" % (i % 60)) for i in range(100)]
+        df = spark.createDataFrame(rows, "id long, s string")
+        got = sorted(
+            (r.a_id, r.b_id, r.dist)
+            for r in edit_distance_join(
+                df, "id", "s", hot_threshold=4, refine_levels=0,
+                salt_buckets=3,
+            ).collect()
+        )
+        assert got == self._brute(rows, d=1)
+
+    def test_invalid_params_rejected(self, spark):
         import pytest as _pytest
 
         from smartbots_etl_facturas_spark.operators.linkage import (
@@ -146,5 +235,9 @@ class TestEditDistanceJoin:
         )
 
         df = spark.createDataFrame([(1, "ab")], "id long, s string")
-        with _pytest.raises(NotImplementedError):
-            edit_distance_join(df, "id", "s", max_dist=2)
+        with _pytest.raises(ValueError):
+            edit_distance_join(df, "id", "s", max_dist=0)
+        with _pytest.raises(ValueError):
+            edit_distance_join(df, "id", "s", max_dist=7)
+        with _pytest.raises(ValueError):
+            edit_distance_join(df, "id", "s", hot_threshold=0)

@@ -13,6 +13,19 @@ from smartbots_etl_facturas_spark.plans.doctor import plan_report
 
 # query name -> (allowed flags, why this is intentional)
 ALLOW: dict[str, tuple[set, str]] = {
+    "edit_distance_pairs": (
+        {"bnlj"},
+        "short-string side channel of edit_distance_join: a broadcast "
+        "crossJoin over DISTINCT VALUES of length <= max_dist vs "
+        "length <= 2*max_dist — bounded by the tiny string DOMAIN "
+        "(alphabet^(2d)), not the row count; the main candidate path "
+        "is the keyed (length, segment, substring) equi-join",
+    ),
+    "edit_distance_pairs_d2": (
+        {"bnlj"},
+        "short-string side channel, domain-bounded (see "
+        "edit_distance_pairs)",
+    ),
     "ann_bruteforce": (
         {"bnlj"},
         "exact-scoring tier: repartitioned broadcast crossJoin IS the "
