@@ -115,8 +115,10 @@ def corr_matrix(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     invariant under per-variable positive affine maps, so the scaled
     correlation IS the raw correlation). Integer inputs make every
     sufficient statistic (n, Σx, Σx², Σxy per pair) a lossless sum:
-    per-row products are computed as LONG (cents² ≈ 1e14 fits) and
-    summed as DECIMAL(38,0) — mergeable, reduction-order independent,
+    per-row products multiply DECIMAL(19,0) factors (a raw long*long
+    would silently wrap past ±9.2e18 under non-ANSI Spark; the
+    decimal(38,0) product stays exact and fails visibly beyond) and
+    are summed as DECIMAL(38,0) — mergeable, reduction-order independent,
     and bit-equal to the oracle's 128-bit integer sums — so the one
     final double expression per pair is portable. The cast-to-double
     happens per SUM (not per intermediate product) to mirror the SQL

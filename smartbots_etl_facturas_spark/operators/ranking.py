@@ -217,12 +217,19 @@ def multi_order_index(
         else small_frame_threshold
     )
     cached = df.persist()
-    n_rows = cached.count()
-    if n_rows <= threshold:
-        pinned = cached.withColumn("__one", F.lit(0)).localCheckpoint(
-            eager=True
+    # unpersist in a finally even if the count or checkpoint action
+    # fails, matching global_order_index — otherwise a failed job
+    # leaks the persisted input for the session.
+    try:
+        n_rows = cached.count()
+        pinned = (
+            cached.withColumn("__one", F.lit(0)).localCheckpoint(eager=True)
+            if n_rows <= threshold
+            else None
         )
+    finally:
         cached.unpersist()
+    if pinned is not None:
         out = pinned
         for rank_col, order in orders.items():
             w = Window.partitionBy("__one").orderBy(*order)
@@ -235,7 +242,6 @@ def multi_order_index(
                 total_count_col, F.lit(n_rows).cast("long")
             )
         return out
-    cached.unpersist()
     out = df
     first = True
     for rank_col, order in orders.items():

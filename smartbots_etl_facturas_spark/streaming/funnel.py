@@ -45,6 +45,10 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 
+from smartbots_etl_facturas_spark.streaming.timeseries import (
+    _reject_null_fold_input,
+)
+
 
 def funnel_stateful(
     df: DataFrame,
@@ -72,6 +76,7 @@ def funnel_stateful(
         rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values(
             [ts_col], kind="mergesort"
         )
+        _reject_null_fold_input(rows, key, ts_col, type_col, None)
         ts_us = (rows[ts_col].astype("int64") // 1000).tolist()
         types = rows[type_col].tolist()
 
@@ -152,6 +157,7 @@ def funnel_stateful_buffered(
         import pandas as pd
 
         rows = pd.concat(list(pdf_iter), ignore_index=True)
+        _reject_null_fold_input(rows, key, ts_col, type_col, None)
         new_ts = (rows[ts_col].astype("int64") // 1000).tolist()
         new_ty = rows[type_col].tolist()
 

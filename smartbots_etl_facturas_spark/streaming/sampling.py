@@ -15,7 +15,14 @@ Exactly-once across driver restarts follows the house sketch
 contract: (sample, seen batch ids) persist as one atomically-replaced
 JSON snapshot after each merge; redelivered batch ids are skipped,
 and the in-memory sample is only mutated after the batch's single
-Spark action succeeds. State is O(k) rows plus the seen-id set.
+Spark action succeeds. State is O(k) rows plus a BOUNDED seen-id set:
+batch ids are monotone per checkpoint, so ids at or below a low
+watermark are dropped from the set and membership is ``id <= low or
+id in seen`` — long-lived streams cannot grow the snapshot.
+
+Payload values are snapshot-serialized with ``default=str`` — exotic
+types (datetime, Decimal) round-trip as strings across a restart;
+keep payloads to JSON-native types where bit-exact recovery matters.
 """
 
 from __future__ import annotations
@@ -60,15 +67,22 @@ class BottomKSampler:
         # rows keyed by (draw, id_str): [draw, id_str, *payloads]
         self.rows: list[list] = []
         self.seen: set[int] = set()
+        self.low = -1  # all batch ids <= low are known-merged
         self.state_dir = state_dir
         if state_dir and os.path.exists(os.path.join(state_dir, "state.json")):
             with open(os.path.join(state_dir, "state.json")) as fh:
                 snap = json.load(fh)
             self.rows = snap["rows"]
             self.seen = set(snap["seen"])
+            self.low = snap.get("low", -1)
+
+    # seen-id compaction bounds (ids are monotone per checkpoint, so
+    # compaction can never mask a genuinely new batch id)
+    _SEEN_CAP = 1024
+    _SEEN_KEEP = 512
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in self.seen:
+        if batch_id <= self.low or batch_id in self.seen:
             return  # redelivered after recovery: already merged
         draw = F.md5(
             F.concat(
@@ -94,6 +108,9 @@ class BottomKSampler:
             merged[key] for key in sorted(merged)[: self.k]
         ]
         self.seen.add(batch_id)
+        if len(self.seen) > self._SEEN_CAP:
+            self.low = max(self.low, max(self.seen) - self._SEEN_KEEP)
+            self.seen = {i for i in self.seen if i > self.low}
         self._persist()
 
     def sample(self) -> list[tuple]:
@@ -105,5 +122,13 @@ class BottomKSampler:
         os.makedirs(self.state_dir, exist_ok=True)
         tmp = os.path.join(self.state_dir, "state.json.tmp")
         with open(tmp, "w") as fh:
-            json.dump({"rows": self.rows, "seen": sorted(self.seen)}, fh)
+            # default=str: non-JSON payload values (datetime, Decimal,
+            # date) snapshot as strings instead of raising mid-stream
+            # (documented restart-fidelity caveat in the module doc).
+            json.dump(
+                {"rows": self.rows, "seen": sorted(self.seen),
+                 "low": self.low},
+                fh,
+                default=str,
+            )
         os.replace(tmp, os.path.join(self.state_dir, "state.json"))

@@ -22,6 +22,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _reject_null_fold_input(rows, key, ts_col, units_col, tie_col):
+    """Fail FAST with a named column and key on null event-time, units
+    or tie-break values: a null would otherwise surface as an opaque
+    pandas/NoneType comparison or astype error deep inside the state
+    function (round-8 ADVICE). Folds require non-null inputs — filter
+    upstream if the source can carry nulls."""
+    for c in [ts_col, units_col] + ([tie_col] if tie_col else []):
+        if rows[c].isna().any():
+            raise ValueError(
+                f"streaming fold input for key {key!r} has a null in "
+                f"column {c!r}: ts/tie/units must be non-null (drop or "
+                "default them upstream)"
+            )
+
+
 def ewma_stateful(
     df: DataFrame,
     key_col: str = "user_id",
@@ -68,6 +83,7 @@ def ewma_stateful(
         rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values(
             sort_cols, kind="mergesort"   # stable: ties keep a fixed order
         )
+        _reject_null_fold_input(rows, key, ts_col, units_col, tie_col)
         ts_us = (rows[ts_col].astype("int64") // 1000).tolist()
         xs = rows[units_col].astype("int64").tolist()
         ties = rows[tie_col].tolist() if tie_col else None
@@ -168,6 +184,7 @@ def holt_stateful(
         rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values(
             sort_cols, kind="mergesort"
         )
+        _reject_null_fold_input(rows, key, ts_col, units_col, tie_col)
         ts_us = (rows[ts_col].astype("int64") // 1000).tolist()
         xs = rows[units_col].astype("int64").tolist()
         ties = rows[tie_col].tolist() if tie_col else None
@@ -273,6 +290,7 @@ def _buffered_fold_stream(
         import pandas as pd
 
         rows = pd.concat(list(pdf_iter), ignore_index=True)
+        _reject_null_fold_input(rows, key, ts_col, units_col, tie_col)
         new_ts = (rows[ts_col].astype("int64") // 1000).tolist()
         new_x = rows[units_col].astype("int64").tolist()
         new_tie = rows[tie_col].tolist() if tie_col else [None] * len(new_ts)
@@ -495,6 +513,7 @@ def cusum_stateful(
         rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values(
             sort_cols, kind="mergesort"
         )
+        _reject_null_fold_input(rows, key, ts_col, units_col, tie_col)
         ts_us = (rows[ts_col].astype("int64") // 1000).tolist()
         xs = rows[units_col].astype("int64").tolist()
         ties = rows[tie_col].tolist() if tie_col else None

@@ -333,3 +333,62 @@ def test_buffered_holt_and_cusum_match_batch(spark, tmp_path):
         ).collect()
     }
     assert got_c == want_c and len(got_c) == 9
+
+
+def test_bottom_k_sampler_seen_ids_stay_bounded(spark, tmp_path):
+    """Round-9 ADVICE: the seen-batch-id set compacts behind a low
+    watermark (ids are monotone per checkpoint), so a long-lived
+    stream cannot grow the snapshot; non-JSON payload values
+    (datetime.date) persist via default=str instead of raising."""
+    import json
+    import os
+
+    from smartbots_etl_facturas_spark.streaming.sampling import (
+        BottomKSampler,
+    )
+
+    state = str(tmp_path / "state")
+    mon = BottomKSampler("doc_id", ["d"], k=3, state_dir=state)
+    df = spark.sql(
+        "SELECT 1 AS doc_id, DATE'2024-01-02' AS d"
+    )
+    cap = BottomKSampler._SEEN_CAP
+    for bid in range(cap + 10):
+        mon(df, bid)  # date payload: must not raise on persist
+    assert len(mon.seen) <= cap
+    assert mon.low >= cap - BottomKSampler._SEEN_KEEP
+    snap = json.load(open(os.path.join(state, "state.json")))
+    assert len(snap["seen"]) <= cap and snap["low"] == mon.low
+    # a compacted-away (old) id is still treated as merged
+    before = mon.sample()
+    mon(spark.sql("SELECT 0 AS doc_id, DATE'2024-01-01' AS d"), 0)
+    assert mon.sample() == before
+    # restart keeps the watermark; the date payload round-trips as its
+    # str() form (the documented default=str fidelity caveat)
+    mon2 = BottomKSampler("doc_id", ["d"], k=3, state_dir=state)
+    assert mon2.low == mon.low
+    assert mon2.sample() == [
+        tuple(str(v) if i == 2 else v for i, v in enumerate(row))
+        for row in before
+    ]
+
+
+def test_fold_input_null_guard_names_the_column():
+    """Round-9 ADVICE: a null ts/tie/units value fails with a clear
+    ValueError naming the column, not an opaque NoneType comparison
+    inside the state function."""
+    import pandas as pd
+    import pytest
+
+    from smartbots_etl_facturas_spark.streaming.timeseries import (
+        _reject_null_fold_input,
+    )
+
+    rows = pd.DataFrame({"ts": [1, 2], "x": [10, None], "tie": [1, 2]})
+    with pytest.raises(ValueError, match="'x'"):
+        _reject_null_fold_input(rows, ("u1",), "ts", "x", "tie")
+    rows2 = pd.DataFrame({"ts": [1, 2], "x": [10, 11], "tie": [1, None]})
+    with pytest.raises(ValueError, match="'tie'"):
+        _reject_null_fold_input(rows2, ("u1",), "ts", "x", "tie")
+    clean = pd.DataFrame({"ts": [1], "x": [1], "tie": [1]})
+    _reject_null_fold_input(clean, ("u1",), "ts", "x", "tie")
