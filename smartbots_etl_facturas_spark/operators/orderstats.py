@@ -14,6 +14,17 @@ for wide domains, histogram selection when the domain is bounded —
 which at 100 TB is the common case for coded/categorical/integer
 measures (quantities, statuses, bucketed latencies).
 
+The bounded-domain assumption is ENFORCED, not hoped for (round-9):
+the distinct-value count per group rides the same window pass, and a
+group whose domain exceeds ``max_domain_per_key`` raises a
+USER_RAISED_EXCEPTION naming the KLL tier at execution time — a
+caller profiling a continuous double gets a visible failure with the
+fix in the message instead of silently recreating the hot-group
+window this rewrite removed, one level down. An automatic KLL
+dispatch was deliberately rejected: these operators are EXACT and
+oracle-checked; switching to an approximation behind the caller's
+back would change answers silently.
+
 Cross-engine determinism: ranks are exact integers — for probability
 num/den the target rank is ``ceil(n·num/den)`` computed as
 ``(n·num + den - 1) div den`` — matching SQL ``quantile_disc``
@@ -25,8 +36,34 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: distinct values per group above which exact histogram selection
+#: refuses to run: the reduced frame's per-group window sorts this
+#: many rows on ONE task, so the limit mirrors the measured
+#: single-task window crossover (ranking.SMALL_FRAME_ROWS).
+MAX_DOMAIN_PER_KEY = 2_000_000
+
+
+def _domain_guarded_n(n: Column, nv: Column, limit: int | None,
+                      where: str) -> Column:
+    """``n``, or a raised USER_RAISED_EXCEPTION at execution time when
+    the group's distinct-value count ``nv`` exceeds ``limit``. The
+    guard wraps the total count every quantile rank derives from, so
+    column pruning can never drop it; evaluation is lazy (the error
+    branch costs nothing when the domain is bounded)."""
+    if limit is None:
+        return n
+    msg = (
+        f"{where}: a group has more than {limit} distinct values — "
+        "exact histogram selection would sort a data-scale frame on "
+        "one task. Use approx_percentile_sketch (KLL) for wide/"
+        "continuous domains, or raise max_domain_per_key explicitly."
+    )
+    return F.when(nv <= F.lit(limit), n).otherwise(
+        F.raise_error(F.lit(msg)).cast("long")
+    )
 
 
 def exact_quantiles(
@@ -39,6 +76,7 @@ def exact_quantiles(
         ("p90", 9, 10),
         ("p99", 99, 100),
     ),
+    max_domain_per_key: int | None = MAX_DOMAIN_PER_KEY,
 ) -> DataFrame:
     """Exact quantiles of ``value_col`` (orderable, bounded-domain).
 
@@ -57,7 +95,15 @@ def exact_quantiles(
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
                                         Window.currentRow)
     cum = counts.withColumn("cum", F.sum("c").over(w))
-    total = counts.agg(F.sum("c").cast("long").alias("__n"))
+    total = counts.agg(
+        F.sum("c").cast("long").alias("__n_raw"),
+        F.count(F.lit(1)).alias("__nv"),
+    ).select(
+        _domain_guarded_n(
+            F.col("__n_raw"), F.col("__nv"), max_domain_per_key,
+            "exact_quantiles",
+        ).alias("__n")
+    )
     pframe = spark.createDataFrame(
         [(lbl, num, den) for lbl, num, den in probs],
         ["quantile", "__num", "__den"],
@@ -79,6 +125,7 @@ def group_quantile_values(
     keys: Sequence[str],
     value_col: str,
     probs: Sequence[tuple[str, int, int]],
+    max_domain_per_key: int | None = MAX_DOMAIN_PER_KEY,
 ) -> DataFrame:
     """Per-key exact quantile VALUES by histogram selection — the
     grouped form of ``exact_quantiles``, and the scale-safe
@@ -120,7 +167,12 @@ def group_quantile_values(
         *keys,
         "__v",
         F.sum("__c").over(w_cum).alias("__cum"),
-        F.sum("__c").over(w_tot).alias("__n"),
+        _domain_guarded_n(
+            F.sum("__c").over(w_tot),
+            F.count(F.lit(1)).over(w_tot),
+            max_domain_per_key,
+            "group_quantile_values",
+        ).alias("__n"),
     )
     aggs = []
     for label, num, den in probs:

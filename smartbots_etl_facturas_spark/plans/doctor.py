@@ -152,6 +152,13 @@ def data_scale_windows(df: DataFrame) -> int:
     count to zero, so a refactor that quietly reintroduces a
     fact-scale rank fails even while the value oracle stays green.
 
+    The aggregate-between-scan-and-window shape this checks is
+    necessary but not sufficient: a continuous value domain makes the
+    "reduced" frame data-scale again one level down. That half is
+    enforced at RUNTIME by the operators themselves
+    (orderstats.MAX_DOMAIN_PER_KEY raise_error guard riding the
+    window pass) — plan inspection cannot see cardinality.
+
     Walks the OPTIMIZED logical plan (stable node names, no AQE
     rewrites): depth = indentation of the ``numberedTreeString``-style
     rendering Spark uses for ``toString``.

@@ -241,3 +241,45 @@ class TestGroupQuantileValues:
         for name in ("impute_median", "mad_outliers", "winsorized_stats",
                      "exact_quantiles_qty"):
             assert data_scale_windows(qs[name](spark, sf_dir)) == 0, name
+
+    def test_wide_domain_raises_instead_of_hot_window(self, spark):
+        """Round-9 guard: feeding a CONTINUOUS column to the exact
+        histogram-selection operators fails visibly (naming the KLL
+        tier) instead of silently sorting a data-scale 'reduced'
+        frame on one task. Exactness is why there is no automatic
+        approx dispatch: these operators are oracle-checked."""
+        import pytest
+        from py4j.protocol import Py4JJavaError
+        from pyspark.sql.utils import CapturedException
+
+        from smartbots_etl_facturas_spark.operators.orderstats import (
+            exact_quantiles,
+            group_quantile_values,
+        )
+
+        # a deterministic 'continuous' column: every value distinct
+        cont = spark.range(500).select(
+            (F.col("id") % 4).alias("g"),
+            (F.col("id") * 7 + 3).alias("v"),
+        )
+        probs = [("p50", 1, 2)]
+        with pytest.raises((Py4JJavaError, CapturedException),
+                           match="distinct values"):
+            group_quantile_values(
+                cont, ["g"], "v", probs, max_domain_per_key=100
+            ).collect()
+        with pytest.raises((Py4JJavaError, CapturedException),
+                           match="approx_percentile_sketch"):
+            exact_quantiles(
+                cont, "v", probs, max_domain_per_key=100
+            ).collect()
+        # bounded domain (or an explicit None) still computes exactly
+        ok = group_quantile_values(
+            cont.select("g", (F.col("v") % 10).alias("v")),
+            ["g"], "v", probs, max_domain_per_key=100,
+        ).collect()
+        assert len(ok) == 4
+        ok2 = group_quantile_values(
+            cont, ["g"], "v", probs, max_domain_per_key=None
+        ).collect()
+        assert len(ok2) == 4
