@@ -128,11 +128,16 @@ def funnel_stateful_buffered(
     before the already-finalized frontier are dropped (late beyond
     the horizon). ALL of the user's events advance the frontier
     (non-step types fold as no-ops), so a stream with trailing
-    activity drains its buffer naturally.
+    activity drains its buffer naturally; a user who goes SILENT is
+    flushed by an event-time timeout once the global watermark passes
+    their newest buffered event + horizon (the round-9 quiet-key
+    flush — see timeseries._buffered_fold_stream for the argument),
+    so no tail waits forever.
 
-    Emits one row per (user, micro-batch touching that user):
-    (user, stage, bound_ts, n_buffered) — ``n_buffered`` is the
-    user's not-yet-final step events still held in state.
+    Emits one row per (user, micro-batch touching that user) and one
+    on the timeout flush: (user, stage, bound_ts, n_buffered) —
+    ``n_buffered`` is the user's not-yet-final step events still held
+    in state.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -156,11 +161,6 @@ def funnel_stateful_buffered(
     def fn(key, pdf_iter, state: GroupState):
         import pandas as pd
 
-        rows = pd.concat(list(pdf_iter), ignore_index=True)
-        _reject_null_fold_input(rows, key, ts_col, type_col, None)
-        new_ts = (rows[ts_col].astype("int64") // 1000).tolist()
-        new_ty = rows[type_col].tolist()
-
         if state.exists:
             st = state.get
             stage, bound_us, fin_us = int(st[0]), int(st[1]), int(st[2])
@@ -169,18 +169,28 @@ def funnel_stateful_buffered(
             stage, bound_us, fin_us = 0, -1, -(1 << 62)
             buf = []
 
-        # admit new rows: anything at-or-before the finalized frontier
-        # arrived later than the horizon allows and is dropped; only
-        # step-typed rows consume buffer space (others just advance
-        # the frontier via max_us below)
-        max_us = max([fin_us + horizon_us] + new_ts) if new_ts else (
-            fin_us + horizon_us
-        )
-        for t, ty in zip(new_ts, new_ty):
-            if t > fin_us and ty in step_set:
-                buf.append((t, ty))
+        if state.hasTimedOut:
+            # quiet-user flush: the global watermark passed (newest
+            # buffered event + horizon) — the whole buffer is final.
+            frontier = max([fin_us] + [e[0] for e in buf])
+        else:
+            rows = pd.concat(list(pdf_iter), ignore_index=True)
+            _reject_null_fold_input(rows, key, ts_col, type_col, None)
+            new_ts = (rows[ts_col].astype("int64") // 1000).tolist()
+            new_ty = rows[type_col].tolist()
 
-        frontier = max(fin_us, max_us - horizon_us)
+            # admit new rows: anything at-or-before the finalized
+            # frontier arrived later than the horizon allows and is
+            # dropped; only step-typed rows consume buffer space
+            # (others just advance the frontier via max_us below)
+            max_us = max([fin_us + horizon_us] + new_ts) if new_ts else (
+                fin_us + horizon_us
+            )
+            for t, ty in zip(new_ts, new_ty):
+                if t > fin_us and ty in step_set:
+                    buf.append((t, ty))
+            frontier = max(fin_us, max_us - horizon_us)
+
         ready = sorted(
             [e for e in buf if e[0] <= frontier]
         )  # (ts, type) order == the batch twin's sort_array struct order
@@ -194,6 +204,13 @@ def funnel_stateful_buffered(
             int(stage), int(bound_us), int(frontier),
             [int(t) for t, _ in buf], [ty for _, ty in buf],
         ))
+        if buf:
+            # arm the quiet-user flush (ceil to ms, strictly above the
+            # current watermark)
+            timeout_ms = -(-(max(e[0] for e in buf) + horizon_us) // 1000)
+            state.setTimeoutTimestamp(
+                max(timeout_ms, state.getCurrentWatermarkMs() + 1)
+            )
         yield pd.DataFrame(
             {
                 user_col: [key[0]],
@@ -205,10 +222,14 @@ def funnel_stateful_buffered(
             }
         )
 
-    return df.groupBy(user_col).applyInPandasWithState(
-        fn,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    return (
+        df.withWatermark(ts_col, f"{max(horizon_us, 0)} microseconds")
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

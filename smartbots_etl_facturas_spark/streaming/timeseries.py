@@ -265,6 +265,21 @@ def _buffered_fold_stream(
     watermarked-aggregation bound. Stream-final output equals the
     batch twin over the union for ANY within-horizon shuffle.
 
+    QUIET-KEY FLUSH (round-9): the per-key frontier only advances on
+    that key's own arrivals, so under ``NoTimeout`` a key that goes
+    silent would hold its within-horizon tail forever and never emit
+    it. The fold therefore runs under an EVENT-TIME timeout: the
+    stream carries a ``withWatermark(ts, horizon)`` and each update
+    arms a timeout at (newest buffered event + horizon); when the
+    GLOBAL watermark passes it, the state function fires with no
+    input and folds/emits the whole buffer in order. Safe because
+    any row that could still arrive is at or above the watermark,
+    i.e. newer than everything flushed. Side effect of the watermark
+    (standard semantics): a row later than ``horizon`` behind the
+    GLOBAL max event time is dropped by Spark before reaching the
+    fold, even when its own key lags — the cross-key lateness bound
+    every watermarked operator has.
+
     ``fold_one(state_tuple_or_None, x) -> (state_tuple, out_tuple)``
     defines the recurrence; it must be pure integer arithmetic so the
     fold is bit-identical to the batch twin.
@@ -289,12 +304,6 @@ def _buffered_fold_stream(
     def fn(key, pdf_iter, state: GroupState):
         import pandas as pd
 
-        rows = pd.concat(list(pdf_iter), ignore_index=True)
-        _reject_null_fold_input(rows, key, ts_col, units_col, tie_col)
-        new_ts = (rows[ts_col].astype("int64") // 1000).tolist()
-        new_x = rows[units_col].astype("int64").tolist()
-        new_tie = rows[tie_col].tolist() if tie_col else [None] * len(new_ts)
-
         if state.exists:
             st = state.get
             fold_st = (
@@ -312,14 +321,27 @@ def _buffered_fold_stream(
         else:
             fold_st, fin_us, buf = None, -(1 << 62), []
 
-        max_us = max([fin_us + horizon_us] + new_ts) if new_ts else (
-            fin_us + horizon_us
-        )
-        for t, x, tie in zip(new_ts, new_x, new_tie):
-            if t > fin_us:
-                buf.append((t, x, tie))
+        if state.hasTimedOut:
+            # quiet-key flush: the global watermark passed (newest
+            # buffered event + horizon) — everything buffered is
+            # final; fold and emit the whole tail in order.
+            frontier = max([fin_us] + [e[0] for e in buf])
+        else:
+            rows = pd.concat(list(pdf_iter), ignore_index=True)
+            _reject_null_fold_input(rows, key, ts_col, units_col, tie_col)
+            new_ts = (rows[ts_col].astype("int64") // 1000).tolist()
+            new_x = rows[units_col].astype("int64").tolist()
+            new_tie = (
+                rows[tie_col].tolist() if tie_col else [None] * len(new_ts)
+            )
+            max_us = max([fin_us + horizon_us] + new_ts) if new_ts else (
+                fin_us + horizon_us
+            )
+            for t, x, tie in zip(new_ts, new_x, new_tie):
+                if t > fin_us:
+                    buf.append((t, x, tie))
+            frontier = max(fin_us, max_us - horizon_us)
 
-        frontier = max(fin_us, max_us - horizon_us)
         if tie_col:
             ready = sorted(
                 (e for e in buf if e[0] <= frontier),
@@ -352,6 +374,14 @@ def _buffered_fold_stream(
             else tuple(int(v) for v in fold_st)
         )
         state.update((*packed, int(frontier), *buf_cols))
+        if buf:
+            # arm the quiet-key flush: fire once the global watermark
+            # passes the newest buffered event + horizon (ceil to ms;
+            # must stay strictly above the current watermark).
+            timeout_ms = -(-(max(e[0] for e in buf) + horizon_us) // 1000)
+            state.setTimeoutTimestamp(
+                max(timeout_ms, state.getCurrentWatermarkMs() + 1)
+            )
         if out_t:
             data = {
                 key_col: [key[0]] * len(out_t),
@@ -362,8 +392,14 @@ def _buffered_fold_stream(
                 data[name] = [vals[i] for vals in out_extra]
             yield pd.DataFrame(data)
 
-    return df.groupBy(key_col).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    horizon_interval = f"{max(horizon_us, 0)} microseconds"
+    return (
+        df.withWatermark(ts_col, horizon_interval)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

@@ -392,3 +392,61 @@ def test_fold_input_null_guard_names_the_column():
         _reject_null_fold_input(rows2, ("u1",), "ts", "x", "tie")
     clean = pd.DataFrame({"ts": [1], "x": [1], "tie": [1]})
     _reject_null_fold_input(clean, ("u1",), "ts", "x", "tie")
+
+
+def test_quiet_key_tail_flushes_on_event_time_timeout(spark, tmp_path):
+    """Round-9: a key that goes SILENT no longer holds its
+    within-horizon tail forever — the event-time timeout fires once
+    OTHER keys' events push the global watermark past (its newest
+    buffered event + horizon), and the buffer folds and emits without
+    any further arrival for that key."""
+    schema = "user_id string, ts timestamp, x_units long"
+    horizon = 5 * MIN_US
+    batches = [
+        # u2's ONLY events, plus a co-timed u1 event
+        [("u2", _ts(0), 100), ("u2", _ts(1), 200), ("u1", _ts(0), 10)],
+        # u1-only traffic far in the future: advances the watermark
+        [("u1", _ts(30), 20)],
+        # one more trigger so the timeout (armed against the batch-2
+        # watermark) gets a chance to fire
+        [("u1", _ts(31), 30)],
+    ]
+    got = _drain(
+        spark, batches, schema, tmp_path,
+        lambda s: ewma_stateful_buffered(s, horizon_us=horizon),
+        mode="append",
+    )
+    u2 = sorted(
+        (r.ts, r.x_units, r.ewma_units) for r in got if r.user_id == "u2"
+    )
+    # batch twin on u2's two events: ewma = 100, then 100+(200-100)/4
+    assert u2 == [
+        (_ts(0), 100, 100),
+        (_ts(1), 200, 125),
+    ]
+    # and u2 never had a post-batch-1 arrival: the flush did this.
+    # u1's own tail (30', 31') stays buffered — nothing ever advances
+    # the watermark past it, so exactly its 0' row has emitted.
+    u1 = [(r.ts, r.x_units) for r in got if r.user_id == "u1"]
+    assert u1 == [(_ts(0), 10)]
+
+
+def test_quiet_user_funnel_flushes_on_event_time_timeout(spark, tmp_path):
+    """The funnel twin of the quiet-key flush: a user whose step
+    events sit inside the horizon reaches their final stage once
+    other users' traffic pushes the watermark past them — no trailing
+    event for the quiet user needed."""
+    schema = "user_id long, ts timestamp, event_type string"
+    batches = [
+        [(2, _ts(0), "view"), (2, _ts(1), "cart"), (1, _ts(0), "view")],
+        [(1, _ts(30), "ping")],
+        [(1, _ts(31), "ping")],
+    ]
+    latest = {}
+    for r in _drain(
+        spark, batches, schema, tmp_path,
+        lambda s: funnel_stateful_buffered(s, STEPS, horizon_us=5 * MIN_US),
+    ):
+        latest[r.user_id] = r
+    assert latest[2].stage == 2 and latest[2].n_buffered == 0
+    assert latest[2].bound_ts == _ts(1)
