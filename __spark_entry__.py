@@ -11363,6 +11363,158 @@ FROM walk
 """
 
 
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape — min-cost supplier per part: the correlated
+    scalar min subquery (``WHERE cost = (SELECT min(cost) ... WHERE
+    same part)``) DECORRELATED into one keyed aggregation plus an
+    equi-join back on (part, cost), the classic rewrite. Adapted to
+    this schema (no partsupp table): the per-part cost source is the
+    lineitem fact's l_extendedprice, eligibility = STANDARD parts of
+    size <= 15 supplied from EUROPE. Plan shape: the fact joins only
+    BROADCAST dims (part filter, supplier⋈nation⋈region), the min is
+    a map-side-combinable groupBy(p_partkey), and the join-back
+    broadcasts the part-level mins — no repeated fact shuffle, no
+    per-row subquery. Top-100 under a total order
+    (s_acctbal desc, n_name, s_name, p_partkey; (p_partkey, s_name)
+    is unique so the boundary is deterministic)."""
+    parts = F.broadcast(
+        _read(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15))
+        .select("p_partkey", "p_brand")
+    )
+    eur = F.broadcast(
+        _read(spark, sf_dir, "supplier")
+        .join(
+            _read(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            _read(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    elig = (
+        _read(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(eur, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    mins = F.broadcast(
+        elig.groupBy("p_partkey").agg(
+            F.min("l_extendedprice").alias("__min_cost")
+        ).withColumnRenamed("p_partkey", "__pk")
+    )
+    return (
+        elig.join(
+            mins,
+            (F.col("p_partkey") == F.col("__pk"))
+            & (F.col("l_extendedprice") == F.col("__min_cost")),
+        )
+        .select(
+            "p_partkey", "p_brand", "s_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "n_name",
+            F.col("__min_cost").cast("double").alias("min_cost"),
+        )
+        .distinct()
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+SQL_MIN_COST_SUPPLIER = """
+WITH elig AS (
+  SELECT l.l_partkey AS p_partkey, p.p_brand, s.s_name,
+         s.s_acctbal, n.n_name, l.l_extendedprice
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE p.p_type = 'STANDARD' AND p.p_size <= 15
+    AND r.r_name = 'EUROPE')
+SELECT DISTINCT p_partkey, p_brand, s_name,
+       CAST(s_acctbal AS DOUBLE) AS s_acctbal, n_name,
+       CAST(l_extendedprice AS DOUBLE) AS min_cost
+FROM elig e
+WHERE l_extendedprice = (
+  SELECT min(l_extendedprice) FROM elig e2
+  WHERE e2.p_partkey = e.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_dormant_high_balance(spark, sf_dir):
+    """TPC-H Q22 shape — customers worth a sales call: in a fixed set
+    of name-code buckets (no phone column in this schema, so the
+    country code is the customer number's last two digits), holding
+    an account balance above the positive-balance average of those
+    buckets, with NO order since 2001-01-01. The NOT EXISTS compiles
+    to a LEFT ANTI join against the date-filtered orders; the scalar
+    average is a 1-row broadcast crossJoin (the house normalizer
+    pattern); the rollup is a substring-bucket groupBy. All keyed or
+    broadcast — no correlated per-row probe."""
+    codes = ["01", "13", "20", "25", "31", "47", "58"]
+    # c_acctbal is a raw DOUBLE in this schema: scale to exact cents
+    # first (the house money discipline) so every sum is an integer —
+    # reduction-order independent — and "above average" is the exact
+    # cross-multiplication cents * n > sum_cents; ONE final division
+    # renders the rollup.
+    cust = (
+        _read(spark, sf_dir, "customer")
+        .withColumn("cntrycode", F.substring("c_name", 17, 2))
+        .filter(F.col("cntrycode").isin(codes))
+        .select(
+            "c_custkey", "cntrycode",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("__cents"),
+        )
+    )
+    stats = cust.filter(F.col("__cents") > 0).agg(
+        F.sum("__cents").alias("__sum"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    recent = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(stats))
+        .filter(F.col("__cents") * F.col("__cnt") > F.col("__sum"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            (F.sum("__cents").cast("double") / 100.0).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+SQL_DORMANT_HIGH_BALANCE = """
+WITH cust AS (
+  SELECT c_custkey, substring(c_name, 17, 2) AS cntrycode,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+  WHERE substring(c_name, 17, 2)
+        IN ('01','13','20','25','31','47','58'))
+SELECT cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(cents) AS DOUBLE) / 100.0 AS totacctbal
+FROM cust c
+WHERE cents * (SELECT count(*) FROM cust WHERE cents > 0)
+      > (SELECT sum(cents) FROM cust WHERE cents > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
 def q_edit_distance_pairs(spark, sf_dir):
     """Fuzzy-key self-join (operators/linkage.py:edit_distance_join —
     PassJoin pigeonhole, Li/Deng/Feng 2011): all customer-name pairs
@@ -11460,6 +11612,8 @@ _QUERIES: dict[str, Callable] = {
     "returned_items": q_returned_items,
     "priority_late_orders": q_priority_late_orders,
     "blocking_suppliers": q_blocking_suppliers,
+    "min_cost_supplier": q_min_cost_supplier,
+    "dormant_high_balance": q_dormant_high_balance,
     "holt_trend": q_holt_trend,
     "edit_distance_pairs": q_edit_distance_pairs,
     "edit_distance_pairs_d2": q_edit_distance_pairs_d2,
@@ -11699,6 +11853,8 @@ _ORACLES: dict[str, str] = {
     "returned_items": SQL_RETURNED_ITEMS,
     "priority_late_orders": SQL_PRIORITY_LATE_ORDERS,
     "blocking_suppliers": SQL_BLOCKING_SUPPLIERS,
+    "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
+    "dormant_high_balance": SQL_DORMANT_HIGH_BALANCE,
     "holt_trend": SQL_HOLT_TREND,
     "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
     "edit_distance_pairs_d2": SQL_EDIT_DISTANCE_PAIRS_D2,

@@ -80,6 +80,12 @@ ALLOW: dict[str, tuple[set, str]] = {
         "broadcast of the k-offsets seed frame (window multiplicity); "
         "the aggregation is hash-partitioned on the window key",
     ),
+    "dormant_high_balance": (
+        {"bnlj"},
+        "broadcast of the 1-row (sum, count) scalar frame — the house "
+        "normalizer pattern for decorrelated scalar subqueries; the "
+        "NOT EXISTS is a keyed left-anti join",
+    ),
     "fixed_cells": (
         {"bnlj"},
         "S3 fixed-cell scan: broadcast 1-row crossJoin by design "
