@@ -1332,10 +1332,14 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_simhash_docs(spark, sf_dir):
-    """64-bit SimHash sketch per document (no oracle: engine-specific
-    hash; stability + near-dup behavior asserted in tests)."""
+    """64-bit SimHash sketch per document, md5 tier (round-9: the
+    registered query runs the PORTABLE hash — two 32-bit hex slices
+    of the token md5 via the house conv idiom — so the full sketch is
+    value-checked against a DuckDB oracle that rebuilds all 64 vote
+    sums; the xxhash64 fast tier keeps its stability/near-dup pytest
+    coverage in tests/test_dedup.py)."""
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    return simhash(docs)
+    return simhash(docs, hash_fn="md5")
 
 
 _MINHASH_INDEX_CACHE: dict[str, str] = {}
@@ -6236,12 +6240,17 @@ FROM s
 
 def q_rolling_fingerprint(spark, sf_dir):
     """Rolling-hash (winnowing-style min-of-k-gram-hashes) document
-    fingerprint (no oracle: xxhash64 bit patterns are engine-specific;
-    locality properties asserted in tests/test_dedup.py)."""
+    fingerprint, md5 tier (round-9: the registered query runs the
+    PORTABLE 48-bit hex12 hash so the fingerprint is value-checked
+    against a DuckDB oracle that replays the identical window minima;
+    the xxhash64 fast tier keeps its locality pytest coverage in
+    tests/test_dedup.py)."""
     from smartbots_etl_facturas_spark.functions.text import rolling_fingerprint
 
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    return docs.select("doc_id", rolling_fingerprint("text").alias("fp"))
+    return docs.select(
+        "doc_id", rolling_fingerprint("text", hash_fn="md5").alias("fp")
+    )
 
 
 def q_brand_revenue(spark, sf_dir):
@@ -11848,7 +11857,51 @@ _QUERIES: dict[str, Callable] = {
     "equi_width_histogram": q_equi_width_histogram,
 }
 
+
+def _sql_simhash_docs() -> str:
+    """DuckDB mirror of the md5-tier SimHash: rebuild all 64 vote sums
+    from the same two 32-bit md5 hex slices, then reassemble the
+    signed 64-bit sketch (bit 63 adds -2^63 explicitly — two's
+    complement without a shift overflow)."""
+    h1 = _SQL_HEX8.format(h="md5(tok)")
+    h2 = _SQL_HEX8.format(h="substr(md5(tok), 9, 8)")
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN (({'h1' if i < 32 else 'h2'} >> {i % 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({-(1 << 63) if i == 63 else (1 << i)}"
+        f" AS BIGINT) ELSE 0 END)"
+        for i in range(64)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents WHERE doc_id % 10 = 0),
+h AS (SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM tok),
+v AS (SELECT doc_id,
+       {votes}
+      FROM h GROUP BY doc_id)
+SELECT doc_id, {terms} AS simhash FROM v
+"""
+
+
+SQL_SIMHASH_DOCS = _sql_simhash_docs()
+
+SQL_ROLLING_FINGERPRINT = f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) >= 1 THEN
+         list_min(list_transform(
+           range(1, greatest(length(trim(text)) - 7, 1) + 1),
+           i -> {_SQL_HEX12.format(h="md5(substr(trim(text), CAST(i AS INT), 8))")}))
+       END AS fp
+FROM documents WHERE doc_id % 10 = 0
+"""
+
 _ORACLES: dict[str, str] = {
+    "simhash_docs": SQL_SIMHASH_DOCS,
+    "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "flagship_consolidation": SQL_FLAGSHIP,
     "returned_items": SQL_RETURNED_ITEMS,
     "priority_late_orders": SQL_PRIORITY_LATE_ORDERS,

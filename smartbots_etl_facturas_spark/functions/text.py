@@ -93,20 +93,32 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(bpe_ish_tokens(text)).cast("long")
 
 
-def rolling_fingerprint(text_col: str, k: int = 8) -> Column:
+def rolling_fingerprint(text_col: str, k: int = 8,
+                        hash_fn: str = "xxhash64") -> Column:
     """Rolling-hash document fingerprint (winnowing-style): hash every
-    k-char window with xxhash64, keep the MINIMUM — shift/edit-local
-    changes leave most windows (and usually the min) intact, unlike a
+    k-char window, keep the MINIMUM — shift/edit-local changes leave
+    most windows (and usually the min) intact, unlike a
     whole-document digest. Pure JVM expression: substring windows via
     sequence/transform + array_min; one pass, no shuffle.
+
+    ``hash_fn``: ``"xxhash64"`` (default, the fast production tier)
+    or ``"md5"`` (48-bit hex12 slice of the digest via the house conv
+    idiom — bit-identical across engines, so the fingerprint is
+    DuckDB value-oracle-checkable).
 
     Takes a column NAME (the expression is built as SQL text for the
     lambda-bound window index).
     """
+    if hash_fn == "xxhash64":
+        hexpr = "xxhash64(substring({s}, i, {k}))"
+    elif hash_fn == "md5":
+        hexpr = "CAST(conv(substring(md5(substring({s}, i, {k})), 1, 12), 16, 10) AS BIGINT)"
+    else:
+        raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
     s = f"trim({text_col})"
     windows = F.expr(
         f"transform(sequence(1, greatest(length({s}) - {k} + 1, 1)), "
-        f"i -> xxhash64(substring({s}, i, {k})))"
+        f"i -> {hexpr.format(s=s, k=k)})"
     )
     return F.when(F.length(F.expr(s)) >= 1, F.array_min(windows))
 

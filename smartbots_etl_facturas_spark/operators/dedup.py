@@ -207,19 +207,43 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash sketch per document.
 
     Classic Charikar sketch: hash each token, each bit position votes
     +1/−1 by that bit of the hash, sketch bit = sign of the vote sum.
     Implemented as one explode + one groupBy with 64 conditional sums —
-    a single shuffle, map-side combinable."""
+    a single shuffle, map-side combinable.
+
+    ``hash_fn``: ``"xxhash64"`` (default — the fast JVM hash, the
+    production tier) or ``"md5"`` (two 32-bit slices of the hex
+    digest via the house conv idiom — bit-identical across engines,
+    so the sketch itself is DuckDB value-oracle-checkable)."""
     tok = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
-    hashed = tok.select(id_col, F.xxhash64("tok").alias("h"))
+    if hash_fn == "xxhash64":
+        hashed = tok.select(id_col, F.xxhash64("tok").alias("h"))
+        bit_of = [
+            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) for i in range(bits)
+        ]
+    elif hash_fn == "md5":
+        if bits != 64:
+            raise ValueError("md5 tier is fixed at 64 bits (two hex8 slices)")
+        d = F.md5("tok")
+        hashed = tok.select(
+            id_col,
+            F.conv(F.substring(d, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(d, 9, 8), 16, 10).cast("long").alias("h2"),
+        )
+        bit_of = [
+            F.shiftright(F.col("h1" if i < 32 else "h2"), i % 32)
+            .bitwiseAND(F.lit(1))
+            for i in range(bits)
+        ]
+    else:
+        raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.sum(F.when(bit_of[i] == 1, 1).otherwise(-1)).alias(f"b{i}")
         for i in range(bits)
     ]
     agg = hashed.groupBy(id_col).agg(*votes)
