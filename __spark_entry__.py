@@ -10776,12 +10776,18 @@ FROM agg
 def q_corr_matrix(spark, sf_dir):
     """Pairwise Pearson correlation of the four lineitem measures in
     ONE scan (operators/profile.py:corr_matrix): every sufficient
-    statistic is an exact integer sum (cents-scaled inputs, LONG
-    products, DECIMAL(38,0) accumulation — bit-equal to DuckDB's
-    128-bit sums), map-side partial aggregation reduces each
-    partition to one stats row, and the pair unpivot is F.inline on
-    the 1-row result. Pearson is scale-invariant, so the cents
-    correlation IS the dollars correlation."""
+    statistic is an exact integer sum (cents-scaled inputs,
+    DECIMAL(38,0) accumulation — bit-equal to DuckDB's 128-bit sums),
+    map-side partial aggregation reduces each partition to one stats
+    row, and the pair unpivot is F.inline on the 1-row result.
+    Pearson is scale-invariant, so the cents correlation IS the
+    dollars correlation. Products run the guarded LONG fast tier
+    (round-9): the inputs are cents of prices bounded in the
+    millions, far inside the floor(sqrt(2^63-1)) per-row bound the
+    guard enforces with a visible raise — exact like the decimal
+    default, without its per-row BigDecimal cost (the round-8
+    hardening's ~40% scan overhead). The decimal tier stays
+    oracle-checked via corr_matrix_decimal."""
     from smartbots_etl_facturas_spark.operators.profile import corr_matrix
 
     li = _read(spark, sf_dir, "lineitem")
@@ -10794,6 +10800,29 @@ def q_corr_matrix(spark, sf_dir):
             "disc": cents("l_discount"),
             "tax": cents("l_tax"),
         },
+        products="long",
+    )
+
+
+def q_corr_matrix_decimal(spark, sf_dir):
+    """The DEFAULT decimal product tier of corr_matrix over the same
+    profile — same exact answers as the long tier within the
+    magnitude bound (both are lossless integer arithmetic), kept
+    registered so BOTH tiers stay value-oracle-checked against the
+    identical SQL."""
+    from smartbots_etl_facturas_spark.operators.profile import corr_matrix
+
+    li = _read(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    return corr_matrix(
+        li,
+        {
+            "qty": cents("l_quantity"),
+            "price": cents("l_extendedprice"),
+            "disc": cents("l_discount"),
+            "tax": cents("l_tax"),
+        },
+        products="decimal",
     )
 
 
@@ -10975,10 +11004,15 @@ def q_linreg_price(spark, sf_dir):
 
     li = _read(spark, sf_dir, "lineitem")
     cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    # guarded LONG product tier (round-9): cents magnitudes are far
+    # inside the sqrt(2^63-1) per-row bound, the guard raises visibly
+    # if not — exact like the decimal default without its per-row
+    # BigDecimal cost
     stats = linreg_sufficient_stats(
         li,
         {"qty": cents("l_quantity"), "disc": cents("l_discount")},
         cents("l_extendedprice"),
+        products="long",
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     n, sq, sd = d("n"), d("s_qty"), d("s_disc")
@@ -11669,6 +11703,7 @@ _QUERIES: dict[str, Callable] = {
     "column_profile_approx": q_column_profile_approx,
     "acf_daily_orders": q_acf_daily_orders,
     "corr_matrix": q_corr_matrix,
+    "corr_matrix_decimal": q_corr_matrix_decimal,
     "categorical_entropy": q_categorical_entropy,
     "mi_cells": q_mi_cells,
     "key_skew_topk": q_key_skew_topk,
@@ -12125,6 +12160,7 @@ _ORACLES: dict[str, str] = {
     "column_profile_approx": SQL_COLUMN_PROFILE_APPROX,
     "acf_daily_orders": SQL_ACF_DAILY_ORDERS,
     "corr_matrix": SQL_CORR_MATRIX,
+    "corr_matrix_decimal": SQL_CORR_MATRIX,
     "categorical_entropy": SQL_CATEGORICAL_ENTROPY,
     "mi_cells": SQL_MI_CELLS,
     "key_skew_topk": SQL_KEY_SKEW_TOPK,

@@ -105,7 +105,30 @@ def fd_violations(df: DataFrame, lhs: str, rhs: str) -> DataFrame:
     )
 
 
-def corr_matrix(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
+#: |factor| bound for the LONG product tier: floor(sqrt(2^63 - 1)).
+#: Two guarded factors can never wrap a signed 64-bit product.
+LONG_PRODUCT_BOUND = 3_037_000_499
+
+
+def _guarded_long(v: Column, where: str) -> Column:
+    """``v`` as LONG, or a raised USER_RAISED_EXCEPTION at execution
+    when |v| exceeds LONG_PRODUCT_BOUND — the magnitude check that
+    makes the long-multiply fast tier safe: within the bound a
+    long*long product cannot wrap, so the tier is exactly as lossless
+    as the decimal tier, just without per-row BigDecimal arithmetic."""
+    msg = (
+        f"{where}: |value| exceeds {LONG_PRODUCT_BOUND} — the LONG "
+        "product tier would overflow. Use products='decimal' (the "
+        "default safe tier) for magnitudes beyond cents scale."
+    )
+    return F.when(F.abs(v) <= LONG_PRODUCT_BOUND, v).otherwise(
+        F.raise_error(F.lit(msg)).cast("long")
+    )
+
+
+def corr_matrix(
+    df: DataFrame, cols: dict[str, Column], products: str = "decimal"
+) -> DataFrame:
     """Pairwise Pearson correlation of every column pair in ONE scan:
     (col_x, col_y, n, corr) for each unordered pair, i < j in the
     insertion order of ``cols``.
@@ -124,6 +147,18 @@ def corr_matrix(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     happens per SUM (not per intermediate product) to mirror the SQL
     oracle exactly.
 
+    ``products`` selects the per-row product tier — both EXACT, same
+    answers, different cost/safety envelope:
+
+    - ``"decimal"`` (default): DECIMAL(19,0) factors, decimal(38,0)
+      product — safe at ANY long magnitude (overflow NULLs/raises
+      instead of wrapping), per-row BigDecimal cost (~40% on a
+      scan-bound profile).
+    - ``"long"``: raw long multiply guarded by a per-row
+      |v| <= floor(sqrt(2^63-1)) check that raises visibly — for
+      callers whose inputs are cents-scale by construction, recovers
+      the BigDecimal cost without re-opening the silent-wrap hole.
+
     Plan shape: ONE agg() over the scan — map-side partial
     aggregation reduces every partition to a single sufficient-stats
     row, the shuffle moves |cols|²-scale cells, and the pair unpivot
@@ -131,28 +166,44 @@ def corr_matrix(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     collect). Rows with a NULL in ANY profiled column are dropped
     first so all pairs share one n (complete-case correlation).
     """
+    if products not in ("decimal", "long"):
+        raise ValueError("products must be 'decimal' or 'long'")
     names = list(cols)
     base = df.select(
         *[c.cast("long").alias(f"__v_{n}") for n, c in cols.items()]
     ).na.drop()
     aggs = [F.count(F.lit(1)).alias("__n")]
 
-    # Products multiply DECIMAL(19,0) factors (result: decimal(38,0))
-    # rather than raw longs: a long*long beyond ±9.2e18 silently wraps
-    # under non-ANSI Spark, whereas the decimal product stays exact up
-    # to 38 digits and NULLs (or raises under ANSI) past that — wrong
-    # answers become visible failures for inputs outside the cents
-    # scale this profile documents.
-    def _dec(name: str) -> Column:
-        return F.col(f"__v_{name}").cast("decimal(19,0)")
+    if products == "decimal":
+        # DECIMAL(19,0) factors (result: decimal(38,0)) rather than
+        # raw longs: a long*long beyond ±9.2e18 silently wraps under
+        # non-ANSI Spark, whereas the decimal product stays exact up
+        # to 38 digits and NULLs (or raises under ANSI) past that —
+        # wrong answers become visible failures for inputs outside
+        # the cents scale this profile documents.
+        def _prod(a: str, b: str) -> Column:
+            return (
+                F.col(f"__v_{a}").cast("decimal(19,0)")
+                * F.col(f"__v_{b}").cast("decimal(19,0)")
+            )
+    else:
+        # guarded long multiply (see _guarded_long): exact within the
+        # bound, raises visibly beyond it; the product is widened to
+        # decimal(38,0) only at the SUM, so the per-row hot path stays
+        # in long codegen.
+        def _prod(a: str, b: str) -> Column:
+            return (
+                _guarded_long(F.col(f"__v_{a}"), "corr_matrix")
+                * _guarded_long(F.col(f"__v_{b}"), "corr_matrix")
+            ).cast("decimal(38,0)")
 
     for n in names:
         v = F.col(f"__v_{n}")
         aggs.append(F.sum(v.cast("decimal(38,0)")).alias(f"__s_{n}"))
-        aggs.append(F.sum(_dec(n) * _dec(n)).alias(f"__ss_{n}"))
+        aggs.append(F.sum(_prod(n, n)).alias(f"__ss_{n}"))
     pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
     for a, b in pairs:
-        aggs.append(F.sum(_dec(a) * _dec(b)).alias(f"__sp_{a}_{b}"))
+        aggs.append(F.sum(_prod(a, b)).alias(f"__sp_{a}_{b}"))
     stats = base.agg(*aggs)
 
     def _corr(a: str, b: str) -> Column:

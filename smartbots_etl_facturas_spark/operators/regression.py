@@ -68,6 +68,7 @@ def linreg_sufficient_stats(
     df: DataFrame,
     features: dict[str, "F.Column"],
     target: "F.Column",
+    products: str = "decimal",
 ) -> DataFrame:
     """Multivariate OLS sufficient statistics in ONE scan: the
     normal-equation blocks X'X (with intercept: n, Σfᵢ, Σfᵢfⱼ for
@@ -82,32 +83,49 @@ def linreg_sufficient_stats(
     Map-side partial aggregation reduces every partition to one
     stats row before the single-cell shuffle. Rows with a NULL in
     any used column are dropped first (complete-case fit).
+
+    ``products`` selects the per-row product tier (same contract as
+    profile.corr_matrix): ``"decimal"`` (default, safe at any long
+    magnitude), or ``"long"`` — a guarded raw long multiply that
+    raises visibly past |v| <= floor(sqrt(2^63-1)), exact within it,
+    without per-row BigDecimal cost.
     """
+    from smartbots_etl_facturas_spark.operators.profile import _guarded_long
+
+    if products not in ("decimal", "long"):
+        raise ValueError("products must be 'decimal' or 'long'")
     names = list(features)
     cols = [features[n].cast("long").alias(f"__f_{n}") for n in names]
     base = df.select(*cols, target.cast("long").alias("__y")).na.drop()
     aggs = [F.count(F.lit(1)).cast(D38).alias("n")]
-    # Factors are cast to DECIMAL(19,0) BEFORE multiplying (product
-    # type: decimal(38,0)) — a raw long*long past ±9.2e18 silently
-    # wraps under non-ANSI Spark; the decimal product stays exact to
-    # 38 digits and fails visibly (NULL / ANSI error) beyond that.
+    # Decimal tier: factors cast to DECIMAL(19,0) BEFORE multiplying
+    # (product type: decimal(38,0)) — a raw long*long past ±9.2e18
+    # silently wraps under non-ANSI Spark; the decimal product stays
+    # exact to 38 digits and fails visibly beyond. Long tier: guarded
+    # long multiply, widened to decimal only at the SUM.
     D19 = "decimal(19,0)"
+
+    if products == "decimal":
+        def _prod(a, b):
+            return (a.cast(D19) * b.cast(D19))
+    else:
+        def _prod(a, b):
+            return (
+                _guarded_long(a, "linreg_sufficient_stats")
+                * _guarded_long(b, "linreg_sufficient_stats")
+            ).cast(D38)
+
+    y = F.col("__y")
     for i, a in enumerate(names):
         fa = F.col(f"__f_{a}")
         aggs.append(F.sum(fa.cast(D38)).alias(f"s_{a}"))
         for b in names[i:]:
             aggs.append(
-                F.sum(fa.cast(D19) * F.col(f"__f_{b}").cast(D19)).alias(
-                    f"s_{a}_{b}"
-                )
+                F.sum(_prod(fa, F.col(f"__f_{b}"))).alias(f"s_{a}_{b}")
             )
-        aggs.append(
-            F.sum(fa.cast(D19) * F.col("__y").cast(D19)).alias(f"s_{a}_y")
-        )
-    aggs.append(F.sum(F.col("__y").cast(D38)).alias("sy"))
-    aggs.append(
-        F.sum(F.col("__y").cast(D19) * F.col("__y").cast(D19)).alias("syy")
-    )
+        aggs.append(F.sum(_prod(fa, y)).alias(f"s_{a}_y"))
+    aggs.append(F.sum(y.cast(D38)).alias("sy"))
+    aggs.append(F.sum(_prod(y, y)).alias("syy"))
     return base.agg(*aggs)
 
 

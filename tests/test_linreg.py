@@ -80,3 +80,60 @@ def test_sufficient_stats_single_aggregate_plan(spark):
         df2, {"x1": F.col("x1"), "x2": F.col("x2")}, F.col("y")
     ).collect()[0]
     assert int(row2["n"]) == 1
+
+
+def test_long_product_tier_matches_decimal_and_guards(spark):
+    """Round-9 fast tier: the guarded LONG products produce the SAME
+    sufficient statistics as the decimal tier within the magnitude
+    bound (both are exact integer arithmetic), and a value past
+    floor(sqrt(2^63-1)) raises visibly instead of wrapping."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import CapturedException
+
+    from smartbots_etl_facturas_spark.operators.profile import (
+        LONG_PRODUCT_BOUND,
+        corr_matrix,
+    )
+    from smartbots_etl_facturas_spark.operators.regression import (
+        linreg_sufficient_stats,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") * 37 % 9973 - 5000).alias("a"),
+        (F.col("id") * 91 % 7919 - 4000).alias("b"),
+        (F.col("id") * 13 % 4999).alias("y"),
+    )
+    feats = {"a": F.col("a"), "b": F.col("b")}
+    dec = linreg_sufficient_stats(df, feats, F.col("y")).collect()[0]
+    fast = linreg_sufficient_stats(
+        df, feats, F.col("y"), products="long"
+    ).collect()[0]
+    assert dec.asDict() == fast.asDict()
+
+    cdec = {(r.col_x, r.col_y): (r.n, r.corr)
+            for r in corr_matrix(df, feats).collect()}
+    cfast = {(r.col_x, r.col_y): (r.n, r.corr)
+             for r in corr_matrix(df, feats, products="long").collect()}
+    assert cdec == cfast
+
+    big = spark.range(3).select(
+        (F.lit(LONG_PRODUCT_BOUND) + F.col("id")).alias("a"),
+        F.col("id").alias("b"),
+    )
+    with pytest.raises((Py4JJavaError, CapturedException),
+                       match="LONG"):
+        corr_matrix(
+            big, {"a": F.col("a"), "b": F.col("b")}, products="long"
+        ).collect()
+    # the decimal default stays safe at the same magnitudes (use the
+    # stats frame: corr itself would hit the documented double-
+    # cancellation 0/0 on a near-constant huge column, which is the
+    # portable-expression tradeoff, not an overflow)
+    row = linreg_sufficient_stats(
+        big, {"a": F.col("a")}, F.col("b")
+    ).collect()[0]
+    assert int(row["s_a_a"]) == sum(
+        (LONG_PRODUCT_BOUND + i) ** 2 for i in range(3)
+    )
