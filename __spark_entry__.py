@@ -11609,9 +11609,12 @@ def q_edit_distance_pairs_d2(spark, sf_dir):
     (round-9 generalization: d+1=3 segments, position-aware-pruned
     shift probe, same residual-recursion skew handling): all
     supplier-name pairs within Levenshtein distance 2. Supplier names
-    share the constant 'Supplier#' prefix, so this exercises the
-    hot-group residual recursion at d=2; the exact verify keeps it
-    brute-force oracle-checkable. Fan-out note: probe emission is
+    share the constant 'Supplier#' prefix, but at this dim's size the
+    shared-segment groups' join PRODUCT stays under the hot threshold
+    — the operator correctly takes the direct equi-join (recursion is
+    for groups whose product would break a task; the d=2 recursion
+    path is pinned by brute-force parity in tests/test_rangejoin.py).
+    The exact verify keeps it brute-force oracle-checkable. Fan-out note: probe emission is
     bounded at (d+1) segments x the position-aware shift set (13 of
     25 (length, shift) combos survive |δ| + |Δ-δ| <= d at d=2) per
     row — fixed, never data-dependent. The TPC-H id corpus is

@@ -175,6 +175,10 @@ HEADLINE = [
     "blocking_suppliers",
     "holt_trend",
     "edit_distance_pairs",
+    # round-9 additions
+    "edit_distance_pairs_d2",
+    "min_cost_supplier",
+    "dormant_high_balance",
 ]
 
 

@@ -69,7 +69,7 @@ def main():
         )
         naive = naive_candidates(base, 1)
         t0 = time.time()
-        refined = L._edit_candidates(base, 1, 512, 6, 32).count()
+        refined = L._edit_candidates(base, 1, 16_000_000, 6, 32).count()
         t_cand = time.time() - t0
         t0 = time.time()
         pairs = L.edit_distance_join(df, "id", "s").count()

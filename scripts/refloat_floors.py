@@ -17,6 +17,13 @@ concurrent pytest/parity), takes the per-query MINIMUM across runs
     `min_skew_speedup`) carry over unchanged.
 
 Usage: python scripts/refloat_floors.py [n_runs] (default 3)
+       python scripts/refloat_floors.py --only-missing [n_runs]
+
+``--only-missing`` (round 9): record floors ONLY for headline queries
+that have none yet (new queries land unarmed against the regression
+tripwire until their first recording); every existing floor is left
+untouched, so the refloat cannot absorb a regression into the
+baseline. The previous floor set still goes to history for audit.
 """
 
 from __future__ import annotations
@@ -31,7 +38,10 @@ FLOOR = os.path.join(REPO, "BENCH_FLOOR.json")
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    args = [a for a in sys.argv[1:]]
+    only_missing = "--only-missing" in args
+    args = [a for a in args if a != "--only-missing"]
+    n = int(args[0]) if args else 3
     runs = []
     for i in range(n):
         print(f"bench run {i + 1}/{n} ...", file=sys.stderr)
@@ -54,11 +64,22 @@ def main() -> None:
         "source": old.get("source"),
         "notes": old.get("notes"),
     })
-    new = {
-        "source": (
-            f"refloat_floors.py best-of-{n} quiet runs (round 8); "
+    if only_missing:
+        added = {q: s for q, s in merged.items()
+                 if q not in old["queries"]}
+        merged = dict(old["queries"]) | added
+        src = (
+            f"refloat_floors.py --only-missing best-of-{n} quiet runs: "
+            f"added floors for {sorted(added)}; all pre-existing "
+            "floors carried unchanged (previous set under history)"
+        )
+    else:
+        src = (
+            f"refloat_floors.py best-of-{n} quiet runs; "
             "previous floors preserved under history"
-        ),
+        )
+    new = {
+        "source": src,
         "notes": old.get("notes"),
         "relative_tolerance": old.get("relative_tolerance", 1.5),
         "hard_cap": old.get("hard_cap", 3.0),

@@ -306,7 +306,7 @@ def _edit_refine_probe(probe: DataFrame, d: int) -> DataFrame:
 def _edit_candidates(
     base: DataFrame,
     d: int,
-    hot_threshold: int,
+    hot_product: int,
     refine_levels: int,
     salt_buckets: int,
 ) -> DataFrame:
@@ -334,10 +334,22 @@ def _edit_candidates(
     idx_k = _edit_idx_level0(mains, d)
     probe_k = _edit_probe_level0(mains, d)
     for level in range(refine_levels + 1):
+        # hot = the JOIN PRODUCT per key (idx postings x probe
+        # postings — the actual per-task candidate work a single hash
+        # partition would absorb), not the index count alone: a
+        # 1000 x 1000 shared-prefix group is one cheap task and takes
+        # the direct join, while a data-scale group's product
+        # explodes past any threshold and recurses. Both counts are
+        # map-side-combinable aggregations reduced to key-scale.
+        pc = probe_k.groupBy("k").agg(F.count(F.lit(1)).alias("__p"))
         hot = (
             idx_k.groupBy("k")
             .agg(F.count(F.lit(1)).alias("__c"))
-            .filter(F.col("__c") > hot_threshold)
+            .join(pc, "k")
+            .filter(
+                F.col("__c").cast("double") * F.col("__p").cast("double")
+                > F.lit(float(hot_product))
+            )
             .select("k")
         )
         # ONE eager checkpoint per level holds both sides' hot
@@ -435,7 +447,7 @@ def edit_distance_join(
     id_col: str,
     str_col: str,
     max_dist: int = 1,
-    hot_threshold: int = 512,
+    hot_product: int = 16_000_000,
     refine_levels: int = 6,
     salt_buckets: int = 32,
 ) -> "DataFrame":
@@ -456,8 +468,10 @@ def edit_distance_join(
       ``Customer#000…``) one (L, seg, substring) posting group can
       hold most of the table and the equi-join would materialize
       |group|^2 candidates through one hot key. A map-side-combinable
-      ``groupBy(key).count()`` pre-pass finds groups above
-      ``hot_threshold``; those are NOT joined directly. Instead the
+      count pre-pass on BOTH posting sides finds keys whose join
+      PRODUCT (index count x probe count — the per-task candidate
+      work one hash partition would absorb) exceeds ``hot_product``;
+      those are NOT joined directly. Instead the
       pigeonhole is applied AGAIN to the residual string (the string
       with the matched segment cut out): if ed(a, b) <= d and a's
       segment occurs verbatim in b at shift c1 <= d, the optimal
@@ -494,8 +508,8 @@ def edit_distance_join(
     """
     if not 1 <= max_dist <= 6:
         raise ValueError("max_dist must be in [1, 6]")
-    if hot_threshold < 1 or refine_levels < 0 or salt_buckets < 1:
-        raise ValueError("hot_threshold/refine_levels/salt_buckets invalid")
+    if hot_product < 1 or refine_levels < 0 or salt_buckets < 1:
+        raise ValueError("hot_product/refine_levels/salt_buckets invalid")
     d = max_dist
     base = df.select(
         F.col(id_col).alias("__id"),
@@ -504,7 +518,7 @@ def edit_distance_join(
     ).filter(F.col("__s").isNotNull())
 
     cand = _edit_candidates(
-        base, d, hot_threshold, refine_levels, salt_buckets
+        base, d, hot_product, refine_levels, salt_buckets
     )
 
     # short-string side channel (length <= d: segmentation impossible;

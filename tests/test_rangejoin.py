@@ -198,16 +198,26 @@ class TestEditDistanceJoin:
             (r.a_id, r.b_id, r.dist)
             for r in edit_distance_join(
                 df, "id", "s",
-                hot_threshold=6, refine_levels=3, salt_buckets=4,
+                hot_product=36, refine_levels=3, salt_buckets=4,
             ).collect()
         )
         got_cold = sorted(
             (r.a_id, r.b_id, r.dist)
             for r in edit_distance_join(
-                df, "id", "s", hot_threshold=10_000_000,
+                df, "id", "s", hot_product=10_000_000_000,
             ).collect()
         )
         assert got_hot == want and got_cold == want and len(want) > 200
+        # the d=2 recursion path on the same shared-prefix corpus
+        want2 = self._brute(rows, d=2)
+        got2 = sorted(
+            (r.a_id, r.b_id, r.dist)
+            for r in edit_distance_join(
+                df, "id", "s", max_dist=2,
+                hot_product=36, refine_levels=2, salt_buckets=4,
+            ).collect()
+        )
+        assert got2 == want2 and len(want2) > len(want)
 
     def test_refine_budget_exhaustion_salts(self, spark):
         """refine_levels=0 sends every hot group straight to the
@@ -221,7 +231,7 @@ class TestEditDistanceJoin:
         got = sorted(
             (r.a_id, r.b_id, r.dist)
             for r in edit_distance_join(
-                df, "id", "s", hot_threshold=4, refine_levels=0,
+                df, "id", "s", hot_product=16, refine_levels=0,
                 salt_buckets=3,
             ).collect()
         )
@@ -240,4 +250,4 @@ class TestEditDistanceJoin:
         with _pytest.raises(ValueError):
             edit_distance_join(df, "id", "s", max_dist=7)
         with _pytest.raises(ValueError):
-            edit_distance_join(df, "id", "s", hot_threshold=0)
+            edit_distance_join(df, "id", "s", hot_product=0)
