@@ -159,42 +159,49 @@ def data_scale_windows(df: DataFrame) -> int:
     (orderstats.MAX_DOMAIN_PER_KEY raise_error guard riding the
     window pass) — plan inspection cannot see cardinality.
 
-    Walks the OPTIMIZED logical plan (stable node names, no AQE
-    rewrites): depth = indentation of the ``numberedTreeString``-style
-    rendering Spark uses for ``toString``.
+    Walks the OPTIMIZED logical plan as a JVM TREE via py4j
+    (``nodeName`` / ``children``) — round-9 rewrite of the round-8
+    string-indentation heuristic, which would silently mis-count on
+    multi-line expression renderings or renamed nodes (r8 ADVICE #5).
+    Node-kind checks are still by name, but structure comes from the
+    tree itself, and an unrecognized LEAF (``children`` empty, name
+    not in the known-safe set) is conservatively treated as a data
+    relation so new scan node types FAIL the gate instead of slipping
+    by.
     """
-    plan = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
-    nodes: list[tuple[int, str]] = []  # (depth, kind)
-    for raw in plan.splitlines():
-        m = re.match(r"^([: +-]*)(\w[\w]*)", raw)
-        if not m:
-            continue
-        prefix, name = m.group(1), m.group(2)
-        depth = len(prefix) // 3
-        nodes.append((depth, name))
+    plan = df._jdf.queryExecution().optimizedPlan()  # noqa: SLF001
+
+    def children(node):
+        ch = node.children()
+        # scala Seq -> list via py4j
+        return [ch.apply(i) for i in range(ch.size())]
+
+    # leaves that are NOT data-scale relations (bounded by
+    # construction): empty relations and 1-row aggregate results never
+    # make a window data-scale.
+    safe_leaves = {"OneRowRelation", "LocalLimit", "EmptyRelation"}
+
+    def has_unaggregated_leaf(node) -> bool:
+        name = node.nodeName()
+        if name == "Aggregate":
+            return False
+        ch = children(node)
+        if not ch:
+            # LocalRelation carries literal rows (bounded seed frames)
+            # — still a relation: count it unless provably tiny is
+            # impossible to know here, so treat every non-safe leaf as
+            # data-scale (conservative).
+            return name not in safe_leaves
+        return any(has_unaggregated_leaf(c) for c in ch)
+
     count = 0
-    for i, (d, name) in enumerate(nodes):
-        if name != "Window":
-            continue
-        # scan the subtree: every node after i with depth > d until
-        # depth <= d again
-        blocked_depths: list[int] = []  # depths at/below an Aggregate
-        reachable_leaf = False
-        for d2, n2 in nodes[i + 1:]:
-            if d2 <= d:
-                break
-            while blocked_depths and d2 <= blocked_depths[-1]:
-                blocked_depths.pop()
-            if n2 == "Aggregate":
-                blocked_depths.append(d2)
-                continue
-            if not blocked_depths and n2 in (
-                "Relation",
-                "LogicalRelation",
-                "LocalRelation",
-                "Range",
-            ):
-                reachable_leaf = True
-        if reachable_leaf:
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        ch = children(node)
+        if node.nodeName() == "Window" and any(
+            has_unaggregated_leaf(c) for c in ch
+        ):
             count += 1
+        stack.extend(ch)
     return count
