@@ -11558,6 +11558,140 @@ ORDER BY cntrycode
 """
 
 
+def q_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape — distribution of customers by order count:
+    LEFT OUTER join (customers with zero qualifying orders must
+    survive with count 0) into a per-customer count, then a second
+    aggregation over the counts — the count-of-counts histogram.
+    Adapted filter: urgent-priority orders only (this synthetic data
+    has no o_comment), which leaves a real zero bucket. Plan: one
+    keyed outer join + two map-side-combinable aggregations; the
+    second runs on the customer-scale counts frame."""
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    ords = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(ords, cust.c_custkey == ords.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_CUSTOMER_ORDER_DISTRIBUTION = """
+WITH co AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+    ON c.c_custkey = o.o_custkey
+  GROUP BY 1)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM co GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_supplier_part_offering(spark, sf_dir):
+    """TPC-H Q16 shape — how many suppliers can offer each part
+    class: distinct-supplier counts per (brand, type, size) for an
+    IN-list of sizes, one brand excluded, and suppliers on a
+    complaint list removed via NOT IN — compiled to a LEFT ANTI join
+    against the broadcast excluded-supplier frame (acctbal < 1500
+    stands in for the comment scan this schema lacks). Plan: fact ⋈
+    broadcast(part filter) ⋈ anti-broadcast(excluded) into one
+    count_distinct aggregation keyed by the class."""
+    part = F.broadcast(
+        _read(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13")
+            & F.col("p_size").isin([1, 5, 10, 15, 20, 25])
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    excluded = F.broadcast(
+        _read(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1500)
+        .select(F.col("s_suppkey").alias("__ex"))
+    )
+    li = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(excluded, li.l_suppkey == F.col("__ex"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+SQL_SUPPLIER_PART_OFFERING = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_size IN (1, 5, 10, 15, 20, 25)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 1500)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_promotion_candidate_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape — suppliers with surplus stock of promotable
+    parts: the nested correlated aggregate (shipped quantity per
+    (supplier, part) of name-matched parts inside a date window)
+    DECORRELATED into one keyed aggregation, thresholded, collapsed
+    to a distinct supplier set, and applied to the supplier dim as a
+    LEFT SEMI join — the two-level semi-join-chain topology. Plan:
+    fact ⋈ broadcast(part filter) → one (supp, part) agg → distinct →
+    semi-join into the dim; no correlated per-row subquery."""
+    parts = F.broadcast(
+        _read(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    cands = (
+        li.join(parts, li.l_partkey == parts.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _read(spark, sf_dir, "supplier")
+    return (
+        supp.join(cands, supp.s_suppkey == cands.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_PROMOTION_CANDIDATE_SUPPLIERS = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%bolt%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1999-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 50)
+ORDER BY s_suppkey
+"""
+
+
 def q_edit_distance_pairs(spark, sf_dir):
     """Fuzzy-key self-join (operators/linkage.py:edit_distance_join —
     PassJoin pigeonhole, Li/Deng/Feng 2011): all customer-name pairs
@@ -11660,6 +11794,9 @@ _QUERIES: dict[str, Callable] = {
     "blocking_suppliers": q_blocking_suppliers,
     "min_cost_supplier": q_min_cost_supplier,
     "dormant_high_balance": q_dormant_high_balance,
+    "customer_order_distribution": q_customer_order_distribution,
+    "supplier_part_offering": q_supplier_part_offering,
+    "promotion_candidate_suppliers": q_promotion_candidate_suppliers,
     "holt_trend": q_holt_trend,
     "edit_distance_pairs": q_edit_distance_pairs,
     "edit_distance_pairs_d2": q_edit_distance_pairs_d2,
@@ -11946,6 +12083,9 @@ _ORACLES: dict[str, str] = {
     "blocking_suppliers": SQL_BLOCKING_SUPPLIERS,
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
     "dormant_high_balance": SQL_DORMANT_HIGH_BALANCE,
+    "customer_order_distribution": SQL_CUSTOMER_ORDER_DISTRIBUTION,
+    "supplier_part_offering": SQL_SUPPLIER_PART_OFFERING,
+    "promotion_candidate_suppliers": SQL_PROMOTION_CANDIDATE_SUPPLIERS,
     "holt_trend": SQL_HOLT_TREND,
     "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
     "edit_distance_pairs_d2": SQL_EDIT_DISTANCE_PAIRS_D2,
