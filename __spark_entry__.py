@@ -11702,6 +11702,10 @@ def q_edit_distance_pairs(spark, sf_dir):
     verify touches only candidates, so the LOSSLESS filter makes the
     operator exact and brute-force oracle-checkable (the PPJoin
     discipline, for edit distance instead of token sets).
+    Cross-engine note (round-9 hypothesis find): Spark's levenshtein
+    counts CHARACTERS, DuckDB's counts BYTES — identical on ASCII
+    corpora like these names; unicode parity is pinned by a
+    character-DP differential in tests/test_rangejoin.py instead.
     Skew note (round 9): these synthetic names share a long constant
     prefix, so the prefix-segment posting group holds the whole
     table. The operator's frequency-aware recursion detects the hot
