@@ -161,6 +161,19 @@ QUERIES = [
     # customer dim (replica-invariant), so its ratio measures overhead
     "holt_trend",
     "edit_distance_pairs",
+    # round-9 additions: the Q2/Q22/Q13/Q16/Q20 shapes are keyed or
+    # broadcast joins + bounded aggs (expect ~linear); the d2
+    # edit-distance and the fast-tier profiles run on fixed dims
+    # (replica-invariant inputs measure overhead); dormant/customer
+    # distribution grow with orders
+    "edit_distance_pairs_d2",
+    "min_cost_supplier",
+    "dormant_high_balance",
+    "customer_order_distribution",
+    "supplier_part_offering",
+    "promotion_candidate_suppliers",
+    "corr_matrix",
+    "linreg_price",
 ]
 
 
