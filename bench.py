@@ -179,6 +179,9 @@ HEADLINE = [
     "edit_distance_pairs_d2",
     "min_cost_supplier",
     "dormant_high_balance",
+    "customer_order_distribution",
+    "supplier_part_offering",
+    "promotion_candidate_suppliers",
 ]
 
 
