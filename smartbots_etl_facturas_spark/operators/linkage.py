@@ -317,6 +317,18 @@ def _edit_candidates(
     n = d + 1
     mains = base.filter(F.col("__L") >= n)
     cands: list[DataFrame] = []
+    # The candidate joins EMIT millions of rows from kilobyte-scale
+    # shuffle inputs and feed a hash partial-dedup in the same stage;
+    # AQE's byte-based coalescing sees tiny inputs and funnels that
+    # work onto 1-4 cores (measured: a 7 s single stage at sf0.1).
+    # An EXPLICIT repartition by the join key at the session's
+    # configured shuffle width pins the stage width — the join reuses
+    # the partitioning (no extra exchange) and explicit repartitions
+    # are exempt from AQE coalescing by design.
+    sp = int(base.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+    def _by_k(f: DataFrame, *extra: str) -> DataFrame:
+        return f.repartition(sp, "k", *extra)
     salted_idx: list[DataFrame] = []
     salted_probe: list[DataFrame] = []
 
@@ -373,7 +385,7 @@ def _edit_candidates(
         if not both_hot.take(1):
             # nothing hot: join everything here, recursion over.
             cands.append(
-                idx_k.join(probe_k, "k")
+                _by_k(idx_k).join(_by_k(probe_k), "k")
                 .filter(F.col("a_id") < F.col("b_id"))
                 .select("a_id", "b_id", "a_s", "b_s")
             )
@@ -393,8 +405,8 @@ def _edit_candidates(
         # index side needs the anti-join (against the checkpointed
         # hot keys, not a recomputed aggregation).
         cands.append(
-            idx_k.join(idx_hot.select("k"), "k", "left_anti")
-            .join(probe_k, "k")
+            _by_k(idx_k.join(idx_hot.select("k"), "k", "left_anti"))
+            .join(_by_k(probe_k), "k")
             .filter(F.col("a_id") < F.col("b_id"))
             .select("a_id", "b_id", "a_s", "b_s")
         )
@@ -421,15 +433,21 @@ def _edit_candidates(
         # salt is a DETERMINISTIC hash of the index id (never rand()):
         # same candidates every run, spread across salt_buckets tasks.
         cands.append(
-            sidx.withColumn(
+            _by_k(
+                sidx.withColumn(
+                    "__salt",
+                    F.pmod(F.xxhash64("a_id"), F.lit(salt_buckets)).cast("int"),
+                ),
                 "__salt",
-                F.pmod(F.xxhash64("a_id"), F.lit(salt_buckets)).cast("int"),
             )
             .join(
-                sprobe.withColumn(
+                _by_k(
+                    sprobe.withColumn(
+                        "__salt",
+                        F.explode(F.expr(f"sequence(0, {salt_buckets - 1})")),
+                    ).withColumn("__salt", F.col("__salt").cast("int")),
                     "__salt",
-                    F.explode(F.expr(f"sequence(0, {salt_buckets - 1})")),
-                ).withColumn("__salt", F.col("__salt").cast("int")),
+                ),
                 ["k", "__salt"],
             )
             .filter(F.col("a_id") < F.col("b_id"))
