@@ -58,8 +58,10 @@ def _domain_guarded_n(n: Column, nv: Column, limit: int | None,
     msg = (
         f"{where}: a group has more than {limit} distinct values — "
         "exact histogram selection would sort a data-scale frame on "
-        "one task. Use approx_percentile_sketch (KLL) for wide/"
-        "continuous domains, or raise max_domain_per_key explicitly."
+        "one task. Use the KLL tier for wide/continuous domains "
+        "(quantiles.kll_group_quantiles per key, "
+        "approx_percentile_sketch globally), or raise "
+        "max_domain_per_key explicitly."
     )
     return F.when(nv <= F.lit(limit), n).otherwise(
         F.raise_error(F.lit(msg)).cast("long")
