@@ -2112,6 +2112,66 @@ def q_duplicate_spans(spark, sf_dir):
     return duplicate_spans(seeded, window=8, min_occurrences=2)
 
 
+def q_duplicate_span_runs(spark, sf_dir):
+    """The REMOVAL-pass cut list (round 9, Lee et al. 2021
+    continued): maximal per-document token ranges where every
+    8-token window is duplicated corpus-wide — consecutive hot span
+    positions merge into one (doc_id, start_pos, end_pos) row via a
+    lag/cumsum island window over only the duplicated positions
+    (operators/dedup.py:duplicate_span_runs). Same seeded corpus as
+    duplicate_spans, so the appended slogan's overlapping window
+    hits collapse to one run per document. Fully deterministic (md5
+    digests): the entire cut list is value-checked by a DuckDB
+    oracle replaying the identical hashes and island arithmetic."""
+    from smartbots_etl_facturas_spark.operators.dedup import (
+        duplicate_span_runs,
+    )
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" grab this limited time offer before midnight tonight friends"),
+        ).alias("text"),
+    )
+    return duplicate_span_runs(seeded, window=8, min_occurrences=2)
+
+
+SQL_DUPLICATE_SPAN_RUNS = r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' grab this limited time offer before midnight tonight friends' AS text
+  FROM documents WHERE doc_id % 7 = 0),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM seeded),
+spans AS (
+  SELECT doc_id, i - 1 AS start_pos,
+         md5(array_to_string(w[i : i + 7], ' ')) AS span_hash
+  FROM toks, unnest(range(1, greatest(len(w) - 6, 1))) AS t(i)
+  WHERE len(w) >= 8),
+hot AS (
+  SELECT doc_id, start_pos
+  FROM spans
+  WHERE span_hash IN (
+    SELECT span_hash FROM spans GROUP BY 1 HAVING count(*) >= 2)),
+runs AS (
+  SELECT doc_id, start_pos,
+         sum(CASE WHEN prev IS NULL OR start_pos - prev > 1
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY start_pos) AS run_id
+  FROM (SELECT doc_id, start_pos,
+               lag(start_pos) OVER (PARTITION BY doc_id
+                                    ORDER BY start_pos) AS prev
+        FROM hot))
+SELECT doc_id,
+       CAST(min(start_pos) AS BIGINT) AS start_pos,
+       CAST(max(start_pos) + 8 AS BIGINT) AS end_pos,
+       CAST(count(*) AS BIGINT) AS n_spans
+FROM runs GROUP BY doc_id, run_id
+"""
+
+
 SQL_DUPLICATE_SPANS = r"""
 WITH seeded AS (
   SELECT doc_id,
@@ -11930,6 +11990,7 @@ _QUERIES: dict[str, Callable] = {
     "bpe_merges_invariants": q_bpe_merges_invariants,
     "bpe_segmentation": q_bpe_segmentation,
     "duplicate_spans": q_duplicate_spans,
+    "duplicate_span_runs": q_duplicate_span_runs,
     "dedup_clusters": q_dedup_clusters,
     "cluster_representatives": q_cluster_representatives,
     "minhash_precision": q_minhash_precision,
@@ -12214,6 +12275,7 @@ _ORACLES: dict[str, str] = {
     "bpe_merges_invariants": SQL_BPE_MERGES_INVARIANTS,
     "bpe_segmentation": SQL_BPE_SEGMENTATION,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
+    "duplicate_span_runs": SQL_DUPLICATE_SPAN_RUNS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "cluster_representatives": SQL_CLUSTER_REPRESENTATIVES,
     "minhash_precision": SQL_MINHASH_PRECISION,

@@ -564,3 +564,66 @@ def duplicate_spans(
         )
         .filter(F.col("n_occurrences") >= min_occurrences)
     )
+
+
+def duplicate_span_runs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """MAXIMAL duplicated token ranges per document — the CUT LIST of
+    the Lee et al. 2021 removal pass that ``duplicate_spans`` stops
+    short of: consecutive duplicated span start positions merge into
+    one run, so a 500-token verbatim quote is one (doc, start, end)
+    row to excise, not 493 overlapping window hits.
+
+    A token position p is DUPLICATED when the ``window``-token span
+    starting at p occurs >= ``min_occurrences`` times corpus-wide
+    (exactly duplicate_spans' exploded form). Runs are maximal
+    stretches of consecutive duplicated positions; the emitted range
+    covers tokens ``[start_pos, end_pos)`` (0-based,
+    ``end_pos = last duplicated start + window``), i.e. every token
+    that participates in any duplicated span of the run. ``n_spans``
+    is the number of merged window hits.
+
+    Scale shape: span hashing + occurrence counting as in
+    duplicate_spans (one digest-keyed map-side-combinable count + one
+    equi-join); the island merge is a lag/cumsum window PARTITIONED
+    BY DOCUMENT over only the duplicated positions — high-cardinality
+    key, frame bounded by duplicated-span volume, never the corpus.
+    Fully deterministic (md5 digests), so the whole cut list is
+    value-oracle-checkable cross-engine.
+    """
+    from pyspark.sql import Window
+
+    hot = duplicate_spans(
+        docs, text_col, id_col, window, min_occurrences, exploded=True
+    )
+    w = Window.partitionBy(id_col).orderBy("start_pos")
+    run = (
+        hot.withColumn("__prev", F.lag("start_pos").over(w))
+        .withColumn(
+            "__new",
+            (
+                F.col("__prev").isNull()
+                | (F.col("start_pos") - F.col("__prev") > 1)
+            ).cast("int"),
+        )
+        .withColumn(
+            "__run",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        run.groupBy(id_col, "__run")
+        .agg(
+            F.min("start_pos").cast("long").alias("start_pos"),
+            (F.max("start_pos") + window).cast("long").alias("end_pos"),
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+        )
+        .select(id_col, "start_pos", "end_pos", "n_spans")
+    )

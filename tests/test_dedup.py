@@ -393,3 +393,39 @@ def test_minhash_incremental_index(spark, tmp_path):
              for r in minhash_lsh_pairs(union, num_hashes=32, bands=8,
                                         threshold=0.3).collect()}
     assert (1, 101) in pairs
+
+
+def test_duplicate_span_runs_merges_maximal_ranges(spark):
+    """Round-9 cut list: overlapping duplicated windows merge into one
+    maximal (start, end) range per document; isolated duplicated
+    spans stay separate runs; unique text emits nothing."""
+    from smartbots_etl_facturas_spark.operators.dedup import (
+        duplicate_span_runs,
+    )
+
+    dup = "the quick brown fox jumps over"  # 6 tokens, window=4
+    rows = [
+        # doc 1: dup at tokens 2..7 (positions 2,3,4 hot -> one run)
+        (1, "alpha beta " + dup + " gamma delta"),
+        # doc 2: the same 6-gram at the very start AND a second copy
+        # separated by unique filler -> TWO runs
+        (2, dup + " x1 y2 z3 w4 v5 u6 " + dup),
+        # doc 3: entirely unique
+        (3, "one two three four five six seven eight nine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.start_pos, r.end_pos, r.n_spans)
+        for r in duplicate_span_runs(df, window=4).collect()
+    )
+    # doc1: hot starts 2,3,4 (the three 4-windows inside the 6-token
+    # quote) -> run [2, 8) with 3 merged spans
+    # doc2: starts 0,1,2 -> [0, 6); starts 12,13,14 -> [12, 18)
+    assert got == [
+        (1, 2, 8, 3),
+        (2, 0, 6, 3),
+        (2, 12, 18, 3),
+    ]
+    # python reference cross-check for doc1's range content
+    toks = rows[0][1].split()
+    assert " ".join(toks[2:8]) == dup
