@@ -2138,6 +2138,81 @@ def q_duplicate_span_runs(spark, sf_dir):
     return duplicate_span_runs(seeded, window=8, min_occurrences=2)
 
 
+def q_span_redacted_docs(spark, sf_dir):
+    """End-to-end span-dedup REMOVAL (round 9): the cut list from
+    duplicate_span_runs applied back to the corpus
+    (operators/dedup.py:apply_span_cuts) — every token inside a
+    duplicated range dropped, survivors re-joined (whitespace-
+    normalized), with removed/kept counts per document. One keyed
+    left join ships each document its (bounded) range array; the
+    removal is a pure positional-filter Column expression. The full
+    cleaned text is value-checked cross-engine."""
+    from smartbots_etl_facturas_spark.operators.dedup import (
+        apply_span_cuts,
+        duplicate_span_runs,
+    )
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" grab this limited time offer before midnight tonight friends"),
+        ).alias("text"),
+    )
+    runs = duplicate_span_runs(seeded, window=8, min_occurrences=2)
+    return apply_span_cuts(seeded, runs)
+
+
+SQL_SPAN_REDACTED_DOCS = r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' grab this limited time offer before midnight tonight friends' AS text
+  FROM documents WHERE doc_id % 7 = 0),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM seeded),
+spans AS (
+  SELECT doc_id, i - 1 AS start_pos,
+         md5(array_to_string(w[i : i + 7], ' ')) AS span_hash
+  FROM toks, unnest(range(1, greatest(len(w) - 6, 1))) AS t(i)
+  WHERE len(w) >= 8),
+hot AS (
+  SELECT doc_id, start_pos
+  FROM spans
+  WHERE span_hash IN (
+    SELECT span_hash FROM spans GROUP BY 1 HAVING count(*) >= 2)),
+runs AS (
+  SELECT doc_id, min(start_pos) AS s, max(start_pos) + 8 AS e
+  FROM (
+    SELECT doc_id, start_pos,
+           sum(CASE WHEN prev IS NULL OR start_pos - prev > 1
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY start_pos) AS run_id
+    FROM (SELECT doc_id, start_pos,
+                 lag(start_pos) OVER (PARTITION BY doc_id
+                                      ORDER BY start_pos) AS prev
+          FROM hot))
+  GROUP BY doc_id, run_id),
+cuts AS (
+  SELECT doc_id, list({'s': s, 'e': e}) AS cl FROM runs GROUP BY doc_id),
+joined AS (
+  SELECT t.doc_id, t.w,
+         coalesce(c.cl, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS cl
+  FROM toks t LEFT JOIN cuts c ON t.doc_id = c.doc_id),
+redacted AS (
+  SELECT doc_id, w,
+         list_filter(w, (tok, i) ->
+           len(list_filter(cl, c -> i - 1 >= c.s AND i - 1 < c.e)) = 0
+         ) AS kept
+  FROM joined)
+SELECT doc_id,
+       array_to_string(kept, ' ') AS clean_text,
+       CAST(len(w) - len(kept) AS BIGINT) AS n_tokens_removed,
+       CAST(len(kept) AS BIGINT) AS n_tokens_kept
+FROM redacted
+"""
+
+
 SQL_DUPLICATE_SPAN_RUNS = r"""
 WITH seeded AS (
   SELECT doc_id,
@@ -11991,6 +12066,7 @@ _QUERIES: dict[str, Callable] = {
     "bpe_segmentation": q_bpe_segmentation,
     "duplicate_spans": q_duplicate_spans,
     "duplicate_span_runs": q_duplicate_span_runs,
+    "span_redacted_docs": q_span_redacted_docs,
     "dedup_clusters": q_dedup_clusters,
     "cluster_representatives": q_cluster_representatives,
     "minhash_precision": q_minhash_precision,
@@ -12276,6 +12352,7 @@ _ORACLES: dict[str, str] = {
     "bpe_segmentation": SQL_BPE_SEGMENTATION,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
     "duplicate_span_runs": SQL_DUPLICATE_SPAN_RUNS,
+    "span_redacted_docs": SQL_SPAN_REDACTED_DOCS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "cluster_representatives": SQL_CLUSTER_REPRESENTATIVES,
     "minhash_precision": SQL_MINHASH_PRECISION,

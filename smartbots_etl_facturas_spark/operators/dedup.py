@@ -202,6 +202,63 @@ def minhash_lsh_pairs(
     )
 
 
+def apply_span_cuts(
+    docs: DataFrame,
+    runs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REDACT the cut-list ranges from each document — the final step
+    of the span-dedup pipeline (detect: ``duplicate_spans``; merge:
+    ``duplicate_span_runs``; remove: this). ``runs`` carries
+    ``(id_col, start_pos, end_pos)`` token ranges (0-based,
+    end-exclusive, as duplicate_span_runs emits); every token whose
+    position falls inside ANY of its document's ranges is dropped and
+    the survivors re-join with single spaces — output text is
+    therefore WHITESPACE-NORMALIZED (the tokenizer's view, which is
+    what every downstream span/token operator consumes anyway).
+
+    Output: (id, clean text, n_tokens_removed, n_tokens_kept).
+
+    Scale shape: ranges aggregate to one array per document (bounded
+    by that document's cut count), one keyed LEFT join ships them to
+    the docs, and the removal itself is a pure Column expression —
+    positional filter + exists over the range array inside codegen,
+    no shuffle beyond the join, documents without cuts pass through
+    unchanged (modulo the whitespace normalization).
+    """
+    cuts = runs.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("start_pos").alias("s"),
+                     F.col("end_pos").alias("e"))
+        ).alias("__cuts")
+    )
+    toks = tokens(F.col(text_col))
+    base = (
+        docs.join(cuts, id_col, "left")
+        .withColumn("__cuts", F.coalesce(
+            F.col("__cuts"),
+            F.expr("CAST(array() AS array<struct<s: long, e: long>>)"),
+        ))
+        .withColumn("__toks", toks)
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(
+            F.col("__cuts"),
+            lambda c: (i >= c["s"]) & (i < c["e"]),
+        ),
+    )
+    return base.select(
+        id_col,
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias(
+            "n_tokens_removed"
+        ),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

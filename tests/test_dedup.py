@@ -429,3 +429,30 @@ def test_duplicate_span_runs_merges_maximal_ranges(spark):
     # python reference cross-check for doc1's range content
     toks = rows[0][1].split()
     assert " ".join(toks[2:8]) == dup
+
+
+def test_apply_span_cuts_redacts_exact_ranges(spark):
+    """The redaction consumes duplicate_span_runs' cut list: tokens
+    inside any range vanish, survivors re-join with single spaces,
+    uncut documents pass through (whitespace-normalized), counts add
+    up."""
+    from smartbots_etl_facturas_spark.operators.dedup import (
+        apply_span_cuts,
+        duplicate_span_runs,
+    )
+
+    dup = "the quick brown fox jumps over"
+    rows = [
+        (1, "alpha beta " + dup + " gamma delta"),
+        (2, dup + " x1 y2 z3 w4 v5 u6 " + dup),
+        (3, "one two  three"),  # double space: normalization visible
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    runs = duplicate_span_runs(df, window=4)
+    got = {r.doc_id: r for r in apply_span_cuts(df, runs).collect()}
+    assert got[1].clean_text == "alpha beta gamma delta"
+    assert got[1].n_tokens_removed == 6 and got[1].n_tokens_kept == 4
+    assert got[2].clean_text == "x1 y2 z3 w4 v5 u6"
+    assert got[2].n_tokens_removed == 12
+    assert got[3].clean_text == "one two three"  # untouched but normalized
+    assert got[3].n_tokens_removed == 0 and got[3].n_tokens_kept == 3
