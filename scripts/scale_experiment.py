@@ -174,6 +174,8 @@ QUERIES = [
     "promotion_candidate_suppliers",
     "corr_matrix",
     "linreg_price",
+    "duplicate_span_runs",
+    "span_redacted_docs",
 ]
 
 
