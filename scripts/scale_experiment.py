@@ -172,8 +172,6 @@ QUERIES = [
     "customer_order_distribution",
     "supplier_part_offering",
     "promotion_candidate_suppliers",
-    "corr_matrix",
-    "linreg_price",
     "duplicate_span_runs",
     "span_redacted_docs",
 ]
