@@ -540,6 +540,36 @@ def line_dedup(
     )
 
 
+def span_digests(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """One row per ``window``-token span (stride 1): (id, start_pos,
+    span_hash) with span_hash = md5 of the space-joined tokens — the
+    shared raw material of the span-dedup family (detection, cut-list
+    merging, and the persisted incremental index). Pure Column
+    expression, engine-portable digests."""
+    toks = tokens(F.col(text_col))
+    spans = F.expr(
+        f"CASE WHEN size(__toks) >= {window} THEN "
+        f"transform(sequence(1, size(__toks) - {window - 1}), "
+        f"i -> struct(i - 1 AS start_pos, "
+        f"md5(concat_ws(' ', slice(__toks, i, {window}))) AS span_hash)) "
+        f"ELSE array() END"
+    )
+    return (
+        docs.select(F.col(id_col), toks.alias("__toks"))
+        .select(id_col, F.explode(spans).alias("__s"))
+        .select(
+            id_col,
+            F.col("__s.start_pos").alias("start_pos"),
+            F.col("__s.span_hash").alias("span_hash"),
+        )
+    )
+
+
 def duplicate_spans(
     docs: DataFrame,
     text_col: str = "text",
@@ -575,23 +605,7 @@ def duplicate_spans(
     output ~flat as replicas scale; the exploded variant adds one
     equi-join on the digest and scales with duplicated-span volume.
     """
-    toks = tokens(F.col(text_col))
-    spans = F.expr(
-        f"CASE WHEN size(__toks) >= {window} THEN "
-        f"transform(sequence(1, size(__toks) - {window - 1}), "
-        f"i -> struct(i - 1 AS start_pos, "
-        f"md5(concat_ws(' ', slice(__toks, i, {window}))) AS span_hash)) "
-        f"ELSE array() END"
-    )
-    exploded_df = (
-        docs.select(F.col(id_col), toks.alias("__toks"))
-        .select(id_col, F.explode(spans).alias("__s"))
-        .select(
-            id_col,
-            F.col("__s.start_pos").alias("start_pos"),
-            F.col("__s.span_hash").alias("span_hash"),
-        )
-    )
+    exploded_df = span_digests(docs, text_col, id_col, window)
     if exploded:
         counts = exploded_df.groupBy("span_hash").agg(
             F.count(F.lit(1)).alias("n_occurrences")
@@ -653,11 +667,22 @@ def duplicate_span_runs(
     Fully deterministic (md5 digests), so the whole cut list is
     value-oracle-checkable cross-engine.
     """
-    from pyspark.sql import Window
-
     hot = duplicate_spans(
         docs, text_col, id_col, window, min_occurrences, exploded=True
     )
+    return merge_hot_positions(hot, id_col, window)
+
+
+def merge_hot_positions(
+    hot: DataFrame, id_col: str, window: int
+) -> DataFrame:
+    """Island-merge a (id, start_pos) frame of duplicated span start
+    positions into maximal (id, start_pos, end_pos, n_spans) runs —
+    the lag/cumsum window runs per document over ONLY the duplicated
+    positions (shared by the batch cut list and the incremental
+    index probe)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(id_col).orderBy("start_pos")
     run = (
         hot.withColumn("__prev", F.lag("start_pos").over(w))
