@@ -226,6 +226,11 @@ def apply_span_cuts(
     positional filter + exists over the range array inside codegen,
     no shuffle beyond the join, documents without cuts pass through
     unchanged (modulo the whitespace normalization).
+
+    NULL ``text_col`` raises at execution naming the document (the
+    streaming folds' fail-fast discipline): silently it would yield
+    an empty clean_text with NULL token counts — garbage that only
+    surfaces rounds later. Filter or default NULL text upstream.
     """
     cuts = runs.groupBy(id_col).agg(
         F.collect_list(
@@ -233,7 +238,16 @@ def apply_span_cuts(
                      F.col("end_pos").alias("e"))
         ).alias("__cuts")
     )
-    toks = tokens(F.col(text_col))
+    toks = F.when(
+        F.col(text_col).isNull(),
+        F.raise_error(F.concat(
+            F.lit(
+                f"apply_span_cuts: NULL {text_col!r} for {id_col}="
+            ),
+            F.col(id_col).cast("string"),
+            F.lit(" — text must be non-null (drop or default upstream)"),
+        )),
+    ).otherwise(tokens(F.col(text_col)))
     base = (
         docs.join(cuts, id_col, "left")
         .withColumn("__cuts", F.coalesce(

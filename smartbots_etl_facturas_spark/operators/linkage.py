@@ -168,6 +168,17 @@ def jaccard_similarity_join(
     )
 
 
+def _shuffle_width(spark) -> int:
+    """Configured shuffle width as an int, falling back to the
+    cluster's default parallelism when ``spark.sql.shuffle.partitions``
+    is non-numeric (e.g. ``"auto"`` under auto-optimized shuffle on
+    some managed platforms)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        return spark.sparkContext.defaultParallelism
+
+
 def _pieces(rl: str, d: int) -> list[tuple[str, str]]:
     """SQL (length, start) expressions for the ``d + 1`` contiguous
     pieces of a length-``rl`` string: the first pieces get
@@ -309,6 +320,7 @@ def _edit_candidates(
     hot_product: int,
     refine_levels: int,
     salt_buckets: int,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Candidate pairs ``(a_id, b_id, a_s, b_s)`` (a_id < b_id,
     superset of all true pairs, may repeat) — the skew-aware candidate
@@ -325,7 +337,7 @@ def _edit_candidates(
     # configured shuffle width pins the stage width — the join reuses
     # the partitioning (no extra exchange) and explicit repartitions
     # are exempt from AQE coalescing by design.
-    sp = int(base.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sp = _shuffle_width(base.sparkSession)
 
     def _by_k(f: DataFrame, *extra: str) -> DataFrame:
         return f.repartition(sp, "k", *extra)
@@ -380,7 +392,11 @@ def _edit_candidates(
                 .withColumn("__idx", F.lit(False))
             )
             .join(hot, "k", "left_semi")
-            .localCheckpoint()
+        )
+        both_hot = (
+            both_hot.checkpoint(eager=True)
+            if checkpoint == "reliable"
+            else both_hot.localCheckpoint()
         )
         if not both_hot.take(1):
             # nothing hot: join everything here, recursion over.
@@ -468,6 +484,7 @@ def edit_distance_join(
     hot_product: int = 16_000_000,
     refine_levels: int = 6,
     salt_buckets: int = 32,
+    checkpoint: str = "local",
 ) -> "DataFrame":
     """All pairs with Levenshtein distance <= ``max_dist`` — the
     STRING-similarity complement of the token-set join above, via the
@@ -523,7 +540,24 @@ def edit_distance_join(
     reduced aggregation; refinement levels touch only still-hot
     postings. At 100 TB the joins hash-partition like any equi-join
     and no task ever sees a cross product or an unsplit hot group.
+
+    NOT a lazy transformation: the adaptive skew loop runs small
+    eager actions at CALL time (one map-side-combinable hot-key count
+    probe per refinement level, plus a ``take(1)`` termination
+    check), and hot posting frames are checkpointed per level to keep
+    the logical plan flat. With the default ``checkpoint="local"``
+    those snapshots live on executor local disk and are
+    NON-RECOMPUTABLE — an executor loss mid-query fails the job
+    instead of recomputing lineage (fine for interactive/short jobs).
+    For long-running production jobs pass ``checkpoint="reliable"``
+    to persist level snapshots to the fault-tolerant checkpoint
+    directory instead (requires
+    ``spark.sparkContext.setCheckpointDir(...)``; costs one
+    HDFS/object-store write per refinement level, which only
+    still-hot postings reach).
     """
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError("checkpoint must be 'local' or 'reliable'")
     if not 1 <= max_dist <= 6:
         raise ValueError("max_dist must be in [1, 6]")
     if hot_product < 1 or refine_levels < 0 or salt_buckets < 1:
@@ -536,7 +570,7 @@ def edit_distance_join(
     ).filter(F.col("__s").isNotNull())
 
     cand = _edit_candidates(
-        base, d, hot_product, refine_levels, salt_buckets
+        base, d, hot_product, refine_levels, salt_buckets, checkpoint
     )
 
     # short-string side channel (length <= d: segmentation impossible;

@@ -116,10 +116,18 @@ def funnel_stateful_buffered(
     type_col: str = "event_type",
     ts_col: str = "ts",
     horizon_us: int = 600_000_000,
+    watermark_delay_us: int | None = None,
 ):
     """Watermark-buffered per-user streaming funnel: tolerates events
     arriving out of order within ``horizon_us`` (microseconds) of the
-    user's max observed event time.
+    user's max observed event time — PROVIDED each event also clears
+    the stream's GLOBAL watermark (delay ``watermark_delay_us``,
+    default ``horizon_us``): an event more than the delay behind the
+    global max event time is dropped by Spark before it reaches the
+    fold, even when its own user lags. Raise ``watermark_delay_us``
+    above ``horizon_us`` to give slow users cross-user slack without
+    widening the per-user reorder window (only cost: a later
+    quiet-user flush).
 
     Folding rule: an event is final — and only then folded into the
     greedy walk, in (event-time, type) order, matching the batch
@@ -146,6 +154,10 @@ def funnel_stateful_buffered(
         raise ValueError("funnel needs at least one step")
     if horizon_us < 0:
         raise ValueError("horizon_us must be >= 0")
+    if watermark_delay_us is None:
+        watermark_delay_us = horizon_us
+    if watermark_delay_us < horizon_us:
+        raise ValueError("watermark_delay_us must be >= horizon_us")
     key_type = df.schema[user_col].dataType.simpleString()
     out_schema = (
         f"{user_col} {key_type}, stage long, bound_ts timestamp, "
@@ -223,7 +235,9 @@ def funnel_stateful_buffered(
         )
 
     return (
-        df.withWatermark(ts_col, f"{max(horizon_us, 0)} microseconds")
+        df.withWatermark(
+            ts_col, f"{max(watermark_delay_us, 0)} microseconds"
+        )
         .groupBy(user_col)
         .applyInPandasWithState(
             fn,

@@ -84,6 +84,20 @@ class BottomKSampler:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= self.low or batch_id in self.seen:
             return  # redelivered after recovery: already merged
+        # Compaction invariant, made explicit: everything at or below
+        # ``low`` is treated as seen, which is only sound if batch ids
+        # are contiguous-monotone (structured streaming's foreachBatch
+        # contract — redelivery is only ever the LAST batch). A
+        # genuinely NEW id must therefore exceed every id seen so far;
+        # anything else means the source violated the contract and the
+        # low-watermark may have silently swallowed an unseen batch.
+        if self.seen and batch_id < max(self.seen):
+            raise ValueError(
+                f"exact-k sampler: non-monotone new batch_id {batch_id} "
+                f"(max seen {max(self.seen)}, low watermark {self.low}) — "
+                "foreachBatch ids must be contiguous-monotone for "
+                "seen-id compaction to be exactly-once"
+            )
         draw = F.md5(
             F.concat(
                 F.lit(self.seed + ":"), F.col(self.id_col).cast("string")

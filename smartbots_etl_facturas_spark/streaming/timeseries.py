@@ -249,6 +249,7 @@ def _buffered_fold_stream(
     fold_one,
     out_extra_schema: str,
     out_extra_names: list[str],
+    watermark_delay_us: int | None = None,
 ):
     """Shared machinery for the watermark-buffered ordered-fold
     family (EWMA / Holt / CUSUM buffered variants).
@@ -263,22 +264,27 @@ def _buffered_fold_stream(
     (None until the first fold) + frontier + the within-horizon
     buffer — bounded by one horizon's event volume per key, the
     watermarked-aggregation bound. Stream-final output equals the
-    batch twin over the union for ANY within-horizon shuffle.
+    batch twin over the union for any within-horizon shuffle,
+    PROVIDED each row also clears the stream's GLOBAL watermark
+    (delay = ``watermark_delay_us``, default ``horizon_us``): a row
+    more than that delay behind the global max event time is dropped
+    by Spark before it reaches the fold, even when its own key's
+    frontier would still admit it. A key that lags other keys by more
+    than the delay therefore sees rows its batch twin would fold —
+    raise ``watermark_delay_us`` above ``horizon_us`` to give slow
+    keys cross-key slack without widening the per-key reorder window
+    (the only cost is a later quiet-key flush).
 
     QUIET-KEY FLUSH (round-9): the per-key frontier only advances on
     that key's own arrivals, so under ``NoTimeout`` a key that goes
     silent would hold its within-horizon tail forever and never emit
     it. The fold therefore runs under an EVENT-TIME timeout: the
-    stream carries a ``withWatermark(ts, horizon)`` and each update
-    arms a timeout at (newest buffered event + horizon); when the
-    GLOBAL watermark passes it, the state function fires with no
+    stream carries a ``withWatermark(ts, watermark_delay)`` and each
+    update arms a timeout at (newest buffered event + horizon); when
+    the GLOBAL watermark passes it, the state function fires with no
     input and folds/emits the whole buffer in order. Safe because
     any row that could still arrive is at or above the watermark,
-    i.e. newer than everything flushed. Side effect of the watermark
-    (standard semantics): a row later than ``horizon`` behind the
-    GLOBAL max event time is dropped by Spark before reaching the
-    fold, even when its own key lags — the cross-key lateness bound
-    every watermarked operator has.
+    i.e. newer than everything flushed.
 
     ``fold_one(state_tuple_or_None, x) -> (state_tuple, out_tuple)``
     defines the recurrence; it must be pure integer arithmetic so the
@@ -288,6 +294,12 @@ def _buffered_fold_stream(
 
     if horizon_us < 0:
         raise ValueError("horizon_us must be >= 0")
+    if watermark_delay_us is None:
+        watermark_delay_us = horizon_us
+    if watermark_delay_us < horizon_us:
+        # a global delay tighter than the per-key horizon would drop
+        # rows the frontier still admits — never a sane configuration.
+        raise ValueError("watermark_delay_us must be >= horizon_us")
     key_type = df.schema[key_col].dataType.simpleString()
     out_schema = (
         f"{key_col} {key_type}, {ts_col} timestamp, "
@@ -392,9 +404,9 @@ def _buffered_fold_stream(
                 data[name] = [vals[i] for vals in out_extra]
             yield pd.DataFrame(data)
 
-    horizon_interval = f"{max(horizon_us, 0)} microseconds"
+    delay_interval = f"{max(watermark_delay_us, 0)} microseconds"
     return (
-        df.withWatermark(ts_col, horizon_interval)
+        df.withWatermark(ts_col, delay_interval)
         .groupBy(key_col)
         .applyInPandasWithState(
             fn, out_schema, state_schema, "append",
@@ -411,6 +423,7 @@ def ewma_stateful_buffered(
     alpha_denom: int = 4,
     tie_col: str | None = None,
     horizon_us: int = 600_000_000,
+    watermark_delay_us: int | None = None,
 ):
     """Watermark-buffered streaming EWMA — :func:`ewma_stateful`'s
     recurrence under the buffered ordered-fold contract (see
@@ -432,6 +445,7 @@ def ewma_stateful_buffered(
 
     return _buffered_fold_stream(
         df, key_col, ts_col, units_col, tie_col, horizon_us,
+        watermark_delay_us=watermark_delay_us,
         state_extra_schema="acc long", n_state=1, fold_one=fold,
         out_extra_schema="ewma_units long", out_extra_names=["ewma_units"],
     )
@@ -446,6 +460,7 @@ def holt_stateful_buffered(
     beta_denom: int = 8,
     tie_col: str | None = None,
     horizon_us: int = 600_000_000,
+    watermark_delay_us: int | None = None,
 ):
     """Watermark-buffered streaming Holt — :func:`holt_stateful`'s
     coupled (level, trend) recurrences under the buffered
@@ -469,6 +484,7 @@ def holt_stateful_buffered(
 
     return _buffered_fold_stream(
         df, key_col, ts_col, units_col, tie_col, horizon_us,
+        watermark_delay_us=watermark_delay_us,
         state_extra_schema="lvl long, trd long", n_state=2, fold_one=fold,
         out_extra_schema=(
             "level_units long, trend_units long, forecast_units long"
@@ -486,6 +502,7 @@ def cusum_stateful_buffered(
     units_col: str = "x_units",
     tie_col: str | None = None,
     horizon_us: int = 600_000_000,
+    watermark_delay_us: int | None = None,
 ):
     """Watermark-buffered streaming CUSUM — :func:`cusum_stateful`'s
     drift recurrence ``s = max(0, s + (x - target - slack))`` under
@@ -500,6 +517,7 @@ def cusum_stateful_buffered(
 
     return _buffered_fold_stream(
         df, key_col, ts_col, units_col, tie_col, horizon_us,
+        watermark_delay_us=watermark_delay_us,
         state_extra_schema="s long", n_state=1, fold_one=fold,
         out_extra_schema="cusum_units long", out_extra_names=["cusum_units"],
     )

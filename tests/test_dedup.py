@@ -456,3 +456,25 @@ def test_apply_span_cuts_redacts_exact_ranges(spark):
     assert got[2].n_tokens_removed == 12
     assert got[3].clean_text == "one two three"  # untouched but normalized
     assert got[3].n_tokens_removed == 0 and got[3].n_tokens_kept == 3
+
+
+def test_apply_span_cuts_null_text_raises(spark):
+    """NULL text fails fast naming the document (round-9 fail-fast
+    discipline) instead of silently yielding empty clean_text with
+    NULL counts."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from smartbots_etl_facturas_spark.operators.dedup import (
+        apply_span_cuts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "doc_id long, text string"
+    )
+    runs = spark.createDataFrame(
+        [], "doc_id long, start_pos long, end_pos long"
+    )
+    with pytest.raises(Exception) as ei:
+        apply_span_cuts(df, runs).collect()
+    assert "apply_span_cuts" in str(ei.value)
+    assert "doc_id=2" in str(ei.value)

@@ -450,3 +450,53 @@ def test_quiet_user_funnel_flushes_on_event_time_timeout(spark, tmp_path):
         latest[r.user_id] = r
     assert latest[2].stage == 2 and latest[2].n_buffered == 0
     assert latest[2].bound_ts == _ts(1)
+
+
+def test_bottom_k_sampler_rejects_non_monotone_new_batch_id(spark, tmp_path):
+    """Seen-id compaction is only exactly-once when batch ids are
+    contiguous-monotone (the foreachBatch contract); a NEW id below
+    max(seen) means the low-watermark may have swallowed an unseen
+    batch, so the sampler raises instead of silently merging."""
+    import pytest
+    from smartbots_etl_facturas_spark.streaming.sampling import (
+        BottomKSampler,
+    )
+
+    mon = BottomKSampler("doc_id", ["lang"], k=5,
+                         state_dir=str(tmp_path / "st"))
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    mon(df, 0)
+    mon(df, 5)
+    mon(df, 5)  # exact redelivery of the last id: fine, no-op
+    with pytest.raises(ValueError, match="non-monotone"):
+        mon(df, 3)  # new id below max(seen): contract violation
+
+
+def test_buffered_fold_watermark_delay_validation(spark):
+    """watermark_delay_us below horizon_us would let the GLOBAL
+    watermark drop rows the per-key frontier still admits — rejected;
+    a larger delay is accepted (plan builds)."""
+    import pytest
+    from smartbots_etl_facturas_spark.streaming.timeseries import (
+        ewma_stateful_buffered,
+    )
+    from smartbots_etl_facturas_spark.streaming.funnel import (
+        funnel_stateful_buffered,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value AS user_id", "timestamp AS ts",
+                    "value AS x_units", "'a' AS event_type")
+    )
+    with pytest.raises(ValueError, match="watermark_delay_us"):
+        ewma_stateful_buffered(stream, horizon_us=10_000_000,
+                               watermark_delay_us=5_000_000)
+    with pytest.raises(ValueError, match="watermark_delay_us"):
+        funnel_stateful_buffered(stream, ["a"], horizon_us=10_000_000,
+                                 watermark_delay_us=5_000_000)
+    # decoupled delay > horizon: both plans build
+    ewma_stateful_buffered(stream, horizon_us=10_000_000,
+                           watermark_delay_us=60_000_000)
+    funnel_stateful_buffered(stream, ["a"], horizon_us=10_000_000,
+                             watermark_delay_us=60_000_000)
