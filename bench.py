@@ -22,167 +22,82 @@ sys.path.insert(0, REPO)
 import __spark_entry__ as entrymod
 from smartbots_etl_facturas_spark.session import get_spark
 
-HEADLINE = [
-    "flagship_consolidation",
-    "upsert_insert_only",
-    "upsert_full_status",
-    "reconciliation",
-    "validation_valid",
-    "dedup_first_wins",
-    "take_while",
-    "pricing_summary",
-    "top_customers",
-    "window_rank",
-    "rollup_sales",
-    "events_hourly",
-    "dedup_exact_docs",
-    "text_quality",
-    "doc_fingerprint",
-    "sessions",
-    "asof_enrich",
-    "range_join_counts",
-    "cube_sales",
-    "token_count",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "minhash_incremental",
-    "ann_bruteforce",
-    "dedup_embedding",
-    "multimodal_features",
-    # round-3 additions, sf-scaled only (no committed floor yet — the
-    # regression pin starts covering them the round after their first
-    # recording). The golden-fixture pipelines (xlsx_to_consolidated,
-    # invoice_extract_multi, png_image_pipeline) are deliberately NOT
-    # here: their runtime is constant fixture/jobs overhead, not
-    # data-scale throughput, and would drown the sf signal.
-    "ann_lsh",
-    "ann_ivf",
-    "sequence_packing",
-    "repetition_filter",
-    "embedding_quantize",
-    "benchmark_contamination",
-    # round-4 additions (floors recorded from the r04 session, normalized by its machine factor)
-    "line_dedup",
-    "lm_quality",
-    "bpe_merges",
-    "duplicate_spans",
-    "doc_chunks",
-    "tfidf_top_terms",
-    "bigram_pmi",
-    "temperature_resample",
-    "scd2_history",
-    "cohort_retention",
-    "regional_revenue",
-    "apply_changelog",
-    "bpe_segmentation",
-    "ann_pq",
-    # probe-only path against the persisted index; the index build is
-    # prewarmed below OUTSIDE the timed loop (build-once/probe-many:
-    # in a real deployment the build is a separate batch job)
-    "ann_pq_prebuilt",
-    "pagerank",
-    "ewma_values",
-    "corpus_curation_pipeline",
-    "training_examples_pipeline",
-    "incremental_agg",
-    "group_anomalies",
-    "vocab_coverage",
-    "similarity_join",
-    "event_runs",
-    "rolling_window_revenue",
-    "table_diff",
-    "attribution_last_touch",
-    # round-5 session-3 additions, sf-scaled only until their first
-    # floor recording
-    "triangle_count",
-    "nation_trade_volume",
-    "market_share",
-    "customer_distribution",
-    "large_orders",
-    "training_shards",
-    "curriculum_interleave",
-    "bloom_join_prune",
-    "hll_distinct",
-    "cms_heavy_hitters",
-    "join_cardinality_estimate",
-    "sample_exact_k",
-    "relational_division",
-    "sample_exact_k_per_group",
-    "winsorized_stats",
-    "k_core",
-    "mad_outliers",
-    "bm25_search",
-    "hll_incremental",
-    "bfs_reach",
-    # round-5 session-4 additions, sf-scaled only until their first
-    # floor recording
-    "sssp_weighted",
-    "incremental_join",
-    "event_transitions",
-    "cusum_changepoints",
-    "weighted_sample_k",
-    "token_drift",
-    "token_drift_total",
-    "exact_quantiles_qty",
-    "trend_slope_per_user",
-    "decile_lift",
-    "connected_components",
-    "bm25_prebuilt",
-    "spend_gini",
-    "stickiness_dau_wau",
-    "embedding_project",
-    "important_parts",
-    "idle_customers",
-    "connected_components_star",
-    "event_trigrams",
-    # round-7 additions, sf-scaled only until their first floor recording
-    "spatial_radius_join",
-    "kll_quantiles",
-    "kmv_set_cardinality",
-    "topk_two_pass",
-    "psi_drift",
-    "chi_square_cells",
-    "fd_violations",
-    "column_profile",
-    "acf_daily_orders",
-    "corr_matrix",
-    "categorical_entropy",
-    "mi_cells",
-    "key_skew_topk",
-    "frequent_pairs",
-    "seasonal_dow",
-    "linreg_price",
-    "bm25_incremental",
-    "hll_by_group",
-    "impute_median",
-    "fx_normalize",
-    "ar_aging",
-    "benford_digits",
-    "rfm_segments",
-    "group_mode",
-    "embedding_drift",
-    "forecast_revenue",
-    "promo_revenue",
-    "small_qty_revenue",
-    "top_supplier_revenue",
-    "disjunctive_revenue",
-    "interarrival_histogram",
-    "decayed_revenue",
-    # round-8 additions
-    "column_profile_approx",
-    "returned_items",
-    "priority_late_orders",
-    "blocking_suppliers",
-    "holt_trend",
-    "edit_distance_pairs",
-    # round-9 additions
-    "edit_distance_pairs_d2",
-    "min_cost_supplier",
-    "dormant_high_balance",
-    "customer_order_distribution",
-    "supplier_part_offering",
-    "promotion_candidate_suppliers",
-]
+# Registry-derived bench set (round-10, VERDICT r9 #1): every query in
+# __spark_entry__.queries() is benched — and therefore floor-armed by
+# scripts/refloat_floors.py + the coverage gate below — unless EXCLUDED
+# documents why its wall time is not a data-scale signal. Three rounds
+# running (r8: holt_trend/edit_distance_pairs; r9: the span pair),
+# queries registered after the floor commit shipped unarmed against the
+# regression tripwire; deriving the set from the registry makes that
+# structurally impossible: a new queries() entry is benched the moment
+# it lands or it must carry an exclusion reason here, and
+# scripts/check_floor_coverage.py (run by run_all_checks.sh and pinned
+# by tests/test_bench_coverage.py) fails the round gate otherwise.
+
+_FIXTURE = (
+    "fixture-constant: input is a generated golden fixture (constant "
+    "size at every sf), so wall time is job/fixture overhead, not "
+    "data-scale throughput — benching it would drown the sf signal "
+    "(the round-3 rationale, now per-query)"
+)
+_TWIN = (
+    "correctness twin: re-runs the production query PLUS an "
+    "oracle-grade ground-truth/invariant tier (brute force, exact "
+    "re-derivation), so its wall time double-counts the production "
+    "path, which is benched under its own name: "
+)
+
+EXCLUDED: dict[str, str] = {
+    # --- golden-fixture pipelines and parse goldens ---
+    "cleaners": _FIXTURE,
+    "consolidation_pipeline": _FIXTURE + " (deterministic 2-file scenario)",
+    "date_parse_golden": _FIXTURE,
+    "display_casts": _FIXTURE,
+    "excel_serial_golden": _FIXTURE,
+    "frame_sample": _FIXTURE + " (synthetic media payloads)",
+    "header_discovery": _FIXTURE,
+    "invoice_extract_errors": _FIXTURE,
+    "invoice_extract_golden": _FIXTURE,
+    "invoice_extract_multi": _FIXTURE,
+    "money_parse_golden": _FIXTURE,
+    "nullsafe_join": _FIXTURE + " (GOLDEN_NULLSAFE literal frame)",
+    "path_resolve": _FIXTURE,
+    "png_image_pipeline": _FIXTURE,
+    "report_mime": _FIXTURE,
+    "report_render": _FIXTURE,
+    "wav_audio_pipeline": _FIXTURE,
+    "xlsx_datasource_scan": _FIXTURE,
+    "xlsx_distributed": _FIXTURE,
+    "xlsx_to_consolidated": _FIXTURE,
+    # --- ground-truth / invariant twins of benched production paths ---
+    "ann_ivf_recall": _TWIN + "ann_ivf",
+    "ann_lsh_recall": _TWIN + "ann_lsh",
+    "ann_pq_prebuilt_recall": _TWIN + "ann_pq_prebuilt",
+    "ann_pq_recall": _TWIN + "ann_pq",
+    "approx_aggregates": _TWIN + "hll_distinct / kll_quantiles",
+    "bloom_prune_invariants": _TWIN + "bloom_join_prune",
+    "bpe_first_merge": _TWIN + "bpe_merges",
+    "bpe_merges_invariants": _TWIN + "bpe_merges",
+    "corr_matrix_decimal": _TWIN + "corr_matrix (guarded LONG tier)",
+    "fingerprint_invariants": _TWIN + "doc_fingerprint",
+    "minhash_incremental_precision": _TWIN + "minhash_incremental",
+    "minhash_precision": _TWIN + "minhash_lsh_pairs",
+    "reconciliation_broken": _TWIN + "reconciliation (error-injection)",
+    "rolling_fingerprint_invariants": _TWIN + "rolling_fingerprint",
+    "simhash_invariants": _TWIN + "simhash_docs",
+}
+
+
+def headline_queries(qs: dict) -> list[str]:
+    """The bench set: every registered query minus EXCLUDED. Raises if
+    EXCLUDED names a query that no longer exists, so a rename cannot
+    silently shrink coverage."""
+    stale = sorted(set(EXCLUDED) - set(qs))
+    if stale:
+        raise SystemExit(
+            f"bench.py EXCLUDED entries not in the registry: {stale}"
+        )
+    return sorted(set(qs) - set(EXCLUDED))
 
 
 def _force(df) -> None:
@@ -297,6 +212,7 @@ def main() -> None:
     spark = get_spark("smartbots-etl-facturas-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+    headline = headline_queries(qs)
 
     # warmup: JVM + codegen + parquet footer caches
     _force(qs["pricing_summary"](spark, sf_dir))
@@ -320,10 +236,8 @@ def main() -> None:
     # best-of-2 per query: single-shot timings on a shared machine are
     # ±30% noisy; the minimum is the reproducible cost of the plan
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is None:
-            continue
+    for name in headline:
+        fn = qs[name]
         best = None
         for _ in range(2):
             t0 = time.perf_counter()

@@ -17,6 +17,9 @@ step() {
 step "testdata schema drift (fails fast on harness regeneration)" \
   python scripts/check_schemas.py
 
+step "floor coverage (every registered query armed or excluded)" \
+  python scripts/check_floor_coverage.py
+
 step "full pytest" \
   python -m pytest tests/ -q
 

@@ -1,0 +1,67 @@
+"""Structural perf-tripwire pins (VERDICT r9 #1): the bench query set
+derives from the registry, and every registered query either has a
+committed BENCH_FLOOR entry or a documented exclusion reason — so a new
+queries() entry can never ship unarmed against the regression gate
+(the r8/r9 recurring class: holt_trend, edit_distance_pairs, the span
+pair all landed after the floor commit and ran a full round
+unguarded).
+
+No SparkSession needed: everything here is registry/file introspection.
+"""
+
+import json
+import os
+
+import bench
+import __spark_entry__ as entrymod
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _floors():
+    with open(os.path.join(REPO, "BENCH_FLOOR.json")) as fh:
+        return json.load(fh)["queries"]
+
+
+def test_every_registered_query_armed_or_excluded():
+    """The gate itself: registered minus EXCLUDED ⊆ floored."""
+    qs = entrymod.queries()
+    headline = bench.headline_queries(qs)
+    floors = _floors()
+    unarmed = sorted(set(headline) - set(floors))
+    assert unarmed == [], (
+        f"registered queries with no floor and no exclusion: {unarmed} — "
+        "run scripts/refloat_floors.py --only-missing on a quiet box"
+    )
+
+
+def test_exclusions_name_real_queries_with_reasons():
+    """EXCLUDED cannot drift: every entry names a live registry query
+    and carries a non-trivial reason string."""
+    qs = entrymod.queries()
+    stale = sorted(set(bench.EXCLUDED) - set(qs))
+    assert stale == [], f"EXCLUDED names unknown queries: {stale}"
+    for name, reason in bench.EXCLUDED.items():
+        assert isinstance(reason, str) and len(reason) > 40, (
+            f"EXCLUDED[{name!r}] needs a real documented reason"
+        )
+
+
+def test_headline_derivation_rejects_stale_exclusions():
+    """A rename cannot silently shrink coverage: headline_queries
+    raises when EXCLUDED names a query that no longer exists."""
+    import pytest
+
+    with pytest.raises(SystemExit, match="EXCLUDED"):
+        bench.headline_queries({"only_query": lambda s, d: None})
+
+
+def test_no_stale_floors():
+    """Every floor entry is a registered query or a bench-generated
+    fixture series (skew pair / multifile controls)."""
+    from scripts.check_floor_coverage import FIXTURE_SERIES
+
+    qs = entrymod.queries()
+    floors = _floors()
+    stale = sorted(set(floors) - set(qs) - FIXTURE_SERIES)
+    assert stale == [], f"floors for unknown queries: {stale}"
