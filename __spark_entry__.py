@@ -1323,12 +1323,72 @@ def q_ann_ivf(spark, sf_dir):
                            k=5, n_cells=16, nprobe=10, train_iters=3)
 
 
+def _minhash_md5_bkt_sql(p: str, src: str) -> str:
+    """Prefixed CTE chain re-deriving the md5-portable banded-LSH
+    buckets of ``src`` (columns doc_id, text) in DuckDB — the SQL twin
+    of operators/dedup.py:lsh_band_buckets(hash_fn='md5'). ``p``
+    prefixes every CTE name so two sides (corpus + delta) can coexist
+    in one WITH."""
+    return rf"""
+{p}w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM {src}),
+{p}pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+           FROM {p}w WHERE len(w) >= 3),
+{p}sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM {p}pos),
+{p}sizes AS (SELECT doc_id, count(*) AS set_size FROM {p}sh GROUP BY 1),
+{p}mh AS (
+  SELECT doc_id, seeds.seed,
+         min(md5(CAST(seeds.seed AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM {p}sh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS seed) seeds
+  GROUP BY 1, 2),
+{p}bkt AS (
+  SELECT doc_id, CAST(seed % 8 AS INTEGER) AS band,
+         md5(string_agg(CAST(seed AS VARCHAR) || ':' || minhash, ','
+                        ORDER BY CAST(seed AS VARCHAR) || ':' || minhash))
+           AS bucket
+  FROM {p}mh GROUP BY doc_id, band)
+"""
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup candidate pairs, exact-Jaccard verified
-    (no oracle: xxhash64 bit patterns are engine-specific; recall vs
-    the exact pair set is asserted in tests/test_dedup.py)."""
+    """MinHash+LSH near-dup candidate pairs, exact-Jaccard verified,
+    md5-portable tier (round-10, the simhash_docs precedent): the
+    permutations are ``md5(seed || ':' || shingle)`` with the min
+    taken lexicographically over the fixed-width hex, and the band
+    bucket is the md5 of the sorted (seed:minhash) list — bit-identical
+    in DuckDB, so the ENTIRE pipeline (sketch → band → candidate join →
+    exact-Jaccard verify) is value-oracled, not just invariants. The
+    xxhash64 fast tier stays the production default in
+    operators/dedup.py with recall/stability pytest coverage
+    (tests/test_dedup.py)."""
     return minhash_lsh_pairs(_augmented_docs(spark, sf_dir),
-                             num_hashes=32, bands=8, threshold=0.1)
+                             num_hashes=32, bands=8, threshold=0.1,
+                             hash_fn="md5")
+
+
+SQL_MINHASH_LSH_PAIRS = rf"""
+WITH {_AUGMENTED_DOCS_SQL},
+{_minhash_md5_bkt_sql("a", "aug")},
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM abkt x JOIN abkt y USING (band, bucket)
+  WHERE x.doc_id < y.doc_id),
+inter AS (
+  SELECT id_a, id_b, count(*) AS n_common
+  FROM cand
+  JOIN ash sa ON sa.doc_id = id_a
+  JOIN ash sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(n_common AS DOUBLE)
+         / CAST(za.set_size + zb.set_size - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN asizes za ON za.doc_id = id_a
+JOIN asizes zb ON zb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE)
+        / CAST(za.set_size + zb.set_size - n_common AS DOUBLE) >= 0.1
+"""
 
 
 def q_simhash_docs(spark, sf_dir):
@@ -1361,7 +1421,11 @@ def ensure_minhash_index(spark, sf_dir: str) -> str:
         corpus = _read(spark, sf_dir, "documents").select(
             "doc_id", "text"
         ).filter(F.col("doc_id") % 10 == 0)
-        build_minhash_index(corpus, base, num_hashes=32, bands=8)
+        # md5-portable tier (round-10) so the incremental probe is
+        # value-oracled end to end; the hash_fn is pinned in the
+        # index's meta table and the probe reads it from there
+        build_minhash_index(corpus, base, num_hashes=32, bands=8,
+                            hash_fn="md5")
         _MINHASH_INDEX_CACHE[sf_dir] = base
     return base
 
@@ -1374,8 +1438,11 @@ def q_minhash_incremental(spark, sf_dir):
     the stored corpus postings and are exact-Jaccard verified against
     candidate docs' text only. O(|delta| + candidates) per batch, the
     ingest-loop shape a 100 TB pipeline needs (no per-batch corpus
-    re-sketch). Rows-only (engine-specific xxhash64 buckets); the
-    oracle-checked companion is minhash_incremental_precision."""
+    re-sketch). md5-portable tier (round-10): the oracle re-derives
+    the whole index-build + probe — corpus postings, delta sketch,
+    bucket join, exact verify — so the query is VALUE-oracled;
+    minhash_incremental_precision stays as the spanning-pair-set
+    invariant companion."""
     from smartbots_etl_facturas_spark.operators.dedup_index import (
         minhash_match_against_index,
     )
@@ -1390,14 +1457,44 @@ def q_minhash_incremental(spark, sf_dir):
     return minhash_match_against_index(delta, corpus, base, threshold=0.1)
 
 
+
+SQL_MINHASH_INCREMENTAL = rf"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+delta AS (SELECT doc_id + 1000000 AS doc_id,
+                 regexp_replace(text, 'the', 'teh', 'g') AS text
+          FROM documents WHERE doc_id % 20 = 0),
+{_minhash_md5_bkt_sql("c", "corpus")},
+{_minhash_md5_bkt_sql("d", "delta")},
+cand AS (
+  SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
+  FROM dbkt d JOIN cbkt c USING (band, bucket)
+  WHERE d.doc_id != c.doc_id),
+inter AS (
+  SELECT delta_id, corpus_id, count(*) AS n_common
+  FROM cand
+  JOIN dsh ON dsh.doc_id = delta_id
+  JOIN csh ON csh.doc_id = corpus_id AND csh.shingle = dsh.shingle
+  GROUP BY 1, 2)
+SELECT delta_id, corpus_id,
+       CAST(n_common AS DOUBLE)
+         / CAST(zd.set_size + zc.set_size - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN dsizes zd ON zd.doc_id = delta_id
+JOIN csizes zc ON zc.doc_id = corpus_id
+WHERE CAST(n_common AS DOUBLE)
+        / CAST(zd.set_size + zc.set_size - n_common AS DOUBLE) >= 0.1
+"""
+
+
 def q_minhash_incremental_precision(spark, sf_dir):
     """Driver-checkable invariants of the incremental-index tier over
     the SPANNING (corpus, delta) pair set: precision is 1 by
     construction (exact verification before emission), so matches at
     j>=0.5 absent from the exact spanning pair set must number 0; and
     every perturbed copy collides with its original in >=1 of 8 bands
-    w.h.p., so recall >=0.9 — deterministic given the fixed xxhash64
-    seeds. ``n_exact`` is genuinely recomputed by the oracle."""
+    w.h.p., so recall >=0.9 — deterministic given the fixed hash-seed
+    permutations (md5-portable tier since round 10). ``n_exact`` is
+    genuinely recomputed by the oracle."""
     aug = _augmented_docs(spark, sf_dir)
     exact = (
         ngram_jaccard_pairs(aug, threshold=0.5)
@@ -4608,7 +4705,15 @@ def q_corpus_curation_pipeline(spark, sf_dir):
     engine's own operator (functions/text.py, operators/dedup-style
     window dedup, the hash_split rule); the oracle re-derives the
     entire chain in SQL, so the STAGE COMPOSITION — not just each
-    stage — is value-checked."""
+    stage — is value-checked.
+
+    Round-10: the span-dedup REMOVAL pass (Lee et al. 2021 — detect:
+    8-token windows duplicated corpus-wide among the kept docs; merge:
+    island runs; remove: apply_span_cuts) now runs COMPOSED between
+    exact dedup and the split report, so the per-split token mass is
+    post-redaction (`total_tokens` = kept, `redacted_tokens` = cut) —
+    the r9 operators exercised inside the pipeline, not only
+    standalone."""
     # Per-doc gate statistics via EXPLODE + AGGREGATION, not per-row
     # array HOF trees: the HOF form (see repetition_filter, kept as
     # the single-stage demonstrator) is O(distinct*n) interpreted per
@@ -4665,17 +4770,32 @@ def q_corpus_curation_pipeline(spark, sf_dir):
         .withColumn("__rn", F.row_number().over(w_dig))
         .filter(F.col("__rn") == 1)
     )
+    # Stage 4 (round-10): span-dedup removal over the KEPT docs —
+    # detect corpus-wide duplicated 8-token windows, merge to maximal
+    # runs, cut them out. Token accounting downstream is
+    # post-redaction: n_tokens_kept + n_tokens_removed == n_tokens by
+    # apply_span_cuts' contract, so the report stays self-checking.
+    from smartbots_etl_facturas_spark.operators.dedup import (
+        apply_span_cuts,
+        duplicate_span_runs,
+    )
+
+    kept_docs = stage3.select("doc_id", "text")
+    runs = duplicate_span_runs(kept_docs, window=8, min_occurrences=2)
+    red = apply_span_cuts(kept_docs, runs)
     return (
-        stage3.select(
+        red.select(
             _hash_split_col(F.col("doc_id")).alias("split"),
             "doc_id",
-            F.col("n_tokens").alias("__tok"),
+            F.col("n_tokens_kept").alias("__tok"),
+            F.col("n_tokens_removed").alias("__cut"),
         )
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("doc_id").alias("id_sum"),
             F.sum("__tok").alias("total_tokens"),
+            F.sum("__cut").alias("redacted_tokens"),
         )
     )
 
@@ -4709,17 +4829,52 @@ keep2 AS (
   SELECT doc_id, text, n FROM rep
   WHERE NOT (top_frac > 0.2 OR dup_frac > 0.5)),
 dedup AS (
-  SELECT doc_id, n,
+  SELECT doc_id, text, n,
          row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
   FROM keep2),
-kept AS (SELECT doc_id, n FROM dedup WHERE rn = 1)
+kept AS (SELECT doc_id, text, n FROM dedup WHERE rn = 1),
+ktoks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM kept),
+kspans AS (
+  SELECT doc_id, i - 1 AS start_pos,
+         md5(array_to_string(w[i : i + 7], ' ')) AS span_hash
+  FROM ktoks, unnest(range(1, greatest(len(w) - 6, 1))) AS t(i)
+  WHERE len(w) >= 8),
+khot AS (
+  SELECT doc_id, start_pos
+  FROM kspans
+  WHERE span_hash IN (
+    SELECT span_hash FROM kspans GROUP BY 1 HAVING count(*) >= 2)),
+kruns AS (
+  SELECT doc_id, min(start_pos) AS s, max(start_pos) + 8 AS e
+  FROM (
+    SELECT doc_id, start_pos,
+           sum(CASE WHEN prev IS NULL OR start_pos - prev > 1
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY start_pos) AS run_id
+    FROM (SELECT doc_id, start_pos,
+                 lag(start_pos) OVER (PARTITION BY doc_id
+                                      ORDER BY start_pos) AS prev
+          FROM khot))
+  GROUP BY doc_id, run_id),
+kcuts AS (
+  SELECT doc_id, list({'s': s, 'e': e}) AS cl FROM kruns GROUP BY doc_id),
+kred AS (
+  SELECT t.doc_id, t.w,
+         list_filter(t.w, (tok, i) ->
+           len(list_filter(coalesce(c.cl,
+                 CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+               cc -> i - 1 >= cc.s AND i - 1 < cc.e)) = 0
+         ) AS kw
+  FROM ktoks t LEFT JOIN kcuts c ON t.doc_id = c.doc_id)
 SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
             ELSE 'test' END AS split,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(doc_id) AS BIGINT) AS id_sum,
-       CAST(sum(n) AS BIGINT) AS total_tokens
-FROM kept GROUP BY 1
+       CAST(sum(len(kw)) AS BIGINT) AS total_tokens,
+       CAST(sum(len(w) - len(kw)) AS BIGINT) AS redacted_tokens
+FROM kred GROUP BY 1
 """
 
 
@@ -12263,6 +12418,8 @@ _ORACLES: dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "summary_row_filter": SQL_SUMMARY_ROW_FILTER,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+    "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "minhash_incremental": SQL_MINHASH_INCREMENTAL,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "events_sliding": SQL_EVENTS_SLIDING,
     "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,

@@ -16,6 +16,69 @@ sys.path.insert(0, REPO)
 import __spark_entry__ as entry
 
 
+# Why each rows-only query has NO DuckDB value oracle — the auditable
+# residue the round-9 verdict asked for. Validated against the live
+# registry at render time (see the Rows-only residue section): the set
+# of notes must EXACTLY equal the set of registered queries without an
+# oracle_sql entry. The md5-portable precedent (simhash_docs,
+# rolling_fingerprint in r9; minhash_lsh_pairs, minhash_incremental in
+# r10) shows hash-engine specificity is fixable — these five are not
+# that class: each depends on a floating-point iterative fit or a
+# greedy global argmax loop that no single SQL statement reproduces.
+ROWS_ONLY_NOTES: dict[str, str] = {
+    "ann_lsh": (
+        "The random-hyperplane projections are deterministic (seeded) "
+        "but FLOAT dot-product sign decisions over 64-dim vectors; "
+        "reproducing the exact bucket assignment in DuckDB would "
+        "require bit-identical float summation order, which neither "
+        "engine pins (Spark codegen may fuse, DuckDB vectorizes). The "
+        "output is additionally top-k of an approximate candidate "
+        "set, so any boundary-bucket divergence changes rows. "
+        "Correctness is pinned by `ann_lsh_recall` (value-oracled "
+        "recall vs the exact `ann_bruteforce` neighbors, floor 0.8 "
+        "driver-checked) and tests/test_similarity.py."
+    ),
+    "ann_ivf": (
+        "IVF cells come from distributed k-means — an ITERATIVE "
+        "floating-point fit (Lloyd rounds over DataFrame aggs). A SQL "
+        "oracle would have to replay every round bit-identically "
+        "including float centroid means; recursive CTEs cannot carry "
+        "float state deterministically across engines. Pinned by "
+        "`ann_ivf_recall` (value-oracled vs brute force) and "
+        "tests/test_similarity.py."
+    ),
+    "ann_pq": (
+        "Product-quantization codebooks are per-subspace k-means fits "
+        "(same iterative-float class as ann_ivf), and ADC scores are "
+        "sums of 16 float LUT lookups whose exact values depend on "
+        "the trained codebooks. Pinned by `ann_pq_recall` "
+        "(value-oracled recall floor vs brute force) and "
+        "tests/test_pq.py."
+    ),
+    "ann_pq_prebuilt": (
+        "Probe-only twin of ann_pq against the PERSISTED index: "
+        "inherits the trained-codebook dependency (the index is built "
+        "once per process from the same k-means fit), so the same "
+        "iterative-float argument applies. Pinned by "
+        "`ann_pq_prebuilt_recall` (value-oracled) plus the "
+        "probe-never-retrains plan assertions in tests/test_pq.py."
+    ),
+    "bpe_merges": (
+        "BPE training is a GREEDY GLOBAL LOOP: each round's winning "
+        "pair depends on all previous merges (argmax over a "
+        "recomputed pair-count table with lexicographic tie-break), "
+        "8 rounds deep. SQL has no fixpoint-with-argmax recursion "
+        "that DuckDB executes deterministically in one statement; a "
+        "WITH RECURSIVE would need the whole merge table as carried "
+        "state per round. Pinned by `bpe_first_merge` (round 1 IS "
+        "SQL-expressible and value-oracled) plus "
+        "`bpe_merges_invariants` (value-oracled full-depth boolean: "
+        "dense ranks, merged = left||right, min-count threshold, "
+        "non-increasing winner counts) and tests/test_bpe.py."
+    ),
+}
+
+
 def first_sentence(doc: str | None) -> str:
     if not doc:
         return ""
@@ -171,6 +234,34 @@ def render() -> str:
     for name in sorted(qs):
         mark = "value" if name in osql else "rows-only"
         lines.append(f"| `{name}` | {mark} | {first_sentence(qs[name].__doc__)} |")
+
+    rows_only = sorted(set(qs) - set(osql))
+    missing = sorted(set(rows_only) - set(ROWS_ONLY_NOTES))
+    stale = sorted(set(ROWS_ONLY_NOTES) - set(rows_only))
+    if missing or stale:
+        raise SystemExit(
+            f"ROWS_ONLY_NOTES out of sync: missing note for {missing}, "
+            f"stale notes {stale} — every rows-only query needs an "
+            "auditable why-no-oracle paragraph (or became oracle-able "
+            "and its note must go)"
+        )
+    lines += [
+        "",
+        "## Rows-only residue (why no value oracle is expressible)",
+        "",
+        "Every rows-only query below carries the exact reason a DuckDB "
+        "value oracle cannot reproduce its output, plus the "
+        "oracle-checked companion that pins its correctness instead. "
+        "This list is validated at generation time against the live "
+        "registry: a new rows-only query without a note (or a note for "
+        "a query that became oracle-able — the round-9 md5-tier "
+        "precedent converted simhash_docs/rolling_fingerprint, round "
+        "10 converted minhash_lsh_pairs/minhash_incremental) fails "
+        "the build.",
+        "",
+    ]
+    for name in rows_only:
+        lines.append(f"- **`{name}`** — {ROWS_ONLY_NOTES[name]}")
     return "\n".join(lines) + "\n"
 
 

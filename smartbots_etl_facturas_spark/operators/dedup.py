@@ -102,18 +102,36 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, seed, minhash) — num_hashes independent permutations
-    simulated by seeding xxhash64 with the seed literal.
+    simulated by hashing each shingle together with the seed literal.
+
+    ``hash_fn``: ``"xxhash64"`` (default — the fast JVM hash, the
+    production tier; minhash is a LONG) or ``"md5"`` (portable tier:
+    ``md5(seed || ':' || shingle)`` hex digest, min taken
+    LEXICOGRAPHICALLY over the fixed-width lowercase hex — identical
+    in any engine with md5, so the whole LSH pipeline downstream is
+    DuckDB value-oracle-checkable; minhash is a STRING). Same
+    min-permutation estimator either way — only the permutation
+    family changes.
 
     The seeds frame is tiny and broadcast; min-aggregation is
     map-side-combinable, so the shuffle carries one row per (doc, seed).
     """
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
     sh = doc_shingles(df, text_col, id_col, shingle_n)
     seeds = df.sparkSession.range(num_hashes).select(F.col("id").alias("seed"))
+    h = (
+        F.xxhash64(F.col("shingle"), F.col("seed"))
+        if hash_fn == "xxhash64"
+        else F.md5(F.concat_ws(":", F.col("seed").cast("string"),
+                               F.col("shingle")))
+    )
     return (
         sh.crossJoin(F.broadcast(seeds))
-        .select(id_col, "seed", F.xxhash64(F.col("shingle"), F.col("seed")).alias("h"))
+        .select(id_col, "seed", h.alias("h"))
         .groupBy(id_col, "seed")
         .agg(F.min("h").alias("minhash"))
     )
@@ -126,24 +144,30 @@ def lsh_band_buckets(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, band, bucket): the banded LSH bucket keys — a pure
-    function of (text, num_hashes, bands, shingle_n) since the
-    permutations are fixed xxhash64 seeds, so two frames sketched
+    function of (text, num_hashes, bands, shingle_n, hash_fn) since
+    the permutations are fixed hash seeds, so two frames sketched
     with the same parameters land equal documents in equal buckets
     even across runs/processes. Shared by the in-query pair join
     (:func:`minhash_lsh_pairs`) and the persisted incremental index
-    (operators/dedup_index.py)."""
+    (operators/dedup_index.py). On the ``"md5"`` tier the bucket is
+    the md5 hex of the sorted (seed:minhash) list — engine-portable
+    end to end; on ``"xxhash64"`` it is the xxhash64 long (narrower
+    shuffle keys, the production tier)."""
     assert num_hashes % bands == 0
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n,
+                             hash_fn)
+    band_list = F.concat_ws(
+        ",", F.sort_array(F.collect_list(F.concat_ws(":", "seed", "minhash")))
+    )
+    bucket = (F.xxhash64(band_list) if hash_fn == "xxhash64"
+              else F.md5(band_list))
     return (
         sig.withColumn("band", (F.col("seed") % bands).cast("int"))
         .groupBy(id_col, "band")
-        .agg(
-            F.xxhash64(
-                F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "seed", "minhash"))))
-            ).alias("bucket")
-        )
+        .agg(bucket.alias("bucket"))
     )
 
 
@@ -155,16 +179,20 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.1,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs with exact verification.
 
     rows = bands × rows_per_band; a pair lands in the same bucket when
     one full band of minhashes agrees (P ≈ 1-(1-j^r)^b). Candidates are
     then verified with the EXACT Jaccard over shingles, so the output
-    has no false positives — LSH only bounds recall.
+    has no false positives — LSH only bounds recall. ``hash_fn="md5"``
+    runs the engine-portable permutation family (see
+    :func:`minhash_signatures`): same estimator, value-oracle-checkable
+    candidate set; ``"xxhash64"`` stays the production default.
     """
     banded = lsh_band_buckets(df, text_col, id_col, num_hashes, bands,
-                              shingle_n)
+                              shingle_n, hash_fn)
     ca = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     cb = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     candidates = (

@@ -13,7 +13,7 @@ O(|delta| + candidates), independent of corpus size outside the
 postings join.
 
 The bucket keys are a pure function of (text, num_hashes, bands,
-shingle_n) — fixed xxhash64 seed permutations, no RNG state — so
+shingle_n) — fixed hash-seed permutations (xxhash64 or portable md5, pinned in the meta table), no RNG state — so
 delta sketches computed in a later process match the stored postings
 exactly (operators/dedup.py:lsh_band_buckets). The index is
 self-describing: a 1-row meta table pins the sketch parameters, and
@@ -43,17 +43,20 @@ def build_minhash_index(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> dict[str, str]:
     """Persist the corpus's banded LSH postings (corpus_id, band,
     bucket) plus a 1-row parameter meta table; returns published
-    version ids."""
+    version ids. ``hash_fn`` (xxhash64 production / md5 portable —
+    see operators/dedup.py:minhash_signatures) is pinned in the meta
+    table so probes can never mix permutation families."""
     spark = corpus.sparkSession
     postings = lsh_band_buckets(
-        corpus, text_col, id_col, num_hashes, bands, shingle_n
+        corpus, text_col, id_col, num_hashes, bands, shingle_n, hash_fn
     ).select(F.col(id_col).alias("corpus_id"), "band", "bucket")
     meta = spark.createDataFrame(
-        [(num_hashes, bands, shingle_n)],
-        "num_hashes int, bands int, shingle_n int",
+        [(num_hashes, bands, shingle_n, hash_fn)],
+        "num_hashes int, bands int, shingle_n int, hash_fn string",
     )
     return {
         "postings": publish(postings, os.path.join(base, "postings")),
@@ -61,9 +64,12 @@ def build_minhash_index(
     }
 
 
-def _index_params(spark: SparkSession, base: str) -> tuple[int, int, int]:
+def _index_params(spark: SparkSession, base: str) -> tuple[int, int, int, str]:
     r = read_published(spark, os.path.join(base, "meta")).collect()[0]
-    return int(r.num_hashes), int(r.bands), int(r.shingle_n)
+    # hash_fn landed in round 10; indexes published before then are
+    # xxhash64 by construction
+    hash_fn = getattr(r, "hash_fn", None) or "xxhash64"
+    return int(r.num_hashes), int(r.bands), int(r.shingle_n), hash_fn
 
 
 def minhash_match_against_index(
@@ -79,11 +85,11 @@ def minhash_match_against_index(
     delta is sketched; the corpus contributes its stored postings and
     (for candidates only) its text."""
     spark = delta.sparkSession
-    num_hashes, bands, shingle_n = _index_params(spark, base)
+    num_hashes, bands, shingle_n, hash_fn = _index_params(spark, base)
     postings = read_published(spark, os.path.join(base, "postings"))
 
     d_b = lsh_band_buckets(
-        delta, text_col, id_col, num_hashes, bands, shingle_n
+        delta, text_col, id_col, num_hashes, bands, shingle_n, hash_fn
     ).select(F.col(id_col).alias("delta_id"), "band", "bucket")
     cand = (
         d_b.join(postings, on=["band", "bucket"])
