@@ -11,7 +11,6 @@ passed"). The PERF.md checklist, as a callable.
 
 from __future__ import annotations
 
-import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -28,67 +27,87 @@ class PlanReport:
     warnings: list[str] = field(default_factory=list)
 
 
-def _scan_info(line: str) -> dict:
-    cols = ""
-    m = re.search(r"FileScan \w+ \[([^\]]*)\]", line)
-    if m:
-        cols = m.group(1)
-    pushed = "PushedFilters: []" not in line and "PushedFilters: [" in line
+def _phys_children(node) -> list:
+    """children() of a JVM SparkPlan node as a Python list (py4j
+    renders Scala Seq with apply/size)."""
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def _scan_info(node) -> dict:
+    """Scan facts straight off the JVM node: output attribute names
+    (the pruned read projection) and the source-reported
+    PushedFilters / PartitionFilters metadata. V1 file scans carry the
+    metadata map; other scan nodes (DSv2 BatchScan, in-memory) report
+    what they expose and default the rest — absence of evidence is
+    reported as not-pushed, the conservative reading."""
+    out = node.output()
+    columns = [out.apply(i).name() for i in range(out.size())]
+    pushed = False
     parts = ""
-    m = re.search(r"PartitionFilters: \[([^\]]*)\]", line)
-    if m:
-        parts = m.group(1)
+    try:
+        md = node.metadata()
+        if md.contains("PushedFilters"):
+            pf = md.apply("PushedFilters")
+            pushed = pf.strip() not in ("[]", "")
+        if md.contains("PartitionFilters"):
+            parts = md.apply("PartitionFilters").strip().strip("[]")
+    except Exception:
+        pass  # scan node type without a metadata map
     return {
-        "columns": [c.split("#")[0] for c in cols.split(",") if c.strip()],
+        "columns": columns,
         "pushed_filters": pushed,
         "partition_filters": parts,
     }
 
 
-def _window_is_global(line: str) -> bool:
-    """True when a ``Window`` plan line has an EMPTY partition spec.
-
-    The physical node renders as ``Window [exprs], [partSpec],
-    [orderSpec]`` when partitioned and ``Window [exprs], [orderSpec]``
-    when global (the empty partition list is omitted). Matching the
-    node's TRAILING spec lists is robust against anything inside the
-    expression list — order keys that are casts/expressions render as
-    ``_w0#123 ASC`` or ``cast(x#1 as ...) ASC`` and defeated the old
-    first-argument regex (round-3 advice)."""
-    m = re.search(r"\], \[([^\[\]]*)\](?:, \[([^\[\]]*)\])?\s*$", line)
-    if not m:
-        # no trailing spec group at all: both partition and order
-        # specs are empty — an unpartitioned whole-input window
-        return True
-    if m.group(2) is not None:
-        # two trailing groups: group 1 is the partition spec
-        return m.group(1).strip() == ""
-    # one trailing group: it is the order spec (sort direction always
-    # prints) iff ASC/DESC present; a lone partition spec has neither
-    return bool(re.search(r"\b(ASC|DESC)\b", m.group(1)))
-
-
 def plan_report(df: DataFrame) -> PlanReport:
-    """Structured audit of the frame's executed physical plan."""
-    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
-    # node-anchored counts: ReusedExchange re-reads an existing
-    # exchange output (no new shuffle/broadcast), and a shuffle
-    # Exchange must not be conflated with BroadcastExchange
-    shuffle_exchanges = len(re.findall(r"\bExchange ", plan))
-    broadcast_exchanges = len(re.findall(r"\bBroadcastExchange\b", plan))
-    r = PlanReport(
-        exchanges=shuffle_exchanges,
-        broadcasts=broadcast_exchanges,
-        cartesian_products=plan.count("CartesianProduct"),
-        broadcast_nested_loop_joins=plan.count("BroadcastNestedLoopJoin"),
-    )
-    for line in plan.splitlines():
-        if "FileScan" in line:
-            r.scans.append(_scan_info(line))
-        # a Window whose partition spec is empty funnels every row
-        # through one task (the take_while guard, at plan level)
-        if re.search(r"\bWindow \[", line) and _window_is_global(line):
-            r.global_windows += 1
+    """Structured audit of the frame's executed physical plan.
+
+    Walks the JVM physical-plan TREE via py4j (class names +
+    partitionSpec/metadata accessors) — round-10 rewrite of the
+    rendered-string regex version, the same fragility fix
+    data_scale_windows got in round 9: a Spark version that re-renders
+    node text can no longer silently weaken the deploy gate, and
+    structural facts (a window's partition spec, a scan's pushed
+    filters) come from the node itself instead of line heuristics.
+    Counting rules carried over exactly: ReusedExchange is NOT an
+    exchange (it re-reads an existing output), WindowGroupLimit is NOT
+    a window (it accompanies the WindowExec it optimizes — counting
+    both would double-count), and AQE wrappers/query stages are
+    descended through transparently."""
+    r = PlanReport()
+    stack = [df._jdf.queryExecution().executedPlan()]  # noqa: SLF001
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            # the AQE wrapper's current plan (initial before execution,
+            # re-planned after); children() is empty on the wrapper
+            stack.append(node.executedPlan())
+            continue
+        if cls.endswith("QueryStageExec"):
+            # materialized AQE stage: the real subtree hangs off plan()
+            stack.append(node.plan())
+            continue
+        if cls == "ReusedExchangeExec":
+            continue  # re-read of an exchange counted at its definition
+        if cls == "ShuffleExchangeExec":
+            r.exchanges += 1
+        elif cls == "BroadcastExchangeExec":
+            r.broadcasts += 1
+        elif cls == "CartesianProductExec":
+            r.cartesian_products += 1
+        elif cls == "BroadcastNestedLoopJoinExec":
+            r.broadcast_nested_loop_joins += 1
+        elif cls in ("WindowExec", "WindowInPandasExec"):
+            # an empty partition spec funnels every row through one
+            # task (the take_while guard, at plan level)
+            if node.partitionSpec().size() == 0:
+                r.global_windows += 1
+        elif cls.endswith("ScanExec"):
+            r.scans.append(_scan_info(node))
+        stack.extend(_phys_children(node))
     if r.cartesian_products:
         r.warnings.append(
             f"{r.cartesian_products} CartesianProduct node(s): O(n*m) pair "
