@@ -56,15 +56,26 @@ def funnel_stateful(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    state_ttl_us: int | None = None,
 ):
     """Per-user streaming funnel over a streaming DataFrame. Emits one
     row per (user, micro-batch touching that user): the user's current
-    (stage, bound_ts) after folding the batch's events."""
+    (stage, bound_ts) after folding the batch's events.
+
+    ``state_ttl_us`` (optional, round-10): evicts users idle past the
+    TTL via an event-time timeout, bounding state on an unbounded user
+    universe — eviction is a semantic reset (a returning user restarts
+    at stage 0) and adds ``withWatermark(ts, ttl)`` with its standard
+    late-drop. Default None keeps the exact r9 behavior (no watermark,
+    state lives forever; see streaming/timeseries.py:ewma_stateful for
+    the shared TTL contract)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from .timeseries import _arm_ttl, _validate_ttl
 
     steps = list(steps)
     if not steps:
         raise ValueError("funnel needs at least one step")
+    _validate_ttl(state_ttl_us)
     key_type = df.schema[user_col].dataType.simpleString()
     out_schema = f"{user_col} {key_type}, stage long, bound_ts timestamp"
     state_schema = "stage long, bound_us long"
@@ -72,6 +83,11 @@ def funnel_stateful(
 
     def fn(key, pdf_iter, state: GroupState):
         import pandas as pd
+
+        if state.hasTimedOut:
+            # idle past the TTL: evict; a returning user starts over
+            state.remove()
+            return
 
         rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values(
             [ts_col], kind="mergesort"
@@ -86,6 +102,7 @@ def funnel_stateful(
                 stage += 1
                 bound_us = t
         state.update((int(stage), int(bound_us)))
+        _arm_ttl(state, state_ttl_us, max([bound_us] + ts_us))
         yield pd.DataFrame(
             {
                 user_col: [key[0]],
@@ -96,16 +113,25 @@ def funnel_stateful(
             }
         )
 
-    return (
-        df.filter(df[type_col].isin(steps))
-        .groupBy(user_col)
-        .applyInPandasWithState(
-            fn,
-            outputStructType=out_schema,
-            stateStructType=state_schema,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+    src = df.filter(df[type_col].isin(steps))
+    if state_ttl_us is not None:
+        return (
+            src.withWatermark(ts_col, f"{state_ttl_us} microseconds")
+            .groupBy(user_col)
+            .applyInPandasWithState(
+                fn,
+                outputStructType=out_schema,
+                stateStructType=state_schema,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
         )
+    return src.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

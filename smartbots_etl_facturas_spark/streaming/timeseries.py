@@ -37,6 +37,23 @@ def _reject_null_fold_input(rows, key, ts_col, units_col, tie_col):
             )
 
 
+def _validate_ttl(state_ttl_us) -> None:
+    if state_ttl_us is not None and state_ttl_us <= 0:
+        raise ValueError("state_ttl_us must be positive (or None)")
+
+
+def _arm_ttl(state, state_ttl_us, base_us: int) -> None:
+    """Arm the idle-key eviction timeout at (newest observed event +
+    TTL), clamped strictly past the current watermark (Spark rejects
+    timeouts at or before it). Shared by the strict fold family."""
+    if state_ttl_us is None or base_us < 0:
+        return
+    timeout_ms = -(-(base_us + state_ttl_us) // 1000)  # ceil to ms
+    state.setTimeoutTimestamp(
+        max(timeout_ms, state.getCurrentWatermarkMs() + 1)
+    )
+
+
 def ewma_stateful(
     df: DataFrame,
     key_col: str = "user_id",
@@ -44,6 +61,7 @@ def ewma_stateful(
     units_col: str = "x_units",
     alpha_denom: int = 4,
     tie_col: str | None = None,
+    state_ttl_us: int | None = None,
 ):
     """Per-key streaming EWMA (α = 1/alpha_denom) over a streaming
     DataFrame with a watermark on ``ts_col``. Emits one row per
@@ -54,11 +72,24 @@ def ewma_stateful(
     ``tie_col`` whenever same-timestamp rows can occur for one key —
     without it, equal-ts rows fold in arrival order, which is
     partition-order dependent (the batch twin requires a tie column
-    for exactly this reason)."""
+    for exactly this reason).
+
+    ``state_ttl_us`` (optional, round-10): per-key state is one small
+    tuple — bounded by design at O(distinct keys) — but a years-lived
+    stream over an unbounded key universe still accretes. When set, a
+    key idle (no accepted events) past the TTL is EVICTED via an
+    event-time timeout; a later arrival restarts the recurrence from
+    scratch (the accumulator is genuinely gone — eviction is a
+    semantic reset, not a pause). Setting a TTL adds
+    ``withWatermark(ts, ttl)``, so rows more than the TTL behind the
+    global max event time are dropped before the fold (the lateness
+    bound any TTL implies). Default None keeps the exact r9 behavior:
+    no watermark, no eviction."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     if alpha_denom < 2:
         raise ValueError("alpha_denom must be >= 2")
+    _validate_ttl(state_ttl_us)
     key_type = df.schema[key_col].dataType.simpleString()
     out_schema = (
         f"{key_col} {key_type}, {ts_col} timestamp, "
@@ -79,6 +110,11 @@ def ewma_stateful(
 
     def fn(key, pdf_iter, state: GroupState):
         import pandas as pd
+
+        if state.hasTimedOut:
+            # idle past the TTL: evict; a re-arrival restarts fresh
+            state.remove()
+            return
 
         rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values(
             sort_cols, kind="mergesort"   # stable: ties keep a fixed order
@@ -124,6 +160,7 @@ def ewma_stateful(
             state.update(
                 (acc, last_us, last_tie) if tie_col else (acc, last_us)
             )
+            _arm_ttl(state, state_ttl_us, max([last_us] + ts_us))
         if out_t:
             yield pd.DataFrame({
                 key_col: [key[0]] * len(out_t),
@@ -132,6 +169,15 @@ def ewma_stateful(
                 "ewma_units": out_s,
             })
 
+    if state_ttl_us is not None:
+        return (
+            df.withWatermark(ts_col, f"{state_ttl_us} microseconds")
+            .groupBy(key_col)
+            .applyInPandasWithState(
+                fn, out_schema, state_schema, "append",
+                GroupStateTimeout.EventTimeTimeout,
+            )
+        )
     return df.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
@@ -145,6 +191,7 @@ def holt_stateful(
     alpha_denom: int = 4,
     beta_denom: int = 8,
     tie_col: str | None = None,
+    state_ttl_us: int | None = None,
 ):
     """Streaming twin of :func:`...operators.timeseries.holt_linear`:
     the coupled (level, trend) integer recurrences carried across
@@ -154,12 +201,15 @@ def holt_stateful(
     rows at-or-before the state's last processed position are
     dropped. Emits one row per accepted input row:
     (key, ts, x_units, level_units, trend_units, forecast_units);
-    tests pin stream == batch bit-for-bit.
+    tests pin stream == batch bit-for-bit. ``state_ttl_us`` evicts
+    idle keys (see :func:`ewma_stateful` — same opt-in TTL contract:
+    eviction is a semantic reset and adds a watermark).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     if alpha_denom < 2 or beta_denom < 2:
         raise ValueError("alpha_denom and beta_denom must be >= 2")
+    _validate_ttl(state_ttl_us)
     key_type = df.schema[key_col].dataType.simpleString()
     out_schema = (
         f"{key_col} {key_type}, {ts_col} timestamp, {units_col} long, "
@@ -180,6 +230,11 @@ def holt_stateful(
 
     def fn(key, pdf_iter, state: GroupState):
         import pandas as pd
+
+        if state.hasTimedOut:
+            # idle past the TTL: evict; a re-arrival restarts fresh
+            state.remove()
+            return
 
         rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values(
             sort_cols, kind="mergesort"
@@ -222,6 +277,7 @@ def holt_stateful(
                 (level, trend, last_us, last_tie) if tie_col
                 else (level, trend, last_us)
             )
+            _arm_ttl(state, state_ttl_us, max([last_us] + ts_us))
         if out_t:
             yield pd.DataFrame({
                 key_col: [key[0]] * len(out_t),
@@ -232,6 +288,15 @@ def holt_stateful(
                 "forecast_units": [a + b for a, b in zip(out_l, out_b)],
             })
 
+    if state_ttl_us is not None:
+        return (
+            df.withWatermark(ts_col, f"{state_ttl_us} microseconds")
+            .groupBy(key_col)
+            .applyInPandasWithState(
+                fn, out_schema, state_schema, "append",
+                GroupStateTimeout.EventTimeTimeout,
+            )
+        )
     return df.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
@@ -531,6 +596,7 @@ def cusum_stateful(
     ts_col: str = "ts",
     units_col: str = "x_units",
     tie_col: str | None = None,
+    state_ttl_us: int | None = None,
 ):
     """Streaming twin of :func:`...operators.timeseries.cusum`: the
     one-sided CUSUM drift statistic carried across micro-batches.
@@ -544,10 +610,12 @@ def cusum_stateful(
 
     Ordering/late-data contract is ewma_stateful's: in-batch rows fold
     in stable (ts, tie) order, rows at-or-before the state's last
-    processed position are dropped.
+    processed position are dropped. ``state_ttl_us`` evicts idle
+    keys (see :func:`ewma_stateful` — same opt-in TTL contract).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    _validate_ttl(state_ttl_us)
     key_type = df.schema[key_col].dataType.simpleString()
     out_schema = (
         f"{key_col} {key_type}, {ts_col} timestamp, "
@@ -563,6 +631,11 @@ def cusum_stateful(
 
     def fn(key, pdf_iter, state: GroupState):
         import pandas as pd
+
+        if state.hasTimedOut:
+            # idle past the TTL: evict; a re-arrival restarts fresh
+            state.remove()
+            return
 
         rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values(
             sort_cols, kind="mergesort"
@@ -593,6 +666,7 @@ def cusum_stateful(
             out_x.append(x)
             out_s.append(s)
         state.update((s, last_us, last_tie) if tie_col else (s, last_us))
+        _arm_ttl(state, state_ttl_us, max([last_us] + ts_us))
         if out_t:
             yield pd.DataFrame({
                 key_col: [key[0]] * len(out_t),
@@ -601,6 +675,15 @@ def cusum_stateful(
                 "cusum_units": out_s,
             })
 
+    if state_ttl_us is not None:
+        return (
+            df.withWatermark(ts_col, f"{state_ttl_us} microseconds")
+            .groupBy(key_col)
+            .applyInPandasWithState(
+                fn, out_schema, state_schema, "append",
+                GroupStateTimeout.EventTimeTimeout,
+            )
+        )
     return df.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
