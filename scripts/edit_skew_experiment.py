@@ -16,7 +16,19 @@ Measured here, at 1x (15k) and 8x (120k):
     actual candidate count (run for real);
   - true pairs + wall time end-to-end.
 
-Run: python scripts/edit_skew_experiment.py
+Round-10 addition (verdict task #8): a REALISTIC sparse fixture —
+Zipf-distributed word phrases (deterministic xxhash64-derived ranks,
+s=2) — alongside the adversarial one. The TPC-H id corpus the
+registered d2 query runs on is ~28% dense (near-worst-case output);
+production string corpora are sparse, and there the pigeonhole
+pruning should dominate: candidates orders of magnitude below n², the
+skew recursion a single cheap no-op probe. This run records that
+regime's candidate/verify counts so the claim is measured, not
+argued.
+
+Run: python scripts/edit_skew_experiment.py            # both fixtures
+     python scripts/edit_skew_experiment.py adversarial
+     python scripts/edit_skew_experiment.py zipf
 """
 
 from __future__ import annotations
@@ -42,6 +54,32 @@ def corpus(spark, n):
     )
 
 
+def zipf_corpus(spark, n, vocab=20000, words=8):
+    """Deterministic Zipf(s=2) word phrases: for each of ``words``
+    slots, u = (xxhash64(id, slot) mod 1e6 + 1) / 1e6 and
+    rank = min(vocab, ceil(1/u)) — the inverse-CDF draw for a
+    power-law with exponent 2, reproducible across runs with no RNG
+    state. Phrase = 'w<rank>' tokens joined by spaces. The head word
+    lands in ~half the slots (genuine token-level skew), but at 8
+    words per phrase whole-phrase repeats are ~0.4% of rows — the
+    realistic document regime: popular words everywhere, near-dup
+    STRINGS rare, joint (length, segment, substring) posting keys
+    sparse. Opposite pole from the shared-prefix adversary (a 3-word
+    variant degenerates into quadratic exact-dup output — measured
+    18.5M pairs at 15k rows — which is a dedup-first corpus, not an
+    edit-join one)."""
+    cols = []
+    for j in range(words):
+        h = F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(1_000_000)) + 1
+        u = h.cast("double") / 1_000_000.0
+        rank = F.least(F.lit(vocab).cast("long"),
+                       F.ceil(1.0 / u).cast("long"))
+        cols.append(F.concat(F.lit("w"), rank.cast("string")))
+    return spark.range(1, n + 1).select(
+        F.col("id"), F.concat_ws(" ", *cols).alias("s")
+    )
+
+
 def naive_candidates(base, d):
     """Exact candidate count of the UNREFINED level-0 equi-join:
     sum over keys of idx_postings * probe_postings (computed by a
@@ -57,36 +95,44 @@ def naive_candidates(base, d):
     return int(row["n"] or 0)
 
 
-def main():
-    spark = get_spark("edit-skew-experiment")
-    spark.sparkContext.setLogLevel("ERROR")
+def run_fixture(spark, make_corpus, d, scales):
     out = {}
-    for label, n in (("1x", 15_000), ("8x", 120_000)):
-        df = corpus(spark, n)
+    for label, n in scales:
+        df = make_corpus(spark, n)
         base = df.select(
             F.col("id").alias("__id"), F.col("s").alias("__s"),
             F.length("s").alias("__L"),
         )
-        naive = naive_candidates(base, 1)
+        naive = naive_candidates(base, d)
         t0 = time.time()
-        refined = L._edit_candidates(base, 1, 16_000_000, 6, 32).count()
+        refined = L._edit_candidates(base, d, 16_000_000, 6, 32).count()
         t_cand = time.time() - t0
         t0 = time.time()
-        pairs = L.edit_distance_join(df, "id", "s").count()
+        pairs = L.edit_distance_join(df, "id", "s", max_dist=d).count()
         t_full = time.time() - t0
         out[label] = {
             "rows": n,
+            "all_pairs": n * (n - 1) // 2,
             "naive_candidates": naive,
             "refined_candidates": refined,
+            # pruning_x: the pigeonhole filter vs a quadratic
+            # all-pairs scorer; reduction: the skew recursion vs
+            # unrefined level-0 PassJoin
+            "pruning_x": round(n * (n - 1) / 2 / max(refined, 1), 1),
             "reduction": round(naive / max(refined, 1), 1),
             "true_pairs": pairs,
+            "verify_per_true_pair": round(refined / max(pairs, 1), 1),
             "candidate_stage_sec": round(t_cand, 2),
             "end_to_end_sec": round(t_full, 2),
         }
         print(label, json.dumps(out[label]))
+    return out
+
+
+def summarize(name, out):
     r1, r8 = out["1x"], out["8x"]
     print(json.dumps({
-        "metric": "edit_skew_experiment",
+        "metric": f"edit_skew_experiment_{name}",
         "scale_ratio_8x_over_1x": {
             "refined_candidates": round(
                 r8["refined_candidates"] / max(r1["refined_candidates"], 1), 2),
@@ -96,6 +142,22 @@ def main():
         "naive_candidates_8x": r8["naive_candidates"],
         "refined_candidates_8x": r8["refined_candidates"],
     }))
+
+
+def main():
+    spark = get_spark("edit-skew-experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    scales = (("1x", 15_000), ("8x", 120_000))
+    if which in ("both", "adversarial"):
+        print("== adversarial shared-prefix corpus, d=1")
+        summarize("adversarial",
+                  run_fixture(spark, corpus, 1, scales))
+    if which in ("both", "zipf"):
+        print("== Zipfian sparse text corpus, d=1")
+        summarize("zipf_d1", run_fixture(spark, zipf_corpus, 1, scales))
+        print("== Zipfian sparse text corpus, d=2")
+        summarize("zipf_d2", run_fixture(spark, zipf_corpus, 2, scales))
 
 
 if __name__ == "__main__":

@@ -9,7 +9,11 @@ A scale-SAFE operator grows ≤~K× (most grow sublinearly thanks to
 fixed overheads); anything superlinear is a red flag the plan gate
 missed. Results print as one JSON line and feed PERF.md.
 
-Usage: python scripts/scale_experiment.py [K] [out_dir]
+Usage: python scripts/scale_experiment.py [K] [out_dir] [--queries a,b,c]
+
+``--queries`` (round 10): restrict to a named subset — the 32× sweep
+runs the ~16 representative headline queries (full list too costly at
+that scale); omitted = the full 85-query list used by the 8× sweep.
 """
 
 from __future__ import annotations
@@ -213,17 +217,27 @@ def best_of_2(fn, spark, sf_dir) -> float:
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scale"
+    args = list(sys.argv[1:])
+    subset = None
+    if "--queries" in args:
+        i = args.index("--queries")
+        subset = [q for q in args[i + 1].split(",") if q]
+        del args[i:i + 2]
+    k = int(args[0]) if len(args) > 0 else 8
+    out_dir = args[1] if len(args) > 1 else "/tmp/spark_graft_scale"
     spark = get_spark("scale-experiment")
     spark.sparkContext.setLogLevel("ERROR")
     if not os.path.exists(f"{out_dir}/lineitem.parquet"):
         build_scaled(spark, k, out_dir)
     qs = entrymod.queries()
+    run_list = subset if subset else QUERIES
+    unknown = sorted(set(run_list) - set(qs))
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
     # warmup
     best_of_2(qs["pricing_summary"], spark, BASE)
     results = {}
-    for name in QUERIES:
+    for name in run_list:
         base_s = best_of_2(qs[name], spark, BASE)
         big_s = best_of_2(qs[name], spark, out_dir)
         results[name] = {
