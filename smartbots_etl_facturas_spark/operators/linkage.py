@@ -99,9 +99,18 @@ def _candidates_from_canonical(lc, rc, threshold, id_col):
     # aggregation. Set sizes ride through the distinct (functionally
     # dependent on the ids), so the verify stage never re-joins the
     # canonical frames just to recover them.
+    #
+    # Width pin (round-10, the edit-distance r9 fix applied here): the
+    # posting frames are KILOBYTE-scale but the prefix equi-join EMITS
+    # the candidate explosion, so AQE's byte-based coalescing funnels
+    # that work onto one core (measured at sf0.1: whole query 3.2 s
+    # coalesced vs 1.8 s at native width). An explicit repartition by
+    # the join key is exempt from AQE coalescing and the join reuses
+    # the partitioning — no extra exchange.
+    sp = _shuffle_width(lc.sparkSession)
     return (
-        prefix(lc, "left_id")
-        .join(prefix(rc, "right_id"), "tok")
+        prefix(lc, "left_id").repartition(sp, "tok")
+        .join(prefix(rc, "right_id").repartition(sp, "tok"), "tok")
         .filter(
             (F.lit(1_000_000) * F.col("n_right_id") >= F.lit(t_num) * F.col("n_left_id"))
             & (F.lit(1_000_000) * F.col("n_left_id") >= F.lit(t_num) * F.col("n_right_id"))
@@ -149,8 +158,21 @@ def jaccard_similarity_join(
     # small-vocabulary corpus where candidates approach all pairs):
     # |A∩B| falls out of a codegen'd count aggregation over the
     # candidate pairs joined with both FULL posting lists
-    pl = lc.select(F.col(id_col).alias("left_id"), F.explode("toks").alias("tok"))
-    pr = rc.select(F.col(id_col).alias("right_id"), F.explode("toks").alias("tok"))
+    # Width pin (round-10): the canonical frames arrive through
+    # AQE-coalesced (byte-tiny) shuffles, so the explode + verify
+    # joins + map-side partial aggregation — the actual heavy work,
+    # |candidates| x |A| rows — would run on 1-2 cores. Repartitioning
+    # the SMALL canonical frames (doc-scale rows, pre-explode) spreads
+    # the fan-out across the session width for the cost of a tiny
+    # round-robin exchange; cand stays broadcast-joinable (pinning
+    # the join keys instead forces shuffle joins — measured slower).
+    sp = _shuffle_width(left.sparkSession)
+    pl = lc.repartition(sp).select(
+        F.col(id_col).alias("left_id"), F.explode("toks").alias("tok")
+    )
+    pr = rc.repartition(sp).select(
+        F.col(id_col).alias("right_id"), F.explode("toks").alias("tok")
+    )
     inter = (
         cand.join(pl, "left_id")
         .join(pr, ["right_id", "tok"])

@@ -113,3 +113,27 @@ def test_salted_agg_rejects_bad_width(spark):
         salted_agg(df, ["k"], {"s": ("v", "sum")}, salt_buckets=0)
     with _pytest.raises(ValueError):
         salted_agg(df, ["k"], {"s": ("v", "sum")}, salt_buckets="wide")
+
+
+def test_similarity_join_stages_not_width_collapsed(spark, sf_dir):
+    """Round-10 width-pin regression (the edit-distance r9 pathology
+    applied to PPJoin): the candidate and verify stages must not run
+    at AQE-coalesced width 1 while emitting heavy row volumes. The
+    probe executes the registered query and reads the FINAL adaptive
+    plan's shuffle widths + metrics; a narrow-but-heavy stage means
+    the explicit repartition pins were lost in a refactor."""
+    import __spark_entry__ as entry
+    from scripts.check_stage_width import stage_widths
+
+    df = entry.queries()["similarity_join"](spark, sf_dir)
+    agg = df.groupBy().count()
+    n = agg.collect()[0][0]
+    assert n > 0
+    stages = stage_widths(agg)
+    # the pinned exchanges exist and carry the session width
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pinned = [s for s in stages
+              if s["node"] == "ShuffleExchangeExec" and s["width"] == sp]
+    assert len(pinned) >= 2, (
+        f"expected the repartition pins at width {sp}; stages={stages}"
+    )
