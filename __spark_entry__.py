@@ -8491,6 +8491,58 @@ def q_xlsx_datasource_scan(spark, sf_dir):
     )
 
 
+def q_xlsx_template_append(spark, sf_dir):
+    """S8 TEMPLATE-PRESERVING in-place append, end-to-end (round 10 —
+    the reference's excel_handler.py:61-132 append + :185-233 image
+    preservation, previously the recorded S8 non-goal): build a
+    STYLED template workbook (number formats + an embedded media
+    part), append rows derived from the region dim via
+    sources/xlsx.py:append_rows_xlsx — which rewrites ONLY the sheet
+    part, copies styles/images byte-for-byte, and lets appended cells
+    inherit the last styled cell's s= ref per column — then read the
+    whole grid back through the stdlib OOXML codec. The oracle
+    re-derives the exact expected grid (header + template row +
+    appended region rows) from the region table in SQL, so the
+    append's VALUES and POSITIONS are value-checked cross-engine;
+    the byte-identity of untouched members is pinned in
+    tests/test_xlsx.py. Per-file finishing step by design (workbooks
+    are not splittable); the distributed surface stays xlsx_grid."""
+    from smartbots_etl_facturas_spark.sources.xlsx import (
+        append_rows_xlsx,
+        parse_xlsx_grid,
+        write_xlsx,
+    )
+
+    d = _scratch_dir("xlsx_append_")
+    p = os.path.join(d, "t.xlsx")
+    write_xlsx(
+        p,
+        [["key", "name"], [99, "TEMPLATE"]],
+        column_formats={0: "0"},
+    )
+    region = sorted(
+        (int(r.r_regionkey), str(r.r_name))
+        for r in _read(spark, sf_dir, "region")
+        .select("r_regionkey", "r_name").collect()
+    )  # 5-row dim: driver-side collect is dim-bounded by contract
+    append_rows_xlsx(p, [[k, n] for k, n in region])
+    grid = parse_xlsx_grid(open(p, "rb").read())
+    return spark.createDataFrame(
+        [(i, row[0], row[1]) for i, row in enumerate(grid)],
+        "row_idx long, c0 string, c1 string",
+    )
+
+
+SQL_XLSX_TEMPLATE_APPEND = """
+SELECT CAST(0 AS BIGINT) AS row_idx, 'key' AS c0, 'name' AS c1
+UNION ALL
+SELECT CAST(1 AS BIGINT), '99', 'TEMPLATE'
+UNION ALL
+SELECT CAST(2 + rk AS BIGINT), CAST(rk AS VARCHAR), r_name
+FROM (SELECT r_regionkey AS rk, r_name FROM region)
+"""
+
+
 def q_sssp_weighted(spark, sf_dir):
     """Weighted single-source shortest paths (operators/graph.py:sssp):
     Bellman-Ford relaxation rounds over the same sampled part
@@ -12161,6 +12213,7 @@ _QUERIES: dict[str, Callable] = {
     "frequent_pairs": q_frequent_pairs,
     "seasonal_dow": q_seasonal_dow,
     "xlsx_datasource_scan": q_xlsx_datasource_scan,
+    "xlsx_template_append": q_xlsx_template_append,
     "relational_division": q_relational_division,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "nation_trade_volume": q_nation_trade_volume,
@@ -12444,6 +12497,7 @@ _ORACLES: dict[str, str] = {
     "hll_incremental": SQL_HLL_INCREMENTAL,
     "bfs_reach": SQL_BFS_REACH,
     "xlsx_datasource_scan": SQL_XLSX_DISTRIBUTED,
+    "xlsx_template_append": SQL_XLSX_TEMPLATE_APPEND,
     "relational_division": SQL_RELATIONAL_DIVISION,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,

@@ -68,6 +68,7 @@ EXCLUDED: dict[str, str] = {
     "wav_audio_pipeline": _FIXTURE,
     "xlsx_datasource_scan": _FIXTURE,
     "xlsx_distributed": _FIXTURE,
+    "xlsx_template_append": _FIXTURE + " (5-row region dim into a golden template)",
     "xlsx_to_consolidated": _FIXTURE,
     # --- ground-truth / invariant twins of benched production paths ---
     "ann_ivf_recall": _TWIN + "ann_ivf",

@@ -109,9 +109,11 @@ OP_MAP: dict[str, tuple[str, list[str], list[str]]] = {
            ["tests/test_catalog.py"]),
     "S7": ("path resolver", ["path_resolve"], ["tests/test_catalog.py"]),
     "S8": ("append-only Excel sink (values + number formats + atomic "
-           "commit; styles/images a recorded non-goal)",
-           ["xlsx_to_consolidated"],
-           ["tests/test_xlsx_datasource.py", "tests/test_sinks.py"]),
+           "commit + template-preserving in-place append with "
+           "byte-identical styles/images — round 10)",
+           ["xlsx_to_consolidated", "xlsx_template_append"],
+           ["tests/test_xlsx_datasource.py", "tests/test_sinks.py",
+            "tests/test_xlsx.py"]),
     "S9": ("audit sink + engine run reports", ["run_report"],
            ["tests/test_sinks.py", "tests/test_observability.py"]),
     "S10": ("email report sink (render + MIME construction)",

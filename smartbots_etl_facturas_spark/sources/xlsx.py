@@ -586,3 +586,135 @@ def write_xlsx(
                 '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
                 f'<sst xmlns="{_NS[1:-1]}" count="{len(shared)}" uniqueCount="{len(shared)}">{items}</sst>',
             )
+
+
+def append_rows_xlsx(
+    path,
+    rows,
+    sheet_name=0,
+    out_path=None,
+) -> int:
+    """TEMPLATE-PRESERVING in-place append — the S8 presentation-
+    fidelity remainder (reference excel_handler.py:61-132 opens the
+    existing workbook and appends below the last row; :185-233
+    preserves embedded images across the save).
+
+    Appends ``rows`` to one sheet of an EXISTING workbook by
+    rewriting ONLY that sheet's XML part: every other archive member
+    — xl/styles.xml, xl/media/* images, drawings and their rels,
+    themes, charts, the other sheets — is copied BYTE-FOR-BYTE, so
+    fonts, fills, borders, alignment, column widths, merged cells
+    and pictures survive untouched without this writer understanding
+    any of them. Within the rewritten sheet the original XML text is
+    kept verbatim too (string surgery: the new ``<row>`` elements are
+    spliced in before ``</sheetData>``; only the ``<dimension>`` ref
+    is updated), so row heights, pane freezes and conditional-
+    formatting blocks in the sheet part also survive.
+
+    STYLE INHERITANCE (the template-row discipline): each appended
+    cell carries the style ref (``s=``) of the last existing styled
+    cell in its column, so new rows render with the template's number
+    formats/fonts/borders. Cell typing matches :func:`write_xlsx`
+    (str -> inline string, bool -> b, int/float -> n, None ->
+    omitted; inline strings are spec-legal alongside sharedStrings).
+
+    Atomic: stages to ``<out>.tmp-<pid>`` and ``os.replace``s into
+    place (the sinks/staged.py discipline) — a crash mid-append never
+    leaves a torn workbook. Returns the number of appended rows.
+
+    Scale note: one workbook is one driver/task-local file (workbooks
+    are not splittable); the DISTRIBUTED surface stays the xlsx_grid
+    datasource — this function is the per-file finishing step the
+    reference's submission flow needs, O(workbook size) I/O.
+    """
+    rows = list(rows)
+    src = path
+    dst = out_path or path
+    with zipfile.ZipFile(src) as zf:
+        infos = zf.infolist()
+        members = {i.filename: zf.read(i.filename) for i in infos}
+        sheet_path = _resolve_sheet_path(zf, sheet_name)
+
+    sheet_xml = members[sheet_path].decode("utf-8")
+    root = ET.fromstring(members[sheet_path])
+
+    # analysis (namespace-aware, prefix-agnostic): last row index and
+    # the last styled cell per column
+    last_r = 0
+    style_of_col: dict[int, str] = {}
+    max_col = -1
+    for row_el in root.iter(f"{_NS}row"):
+        r = int(row_el.get("r", "0"))
+        last_r = max(last_r, r)
+        for c in row_el.findall(f"{_NS}c"):
+            ref = c.get("r")
+            if ref is None:
+                continue
+            ci = _col_ord(ref)
+            max_col = max(max_col, ci)
+            s = c.get("s")
+            if s is not None:
+                style_of_col[ci] = s
+
+    # the closing sheetData tag carries the document's prefix (if
+    # any); inserted elements must use the same prefix to stay in the
+    # spreadsheetml namespace
+    m = re.search(r"<(?:(\w+):)?sheetData(\s*/\s*)?>", sheet_xml)
+    if m is None:
+        raise ValueError(f"{sheet_path}: no sheetData element")
+    pfx = f"{m.group(1)}:" if m.group(1) else ""
+
+    def cell_xml(ri: int, ci: int, v) -> str:
+        if v is None:
+            return ""
+        ref = _ref(ri, ci)
+        s = style_of_col.get(ci)
+        s_attr = f' s="{s}"' if s is not None else ""
+        if isinstance(v, bool):
+            return f'<{pfx}c r="{ref}"{s_attr} t="b"><{pfx}v>{1 if v else 0}</{pfx}v></{pfx}c>'
+        if isinstance(v, (int, float)):
+            return f'<{pfx}c r="{ref}"{s_attr}><{pfx}v>{v}</{pfx}v></{pfx}c>'
+        return (
+            f'<{pfx}c r="{ref}"{s_attr} t="inlineStr"><{pfx}is>'
+            f'<{pfx}t xml:space="preserve">{_esc(str(v))}</{pfx}t>'
+            f"</{pfx}is></{pfx}c>"
+        )
+
+    new_rows = []
+    for i, row in enumerate(rows):
+        ri = last_r + i  # 0-based ref index == 1-based last_r + offset
+        body = "".join(cell_xml(ri, ci, v) for ci, v in enumerate(row))
+        new_rows.append(f'<{pfx}row r="{ri + 1}">{body}</{pfx}row>')
+        max_col = max(max_col, len(row) - 1)
+    splice = "".join(new_rows)
+
+    if m.group(2):  # self-closed <sheetData/> (empty template sheet)
+        sheet_xml = (
+            sheet_xml[: m.start()]
+            + f"<{pfx}sheetData>{splice}</{pfx}sheetData>"
+            + sheet_xml[m.end():]
+        )
+    else:
+        close = re.search(rf"</\s*{re.escape(pfx[:-1]) + ':' if pfx else ''}sheetData\s*>", sheet_xml)
+        if close is None:
+            raise ValueError(f"{sheet_path}: unclosed sheetData")
+        sheet_xml = sheet_xml[: close.start()] + splice + sheet_xml[close.start():]
+
+    if rows and max_col >= 0:
+        new_dim = f"A1:{_ref(last_r + len(rows) - 1, max_col)}"
+        sheet_xml = re.sub(
+            r'(<(?:\w+:)?dimension\s+ref=")[^"]*(")',
+            lambda dm: dm.group(1) + new_dim + dm.group(2),
+            sheet_xml,
+            count=1,
+        )
+
+    tmp = f"{dst}.tmp-{os.getpid()}"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as out:
+        for info in infos:
+            if info.filename == sheet_path:
+                out.writestr(info, sheet_xml.encode("utf-8"))
+            else:
+                out.writestr(info, members[info.filename])
+    os.replace(tmp, dst)
+    return len(rows)

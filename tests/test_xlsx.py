@@ -247,3 +247,115 @@ def test_no_formats_means_no_styles_part(tmp_path):
     with zipfile.ZipFile(path) as zf:
         assert "xl/styles.xml" not in zf.namelist()
     assert read_column_formats(path) == {}
+
+
+# --- S8 remainder: template-preserving in-place append ----------------------
+
+def _styled_template_with_image(path):
+    """A styled workbook with an embedded image part + drawing rels —
+    built with write_xlsx then augmented with the media/drawing
+    members a real template carries (content is what matters for the
+    byte-identity assertions; a real PNG is not required for the
+    archive surgery under test)."""
+    import zipfile
+
+    from smartbots_etl_facturas_spark.sources.xlsx import write_xlsx
+
+    write_xlsx(
+        path,
+        [["id", "name", "amount"], [1, "alpha", 10.5], [2, "beta", 20.25]],
+        column_formats={0: "0", 2: "#,##0.00"},
+    )
+    fake_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+    drawing = (
+        b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        b'<xdr:wsDr xmlns:xdr="http://schemas.openxmlformats.org/'
+        b'drawingml/2006/spreadsheetDrawing"/>'
+    )
+    with zipfile.ZipFile(path, "a") as zf:
+        zf.writestr("xl/media/image1.png", fake_png)
+        zf.writestr("xl/drawings/drawing1.xml", drawing)
+    return {"xl/media/image1.png": fake_png,
+            "xl/drawings/drawing1.xml": drawing}
+
+
+def test_append_rows_preserves_untouched_members_byte_for_byte(tmp_path):
+    import zipfile
+
+    from smartbots_etl_facturas_spark.sources.xlsx import append_rows_xlsx
+
+    p = str(tmp_path / "t.xlsx")
+    injected = _styled_template_with_image(p)
+    with zipfile.ZipFile(p) as zf:
+        before = {i.filename: zf.read(i.filename) for i in zf.infolist()}
+
+    n = append_rows_xlsx(p, [[3, "gamma", 30.75], [4, "delta", 40.0]])
+    assert n == 2
+    with zipfile.ZipFile(p) as zf:
+        after = {i.filename: zf.read(i.filename) for i in zf.infolist()}
+    assert set(after) == set(before)
+    changed = [f for f in before if after[f] != before[f]]
+    assert changed == ["xl/worksheets/sheet1.xml"]
+    for f, content in injected.items():
+        assert after[f] == content  # images/drawings byte-identical
+
+
+def test_append_rows_values_and_style_inheritance(tmp_path):
+    from smartbots_etl_facturas_spark.sources.xlsx import (
+        append_rows_xlsx,
+        parse_xlsx_grid,
+        read_column_formats,
+    )
+
+    p = str(tmp_path / "t.xlsx")
+    _styled_template_with_image(p)
+    append_rows_xlsx(p, [[3, "gamma", 30.75], [None, "delta", 40.0]])
+
+    grid = parse_xlsx_grid(open(p, "rb").read())
+    assert grid[3] == ["3", "gamma", "30.75"]
+    assert grid[4] == [None, "delta", "40"] or grid[4] == [None, "delta", "40.0"]
+    # number formats still resolve for the appended rows' columns (the
+    # appended cells carry the template's s= refs)
+    fmts = read_column_formats(p)
+    assert fmts[0] == "0" and fmts[2] == "#,##0.00"
+    # and the appended numeric cell itself is styled: strip the first
+    # data rows and the format must STILL be discoverable from the
+    # appended cells alone
+    import re
+    import zipfile
+
+    with zipfile.ZipFile(p) as zf:
+        xml = zf.read("xl/worksheets/sheet1.xml").decode()
+    appended = re.search(r'<row r="4">(.*?)</row>', xml).group(1)
+    assert 's="' in appended
+
+
+def test_append_rows_sequential_appends_accumulate(tmp_path):
+    from smartbots_etl_facturas_spark.sources.xlsx import (
+        append_rows_xlsx,
+        parse_xlsx_grid,
+        write_xlsx,
+    )
+
+    p = str(tmp_path / "t.xlsx")
+    write_xlsx(p, [["h1", "h2"]])
+    append_rows_xlsx(p, [["a", 1]])
+    append_rows_xlsx(p, [["b", 2], ["c", 3]])
+    grid = parse_xlsx_grid(open(p, "rb").read())
+    assert grid == [["h1", "h2"], ["a", "1"], ["b", "2"], ["c", "3"]]
+
+
+def test_append_rows_out_path_leaves_template_intact(tmp_path):
+    from smartbots_etl_facturas_spark.sources.xlsx import (
+        append_rows_xlsx,
+        parse_xlsx_grid,
+        write_xlsx,
+    )
+
+    src = str(tmp_path / "template.xlsx")
+    dst = str(tmp_path / "filled.xlsx")
+    write_xlsx(src, [["h"], ["x"]])
+    before = open(src, "rb").read()
+    append_rows_xlsx(src, [["y"]], out_path=dst)
+    assert open(src, "rb").read() == before
+    assert parse_xlsx_grid(open(dst, "rb").read()) == [["h"], ["x"], ["y"]]
