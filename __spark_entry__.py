@@ -2780,25 +2780,32 @@ GROUP BY l_returnflag
 
 def q_group_percentiles(spark, sf_dir):
     """Discrete per-group percentiles (p50/p90 of extendedprice by
-    returnflag) — value-at-rank via window row_number + conditional
-    min, integer rank arithmetic only (rn*2 >= n ⇔ rn >= ceil(n/2)),
-    so Spark and DuckDB agree bit-for-bit with no float interpolation."""
+    returnflag) — round-11 migration onto histogram selection
+    (operators/orderstats.py:group_quantile_values): the corpus is
+    touched by ONE map-side-combinable groupBy(flag, price).count();
+    the rank windows run on the reduced (flag × distinct-price)
+    frame, never the fact. The previous fact-scale row_number window
+    partitioned by ~3 returnflags sorted each group's EVERY row on
+    one task — the exact hot-group cliff impute_median shed in r8.
+    Semantics unchanged (value at rank ceil(n·q), integer rank
+    arithmetic, no interpolation): smallest price whose cumulative
+    count reaches the rank ≡ min price with row_number ≥ that rank,
+    so the oracle's window formulation still agrees bit-for-bit."""
+    from smartbots_etl_facturas_spark.operators.orderstats import (
+        group_quantile_values,
+    )
+
     li = _read(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_extendedprice").cast(DEC).alias("price")
     )
-    w = Window.partitionBy("l_returnflag").orderBy("price")
-    ranked = li.select(
-        "l_returnflag",
-        "price",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
+    q = group_quantile_values(
+        li, ["l_returnflag"], "price", [("p50", 1, 2), ("p90", 9, 10)]
     )
-    return ranked.groupBy("l_returnflag").agg(
-        F.max("n").alias("n"),
-        F.min(F.when(F.col("rn") * 2 >= F.col("n"), F.col("price")))
-        .cast("double").alias("p50"),
-        F.min(F.when(F.col("rn") * 10 >= F.col("n") * 9, F.col("price")))
-        .cast("double").alias("p90"),
+    return q.select(
+        "l_returnflag",
+        F.col("__n").alias("n"),
+        F.col("p50").cast("double").alias("p50"),
+        F.col("p90").cast("double").alias("p90"),
     )
 
 
@@ -4947,26 +4954,33 @@ GROUP BY 1
 
 
 def q_equi_depth_bins(spark, sf_dir):
-    """Per-type equi-depth (decile) binning of the events value
-    stream: NTILE over a TOTAL order (value as exact decimal, tied by
-    event_id), then per-bin count/min/max — the data-profiling step
-    behind histogram-based optimizers. Windows are PARTITIONED BY
-    event_type (never global); at corpus scale the same profile comes
-    from the approx-percentile sketch (approx_percentile_sketch),
-    with this exact tier as its oracle-checkable twin."""
+    """Per-type equi-depth (decile) bin PROFILE of the events value
+    stream — round-11 migration onto histogram selection
+    (operators/orderstats.py:group_equi_depth_bins): NTILE's bucket
+    boundaries are pure rank arithmetic, so the per-bin count/min/max
+    profile is derived from the reduced (type × distinct-value)
+    cumulative frame after ONE map-side-combinable groupBy — the
+    previous fact-scale NTILE window partitioned by a handful of
+    event_types sorted each type's every row on one task (the
+    hot-group cliff). The profile is tie-order independent (equal
+    values straddling a boundary move rows, never counts or value
+    bounds), so the oracle's windowed NTILE formulation agrees
+    bit-for-bit without a tie column."""
+    from smartbots_etl_facturas_spark.operators.orderstats import (
+        group_equi_depth_bins,
+    )
+
     ev = read_events(spark, sf_dir).select(
         "event_type",
-        "event_id",
         F.col("value").cast("decimal(18,4)").alias("v"),
     )
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("v").asc(), F.col("event_id").asc()
-    )
-    binned = ev.withColumn("decile", F.ntile(10).over(w).cast("long"))
-    return binned.groupBy("event_type", "decile").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("v").cast("double").alias("v_min"),
-        F.max("v").cast("double").alias("v_max"),
+    bins = group_equi_depth_bins(ev, ["event_type"], "v", n_bins=10)
+    return bins.select(
+        "event_type",
+        F.col("bin").cast("long").alias("decile"),
+        F.col("n").cast("long").alias("n"),
+        F.col("v_min").cast("double").alias("v_min"),
+        F.col("v_max").cast("double").alias("v_max"),
     )
 
 
@@ -5071,26 +5085,62 @@ SQL_CORRELATED_SCALAR = _CORRELATED_SCALAR_SQL.format(part="part")
 
 
 def q_window_percentiles(spark, sf_dir):
-    """percent_rank + cume_dist over a per-group TOTAL order (quantity
-    as exact decimal, tied by orderkey/linenumber/partkey): both are
-    ratios of window-position integers ((rank-1)/(n-1), pos/n) —
-    single IEEE divisions, engine-exact. Completes the ranking-window
-    family next to window_rank/window_lead_lag/running_total."""
-    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
-    w = Window.partitionBy("l_returnflag").orderBy(
-        F.col("l_quantity").cast("decimal(18,2)").asc(),
-        F.col("l_orderkey").asc(),
-        F.col("l_linenumber").asc(),
-        F.col("l_partkey").asc(),
-    )
-    return li.select(
+    """Per-row percent_rank + cume_dist under SQL PEER semantics
+    (ORDER BY quantity only — every row with the same quantity is a
+    peer and carries the same ratios), derived WITHOUT a fact-scale
+    window (round-11): both functions are pure arithmetic on the
+    peer group's cumulative counts — percent_rank = (first_rank−1)/
+    (n−1) where first_rank = cum − c + 1, cume_dist = cum/n — so the
+    per-(flag, qty) cumulative frame (a bounded ~flags × 50-quantity
+    histogram, one map-side-combinable groupBy + a reduced-frame
+    window) broadcast-joins back onto the rows. The previous
+    formulation ordered by a unique tie-break (orderkey/linenumber/
+    partkey), which forces a per-flag total order — a single-task
+    sort of each ~3-cardinality group at corpus scale; peer semantics
+    are the standard SQL reading AND the scale-safe one. Single IEEE
+    divisions of exact integers — engine-exact."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    ).select(
         "l_orderkey",
         "l_linenumber",
         "l_partkey",
         "l_returnflag",
-        F.col("l_quantity").cast("decimal(18,2)").cast("double").alias("qty"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty_dec"),
+    )
+    counts = li.groupBy("l_returnflag", "qty_dec").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("qty_dec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stats = counts.select(
+        "l_returnflag",
+        "qty_dec",
+        F.col("c"),
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("l_returnflag")).alias("n"),
+    ).select(
+        "l_returnflag",
+        "qty_dec",
+        F.when(F.col("n") == 1, F.lit(0.0)).otherwise(
+            (F.col("cum") - F.col("c")).cast("double")
+            / (F.col("n") - 1).cast("double")
+        ).alias("pct_rank"),
+        (F.col("cum").cast("double") / F.col("n").cast("double")).alias("cume"),
+    )
+    return li.join(
+        F.broadcast(stats), ["l_returnflag", "qty_dec"]
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_returnflag",
+        F.col("qty_dec").cast("double").alias("qty"),
+        "pct_rank",
+        "cume",
     )
 
 
@@ -5102,8 +5152,7 @@ SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag,
 FROM lineitem
 WHERE l_orderkey % 100 = 0
 WINDOW w AS (PARTITION BY l_returnflag
-             ORDER BY CAST(l_quantity AS DECIMAL(18,2)) ASC,
-                      l_orderkey ASC, l_linenumber ASC, l_partkey ASC)
+             ORDER BY CAST(l_quantity AS DECIMAL(18,2)) ASC)
 """
 
 

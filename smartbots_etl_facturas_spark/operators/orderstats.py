@@ -185,3 +185,102 @@ def group_quantile_values(
         )
     aggs.append(F.max("__n").alias("__n"))
     return cum.groupBy(*keys).agg(*aggs)
+
+
+def group_equi_depth_bins(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    n_bins: int = 10,
+    max_domain_per_key: int | None = MAX_DOMAIN_PER_KEY,
+) -> DataFrame:
+    """Per-key equi-depth bin PROFILE (count/min/max per NTILE bucket)
+    by histogram selection — the scale-safe replacement for
+    ``ntile(B) OVER (PARTITION BY key ORDER BY value)`` followed by a
+    per-bin rollup, when the key cardinality is far below the
+    parallelism.
+
+    NTILE itself needs a per-row bucket label, hence a total order —
+    but the PROFILE (per-bucket n / v_min / v_max) is fully determined
+    by per-VALUE cumulative counts, because NTILE's bucket boundaries
+    are pure rank arithmetic: with n rows and B buckets, bucket b
+    (1-based) covers ranks ``(b-1)·q + min(b-1, r) + 1 .. b·q +
+    min(b, r)`` where ``q = n div B``, ``r = n mod B`` — and the value
+    at any rank k is the smallest v whose cumulative count reaches k.
+    Tie-break order inside equal values can move WHICH row lands in a
+    straddling bucket, but never the bucket's count or its min/max
+    VALUE, so the profile is tie-order independent (and therefore
+    engine-portable without a tie column).
+
+    The corpus is touched by ONE map-side-combinable
+    ``groupBy(keys, value).count()``; the cumulative window and the
+    B-row bin-bounds frame both live on the reduced
+    (key × distinct-value) frame, domain-guarded like
+    :func:`group_quantile_values`. Buckets that NTILE would leave
+    empty (n < B) are omitted, matching the windowed rollup exactly.
+
+    Returns one row per (key, bin) with ``bin`` in 1..B:
+    ``(*keys, bin, n, v_min, v_max)``.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    key_cols = [F.col(k) for k in keys]
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*key_cols, F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.select(
+        *keys,
+        "__v",
+        F.sum("__c").over(w_cum).alias("__cum"),
+    )
+    # per-key bin bounds: B rows per key, derived from the group total
+    # alone — a frame of (|keys| × B) rows, joined back onto the
+    # reduced cumulative frame (both bounded by the value domain).
+    # The domain guard wraps the total every bin bound derives from,
+    # so column pruning can never drop it (group_quantile_values'
+    # discipline).
+    totals = counts.groupBy(*keys).agg(
+        F.sum("__c").alias("__n_raw"),
+        F.count(F.lit(1)).alias("__nv"),
+    ).select(
+        *keys,
+        _domain_guarded_n(
+            F.col("__n_raw"), F.col("__nv"), max_domain_per_key,
+            "group_equi_depth_bins",
+        ).alias("__n"),
+    )
+    b = F.col("__bin")
+    q = F.expr(f"__n div {int(n_bins)}")
+    r = F.expr(f"__n % {int(n_bins)}")
+    bins = (
+        totals.select(
+            *keys,
+            F.explode(F.sequence(F.lit(1), F.lit(int(n_bins)))).alias("__bin"),
+            "__n",
+        )
+        .select(
+            *keys,
+            "__bin",
+            ((b - 1) * q + F.least(b - 1, r) + 1).alias("__start"),
+            (b * q + F.least(b, r)).alias("__end"),
+        )
+        .filter(F.col("__end") >= F.col("__start"))  # NTILE emits no empty bins
+    )
+    joined = cum.join(bins, list(keys))
+    return (
+        joined.groupBy(*keys, F.col("__bin").alias("bin"))
+        .agg(
+            F.max(F.col("__end") - F.col("__start") + 1).alias("n"),
+            F.min(F.when(F.col("__cum") >= F.col("__start"), F.col("__v"))
+                  ).alias("v_min"),
+            F.min(F.when(F.col("__cum") >= F.col("__end"), F.col("__v"))
+                  ).alias("v_max"),
+        )
+    )

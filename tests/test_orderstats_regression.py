@@ -239,7 +239,11 @@ class TestGroupQuantileValues:
 
         qs = entry.queries()
         for name in ("impute_median", "mad_outliers", "winsorized_stats",
-                     "exact_quantiles_qty"):
+                     "exact_quantiles_qty",
+                     # round-11 migrations (r10 verdict #1/#2): histogram
+                     # selection / peer-semantics cumulative derivation
+                     "group_percentiles", "equi_depth_bins",
+                     "window_percentiles"):
             assert data_scale_windows(qs[name](spark, sf_dir)) == 0, name
 
     def test_wide_domain_raises_instead_of_hot_window(self, spark):
@@ -283,3 +287,73 @@ class TestGroupQuantileValues:
             cont, ["g"], "v", probs, max_domain_per_key=None
         ).collect()
         assert len(ok2) == 4
+
+
+class TestGroupEquiDepthBins:
+    """group_equi_depth_bins == the NTILE-window rollup it replaces
+    (r10 verdict #1): the profile (per-bin n/v_min/v_max) is
+    tie-order independent, so the reduced-frame derivation must match
+    the windowed formulation exactly on any data."""
+
+    def _ntile_rollup(self, df, key, val, bins):
+        from pyspark.sql import Window
+        w = Window.partitionBy(key).orderBy(F.col(val).asc())
+        return (
+            df.filter(F.col(val).isNotNull())
+            .withColumn("b", F.ntile(bins).over(w).cast("int"))
+            .groupBy(key, "b")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(val).alias("v_min"), F.max(val).alias("v_max"))
+        )
+
+    def _assert_match(self, spark, df, key, val, bins):
+        from smartbots_etl_facturas_spark.operators.orderstats import (
+            group_equi_depth_bins,
+        )
+        got = sorted(
+            (r[key], int(r["bin"]), int(r["n"]), r["v_min"], r["v_max"])
+            for r in group_equi_depth_bins(df, [key], val, bins).collect()
+        )
+        want = sorted(
+            (r[key], int(r["b"]), int(r["n"]), r["v_min"], r["v_max"])
+            for r in self._ntile_rollup(df, key, val, bins).collect()
+        )
+        assert got == want
+
+    def test_matches_ntile_with_heavy_ties(self, spark):
+        # values drawn from a tiny domain so ties straddle boundaries
+        rows = [("g%d" % (i % 3), (i * i) % 7) for i in range(211)]
+        df = spark.createDataFrame(rows, ["k", "v"])
+        self._assert_match(spark, df, "k", "v", 10)
+
+    def test_fewer_rows_than_bins(self, spark):
+        # NTILE(10) over 4 rows emits bins 1..4 only; empty bins omitted
+        df = spark.createDataFrame(
+            [("a", 5), ("a", 1), ("a", 9), ("a", 1)], ["k", "v"]
+        )
+        self._assert_match(spark, df, "k", "v", 10)
+
+    def test_nulls_excluded_and_partition_invariance(self, spark):
+        rows = [("g", i % 11 if i % 13 else None) for i in range(300)]
+        df = spark.createDataFrame(rows, "k: string, v: int")
+        self._assert_match(spark, df, "k", "v", 7)
+        from smartbots_etl_facturas_spark.operators.orderstats import (
+            group_equi_depth_bins,
+        )
+        a = sorted(map(tuple, group_equi_depth_bins(df, ["k"], "v", 7).collect()))
+        b = sorted(map(tuple, group_equi_depth_bins(
+            df.repartition(13), ["k"], "v", 7).collect()))
+        assert a == b
+
+    def test_wide_domain_raises(self, spark):
+        from py4j.protocol import Py4JJavaError
+        from pyspark.sql.utils import CapturedException
+        from smartbots_etl_facturas_spark.operators.orderstats import (
+            group_equi_depth_bins,
+        )
+        df = spark.range(100).select(
+            F.lit("k").alias("k"), F.col("id").alias("v"))
+        with pytest.raises((Py4JJavaError, CapturedException, Exception),
+                           match="distinct values|KLL"):
+            group_equi_depth_bins(
+                df, ["k"], "v", 4, max_domain_per_key=10).collect()
