@@ -34,6 +34,22 @@ def _phys_children(node) -> list:
     return [ch.apply(i) for i in range(ch.size())]
 
 
+def _plan_subqueries(node) -> list:
+    """Plans hanging off this node's EXPRESSIONS (scalar/IN subqueries,
+    DPP SubqueryBroadcastExec) via QueryPlan.subqueries — children()
+    alone never reaches them, so a CartesianProduct or unpartitioned
+    Window hidden inside a scalar subquery would otherwise escape the
+    audit entirely (round-11 ADVICE: the pre-r10 string renderer DID
+    see them because treeString prints innerChildren). Works on both
+    logical and physical nodes; defensive empty on node types without
+    the accessor."""
+    try:
+        sq = node.subqueries()
+        return [sq.apply(i) for i in range(sq.size())]
+    except Exception:
+        return []
+
+
 def _scan_info(node) -> dict:
     """Scan facts straight off the JVM node: output attribute names
     (the pruned read projection) and the source-reported
@@ -45,8 +61,10 @@ def _scan_info(node) -> dict:
     columns = [out.apply(i).name() for i in range(out.size())]
     pushed = False
     parts = ""
+    saw_metadata = False
     try:
         md = node.metadata()
+        saw_metadata = True
         if md.contains("PushedFilters"):
             pf = md.apply("PushedFilters")
             pushed = pf.strip() not in ("[]", "")
@@ -54,6 +72,24 @@ def _scan_info(node) -> dict:
             parts = md.apply("PartitionFilters").strip().strip("[]")
     except Exception:
         pass  # scan node type without a metadata map
+    if not saw_metadata:
+        # DSv2 (BatchScanExec): the V1 metadata map doesn't exist, but
+        # the Scan itself knows what it pushed — read it off the node
+        # instead of reporting a deterministic false negative (round-11
+        # ADVICE). FileScan-based scans expose pushedFilters() directly;
+        # other Scan impls at least render them in description().
+        try:
+            scan = node.scan()
+            try:
+                pushed = len(scan.pushedFilters()) > 0
+            except Exception:
+                import re as _re
+
+                m = _re.search(r"PushedFilters:\s*\[([^\]]*)\]",
+                               scan.description())
+                pushed = bool(m and m.group(1).strip())
+        except Exception:
+            pass  # not a DSv2 scan either: keep the conservative False
     return {
         "columns": columns,
         "pushed_filters": pushed,
@@ -71,6 +107,10 @@ def plan_report(df: DataFrame) -> PlanReport:
     node text can no longer silently weaken the deploy gate, and
     structural facts (a window's partition spec, a scan's pushed
     filters) come from the node itself instead of line heuristics.
+    Round-11: subquery plans (QueryPlan.subqueries) are pushed onto
+    the same traversal — the r10 tree walk followed only children(),
+    so a flagged node inside a scalar/IN subquery passed silently
+    (the old string renderer saw them via innerChildren).
     Counting rules carried over exactly: ReusedExchange is NOT an
     exchange (it re-reads an existing output), WindowGroupLimit is NOT
     a window (it accompanies the WindowExec it optimizes — counting
@@ -108,6 +148,9 @@ def plan_report(df: DataFrame) -> PlanReport:
         elif cls.endswith("ScanExec"):
             r.scans.append(_scan_info(node))
         stack.extend(_phys_children(node))
+        # plans inside expressions (scalar/IN subqueries, DPP) are not
+        # children() — audit them too or a flagged node hides there
+        stack.extend(_plan_subqueries(node))
     if r.cartesian_products:
         r.warnings.append(
             f"{r.cartesian_products} CartesianProduct node(s): O(n*m) pair "
@@ -223,4 +266,8 @@ def data_scale_windows(df: DataFrame) -> int:
         ):
             count += 1
         stack.extend(ch)
+        # subquery expressions carry whole plans children() never
+        # reaches — a fact-scale Window inside a scalar subquery must
+        # count too (round-11, same fix as plan_report)
+        stack.extend(_plan_subqueries(node))
     return count

@@ -149,8 +149,11 @@ def parse_xlsx_grid(content: bytes, sheet_name=0) -> list[list]:
         root = ET.fromstring(zf.read(_resolve_sheet_path(zf, sheet_name)))
         rows: dict[int, dict[int, str]] = {}
         max_col = -1
+        next_r = 0  # r is OPTIONAL: an attr-less row is implied next
         for row_el in root.iter(f"{_NS}row"):
-            r = int(row_el.get("r")) - 1
+            rv = row_el.get("r")
+            r = int(rv) - 1 if rv is not None else next_r
+            next_r = r + 1
             cells: dict[int, str] = {}
             next_ci = 0
             for c in row_el.findall(f"{_NS}c"):
@@ -622,6 +625,12 @@ def append_rows_xlsx(
     place (the sinks/staged.py discipline) — a crash mid-append never
     leaves a torn workbook. Returns the number of appended rows.
 
+    Spec tolerance (round-11): a ``<row>`` without an ``r`` attribute
+    takes the IMPLIED position (previous row + 1) per OOXML, so
+    templates from writers that omit ``r`` append below the data
+    instead of colliding at row 1; the opening ``<sheetData>`` tag may
+    carry attributes.
+
     Scale note: one workbook is one driver/task-local file (workbooks
     are not splittable); the DISTRIBUTED surface stays the xlsx_grid
     datasource — this function is the per-file finishing step the
@@ -643,8 +652,11 @@ def append_rows_xlsx(
     last_r = 0
     style_of_col: dict[int, str] = {}
     max_col = -1
+    seq = 0  # OOXML: a <row> without r is IMPLIED at previous + 1
     for row_el in root.iter(f"{_NS}row"):
-        r = int(row_el.get("r", "0"))
+        rv = row_el.get("r")
+        seq = int(rv) if rv is not None else seq + 1
+        r = seq
         last_r = max(last_r, r)
         for c in row_el.findall(f"{_NS}c"):
             ref = c.get("r")
@@ -659,10 +671,14 @@ def append_rows_xlsx(
     # the closing sheetData tag carries the document's prefix (if
     # any); inserted elements must use the same prefix to stay in the
     # spreadsheetml namespace
-    m = re.search(r"<(?:(\w+):)?sheetData(\s*/\s*)?>", sheet_xml)
+    # accept attributes on the opening tag (spec-legal for extension
+    # writers) and detect self-closing by the tag's own tail — a
+    # plain "<sheetData ...>" must not be mistaken for no element
+    m = re.search(r"<(?:(\w+):)?sheetData\b[^>]*>", sheet_xml)
     if m is None:
         raise ValueError(f"{sheet_path}: no sheetData element")
     pfx = f"{m.group(1)}:" if m.group(1) else ""
+    self_closed = m.group(0).rstrip().endswith("/>")
 
     def cell_xml(ri: int, ci: int, v) -> str:
         if v is None:
@@ -688,7 +704,7 @@ def append_rows_xlsx(
         max_col = max(max_col, len(row) - 1)
     splice = "".join(new_rows)
 
-    if m.group(2):  # self-closed <sheetData/> (empty template sheet)
+    if self_closed:  # self-closed <sheetData/> (empty template sheet)
         sheet_xml = (
             sheet_xml[: m.start()]
             + f"<{pfx}sheetData>{splice}</{pfx}sheetData>"

@@ -102,7 +102,7 @@ def funnel_stateful(
                 stage += 1
                 bound_us = t
         state.update((int(stage), int(bound_us)))
-        _arm_ttl(state, state_ttl_us, max([bound_us] + ts_us))
+        _arm_ttl(state, state_ttl_us, bound_us)
         yield pd.DataFrame(
             {
                 user_col: [key[0]],

@@ -43,10 +43,18 @@ def _validate_ttl(state_ttl_us) -> None:
 
 
 def _arm_ttl(state, state_ttl_us, base_us: int) -> None:
-    """Arm the idle-key eviction timeout at (newest observed event +
+    """Arm the idle-key eviction timeout at (newest ACCEPTED event +
     TTL), clamped strictly past the current watermark (Spark rejects
-    timeouts at or before it). Shared by the strict fold family."""
-    if state_ttl_us is None or base_us < 0:
+    timeouts at or before it). Shared by the strict fold family.
+
+    Round-11 (ADVICE): ``base_us`` is the fold's accepted-event bound
+    (``last_us``), NOT the batch max — a batch of only late/duplicate
+    rows must not refresh an idle key's TTL, or the documented
+    "idle = no accepted events" eviction contract silently weakens to
+    "no arrivals". A key that never accepted anything (base −1) or
+    whose accepted events are pre-1970 (base < 0) arms at the
+    watermark clamp instead of living forever."""
+    if state_ttl_us is None:
         return
     timeout_ms = -(-(base_us + state_ttl_us) // 1000)  # ceil to ms
     state.setTimeoutTimestamp(
@@ -160,7 +168,7 @@ def ewma_stateful(
             state.update(
                 (acc, last_us, last_tie) if tie_col else (acc, last_us)
             )
-            _arm_ttl(state, state_ttl_us, max([last_us] + ts_us))
+            _arm_ttl(state, state_ttl_us, last_us)
         if out_t:
             yield pd.DataFrame({
                 key_col: [key[0]] * len(out_t),
@@ -277,7 +285,7 @@ def holt_stateful(
                 (level, trend, last_us, last_tie) if tie_col
                 else (level, trend, last_us)
             )
-            _arm_ttl(state, state_ttl_us, max([last_us] + ts_us))
+            _arm_ttl(state, state_ttl_us, last_us)
         if out_t:
             yield pd.DataFrame({
                 key_col: [key[0]] * len(out_t),
@@ -666,7 +674,7 @@ def cusum_stateful(
             out_x.append(x)
             out_s.append(s)
         state.update((s, last_us, last_tie) if tie_col else (s, last_us))
-        _arm_ttl(state, state_ttl_us, max([last_us] + ts_us))
+        _arm_ttl(state, state_ttl_us, last_us)
         if out_t:
             yield pd.DataFrame({
                 key_col: [key[0]] * len(out_t),

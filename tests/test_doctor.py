@@ -57,3 +57,65 @@ def test_engine_flagship_is_scalable(spark, sf_dir):
 
     r = assert_scalable(entry.queries()["flagship_consolidation"](spark, sf_dir))
     assert r.cartesian_products == 0
+
+
+def test_flagged_node_inside_scalar_subquery_detected(spark, sf_dir):
+    """Round-11 ADVICE: children() never reaches plans hanging off
+    EXPRESSIONS — a global window (or cartesian) inside a scalar
+    subquery must still trip the gate, and its exchanges must count."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "doctor_sq_orders"
+    )
+    # non-correlated scalar subquery whose plan contains an
+    # unpartitioned Window — stays a SubqueryExec in the physical plan
+    df = spark.sql(
+        """
+        SELECT o_orderkey,
+               (SELECT max(rn) FROM (
+                  SELECT row_number() OVER (ORDER BY o_orderkey) AS rn
+                  FROM doctor_sq_orders)) AS total
+        FROM doctor_sq_orders
+        """
+    )
+    r = plan_report(df)
+    assert r.global_windows >= 1
+    with pytest.raises(RuntimeError, match="unpartitioned Window"):
+        assert_scalable(df)
+
+
+def test_data_scale_window_inside_subquery_counted(spark, sf_dir):
+    from smartbots_etl_facturas_spark.plans.doctor import data_scale_windows
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "doctor_dsw_orders"
+    )
+    df = spark.sql(
+        """
+        SELECT o_orderkey,
+               (SELECT max(rn) FROM (
+                  SELECT row_number() OVER (PARTITION BY o_orderstatus
+                                            ORDER BY o_orderkey) AS rn
+                  FROM doctor_dsw_orders)) AS total
+        FROM doctor_dsw_orders
+        """
+    )
+    assert data_scale_windows(df) >= 1
+
+
+def test_dsv2_scan_reports_pushed_filters(spark, tmp_path):
+    """Round-11 ADVICE: BatchScanExec has no V1 metadata map; pushed
+    filters must be read off the Scan itself, not defaulted to False."""
+    p = str(tmp_path / "dsv2.parquet")
+    spark.range(100).selectExpr("id", "id % 7 AS k").write.parquet(p)
+    prev = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = spark.read.parquet(p).filter(F.col("k") == 3).select("id")
+        r = plan_report(df)
+        assert r.scans, "no scan node found"
+        assert any(s["pushed_filters"] for s in r.scans)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", prev)

@@ -107,3 +107,40 @@ def test_ttl_validation():
         _validate_ttl(0)
     with pytest.raises(ValueError, match="state_ttl_us"):
         _validate_ttl(-5)
+
+
+def test_funnel_ttl_not_refreshed_by_non_advancing_events(spark, tmp_path):
+    """Round-11 ADVICE: TTL arms from the ACCEPTED-event bound only.
+    A user parked at the terminal stage keeps sending events that
+    cannot advance the walk — those must NOT refresh the TTL (the
+    documented contract is idle = no accepted events, not no
+    arrivals), so the user evicts and a later return starts a fresh
+    walk."""
+    from smartbots_etl_facturas_spark.streaming.funnel import (
+        funnel_stateful,
+    )
+
+    schema = "user_id long, ts timestamp, event_type string"
+    batches = [
+        # user 1 completes the funnel at minute 2 (TTL arms at 12)
+        [(1, _ts(0), "view"), (1, _ts(1), "cart"), (1, _ts(2), "buy"),
+         (2, _ts(2), "view")],
+        # minute 50: a NON-advancing event for user 1 (stage is
+        # terminal) — under the old batch-max arming this would
+        # re-arm at minute 60 and the eviction below never fires
+        [(1, _ts(50), "view"), (2, _ts(50), "view")],
+        # user 1 absent; watermark (~minute 41) passes the minute-12
+        # timeout -> evicted
+        [(2, _ts(51), "view")],
+        # fresh walk: exactly one 'view' -> stage 1, not 3
+        [(1, _ts(52), "view")],
+    ]
+    out = _drain(
+        spark, batches, schema, tmp_path,
+        lambda s: funnel_stateful(s, ["view", "cart", "buy"],
+                                  state_ttl_us=10 * MIN_US),
+    )
+    last = {}
+    for r in out:
+        last[r.user_id] = r.stage
+    assert last[1] == 1

@@ -359,3 +359,58 @@ def test_append_rows_out_path_leaves_template_intact(tmp_path):
     append_rows_xlsx(src, [["y"]], out_path=dst)
     assert open(src, "rb").read() == before
     assert parse_xlsx_grid(open(dst, "rb").read()) == [["h"], ["x"], ["y"]]
+
+
+def _munge_sheet1(path, fn):
+    """Rewrite xl/worksheets/sheet1.xml through fn(xml_text)."""
+    import zipfile
+
+    with zipfile.ZipFile(path) as zf:
+        members = {i.filename: zf.read(i.filename) for i in zf.infolist()}
+    members["xl/worksheets/sheet1.xml"] = fn(
+        members["xl/worksheets/sheet1.xml"].decode()
+    ).encode()
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in members.items():
+            zf.writestr(name, data)
+
+
+def test_append_rows_implied_row_positions(tmp_path):
+    """Round-11 ADVICE: OOXML row r= is OPTIONAL (implied sequential
+    positions). A template whose writer omits r must append BELOW the
+    existing rows, not collide at r=1."""
+    import re
+
+    from smartbots_etl_facturas_spark.sources.xlsx import (
+        append_rows_xlsx,
+        parse_xlsx_grid,
+        write_xlsx,
+    )
+
+    p = str(tmp_path / "t.xlsx")
+    write_xlsx(p, [["h1", "h2"], ["a", 1], ["b", 2]])
+    # strip every r= from <row> AND cell refs' rows stay (cells keep r=
+    # "A1"-style refs; only the row index attribute goes away)
+    _munge_sheet1(p, lambda xml: re.sub(r'(<row) r="\d+"', r"\1", xml))
+    append_rows_xlsx(p, [["c", 3]])
+    grid = parse_xlsx_grid(open(p, "rb").read())
+    assert grid == [["h1", "h2"], ["a", "1"], ["b", "2"], ["c", "3"]]
+
+
+def test_append_rows_sheetdata_with_attributes(tmp_path):
+    """The opening <sheetData> tag may legally carry attributes; the
+    splice must still find it (and not read it as self-closed)."""
+    from smartbots_etl_facturas_spark.sources.xlsx import (
+        append_rows_xlsx,
+        parse_xlsx_grid,
+        write_xlsx,
+    )
+
+    p = str(tmp_path / "t.xlsx")
+    write_xlsx(p, [["h"], ["x"]])
+    _munge_sheet1(
+        p, lambda xml: xml.replace("<sheetData>", '<sheetData foo="bar">')
+    )
+    append_rows_xlsx(p, [["y"]])
+    grid = parse_xlsx_grid(open(p, "rb").read())
+    assert grid == [["h"], ["x"], ["y"]]
