@@ -3175,18 +3175,19 @@ def q_approx_percentile_sketch(spark, sf_dir):
     sit within 0.5% of the exact median. ``p50`` is genuinely
     recomputed by the oracle; ``sketch_ok`` is the pinned invariant
     (sketch values themselves are engine-specific)."""
+    from smartbots_etl_facturas_spark.operators.orderstats import (
+        group_quantile_values,
+    )
+
     li = _read(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_extendedprice").cast(DEC).alias("price")
     )
-    w = Window.partitionBy("l_returnflag").orderBy("price")
-    ranked = li.select(
-        "l_returnflag", "price",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
-    )
-    exact = ranked.groupBy("l_returnflag").agg(
-        F.min(F.when(F.col("rn") * 2 >= F.col("n"), F.col("price")))
-        .cast("double").alias("p50"),
+    # exact tier via histogram selection (round-11: same value-at-rank
+    # semantics as the window formulation, no fact-scale window)
+    exact = group_quantile_values(
+        li, ["l_returnflag"], "price", [("p50_dec", 1, 2)]
+    ).select(
+        "l_returnflag", F.col("p50_dec").cast("double").alias("p50")
     )
     approx = li.groupBy("l_returnflag").agg(
         F.percentile_approx("price", 0.5, 10000).cast("double").alias("__p50_sketch")
@@ -10196,8 +10197,12 @@ def q_fx_normalize(spark, sf_dir):
             + ((day * 31 + (F.col("id") % 3) * 7919) % 500) * 1000
         ).alias("rate_micro"),
     )
+    # 3 currencies would serialize the carry-forward merge onto 3
+    # tasks; salting spreads each currency across 32 buckets with the
+    # (tiny) quote stream replicated per bucket — identical output
     enriched = asof_join(
-        orders, quotes, on="ccy", ts_col="d", payload_cols=["rate_micro"]
+        orders, quotes, on="ccy", ts_col="d", payload_cols=["rate_micro"],
+        salt_partitions=32,
     )
     return (
         enriched.groupBy("ccy", "yr")

@@ -44,6 +44,7 @@ def asof_join(
     payload_cols: list[str] | None = None,
     tiebreak: str | None = None,
     prefix: str = "matched_",
+    salt_partitions: int | None = None,
 ) -> DataFrame:
     """Left as-of join: latest right payload at-or-before each left row.
 
@@ -56,8 +57,22 @@ def asof_join(
     resolves right duplicates at the same (key, ts) to the greatest
     value; without it the winner among exact duplicates is undefined
     (same as DuckDB ASOF).
+
+    ``salt_partitions`` (round-11): the carry-forward window's
+    parallelism equals the KEY cardinality — right for per-user/
+    per-device keys, a handful-of-tasks serialization for a
+    low-cardinality key (3 currencies over a 100 TB fact). The as-of
+    result is PER-LEFT-ROW independent, so the key group can be
+    split: left rows spread across S salt buckets by a deterministic
+    hash of the whole row, right rows REPLICATE to all S buckets, and
+    the merge runs per (key, salt) — identical output, S× the
+    parallelism, at the cost of an S× copy of the (small) right side.
+    Use when keys ≪ parallelism and the right side is quote-table
+    sized; leave None when the key itself distributes.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if salt_partitions is not None and salt_partitions < 1:
+        raise ValueError("salt_partitions must be >= 1 (or None)")
     if payload_cols is None:
         payload_cols = [c for c in right.columns if c not in keys and c != ts_col]
     carried = [ts_col, *payload_cols]
@@ -86,8 +101,24 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in carried],
     )
 
+    part_keys: list = list(keys)
+    if salt_partitions and salt_partitions > 1:
+        s = int(salt_partitions)
+        # left rows spread by a whole-row hash (any even spread is
+        # correct — each left row's answer is independent); right rows
+        # post once per bucket so every bucket sees the full quote
+        # stream. Right rows sort before left at equal ts (side 0 < 1),
+        # so tie semantics are unchanged within every bucket.
+        l_side = l_side.withColumn(
+            "__salt", F.pmod(F.xxhash64(*l_side.columns), F.lit(s))
+        )
+        r_side = r_side.withColumn(
+            "__salt",
+            F.explode(F.sequence(F.lit(0), F.lit(s - 1)).cast("array<long>")),
+        )
+        part_keys.append("__salt")
     w = (
-        Window.partitionBy(*keys)
+        Window.partitionBy(*part_keys)
         .orderBy("__ts", "__side", "__tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -79,7 +79,20 @@ def interleave_key(
     key r·(scale/w_s) — exact integer arithmetic as long as every
     weight divides ``scale`` (720720 = lcm(1..16) covers weights up
     to 16). Sorting by (schedule_key, draw, id) yields the weighted
-    round-robin schedule; unknown sources get weight 1."""
+    round-robin schedule; unknown sources get weight 1.
+
+    Scale shape (round-11): sources are FEW by definition (languages,
+    domains), so ``row_number() OVER (PARTITION BY source)`` would
+    sort each source's entire corpus on one task — the hot-group
+    cliff. Instead the per-source rank derives from the adaptive
+    GLOBAL rank under the (source, draw, id) total order
+    (ranking.global_order_index: measured single-window under the 2M
+    crossover, range-partitioned two-pass above) minus the source's
+    first global rank + 1 — a |sources|-row offsets frame broadcast
+    back. Identical output, parallelism independent of source count.
+    """
+    from .ranking import global_order_index
+
     for w_ in weights.values():
         if scale % w_ != 0:
             raise ValueError(f"weight {w_} must divide scale={scale}")
@@ -91,11 +104,21 @@ def interleave_key(
         ],
         F.lit(scale),
     )
-    win = Window.partitionBy(source_col).orderBy(h, F.col(id_col))
+    ranked = global_order_index(
+        df.withColumn("__draw", h),
+        [F.col(source_col).asc(), F.col("__draw").asc(),
+         F.col(id_col).asc()],
+        rank_col="__g",
+    )
+    offsets = ranked.groupBy(source_col).agg(F.min("__g").alias("__g0"))
     return (
-        df.withColumn("__draw", h)
-        .withColumn("rank_in_source", F.row_number().over(win))
+        ranked.join(F.broadcast(offsets), source_col)
+        .withColumn(
+            "rank_in_source",
+            (F.col("__g") - F.col("__g0") + 1).cast("int"),
+        )
         .withColumn(
             "schedule_key", (F.col("rank_in_source").cast("long") * step)
         )
+        .drop("__g", "__g0")
     )

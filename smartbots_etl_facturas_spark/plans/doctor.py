@@ -23,6 +23,11 @@ class PlanReport:
     cartesian_products: int = 0
     broadcast_nested_loop_joins: int = 0
     global_windows: int = 0
+    #: partial top-k pushdown nodes (rank <= k filters): a window
+    #: accompanied by one prunes per-task before the partition sort —
+    #: the structural evidence a low-cardinality rank<=k window won't
+    #: materialize the full group (round-11, r10 verdict #4)
+    window_group_limits: int = 0
     scans: list[dict] = field(default_factory=list)
     warnings: list[str] = field(default_factory=list)
 
@@ -140,6 +145,11 @@ def plan_report(df: DataFrame) -> PlanReport:
             r.cartesian_products += 1
         elif cls == "BroadcastNestedLoopJoinExec":
             r.broadcast_nested_loop_joins += 1
+        elif cls == "WindowGroupLimitExec":
+            # not a Window (it accompanies the WindowExec it optimizes)
+            # but counted separately: its presence proves the rank<=k
+            # partial pushdown engaged
+            r.window_group_limits += 1
         elif cls in ("WindowExec", "WindowInPandasExec"):
             # an empty partition spec funnels every row through one
             # task (the take_while guard, at plan level)

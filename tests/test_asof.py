@@ -76,3 +76,36 @@ def test_single_shuffle_plan(spark):
     plan = asof_join(left, right, on="k", ts_col="ts")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_salted_identical_to_unsalted(spark):
+    """Round-11: salt_partitions splits a low-cardinality key's merge
+    across S buckets (right stream replicated per bucket) — the
+    OUTPUT must be bit-identical to the unsalted merge, including
+    tiebreak and left-outer nulls."""
+    left_rows = [(f"k{i % 2}", (i * 37) % 101, f"L{i}") for i in range(80)]
+    right_rows = [(f"k{i % 2}", (i * 53) % 101, f"R{i}", i) for i in range(60)]
+    plain = _join(spark, left_rows, right_rows, tiebreak="rid")
+    for s in (1, 7, 32):
+        salted = _join(spark, left_rows, right_rows, tiebreak="rid",
+                       salt_partitions=s)
+        assert set(salted) == set(plain)
+        for key in plain:
+            assert (salted[key].matched_rv, salted[key].matched_ts) == (
+                plain[key].matched_rv, plain[key].matched_ts), (key, s)
+    # salt column must not leak into the output schema
+    left = spark.createDataFrame(left_rows, L_SCHEMA)
+    right = spark.createDataFrame(right_rows, R_SCHEMA)
+    out = asof_join(left, right, on="k", ts_col="ts", salt_partitions=4)
+    assert "__salt" not in out.columns
+
+
+def test_salted_window_partitions_by_key_and_salt(spark):
+    """The executed plan's window must partition by (key, salt), so
+    parallelism is S x |keys| rather than |keys|."""
+    left = spark.createDataFrame([("a", 1, "L")], L_SCHEMA)
+    right = spark.createDataFrame([("a", 1, "R", 1)], R_SCHEMA)
+    plan = asof_join(
+        left, right, on="k", ts_col="ts", salt_partitions=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan.split("Window")[1][:400]

@@ -9,7 +9,10 @@ oracle stays green."""
 import pytest
 
 import __spark_entry__ as entry
-from smartbots_etl_facturas_spark.plans.doctor import plan_report
+from smartbots_etl_facturas_spark.plans.doctor import (
+    data_scale_windows,
+    plan_report,
+)
 
 # query name -> (allowed flags, why this is intentional)
 ALLOW: dict[str, tuple[set, str]] = {
@@ -284,6 +287,112 @@ ALLOW: dict[str, tuple[set, str]] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Registry-wide data-scale-window gate (round-11, r10 verdict #3).
+#
+# data_scale_windows counts Window nodes whose input reaches a leaf
+# relation without crossing an Aggregate — the shape where
+# Window.partitionBy(key) puts a key group's EVERY row on one task.
+# That is FINE when the partition key's cardinality scales with the
+# data (per-user sequences, per-doc spans, per-query ANN ranks: each
+# group is entity-sized) and a single-task sort of the corpus when the
+# key cardinality is fixed (~3 returnflags). Cardinality is invisible
+# in a plan, so the gate is detector + explicit allowlist: every
+# registered query must either report ZERO data-scale windows or carry
+# a justification below naming why its partition keys are safe. The
+# round-10 verdict found exactly this drift (group_percentiles /
+# equi_depth_bins / window_percentiles landed on the hot window while
+# only 4 queries were pinned) — this gate makes the pin registry-wide.
+#
+# Category tags:
+#   per-entity  — partition key cardinality grows with the data;
+#                 per-key frame bounded by the entity's own size
+#   per-query   — ANN rank windows partitioned by query_id
+#   adaptive    — operators/ranking.py:global_order_index measured the
+#                 frame under the 2M single-window crossover (larger
+#                 frames take the range-partitioned two-pass); its
+#                 persist boundary surfaces as a LogicalRDD leaf the
+#                 detector conservatively counts
+#   wgl         — rank<=k filter gets Spark's WindowGroupLimit partial
+#                 top-k pushdown (per-task prune before the sort) —
+#                 asserted structurally in
+#                 test_windowgrouplimit_protection_engaged
+#   salted      — as-of carry-forward merge with salt_partitions: the
+#                 window partitions by (key, salt), parallelism
+#                 decoupled from key cardinality (operators/asof.py)
+#   one-sheet   — the reference's sequential single-sheet semantics
+#                 (same justification as the gwin allowlist entries)
+WINDOW_ALLOW: dict[str, str] = {
+    "apply_changelog": "per-entity: latest-per-c_custkey rank; key "
+                       "cardinality = customers",
+    "asof_enrich": "per-entity: as-of carry-forward per user_id",
+    "attribution_last_touch": "per-entity: as-of walk per user_id",
+    "corpus_curation_pipeline": "per-entity: span islands per doc_id + "
+                                "first-wins rank per content digest",
+    "cusum_changepoints": "per-entity: ordered fold per user_id",
+    "dedup_first_wins": "per-entity: first-wins rank per PK tuple "
+                        "(orderkey, linenumber, ...)",
+    "duplicate_span_runs": "per-entity: span islands per doc_id",
+    "event_runs": "per-entity: run detection per user_id",
+    "event_transitions": "per-entity: lag() per user_id",
+    "event_trigrams": "per-entity: lag() per user_id",
+    "flagship_consolidation": "per-entity: dedup rank per "
+                              "(invoice_number, reference_number)",
+    "fx_normalize": "salted: asof_join(salt_partitions=32) — window "
+                    "partitions by (ccy, salt), 3 currencies no longer "
+                    "serialize the merge",
+    "interarrival_histogram": "per-entity: lag() per user_id",
+    "invoice_extract_errors": "one-sheet: reference's sequential "
+                              "take-while (gwin-allowlisted above)",
+    "invoice_extract_golden": "one-sheet: reference's sequential "
+                              "take-while (gwin-allowlisted above)",
+    "invoice_extract_multi": "per-entity: take-while per source_file "
+                             "(one workbook sheet per group)",
+    "rolling_window_revenue": "per-entity: 24h range frame per user_id",
+    "running_total": "per-entity: cumulative sum per o_custkey",
+    "scd2_asof_lookup": "per-entity: SCD2 validity windows per user_id",
+    "scd2_history": "per-entity: SCD2 validity windows per user_id",
+    "span_redacted_docs": "per-entity: span islands per doc_id",
+    "take_while": "per-entity: positional break per l_orderkey",
+    "training_shards": "per-entity: position within shard; rows per "
+                       "shard fixed by construction (shard count grows "
+                       "with data)",
+    "window_lead_lag": "per-entity: lead/lag per o_custkey",
+    "window_rank": "per-entity: rank per o_custkey",
+    "ann_bruteforce": "per-query: top-k rank per query_id",
+    "ann_ivf": "per-query: top-k rank per query_id over probed cells",
+    "ann_ivf_recall": "per-query: recall harness, rank per query_id",
+    "ann_lsh": "per-query: top-k rank per query_id over bucket matches",
+    "ann_lsh_recall": "per-query: recall harness, rank per query_id",
+    "ann_pq": "per-query: ADC + exact rerank ranks per query_id",
+    "ann_pq_prebuilt": "per-query: probe-only index ranks per query_id",
+    "ann_pq_prebuilt_recall": "per-query: recall harness per query_id",
+    "ann_pq_recall": "per-query: recall harness per query_id",
+    "curriculum_interleave": "adaptive: interleave_key derives "
+                             "per-source rank from global_order_index "
+                             "(round-11 migration off the per-lang "
+                             "window)",
+    "decile_lift": "adaptive: global_order_index small-path under the "
+                   "measured 2M crossover",
+    "rfm_segments": "adaptive: three global_order_index ranks (R/F/M) "
+                    "over the per-customer aggregate",
+    "spend_gini": "adaptive: global_order_index rank over the "
+                  "per-customer aggregate",
+    "vocab_coverage": "adaptive: global_order_index over the DISTINCT-"
+                      "term frame (vocabulary-bounded, Heaps-sublinear)",
+    "sample_exact_k_per_group": "wgl: rank<=k per lang — "
+                                "WindowGroupLimit partial pushdown "
+                                "prunes per-task",
+    "top_errors": "wgl: rank<=5 per error_reason — WindowGroupLimit "
+                  "partial pushdown prunes per-task",
+    "top_parts_by_size": "wgl: rank<=3 per p_size — WindowGroupLimit "
+                         "partial pushdown prunes per-task",
+    "topk_two_pass": "two-pass: local prune partitioned by "
+                     "(suppkey, partition-id) bounds every task; "
+                     "second window sees <= k rows per (suppkey, pid)",
+}
+
+
 def _flags(report) -> set:
     flags = set()
     if report.cartesian_products:
@@ -305,6 +414,18 @@ def test_query_plan_is_scalable(spark, sf_dir, name):
         f"(allowed: {sorted(allowed) or 'none'}) — fix the plan or add an "
         "explicit allowlist entry with its design justification"
     )
+    # registry-wide data-scale-window gate (see WINDOW_ALLOW above)
+    if name not in WINDOW_ALLOW:
+        dsw = data_scale_windows(df)
+        assert dsw == 0, (
+            f"{name}: {dsw} Window node(s) run directly over a data-scale "
+            "input — if every partition key's cardinality scales with the "
+            "data (per-user/per-doc/per-query), add a WINDOW_ALLOW entry "
+            "with that justification; if the key cardinality is fixed "
+            "(returnflag/event_type/lang), migrate to the reduced-frame "
+            "tier (operators/orderstats.py, ranking.global_order_index, "
+            "asof_join(salt_partitions=...))"
+        )
     # Ship-boundary discipline: no DecimalType may leave a registered
     # query. The harness compares results through pandas, where DuckDB
     # renders decimals as float64 ('123.5') while Spark keeps
@@ -344,3 +465,36 @@ def test_allowlist_has_no_stale_entries(spark, sf_dir):
         if not (allowed & flags):
             stale.append((name, sorted(allowed), sorted(flags)))
     assert not stale, f"stale allowlist entries: {stale}"
+
+
+def test_window_allowlist_has_no_stale_entries(spark, sf_dir):
+    """Same discipline for WINDOW_ALLOW: a query that stops tripping
+    data_scale_windows must lose its entry, and every entry must name
+    a registered query."""
+    qs = entry.queries()
+    unknown = sorted(set(WINDOW_ALLOW) - set(qs))
+    assert not unknown, f"WINDOW_ALLOW names unregistered queries: {unknown}"
+    stale = [
+        name for name in WINDOW_ALLOW
+        if data_scale_windows(qs[name](spark, sf_dir)) == 0
+    ]
+    assert not stale, f"stale WINDOW_ALLOW entries: {stale}"
+
+
+@pytest.mark.parametrize(
+    "name", ["sample_exact_k_per_group", "top_errors", "top_parts_by_size"]
+)
+def test_windowgrouplimit_protection_engaged(spark, sf_dir, name):
+    """r10 verdict #4: the 'wgl' WINDOW_ALLOW entries rest on Spark's
+    WindowGroupLimit partial top-k pushdown actually firing — assert
+    the node is in the executed plan, so a refactor that breaks the
+    rank<=k pattern (non-rank function, missing filter) loses the
+    justification loudly instead of silently regaining the full
+    per-group sort."""
+    df = entry.queries()[name](spark, sf_dir)
+    r = plan_report(df)
+    assert r.window_group_limits >= 1, (
+        f"{name}: no WindowGroupLimitExec in the executed plan — the "
+        "rank<=k pushdown did not engage; migrate to "
+        "operators/ranking.py:topk_per_group or restore the pattern"
+    )
