@@ -13,7 +13,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -171,40 +173,56 @@ def bench_skew(spark) -> dict[str, float]:
             spark.conf.set(k, v)
 
 
-def bench_multifile(spark, sf_dir, qs) -> dict[str, float]:
-    """Scan-layout control fixture: the generated testdata ships each
-    table as ONE parquet file with one row group, so the fact scan
-    cannot split and the flagship/reconciliation timings are dominated
-    by structural scan serialization, not plan cost (measured 7.67x
-    headroom in the round-4 scale-up experiment). Re-time the two
-    scan-bound queries against a scratch copy whose lineitem is
-    rewritten as 32 files — the layout any real deployment has — so
-    scan-bound vs plan-bound drift stays separable round over round.
-    Reported alongside, NOT in the headline total (it is a layout
-    control, not an sf-dir query)."""
-    import shutil
-    import tempfile
+#: scan-bound queries benched against the SPLITTABLE layout (round-11,
+#: r10 verdict #7): the generated testdata ships each table as ONE
+#: parquet file with one row group, so the fact scan cannot split and
+#: these two queries' timings are dominated by structural scan
+#: serialization, not plan cost (7.67x headroom measured round-4;
+#: 32x SCALE ratio 10.7 in r10 was this artifact). The headline number
+#: should measure the ENGINE, so the canonical benched path reads a
+#: 32-file rewrite of lineitem — the layout any real deployment has —
+#: and the single-file timing is reported alongside as
+#: `<name>_singlefile`, keeping scan-bound vs plan-bound drift
+#: separable round over round.
+SCAN_BOUND_MULTIFILE = ("flagship_consolidation", "reconciliation")
 
-    tmp = tempfile.mkdtemp(prefix="bench_multifile_")
-    try:
+
+def prepare_multifile_dir(spark, sf_dir) -> str:
+    """Materialize (once per sf_dir content-path) the 32-file lineitem
+    rewrite next to symlinks of every other table; reused across runs
+    so fixture prep never rides a timing."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    tmp = os.path.join(tempfile.gettempdir(), f"bench_multifile_{tag}")
+    marker = os.path.join(tmp, "._ready")
+    if not os.path.exists(marker):
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
         for f in os.listdir(sf_dir):
             if f == "lineitem.parquet":
                 continue
             os.symlink(os.path.join(sf_dir, f), os.path.join(tmp, f))
         (spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(32)
          .write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet"))
-        out = {}
-        for name in ("flagship_consolidation", "reconciliation"):
-            best = None
-            for _ in range(2):
-                t0 = time.perf_counter()
-                _force(qs[name](spark, tmp))
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            out[f"{name}_multifile"] = round(best, 3)
-        return out
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        open(marker, "w").close()
+    return tmp
+
+
+def bench_singlefile_control(spark, sf_dir, qs) -> dict[str, float]:
+    """The inverse control: the same two queries against the raw
+    single-file testdata layout, reported as `<name>_singlefile`
+    (NOT in the headline total)."""
+    out = {}
+    for name in SCAN_BOUND_MULTIFILE:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[f"{name}_singlefile"] = round(best, 3)
+    return out
 
 
 def main() -> None:
@@ -236,13 +254,17 @@ def main() -> None:
 
     # best-of-2 per query: single-shot timings on a shared machine are
     # ±30% noisy; the minimum is the reproducible cost of the plan
+    # scan-bound queries time against the splittable 32-file layout
+    # (see SCAN_BOUND_MULTIFILE); everything else against sf_dir
+    mf_dir = prepare_multifile_dir(spark, sf_dir)
+    dir_for = lambda n: mf_dir if n in SCAN_BOUND_MULTIFILE else sf_dir  # noqa: E731
     timings: dict[str, float] = {}
     for name in headline:
         fn = qs[name]
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
-            _force(fn(spark, sf_dir))
+            _force(fn(spark, dir_for(name)))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
@@ -250,7 +272,7 @@ def main() -> None:
     # skew fixture: reported alongside but NOT counted in the headline
     # total (it is a generated demonstration, not an sf-dir query)
     skew = bench_skew(spark)
-    multifile = bench_multifile(spark, sf_dir, qs)
+    singlefile = bench_singlefile_control(spark, sf_dir, qs)
 
     total = round(sum(timings.values()), 3)
     skew_speedup = (round(skew["skew_join_plain"] / skew["skew_join_salted"], 2)
@@ -334,7 +356,7 @@ def main() -> None:
             best = None
             for _ in range(4):
                 t0 = time.perf_counter()
-                _force(fn(spark, sf_dir))
+                _force(fn(spark, dir_for(name)))  # same layout as the flag
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             reg["sec_reprobe"] = round(best, 3)
@@ -365,7 +387,7 @@ def main() -> None:
         )
 
     timings.update(skew)
-    timings.update(multifile)
+    timings.update(singlefile)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": total,

@@ -26,8 +26,8 @@ sys.path.insert(0, REPO)
 FIXTURE_SERIES = {
     "skew_join_plain",
     "skew_join_salted",
-    "flagship_consolidation_multifile",
-    "reconciliation_multifile",
+    "flagship_consolidation_singlefile",
+    "reconciliation_singlefile",
 }
 
 

@@ -132,3 +132,111 @@ class QueryRunReporter:
         return a.join(b, "query_name").filter(
             F.col("fp_now") != F.col("fp_then")
         )
+
+
+# ---------------------------------------------------------------------------
+# Streaming per-micro-batch audit (round-11, r10 verdict #8)
+
+STREAM_BATCH_SCHEMA = T.StructType([
+    T.StructField("run_uuid", T.StringType(), False),
+    T.StructField("monitor", T.StringType(), False),
+    T.StructField("batch_id", T.LongType(), False),
+    T.StructField("n_rows", T.LongType(), True),
+    T.StructField("wall_seconds", T.DoubleType(), True),
+    T.StructField("status", T.StringType(), True),
+])
+
+
+class StreamBatchAuditor:
+    """Per-MICRO-BATCH audit rows for the streaming monitors, through
+    the same append-only parquet discipline as the batch S9 sinks —
+    the reference's tracker logs every file event
+    (sqlite_tracker.py:70-257); with this, every micro-batch a
+    streaming monitor folds leaves one queryable ``stream_batches``
+    row (who, which batch id, how many rows, how long, status).
+
+    Exactly-once under foreachBatch redelivery: emission is
+    IDEMPOTENT per (run_uuid, monitor, batch_id) — ``emit`` reads the
+    table first and appends only when the key is absent, so a
+    redelivered batch (same process or post-restart) never
+    double-logs, and a crash BETWEEN a monitor's state commit and its
+    audit append is repaired on redelivery (the monitor skips the
+    fold, the auditor back-fills the missing row). Single-writer per
+    (run_uuid, monitor) is assumed — the same assumption the
+    monitors' own JSON state files make.
+
+    Scale: one driver-side key probe + one 1-row append per
+    micro-batch, independent of batch volume (same costs as the
+    monitors' own bounded collects).
+    """
+
+    def __init__(self, spark: SparkSession, base_dir: str, monitor: str,
+                 run_uuid: str | None = None):
+        import uuid
+
+        self.spark = spark
+        self.base = base_dir
+        self.monitor = monitor
+        self.run_uuid = run_uuid or str(uuid.uuid4())
+
+    def _path(self) -> str:
+        return os.path.join(self.base, "stream_batches")
+
+    def table(self) -> DataFrame:
+        return self.spark.read.schema(STREAM_BATCH_SCHEMA).parquet(
+            self._path()
+        )
+
+    def already_emitted(self, batch_id: int) -> bool:
+        """True when the batch already has its COMPLETED row. ERROR
+        rows do not count: each failure is logged as evidence, and a
+        later successful redelivery still gets its one COMPLETED row."""
+        if not os.path.isdir(self._path()):
+            return False
+        return bool(
+            self.table()
+            .filter(
+                (F.col("run_uuid") == self.run_uuid)
+                & (F.col("monitor") == self.monitor)
+                & (F.col("batch_id") == int(batch_id))
+                & (F.col("status") == "COMPLETED")
+            )
+            .limit(1)
+            .take(1)
+        )
+
+    def emit(self, batch_id: int, n_rows: int | None = None,
+             wall_seconds: float | None = None,
+             status: str = "COMPLETED") -> bool:
+        """Append one audit row; COMPLETED emission is idempotent per
+        (run_uuid, monitor, batch_id) — returns whether a row was
+        written. ERROR rows append unconditionally (one per failure)."""
+        if status == "COMPLETED" and self.already_emitted(batch_id):
+            return False
+        row = (self.run_uuid, self.monitor, int(batch_id),
+               None if n_rows is None else int(n_rows),
+               None if wall_seconds is None else float(wall_seconds),
+               status)
+        (self.spark.createDataFrame([row], STREAM_BATCH_SCHEMA)
+         .write.mode("append").parquet(self._path()))
+        return True
+
+    def audited_sink(self, inner=None):
+        """A foreachBatch callable that logs every micro-batch then
+        delegates to ``inner`` — the audit hook for stateful streaming
+        queries (funnel / ordered folds) whose OUTPUT stream is the
+        natural per-batch boundary. ``inner`` failures log an ERROR
+        row for the batch (a later redelivery back-fills the
+        COMPLETED row under at-least-once replay)."""
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            t0 = time.perf_counter()
+            n = batch_df.count()
+            if inner is not None:
+                try:
+                    inner(batch_df, batch_id)
+                except Exception:
+                    self.emit(batch_id, n, time.perf_counter() - t0,
+                              status="ERROR")
+                    raise
+            self.emit(batch_id, n, time.perf_counter() - t0)
+        return sink

@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -59,8 +60,11 @@ class DriftMonitor:
         nbins: int,
         ref_counts: dict[int, int],
         state_dir: str | None = None,
+        auditor=None,
     ):
         self.value_col = value_col
+        #: optional StreamBatchAuditor (see streaming/topk.py)
+        self.auditor = auditor
         self.lo, self.hi, self.nbins = lo, hi, nbins
         self.width = (hi - lo) / nbins
         self.ref = {int(b): int(c) for b, c in ref_counts.items()}
@@ -75,7 +79,10 @@ class DriftMonitor:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in self.seen:
+            if self.auditor:  # back-fill a crash-lost audit row
+                self.auditor.emit(batch_id, batch_df.count())
             return  # redelivered after recovery: already folded in
+        _t0 = time.perf_counter()
         delta = (
             batch_df.groupBy(
                 _bin(
@@ -89,6 +96,14 @@ class DriftMonitor:
             self.counts[int(r.bin)] = self.counts.get(int(r.bin), 0) + int(r.c)
         self.seen.add(batch_id)
         self._persist()
+        if self.auditor:
+            # sum of bin counts == rows in the batch (every row lands
+            # in exactly one bin group, incl. the null bin) — no
+            # second scan needed
+            self.auditor.emit(
+                batch_id, sum(int(r.c) for r in delta),
+                time.perf_counter() - _t0,
+            )
 
     def _persist(self) -> None:
         if not self.state_dir:

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -75,8 +76,15 @@ class SketchAccumulator:
         d: int = 4,
         w: int = 256,
         state_dir: str | None = None,
+        auditor=None,
     ):
         self.key, self.p, self.d, self.w = key, p, d, w
+        #: optional sinks.observability.StreamBatchAuditor — one
+        #: stream_batches audit row per folded micro-batch (r10
+        #: verdict #8); emission is idempotent per batch id, so the
+        #: skip path back-fills a row lost to a crash between the
+        #: state commit and the audit append
+        self.auditor = auditor
         self.hll: dict[int, int] = {}
         self.cms: dict[tuple[int, int], int] = {}
         self._seen: set[int] = set()
@@ -130,7 +138,10 @@ class SketchAccumulator:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in self._seen:  # redelivery (same process OR restart)
+            if self.auditor:  # back-fill a crash-lost audit row (no-op otherwise)
+                self.auditor.emit(batch_id, batch_df.count())
             return
+        _t0 = time.perf_counter()
         for r in hll_registers(batch_df, self.key, p=self.p).collect():
             cur = self.hll.get(r.bucket, 0)
             if r.rho_max > cur:
@@ -144,6 +155,10 @@ class SketchAccumulator:
         self._seen.add(batch_id)
         if self.state_dir:
             self._persist()
+        if self.auditor:
+            self.auditor.emit(
+                batch_id, batch_df.count(), time.perf_counter() - _t0
+            )
 
 
 class QuantileAccumulator:
@@ -176,6 +191,7 @@ class QuantileAccumulator:
         value: str,
         k: int = 256,
         state_dir: str | None = None,
+        auditor=None,
     ):
         from smartbots_etl_facturas_spark.operators.quantiles import KllSketch
 
@@ -184,6 +200,7 @@ class QuantileAccumulator:
         self.groups: dict = {}
         self._seen: set[int] = set()
         self.state_dir = state_dir
+        self.auditor = auditor  # see SketchAccumulator
         if state_dir:
             self._load()
 
@@ -231,7 +248,10 @@ class QuantileAccumulator:
         )
 
         if batch_id in self._seen:  # redelivery (same process OR restart)
+            if self.auditor:
+                self.auditor.emit(batch_id, batch_df.count())
             return
+        _t0 = time.perf_counter()
         rows = kll_group_partials(
             batch_df, self.key, self.value, self.k
         ).collect()
@@ -247,6 +267,10 @@ class QuantileAccumulator:
         self._seen.add(batch_id)
         if self.state_dir:
             self._persist()
+        if self.auditor:
+            self.auditor.emit(
+                batch_id, batch_df.count(), time.perf_counter() - _t0
+            )
 
     def quantile(self, group, q: float) -> float:
         return self.groups[str(group)].quantile(q)

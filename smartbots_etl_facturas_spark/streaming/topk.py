@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -70,8 +71,12 @@ class HeavyHittersMonitor:
         capacity: int = 64,
         seed: str = "cms-v1",
         state_dir: str | None = None,
+        auditor=None,
     ):
         self.key, self.d, self.w, self.m = key, d, w, m
+        #: optional StreamBatchAuditor: one stream_batches row per
+        #: folded micro-batch; idempotent emit back-fills on redelivery
+        self.auditor = auditor
         self.capacity, self.seed = capacity, seed
         self.cells: dict[tuple[int, int], int] = {}
         self.candidates: dict[str, int] = {}  # key -> last CMS estimate
@@ -88,7 +93,10 @@ class HeavyHittersMonitor:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in self.seen:
+            if self.auditor:  # back-fill a crash-lost audit row
+                self.auditor.emit(batch_id, batch_df.count())
             return  # redelivered after recovery: already folded in
+        _t0 = time.perf_counter()
         # Run BOTH Spark actions before touching any in-memory state:
         # if either collect fails and the query restarts, this batch id
         # is still absent from ``seen`` and the redelivery folds the
@@ -124,6 +132,10 @@ class HeavyHittersMonitor:
             self.candidates = dict(keep)
         self.seen.add(batch_id)
         self._persist()
+        if self.auditor:
+            self.auditor.emit(
+                batch_id, batch_df.count(), time.perf_counter() - _t0
+            )
 
     def _estimate(self, key_value: str) -> int:
         import hashlib

@@ -58,7 +58,7 @@ def test_headline_derivation_rejects_stale_exclusions():
 
 def test_no_stale_floors():
     """Every floor entry is a registered query or a bench-generated
-    fixture series (skew pair / multifile controls)."""
+    fixture series (skew pair / layout controls)."""
     from scripts.check_floor_coverage import FIXTURE_SERIES
 
     qs = entrymod.queries()
