@@ -1751,6 +1751,118 @@ FROM embeddings WHERE vec_id % 50 = 0
 """
 
 
+# --- ANN rerank-over-frozen-candidates companions (round-11) -----------------
+
+def _ann_fixture_pairs(name: str) -> list:
+    """(query_id, neighbor_id) pairs frozen by
+    scripts/freeze_ann_candidates.py from the named tier's
+    return_candidates hook at sf0.01 — loaded by path so the driver's
+    import-by-path of this module resolves the fixture regardless of
+    cwd/sys.path."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ann_candidates", os.path.join(_REPO, "fixtures", "ann_candidates.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return getattr(mod, name)
+
+
+def _ann_rerank_fixture(spark, sf_dir, pairs):
+    """Exact cosine top-5 over a FROZEN candidate-pair list: the
+    deterministic rerank arithmetic of the approximate tiers, value-
+    oracled (verdict r10 #5). Both engines join the CURRENT embeddings
+    on the frozen ids — pairs whose ids are absent at this sf drop
+    symmetrically — so the check holds at every sf and across testdata
+    regenerations; the candidate GENERATION itself stays covered by
+    the live rows-only tiers + their recall-floor twins."""
+    from smartbots_etl_facturas_spark.operators.similarity import (
+        _dot,
+        with_norm,
+    )
+
+    cand = spark.createDataFrame(pairs, "query_id long, neighbor_id long")
+    e = with_norm(_read(spark, sf_dir, "embeddings"))
+    scored = (
+        cand.join(
+            F.broadcast(
+                e.select(F.col("vec_id").alias("query_id"),
+                         F.col("embedding").alias("__qv"),
+                         F.col("__norm").alias("__qn"))
+            ),
+            "query_id",
+        )
+        .join(
+            e.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("embedding").alias("__cv"),
+                     F.col("__norm").alias("__cn")),
+            "neighbor_id",
+        )
+        .withColumn(
+            "cosine",
+            _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _sql_ann_rerank(pairs) -> str:
+    vals = ", ".join(f"({q}, {n})" for q, n in pairs)
+    return f"""
+WITH pairs(query_id, neighbor_id) AS (VALUES {vals}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT CAST(p.query_id AS BIGINT) AS query_id,
+         CAST(p.neighbor_id AS BIGINT) AS neighbor_id,
+         list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v))
+              * sqrt(list_dot_product(c.v, c.v))) AS cosine
+  FROM pairs p
+  JOIN e q ON q.vec_id = p.query_id
+  JOIN e c ON c.vec_id = p.neighbor_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+def q_ann_lsh_rerank(spark, sf_dir):
+    """Value-oracled exact-rerank stage of the LSH tier over its
+    frozen sf0.01 candidate set (fixtures/ann_candidates.py) — see
+    _ann_rerank_fixture."""
+    return _ann_rerank_fixture(spark, sf_dir, _ann_fixture_pairs("LSH_PAIRS"))
+
+
+def q_ann_ivf_rerank(spark, sf_dir):
+    """Value-oracled exact-rerank stage of the IVF tier over its
+    frozen sf0.01 candidate set."""
+    return _ann_rerank_fixture(spark, sf_dir, _ann_fixture_pairs("IVF_PAIRS"))
+
+
+def q_ann_pq_rerank(spark, sf_dir):
+    """Value-oracled exact-rerank stage of the IVF-PQ tier over its
+    frozen sf0.01 ADC-top-64 survivor set."""
+    return _ann_rerank_fixture(spark, sf_dir, _ann_fixture_pairs("PQ_PAIRS"))
+
+
+def q_ann_pq_prebuilt_rerank(spark, sf_dir):
+    """Value-oracled exact-rerank stage of the persisted-index probe
+    tier over its frozen sf0.01 ADC-top-64 survivor set."""
+    return _ann_rerank_fixture(
+        spark, sf_dir, _ann_fixture_pairs("PQ_PREBUILT_PAIRS")
+    )
+
+
 def q_ann_ivf_recall(spark, sf_dir):
     """Driver-checkable recall invariant of the IVF ANN tier (16
     k-means cells, nprobe=10, 3 Lloyd iterations): recall@5 vs brute
@@ -12404,6 +12516,10 @@ _QUERIES: dict[str, Callable] = {
     "scd2_history": q_scd2_history,
     "wav_audio_pipeline": q_wav_audio_pipeline,
     "ann_pq": q_ann_pq,
+    "ann_lsh_rerank": q_ann_lsh_rerank,
+    "ann_ivf_rerank": q_ann_ivf_rerank,
+    "ann_pq_rerank": q_ann_pq_rerank,
+    "ann_pq_prebuilt_rerank": q_ann_pq_prebuilt_rerank,
     "ann_pq_recall": q_ann_pq_recall,
     "ann_pq_prebuilt": q_ann_pq_prebuilt,
     "ann_pq_prebuilt_recall": q_ann_pq_prebuilt_recall,
@@ -12736,4 +12852,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL per query (omitted → rows-only check)."""
-    return dict(_ORACLES)
+    out = dict(_ORACLES)
+    # the ANN rerank oracles inline the frozen candidate pairs, so they
+    # are built lazily from the fixture (absent only while
+    # scripts/freeze_ann_candidates.py is generating it)
+    try:
+        for name, fx in (
+            ("ann_lsh_rerank", "LSH_PAIRS"),
+            ("ann_ivf_rerank", "IVF_PAIRS"),
+            ("ann_pq_rerank", "PQ_PAIRS"),
+            ("ann_pq_prebuilt_rerank", "PQ_PREBUILT_PAIRS"),
+        ):
+            out[name] = _sql_ann_rerank(_ann_fixture_pairs(fx))
+    except FileNotFoundError:
+        pass
+    return out

@@ -74,6 +74,10 @@ EXCLUDED: dict[str, str] = {
     "xlsx_to_consolidated": _FIXTURE,
     # --- ground-truth / invariant twins of benched production paths ---
     "ann_ivf_recall": _TWIN + "ann_ivf",
+    "ann_ivf_rerank": _FIXTURE + " (frozen sf0.01 candidate pairs; the live IVF tier is benched as ann_ivf)",
+    "ann_lsh_rerank": _FIXTURE + " (frozen sf0.01 candidate pairs; the live LSH tier is benched as ann_lsh)",
+    "ann_pq_prebuilt_rerank": _FIXTURE + " (frozen sf0.01 survivor pairs; the live probe tier is benched as ann_pq_prebuilt)",
+    "ann_pq_rerank": _FIXTURE + " (frozen sf0.01 survivor pairs; the live IVF-PQ tier is benched as ann_pq)",
     "ann_lsh_recall": _TWIN + "ann_lsh",
     "ann_pq_prebuilt_recall": _TWIN + "ann_pq_prebuilt",
     "ann_pq_recall": _TWIN + "ann_pq",

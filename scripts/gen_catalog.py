@@ -78,6 +78,29 @@ ROWS_ONLY_NOTES: dict[str, str] = {
     ),
 }
 
+# Round-11 (r10 verdict #5): each ANN tier's exact-RERANK stage — the
+# deterministic-arithmetic half — is now value-oracled by an
+# `ann_*_rerank` companion scoring the candidate pairs FROZEN from the
+# tier's own generator at sf0.01 (scripts/freeze_ann_candidates.py ->
+# fixtures/ann_candidates.py; robust at every sf and across testdata
+# regenerations because both engines join the CURRENT embeddings on
+# the frozen ids). The fixture oracle lives in a COMPANION rather than
+# the registered tier deliberately: substituting frozen candidates
+# into the tier itself would remove live candidate GENERATION from the
+# benched production path — the part that matters at 100 TB — leaving
+# it measured nowhere. So the registered tiers stay rows-only, each
+# pinned by BOTH a recall-floor twin (approximate half) and a frozen-
+# candidate rerank oracle (exact half).
+for _tier in ("ann_lsh", "ann_ivf", "ann_pq", "ann_pq_prebuilt"):
+    ROWS_ONLY_NOTES[_tier] += (
+        f" Round-11: the exact-rerank stage is value-oracled by the "
+        f"`{_tier}_rerank` companion over "
+        f"candidate pairs frozen from this tier's generator at sf0.01 "
+        f"(fixtures/ann_candidates.py); the fixture oracle lives in a "
+        f"companion so live candidate generation stays on the benched "
+        f"production path."
+    )
+
 
 def first_sentence(doc: str | None) -> str:
     if not doc:

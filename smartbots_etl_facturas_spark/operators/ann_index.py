@@ -124,6 +124,7 @@ def cosine_topk_ivfpq_probe(
     k: int = 5,
     nprobe: int = 4,
     rerank: int = 32,
+    return_candidates: bool = False,
 ) -> DataFrame:
     """Probe-only IVF-PQ top-k against a PERSISTED index — no training
     anywhere in the plan. ``corpus`` supplies only the full vectors
@@ -176,6 +177,9 @@ def cosine_topk_ivfpq_probe(
         .filter(F.col("__r") <= rerank)
         .select("query_id", "neighbor_id")
     )
+    if return_candidates:
+        # see operators/pq.py:cosine_topk_ivfpq — frozen-fixture hook
+        return survivors
     cn = with_norm(corpus, vec_col)
     qn = with_norm(queries, vec_col)
     exact = survivors.join(

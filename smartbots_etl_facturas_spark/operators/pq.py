@@ -218,6 +218,7 @@ def cosine_topk_ivfpq(
     k_sub: int = 16,
     rerank: int = 32,
     train_iters: int = 2,
+    return_candidates: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the standard billion-scale ANN architecture (FAISS's
     IVFPQ) as pure dataflow — coarse IVF cells prune the candidate
@@ -291,6 +292,11 @@ def cosine_topk_ivfpq(
         .filter(F.col("__r") <= rerank)
         .select("query_id", "neighbor_id")
     )
+    if return_candidates:
+        # the exact-rerank stage's input (ADC top-``rerank`` per
+        # query) — exposed so the rerank arithmetic can be
+        # value-oracled over a frozen fixture (round-11)
+        return survivors
     exact = survivors.join(
         cn.select(F.col(id_col).alias("neighbor_id"),
                   F.col(vec_col).alias("__cv"),

@@ -213,6 +213,7 @@ def cosine_topk_lsh(
     tables: int = 4,
     probe_flips: int = 0,
     sketch_mode: str = "auto",
+    return_candidates: bool = False,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing a bucket in at
     least one of ``tables`` independent hash tables.
@@ -302,6 +303,11 @@ def cosine_topk_lsh(
         for p in cand_parts[1:]:
             candidates = candidates.unionByName(p)
     candidates = candidates.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
+    if return_candidates:
+        # the frame the exact-rerank stage scores — exposed so its
+        # deterministic arithmetic can be value-oracled over a frozen
+        # fixture (round-11, r10 verdict #5)
+        return candidates
 
     qv = qn.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
                    F.col("__norm").alias("__qn"))
@@ -517,6 +523,7 @@ def cosine_topk_ivf(
     nprobe: int = 4,
     train_iters: int = 2,
     assign_mode: str = "auto",
+    return_candidates: bool = False,
 ) -> DataFrame:
     """Approximate top-k via IVF: score only corpus vectors whose cell
     is among the query's ``nprobe`` nearest cells.
@@ -573,10 +580,17 @@ def cosine_topk_ivf(
             "__qv",
             "__qn",
         )
-    scored = (
-        q.join(c, on="cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")))
+    cand = q.join(c, on="cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    if return_candidates:
+        # see cosine_topk_lsh — the exact-scoring stage's input pairs
+        # (each pair is unique: corpus posts to ONE cell, probes are
+        # distinct cells; distinct() is belt-and-braces)
+        return cand.select("query_id", "neighbor_id").distinct()
+    scored = cand.withColumn(
+        "cosine",
+        _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (

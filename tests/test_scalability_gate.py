@@ -368,6 +368,12 @@ WINDOW_ALLOW: dict[str, str] = {
     "ann_pq_prebuilt": "per-query: probe-only index ranks per query_id",
     "ann_pq_prebuilt_recall": "per-query: recall harness per query_id",
     "ann_pq_recall": "per-query: recall harness per query_id",
+    "ann_lsh_rerank": "per-query: rank over the frozen fixture pairs "
+                      "(frame bounded by the fixture itself)",
+    "ann_ivf_rerank": "per-query: rank over the frozen fixture pairs",
+    "ann_pq_rerank": "per-query: rank over the frozen fixture pairs",
+    "ann_pq_prebuilt_rerank": "per-query: rank over the frozen fixture "
+                              "pairs",
     "curriculum_interleave": "adaptive: interleave_key derives "
                              "per-source rank from global_order_index "
                              "(round-11 migration off the per-lang "
