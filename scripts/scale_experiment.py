@@ -181,7 +181,13 @@ QUERIES = [
 ]
 
 
-def build_scaled(spark, k: int, out_dir: str) -> None:
+def build_scaled(spark, k: int, out_dir: str, multifile: bool = False) -> None:
+    """``multifile=False`` coalesces each scaled fact to ONE file like
+    the generated testdata (structural scan shape comparable to the
+    raw sf dir). ``multifile=True`` (round-11, r10 verdict #7) keeps
+    the natural 32-file layout — paired with timing the BASE scale on
+    bench.py's splittable rewrite, so the ratio measures the ENGINE's
+    scaling rather than single-file scan serialization."""
     os.makedirs(out_dir, exist_ok=True)
     for t in DIMS:
         shutil.copyfile(f"{BASE}/{t}.parquet", f"{out_dir}/{t}.parquet")
@@ -195,6 +201,11 @@ def build_scaled(spark, k: int, out_dir: str) -> None:
             )
         (rep.drop("__r").repartition(8)
          .write.mode("overwrite").parquet(f"{out_dir}/{t}.tmp"))
+        if multifile:
+            (spark.read.parquet(f"{out_dir}/{t}.tmp").repartition(32)
+             .write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet"))
+            shutil.rmtree(f"{out_dir}/{t}.tmp")
+            continue
         # single-file layout like the generated testdata (keeps the
         # structural scan shape comparable between the two scales)
         one = spark.read.parquet(f"{out_dir}/{t}.tmp").coalesce(1)
@@ -223,12 +234,15 @@ def main() -> None:
         i = args.index("--queries")
         subset = [q for q in args[i + 1].split(",") if q]
         del args[i:i + 2]
+    multifile = "--multifile" in args
+    if multifile:
+        args.remove("--multifile")
     k = int(args[0]) if len(args) > 0 else 8
     out_dir = args[1] if len(args) > 1 else "/tmp/spark_graft_scale"
     spark = get_spark("scale-experiment")
     spark.sparkContext.setLogLevel("ERROR")
     if not os.path.exists(f"{out_dir}/lineitem.parquet"):
-        build_scaled(spark, k, out_dir)
+        build_scaled(spark, k, out_dir, multifile=multifile)
     qs = entrymod.queries()
     run_list = subset if subset else QUERIES
     unknown = sorted(set(run_list) - set(qs))
@@ -236,9 +250,16 @@ def main() -> None:
         raise SystemExit(f"unknown queries: {unknown}")
     # warmup
     best_of_2(qs["pricing_summary"], spark, BASE)
+    base_dir = BASE
+    if multifile:
+        # both scales through the SAME writer/layout (a 1x replica of
+        # every fact, 32 files each) so the ratio isolates data growth
+        base_dir = out_dir.rstrip("/") + "_base1"
+        if not os.path.exists(f"{base_dir}/lineitem.parquet"):
+            build_scaled(spark, 1, base_dir, multifile=True)
     results = {}
     for name in run_list:
-        base_s = best_of_2(qs[name], spark, BASE)
+        base_s = best_of_2(qs[name], spark, base_dir)
         big_s = best_of_2(qs[name], spark, out_dir)
         results[name] = {
             "base_sec": base_s,
@@ -247,7 +268,7 @@ def main() -> None:
         }
         print(f"## {name}: {base_s}s -> {big_s}s  ratio {results[name]['ratio']}"
               f" (data x{k})", flush=True)
-    print(json.dumps({"k": k, "results": results}))
+    print(json.dumps({"k": k, "layout": "multifile" if multifile else "singlefile", "results": results}))
 
 
 if __name__ == "__main__":

@@ -47,12 +47,15 @@ THRESHOLD = 0.8  # the registered similarity_join threshold
 
 
 def zipf_docs_with_clones(spark, n: int):
-    """n Zipf docs + ~1% single-token-swap clones (Jaccard 0.905).
+    """n Zipf docs + ~1% single-token-swap clones (Jaccard ~0.9).
 
-    Clone ids take orig + n; which SIDE of the join a clone and its
-    original land on is incidental — the honest density model (true
-    matches appear wherever the pair straddles the two sides, keeping
-    output growth linear in n without hand-placing answers)."""
+    Clones are made of LEFT-side originals (doc_id % 6 == 0) and get
+    ids nudged onto the RIGHT side (% 6 == 3), so every clone pair
+    straddles the join's two sides: the TRUE output grows linearly in
+    n (one pair per cloned doc) while the pair space grows n^2 — the
+    bounded-density corpus the r10 SCALE32 exclusion note prescribes.
+    Id nudge is +n plus at most 5 (originals are 100 apart — no
+    collisions)."""
     v = 2 * n
     base = spark.range(n).select(
         F.col("id").alias("doc_id"),
@@ -64,8 +67,12 @@ def zipf_docs_with_clones(spark, n: int):
             )
         ).alias("toks"),
     )
-    clones = base.filter(F.col("doc_id") % 100 == 0).select(
-        (F.col("doc_id") + n).alias("doc_id"),
+    raw_clone_id = F.col("doc_id") + n
+    right_clone_id = raw_clone_id + (3 - raw_clone_id % 6 + 6) % 6
+    clones = base.filter(
+        (F.col("doc_id") % 100 == 0) & (F.col("doc_id") % 6 == 0)
+    ).select(
+        right_clone_id.alias("doc_id"),
         F.concat(
             F.slice("toks", 1, F.size("toks") - 1),
             F.array(F.concat(F.lit("u"), F.col("doc_id").cast("string"))),
