@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -60,8 +61,12 @@ class BottomKSampler:
         k: int = 50,
         seed: str = "sample-v1",
         state_dir: str | None = None,
+        auditor=None,
     ):
         self.id_col = id_col
+        #: optional StreamBatchAuditor (see streaming/topk.py): one
+        #: stream_batches row per merged micro-batch, idempotent emit
+        self.auditor = auditor
         self.payload_cols = list(payload_cols or [])
         self.k, self.seed = int(k), seed
         # rows keyed by (draw, id_str): [draw, id_str, *payloads]
@@ -83,7 +88,10 @@ class BottomKSampler:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= self.low or batch_id in self.seen:
+            if self.auditor:  # back-fill a crash-lost audit row
+                self.auditor.emit(batch_id, batch_df.count())
             return  # redelivered after recovery: already merged
+        _t0 = time.perf_counter()
         # Compaction invariant, made explicit: everything at or below
         # ``low`` is treated as seen, which is only sound if batch ids
         # are contiguous-monotone (structured streaming's foreachBatch
@@ -126,6 +134,10 @@ class BottomKSampler:
             self.low = max(self.low, max(self.seen) - self._SEEN_KEEP)
             self.seen = {i for i in self.seen if i > self.low}
         self._persist()
+        if self.auditor:
+            self.auditor.emit(
+                batch_id, batch_df.count(), time.perf_counter() - _t0
+            )
 
     def sample(self) -> list[tuple]:
         return [tuple(r) for r in self.rows]

@@ -159,3 +159,19 @@ def test_error_rows_logged_then_completed_backfilled(spark, tmp_path):
     rows = _audit_rows(auditor)
     assert (0, 3, "ERROR") in rows and (0, 3, "COMPLETED") in rows
     assert len(rows) == 2
+
+
+def test_sampler_audit_rows(spark, tmp_path):
+    from smartbots_etl_facturas_spark.streaming.sampling import (
+        BottomKSampler,
+    )
+
+    auditor = StreamBatchAuditor(spark, str(tmp_path / "audit"), "sampler")
+    mon = BottomKSampler("doc_id", ["lang"], k=5,
+                         state_dir=str(tmp_path / "state"), auditor=auditor)
+    b0 = spark.createDataFrame(
+        [(i, "en") for i in range(10)], "doc_id long, lang string")
+    mon(b0, 0)
+    mon(b0, 0)  # redelivery: no second row
+    rows = _audit_rows(auditor)
+    assert rows == [(0, 10, "COMPLETED")]
