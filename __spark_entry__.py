@@ -1784,25 +1784,23 @@ def _ann_rerank_fixture(spark, sf_dir, pairs):
 
     cand = spark.createDataFrame(pairs, "query_id long, neighbor_id long")
     e = with_norm(_read(spark, sf_dir, "embeddings"))
-    scored = (
-        cand.join(
-            F.broadcast(
-                e.select(F.col("vec_id").alias("query_id"),
-                         F.col("embedding").alias("__qv"),
-                         F.col("__norm").alias("__qn"))
-            ),
-            "query_id",
-        )
-        .join(
-            e.select(F.col("vec_id").alias("neighbor_id"),
-                     F.col("embedding").alias("__cv"),
-                     F.col("__norm").alias("__cn")),
-            "neighbor_id",
-        )
-        .withColumn(
-            "cosine",
-            _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
-        )
+    # the FIXTURE is the bounded side (hundreds-to-thousands of id
+    # pairs) — broadcast it, never the corpus-scale embeddings table
+    # (round-11 review: the hint was on the wrong side); the enriched
+    # pair frame stays fixture-sized, so it broadcasts again for the
+    # neighbor-vector join
+    with_q = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        F.col("__norm").alias("__qn"),
+    ).join(F.broadcast(cand), "query_id")
+    scored = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv"),
+        F.col("__norm").alias("__cn"),
+    ).join(F.broadcast(with_q), "neighbor_id").withColumn(
+        "cosine",
+        _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.col("neighbor_id")

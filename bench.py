@@ -192,24 +192,36 @@ SCAN_BOUND_MULTIFILE = ("flagship_consolidation", "reconciliation")
 
 
 def prepare_multifile_dir(spark, sf_dir) -> str:
-    """Materialize (once per sf_dir content-path) the 32-file lineitem
+    """Materialize (once per sf_dir CONTENT) the 32-file lineitem
     rewrite next to symlinks of every other table; reused across runs
-    so fixture prep never rides a timing."""
+    so fixture prep never rides a timing. The reuse marker records the
+    source lineitem's (mtime_ns, size) fingerprint — the driver
+    regenerates testdata between rounds, and a path-only cache would
+    silently time a STALE lineitem rewrite against fresh symlinked
+    dims (round-11 review)."""
     import hashlib
 
+    src_li = os.path.join(sf_dir, "lineitem.parquet")
+    st = os.stat(src_li)
+    fingerprint = f"{st.st_mtime_ns}:{st.st_size}"
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     tmp = os.path.join(tempfile.gettempdir(), f"bench_multifile_{tag}")
     marker = os.path.join(tmp, "._ready")
-    if not os.path.exists(marker):
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            current = fh.read().strip()
+    if current != fingerprint:
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
         for f in os.listdir(sf_dir):
             if f == "lineitem.parquet":
                 continue
             os.symlink(os.path.join(sf_dir, f), os.path.join(tmp, f))
-        (spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(32)
+        (spark.read.parquet(src_li).repartition(32)
          .write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet"))
-        open(marker, "w").close()
+        with open(marker, "w") as fh:
+            fh.write(fingerprint)
     return tmp
 
 

@@ -241,8 +241,23 @@ def main() -> None:
     out_dir = args[1] if len(args) > 1 else "/tmp/spark_graft_scale"
     spark = get_spark("scale-experiment")
     spark.sparkContext.setLogLevel("ERROR")
-    if not os.path.exists(f"{out_dir}/lineitem.parquet"):
+    # layout marker: a scratch built under the OTHER layout must not be
+    # silently reused — a --multifile run over a stale singlefile dir
+    # would measure the very scan artifact the flag removes (r11 review)
+    layout = "multifile" if multifile else "singlefile"
+    marker = f"{out_dir}/._layout"
+    if os.path.exists(f"{out_dir}/lineitem.parquet"):
+        built = open(marker).read().strip() if os.path.exists(marker) else "?"
+        if built != layout:
+            raise SystemExit(
+                f"{out_dir} was built with layout={built!r}, requested "
+                f"{layout!r} — remove the dir (or pass a different "
+                "out_dir) to rebuild"
+            )
+    else:
         build_scaled(spark, k, out_dir, multifile=multifile)
+        with open(marker, "w") as fh:
+            fh.write(layout)
     qs = entrymod.queries()
     run_list = subset if subset else QUERIES
     unknown = sorted(set(run_list) - set(qs))

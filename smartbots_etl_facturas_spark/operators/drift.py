@@ -36,7 +36,14 @@ __all__ = ["psi_bins", "chi_square_cells", "mi_cells"]
 
 def _bin(col: Column, lo: float, width: float, nbins: int) -> Column:
     """Equi-width bin index 0..nbins-1, clamping out-of-range values
-    into the edge bins (floor semantics match SQL floor())."""
+    into the edge bins (floor semantics match SQL floor()).
+
+    NULL values land in bin 0: ``greatest`` skips nulls in BOTH Spark
+    and DuckDB (so the oracle agrees), making a null indistinguishable
+    from a below-range value. Callers who want nulls excluded must
+    filter upstream — documented rather than changed (round-11 review)
+    because the registered queries and the stream==batch twins pin
+    this exact cross-engine arithmetic."""
     raw = F.floor((col - F.lit(lo)) / F.lit(width)).cast("long")
     return F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1))
 

@@ -135,8 +135,12 @@ def plan_report(df: DataFrame) -> PlanReport:
             # materialized AQE stage: the real subtree hangs off plan()
             stack.append(node.plan())
             continue
-        if cls == "ReusedExchangeExec":
-            continue  # re-read of an exchange counted at its definition
+        if cls in ("ReusedExchangeExec", "ReusedSubqueryExec"):
+            # re-reads counted at their definition: subquery reuse
+            # surfaces BOTH the SubqueryExec and its Reused wrapper via
+            # QueryPlan.subqueries — descending the wrapper would count
+            # the shared child's exchanges/windows twice (r11 review)
+            continue
         if cls == "ShuffleExchangeExec":
             r.exchanges += 1
         elif cls == "BroadcastExchangeExec":

@@ -156,18 +156,27 @@ class StreamBatchAuditor:
     row (who, which batch id, how many rows, how long, status).
 
     Exactly-once under foreachBatch redelivery: emission is
-    IDEMPOTENT per (run_uuid, monitor, batch_id) — ``emit`` reads the
-    table first and appends only when the key is absent, so a
-    redelivered batch (same process or post-restart) never
-    double-logs, and a crash BETWEEN a monitor's state commit and its
-    audit append is repaired on redelivery (the monitor skips the
-    fold, the auditor back-fills the missing row). Single-writer per
-    (run_uuid, monitor) is assumed — the same assumption the
-    monitors' own JSON state files make.
+    IDEMPOTENT per (run_uuid, monitor, batch_id) — so a redelivered
+    batch (same process or post-restart) never double-logs, and a
+    crash BETWEEN a monitor's state commit and its audit append is
+    repaired on redelivery (the monitor skips the fold, the auditor
+    back-fills the missing row). For that to hold ACROSS RESTARTS the
+    run_uuid must be restart-stable, so the default is a DETERMINISTIC
+    uuid5 of (base_dir, monitor) — the same lineage identity the
+    monitors' state files key on (round-11 review: a random uuid4
+    default made pre-crash rows invisible to the back-fill probe and
+    duplicated them). Pass an explicit ``run_uuid`` only to separate
+    two deliberate logical runs of one lineage. Single-writer per
+    (run_uuid, monitor) is assumed — the same assumption the monitors'
+    own JSON state files make.
 
-    Scale: one driver-side key probe + one 1-row append per
-    micro-batch, independent of batch volume (same costs as the
-    monitors' own bounded collects).
+    Cost: COMPLETED batch ids are cached in memory after ONE load of
+    this lineage's ids at construction, so steady-state emission is an
+    in-memory probe + a 1-row append per micro-batch — the audit-table
+    read does not grow with stream age (round-11 review). Monitors
+    that cannot derive the batch row count from their own collected
+    aggregates pay one extra ``count()`` action per batch when
+    auditing is enabled (opt-in, documented per monitor).
     """
 
     def __init__(self, spark: SparkSession, base_dir: str, monitor: str,
@@ -177,7 +186,12 @@ class StreamBatchAuditor:
         self.spark = spark
         self.base = base_dir
         self.monitor = monitor
-        self.run_uuid = run_uuid or str(uuid.uuid4())
+        self.run_uuid = run_uuid or str(
+            uuid.uuid5(uuid.NAMESPACE_URL,
+                       f"stream-batch-auditor:{os.path.abspath(base_dir)}:"
+                       f"{monitor}")
+        )
+        self._completed: set[int] | None = None  # lazy one-time load
 
     def _path(self) -> str:
         return os.path.join(self.base, "stream_batches")
@@ -187,23 +201,31 @@ class StreamBatchAuditor:
             self._path()
         )
 
+    def _load_completed(self) -> set[int]:
+        """This lineage's COMPLETED batch ids, loaded from the table
+        ONCE (restart recovery) and maintained in memory after."""
+        if self._completed is None:
+            if os.path.isdir(self._path()):
+                self._completed = {
+                    int(r.batch_id)
+                    for r in self.table()
+                    .filter(
+                        (F.col("run_uuid") == self.run_uuid)
+                        & (F.col("monitor") == self.monitor)
+                        & (F.col("status") == "COMPLETED")
+                    )
+                    .select("batch_id")
+                    .collect()
+                }
+            else:
+                self._completed = set()
+        return self._completed
+
     def already_emitted(self, batch_id: int) -> bool:
         """True when the batch already has its COMPLETED row. ERROR
         rows do not count: each failure is logged as evidence, and a
         later successful redelivery still gets its one COMPLETED row."""
-        if not os.path.isdir(self._path()):
-            return False
-        return bool(
-            self.table()
-            .filter(
-                (F.col("run_uuid") == self.run_uuid)
-                & (F.col("monitor") == self.monitor)
-                & (F.col("batch_id") == int(batch_id))
-                & (F.col("status") == "COMPLETED")
-            )
-            .limit(1)
-            .take(1)
-        )
+        return int(batch_id) in self._load_completed()
 
     def emit(self, batch_id: int, n_rows: int | None = None,
              wall_seconds: float | None = None,
@@ -219,6 +241,8 @@ class StreamBatchAuditor:
                status)
         (self.spark.createDataFrame([row], STREAM_BATCH_SCHEMA)
          .write.mode("append").parquet(self._path()))
+        if status == "COMPLETED":
+            self._load_completed().add(int(batch_id))
         return True
 
     def audited_sink(self, inner=None):

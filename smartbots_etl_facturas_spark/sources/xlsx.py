@@ -672,13 +672,31 @@ def append_rows_xlsx(
     # any); inserted elements must use the same prefix to stay in the
     # spreadsheetml namespace
     # accept attributes on the opening tag (spec-legal for extension
-    # writers) and detect self-closing by the tag's own tail — a
-    # plain "<sheetData ...>" must not be mistaken for no element
-    m = re.search(r"<(?:(\w+):)?sheetData\b[^>]*>", sheet_xml)
-    if m is None:
+    # writers). The tag end is found by a quote-aware scan, not a
+    # [^>]* regex: '>' and '/' are legal INSIDE attribute values, so a
+    # bare regex could end the match mid-value and misread a plain tag
+    # as self-closed — splicing on that span would tear the sheet XML
+    # (round-11 review)
+    m0 = re.search(r"<(?:(\w+):)?sheetData\b", sheet_xml)
+    if m0 is None:
         raise ValueError(f"{sheet_path}: no sheetData element")
-    pfx = f"{m.group(1)}:" if m.group(1) else ""
-    self_closed = m.group(0).rstrip().endswith("/>")
+    i = m0.end()
+    quote = None
+    while i < len(sheet_xml):
+        ch = sheet_xml[i]
+        if quote is not None:
+            if ch == quote:
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+        elif ch == ">":
+            break
+        i += 1
+    else:
+        raise ValueError(f"{sheet_path}: unterminated sheetData tag")
+    pfx = f"{m0.group(1)}:" if m0.group(1) else ""
+    self_closed = sheet_xml[m0.end():i].rstrip().endswith("/")
+    tag_start, tag_end = m0.start(), i + 1  # span of the opening tag
 
     def cell_xml(ri: int, ci: int, v) -> str:
         if v is None:
@@ -706,9 +724,9 @@ def append_rows_xlsx(
 
     if self_closed:  # self-closed <sheetData/> (empty template sheet)
         sheet_xml = (
-            sheet_xml[: m.start()]
+            sheet_xml[: tag_start]
             + f"<{pfx}sheetData>{splice}</{pfx}sheetData>"
-            + sheet_xml[m.end():]
+            + sheet_xml[tag_end:]
         )
     else:
         close = re.search(rf"</\s*{re.escape(pfx[:-1]) + ':' if pfx else ''}sheetData\s*>", sheet_xml)

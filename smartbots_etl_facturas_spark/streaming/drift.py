@@ -98,8 +98,9 @@ class DriftMonitor:
         self._persist()
         if self.auditor:
             # sum of bin counts == rows in the batch (every row lands
-            # in exactly one bin group, incl. the null bin) — no
-            # second scan needed
+            # in exactly one bin: _bin clamps out-of-range AND null
+            # values into the edge bins — see operators/drift.py) —
+            # no second scan needed
             self.auditor.emit(
                 batch_id, sum(int(r.c) for r in delta),
                 time.perf_counter() - _t0,

@@ -65,7 +65,8 @@ class BottomKSampler:
     ):
         self.id_col = id_col
         #: optional StreamBatchAuditor (see streaming/topk.py): one
-        #: stream_batches row per merged micro-batch, idempotent emit
+        #: stream_batches row per merged micro-batch, idempotent
+        #: emit. Auditing adds one count() action per batch.
         self.auditor = auditor
         self.payload_cols = list(payload_cols or [])
         self.k, self.seed = int(k), seed

@@ -83,7 +83,9 @@ class SketchAccumulator:
         #: stream_batches audit row per folded micro-batch (r10
         #: verdict #8); emission is idempotent per batch id, so the
         #: skip path back-fills a row lost to a crash between the
-        #: state commit and the audit append
+        #: state commit and the audit append. Auditing adds one
+        #: count() action per batch (the audited row count includes
+        #: null keys, which the sketch deltas cannot report).
         self.auditor = auditor
         self.hll: dict[int, int] = {}
         self.cms: dict[tuple[int, int], int] = {}

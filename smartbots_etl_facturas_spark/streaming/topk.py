@@ -75,7 +75,8 @@ class HeavyHittersMonitor:
     ):
         self.key, self.d, self.w, self.m = key, d, w, m
         #: optional StreamBatchAuditor: one stream_batches row per
-        #: folded micro-batch; idempotent emit back-fills on redelivery
+        #: folded micro-batch; idempotent emit back-fills on
+        #: redelivery. Auditing adds one count() action per batch.
         self.auditor = auditor
         self.capacity, self.seed = capacity, seed
         self.cells: dict[tuple[int, int], int] = {}

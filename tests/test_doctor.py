@@ -119,3 +119,37 @@ def test_dsv2_scan_reports_pushed_filters(spark, tmp_path):
             spark.conf.unset("spark.sql.sources.useV1SourceList")
         else:
             spark.conf.set("spark.sql.sources.useV1SourceList", prev)
+
+
+def test_reused_subquery_not_double_counted(spark, sf_dir):
+    """Round-11 review: subquery REUSE surfaces both SubqueryExec and
+    ReusedSubqueryExec via QueryPlan.subqueries — the shared child's
+    nodes must count once (same rule as ReusedExchange)."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "doctor_reuse_orders"
+    )
+    # the same scalar subquery referenced twice -> Spark reuses it
+    df = spark.sql(
+        """
+        SELECT o_orderkey
+        FROM doctor_reuse_orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice)
+                              FROM doctor_reuse_orders)
+           OR o_totalprice < (SELECT avg(o_totalprice)
+                              FROM doctor_reuse_orders) / 10
+        """
+    )
+    plan_str = df._jdf.queryExecution().executedPlan().toString()
+    r = plan_report(df)
+    if "ReusedSubquery" in plan_str:
+        # one shared subquery plan: its exchanges counted exactly once
+        single = spark.sql(
+            """
+            SELECT o_orderkey FROM doctor_reuse_orders
+            WHERE o_totalprice > (SELECT avg(o_totalprice)
+                                  FROM doctor_reuse_orders)
+            """
+        )
+        assert r.exchanges == plan_report(single).exchanges
+    else:  # Spark planned two independent subqueries: both audited
+        assert r.exchanges >= 1

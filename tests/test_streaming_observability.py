@@ -94,7 +94,7 @@ def test_drift_monitor_counts_without_second_scan(spark, tmp_path):
     )
     mon(batch, 3)
     rows = _audit_rows(auditor)
-    assert rows == [(3, 43, "COMPLETED")]  # null lands in the null bin group
+    assert rows == [(3, 43, "COMPLETED")]  # null clamps into bin 0 (see operators/drift.py:_bin)
 
 
 def test_audited_sink_wraps_stateful_stream(spark, tmp_path):
@@ -175,3 +175,20 @@ def test_sampler_audit_rows(spark, tmp_path):
     mon(b0, 0)  # redelivery: no second row
     rows = _audit_rows(auditor)
     assert rows == [(0, 10, "COMPLETED")]
+
+
+def test_restart_with_fresh_auditor_does_not_duplicate(spark, tmp_path):
+    """Round-11 review: the default run_uuid must be restart-stable
+    (uuid5 of base_dir+monitor) — a restarted process's fresh auditor
+    must SEE pre-crash COMPLETED rows, or the back-fill path appends a
+    duplicate for every redelivered batch."""
+    state = str(tmp_path / "state")
+    audit = str(tmp_path / "audit")
+    batch = spark.createDataFrame([("a", 1.0)] * 4, ["k", "v"])
+    a1 = StreamBatchAuditor(spark, audit, "sketch")
+    SketchAccumulator("k", state_dir=state, auditor=a1)(batch, 0)
+    # 'restart': new process constructs everything fresh
+    a2 = StreamBatchAuditor(spark, audit, "sketch")
+    assert a2.run_uuid == a1.run_uuid  # deterministic lineage identity
+    SketchAccumulator("k", state_dir=state, auditor=a2)(batch, 0)
+    assert _audit_rows(a2) == [(0, 4, "COMPLETED")]

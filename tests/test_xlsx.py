@@ -414,3 +414,23 @@ def test_append_rows_sheetdata_with_attributes(tmp_path):
     append_rows_xlsx(p, [["y"]])
     grid = parse_xlsx_grid(open(p, "rb").read())
     assert grid == [["h"], ["x"], ["y"]]
+
+
+def test_append_rows_sheetdata_attr_value_with_slash_gt(tmp_path):
+    """Round-11 review: '>' and '/' are legal inside attribute values;
+    the tag-end scan must respect quotes or a plain tag reads as
+    self-closed and the splice tears the sheet XML."""
+    from smartbots_etl_facturas_spark.sources.xlsx import (
+        append_rows_xlsx,
+        parse_xlsx_grid,
+        write_xlsx,
+    )
+
+    p = str(tmp_path / "t.xlsx")
+    write_xlsx(p, [["h"], ["x"]])
+    _munge_sheet1(
+        p, lambda xml: xml.replace("<sheetData>", '<sheetData foo="a/>b">')
+    )
+    append_rows_xlsx(p, [["y"]])
+    grid = parse_xlsx_grid(open(p, "rb").read())
+    assert grid == [["h"], ["x"], ["y"]]
