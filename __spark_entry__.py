@@ -1294,6 +1294,19 @@ FROM r WHERE rank <= 5
 """
 
 
+#: ANN tier parameters — single source of truth shared by the
+#: registered queries, scripts/freeze_ann_candidates.py and the
+#: fixture-freshness test (round-11): a parameter change here without
+#: a re-freeze fails tests/test_similarity.py's fixture guard instead
+#: of silently leaving ann_*_rerank oracle-checking a stale tier.
+ANN_PARAMS = {
+    "lsh": {"k": 5, "bits": 4, "tables": 8, "probe_flips": 1},
+    "ivf": {"k": 5, "n_cells": 16, "nprobe": 10, "train_iters": 3},
+    "pq": {"k": 5, "nprobe": 10, "rerank": 64, "m": 16},
+    "pq_prebuilt": {"k": 5, "nprobe": 10, "rerank": 64},
+}
+
+
 def q_ann_lsh(spark, sf_dir):
     """Approximate top-5 cosine via random-hyperplane LSH buckets —
     the scale path (no oracle: approximate by design; recall vs
@@ -1307,7 +1320,7 @@ def q_ann_lsh(spark, sf_dir):
     # neighbors that straddle a single hyperplane at no corpus-side
     # shuffle cost.
     return cosine_topk_lsh(emb.filter(F.col("vec_id") % 50 == 0), emb,
-                           k=5, bits=4, tables=8, probe_flips=1)
+                           **ANN_PARAMS["lsh"])
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -1320,7 +1333,7 @@ def q_ann_ivf(spark, sf_dir):
     # 16 cells × nprobe=10 × 3 Lloyd iterations: measured recall@5
     # 0.90 (sf0.001) / 0.92 (sf0.01)
     return cosine_topk_ivf(emb.filter(F.col("vec_id") % 50 == 0), emb,
-                           k=5, n_cells=16, nprobe=10, train_iters=3)
+                           **ANN_PARAMS["ivf"])
 
 
 def _minhash_md5_bkt_sql(p: str, src: str) -> str:
@@ -1648,7 +1661,7 @@ def q_ann_pq(spark, sf_dir):
     oracle-checked ann_pq_recall companion."""
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 50 == 0)
-    return cosine_topk_ivfpq(q, emb, k=5, nprobe=10, rerank=64, m=16)
+    return cosine_topk_ivfpq(q, emb, **ANN_PARAMS["pq"])
 
 
 def q_ann_pq_recall(spark, sf_dir):
@@ -1722,7 +1735,7 @@ def q_ann_pq_prebuilt(spark, sf_dir):
     base = ensure_pq_index(spark, sf_dir)
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 50 == 0)
-    return cosine_topk_ivfpq_probe(q, emb, base, k=5, nprobe=10, rerank=64)
+    return cosine_topk_ivfpq_probe(q, emb, base, **ANN_PARAMS["pq_prebuilt"])
 
 
 def q_ann_pq_prebuilt_recall(spark, sf_dir):

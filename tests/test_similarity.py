@@ -380,3 +380,27 @@ class TestPersistedIndex:
         q = emb.filter(F.col("vec_id") % 100 == 0)
         out = cosine_topk_ivfpq_probe(q, emb, base, k=3, nprobe=2, rerank=16)
         assert out.count() > 0
+
+
+def test_ann_fixture_matches_registered_parameters():
+    """Round-11 guard: the frozen rerank-candidate fixture records the
+    tier parameters it was generated with; a parameter change in
+    __spark_entry__.ANN_PARAMS without a re-freeze
+    (scripts/freeze_ann_candidates.py) fails here instead of leaving
+    the ann_*_rerank oracles checking a stale tier's candidates."""
+    import importlib.util
+    import os
+
+    import __spark_entry__ as entry
+
+    spec = importlib.util.spec_from_file_location(
+        "ann_candidates",
+        os.path.join(os.path.dirname(os.path.abspath(entry.__file__)),
+                     "fixtures", "ann_candidates.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.PARAMS == entry.ANN_PARAMS
+    for name in ("LSH_PAIRS", "IVF_PAIRS", "PQ_PAIRS", "PQ_PREBUILT_PAIRS"):
+        pairs = getattr(mod, name)
+        assert pairs and all(len(p) == 2 for p in pairs)
