@@ -85,14 +85,21 @@ def _scan_info(node) -> dict:
         # other Scan impls at least render them in description().
         try:
             scan = node.scan()
+            import re as _re
+
             try:
                 pushed = len(scan.pushedFilters()) > 0
             except Exception:
-                import re as _re
-
                 m = _re.search(r"PushedFilters:\s*\[([^\]]*)\]",
                                scan.description())
                 pushed = bool(m and m.group(1).strip())
+            try:  # FileScan renders partition filters in description()
+                pm = _re.search(r"PartitionFilters:\s*\[([^\]]*)\]",
+                                scan.description())
+                if pm:
+                    parts = pm.group(1).strip()
+            except Exception:
+                pass
         except Exception:
             pass  # not a DSv2 scan either: keep the conservative False
     return {
