@@ -1782,7 +1782,7 @@ def _ann_fixture_pairs(name: str) -> list:
     return getattr(mod, name)
 
 
-def _ann_rerank_fixture(spark, sf_dir, pairs):
+def _ann_rerank_fixture(spark, sf_dir, pairs, k):
     """Exact cosine top-5 over a FROZEN candidate-pair list: the
     deterministic rerank arithmetic of the approximate tiers, value-
     oracled (verdict r10 #5). Both engines join the CURRENT embeddings
@@ -1820,12 +1820,12 @@ def _ann_rerank_fixture(spark, sf_dir, pairs):
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 5)
+        .filter(F.col("rank") <= int(k))
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 
-def _sql_ann_rerank(pairs) -> str:
+def _sql_ann_rerank(pairs, k) -> str:
     vals = ", ".join(f"({q}, {n})" for q, n in pairs)
     return f"""
 WITH pairs(query_id, neighbor_id) AS (VALUES {vals}),
@@ -1843,7 +1843,7 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored)
 SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
-FROM r WHERE rank <= 5
+FROM r WHERE rank <= {int(k)}
 """
 
 
@@ -1851,26 +1851,27 @@ def q_ann_lsh_rerank(spark, sf_dir):
     """Value-oracled exact-rerank stage of the LSH tier over its
     frozen sf0.01 candidate set (fixtures/ann_candidates.py) — see
     _ann_rerank_fixture."""
-    return _ann_rerank_fixture(spark, sf_dir, _ann_fixture_pairs("LSH_PAIRS"))
+    return _ann_rerank_fixture(spark, sf_dir, _ann_fixture_pairs("LSH_PAIRS"), ANN_PARAMS["lsh"]["k"])
 
 
 def q_ann_ivf_rerank(spark, sf_dir):
     """Value-oracled exact-rerank stage of the IVF tier over its
     frozen sf0.01 candidate set."""
-    return _ann_rerank_fixture(spark, sf_dir, _ann_fixture_pairs("IVF_PAIRS"))
+    return _ann_rerank_fixture(spark, sf_dir, _ann_fixture_pairs("IVF_PAIRS"), ANN_PARAMS["ivf"]["k"])
 
 
 def q_ann_pq_rerank(spark, sf_dir):
     """Value-oracled exact-rerank stage of the IVF-PQ tier over its
     frozen sf0.01 ADC-top-64 survivor set."""
-    return _ann_rerank_fixture(spark, sf_dir, _ann_fixture_pairs("PQ_PAIRS"))
+    return _ann_rerank_fixture(spark, sf_dir, _ann_fixture_pairs("PQ_PAIRS"), ANN_PARAMS["pq"]["k"])
 
 
 def q_ann_pq_prebuilt_rerank(spark, sf_dir):
     """Value-oracled exact-rerank stage of the persisted-index probe
     tier over its frozen sf0.01 ADC-top-64 survivor set."""
     return _ann_rerank_fixture(
-        spark, sf_dir, _ann_fixture_pairs("PQ_PREBUILT_PAIRS")
+        spark, sf_dir, _ann_fixture_pairs("PQ_PREBUILT_PAIRS"),
+        ANN_PARAMS["pq_prebuilt"]["k"],
     )
 
 
@@ -12868,13 +12869,14 @@ def oracle_sql() -> dict[str, str]:
     # are built lazily from the fixture (absent only while
     # scripts/freeze_ann_candidates.py is generating it)
     try:
-        for name, fx in (
-            ("ann_lsh_rerank", "LSH_PAIRS"),
-            ("ann_ivf_rerank", "IVF_PAIRS"),
-            ("ann_pq_rerank", "PQ_PAIRS"),
-            ("ann_pq_prebuilt_rerank", "PQ_PREBUILT_PAIRS"),
+        for name, fx, tier in (
+            ("ann_lsh_rerank", "LSH_PAIRS", "lsh"),
+            ("ann_ivf_rerank", "IVF_PAIRS", "ivf"),
+            ("ann_pq_rerank", "PQ_PAIRS", "pq"),
+            ("ann_pq_prebuilt_rerank", "PQ_PREBUILT_PAIRS", "pq_prebuilt"),
         ):
-            out[name] = _sql_ann_rerank(_ann_fixture_pairs(fx))
+            out[name] = _sql_ann_rerank(_ann_fixture_pairs(fx),
+                                        ANN_PARAMS[tier]["k"])
     except FileNotFoundError:
         pass
     return out

@@ -194,16 +194,20 @@ SCAN_BOUND_MULTIFILE = ("flagship_consolidation", "reconciliation")
 def prepare_multifile_dir(spark, sf_dir) -> str:
     """Materialize (once per sf_dir CONTENT) the 32-file lineitem
     rewrite next to symlinks of every other table; reused across runs
-    so fixture prep never rides a timing. The reuse marker records the
-    source lineitem's (mtime_ns, size) fingerprint — the driver
-    regenerates testdata between rounds, and a path-only cache would
-    silently time a STALE lineitem rewrite against fresh symlinked
-    dims (round-11 review)."""
+    so fixture prep never rides a timing. The reuse marker records a
+    fingerprint of the WHOLE sf_dir listing (name, mtime_ns, size per
+    file) — the driver regenerates testdata between rounds, and a
+    path-only (or lineitem-only) cache would silently reuse a stale
+    rewrite or a symlink set missing a newly added table (round-11
+    review)."""
     import hashlib
 
     src_li = os.path.join(sf_dir, "lineitem.parquet")
-    st = os.stat(src_li)
-    fingerprint = f"{st.st_mtime_ns}:{st.st_size}"
+    fingerprint = hashlib.md5(repr(sorted(
+        (f, os.stat(os.path.join(sf_dir, f)).st_mtime_ns,
+         os.stat(os.path.join(sf_dir, f)).st_size)
+        for f in os.listdir(sf_dir)
+    )).encode()).hexdigest()  # ANY table change rebuilds (r11 review)
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     tmp = os.path.join(tempfile.gettempdir(), f"bench_multifile_{tag}")
     marker = os.path.join(tmp, "._ready")

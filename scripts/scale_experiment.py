@@ -241,23 +241,37 @@ def main() -> None:
     out_dir = args[1] if len(args) > 1 else "/tmp/spark_graft_scale"
     spark = get_spark("scale-experiment")
     spark.sparkContext.setLogLevel("ERROR")
-    # layout marker: a scratch built under the OTHER layout must not be
-    # silently reused — a --multifile run over a stale singlefile dir
-    # would measure the very scan artifact the flag removes (r11 review)
-    layout = "multifile" if multifile else "singlefile"
-    marker = f"{out_dir}/._layout"
-    if os.path.exists(f"{out_dir}/lineitem.parquet"):
-        built = open(marker).read().strip() if os.path.exists(marker) else "?"
-        if built != layout:
-            raise SystemExit(
-                f"{out_dir} was built with layout={built!r}, requested "
-                f"{layout!r} — remove the dir (or pass a different "
-                "out_dir) to rebuild"
-            )
-    else:
-        build_scaled(spark, k, out_dir, multifile=multifile)
-        with open(marker, "w") as fh:
-            fh.write(layout)
+    # build marker: a scratch built under a different layout, K, or
+    # BASE content must not be silently reused — a --multifile run over
+    # a stale singlefile dir would measure the very scan artifact the
+    # flag removes, and a k=8 scratch timed under a k=32 label (or a
+    # pre-regeneration BASE) reports wrong ratios (r11 review)
+    def _build_tag(k_):
+        import hashlib
+        base_fp = hashlib.md5(repr(sorted(
+            (f, os.stat(os.path.join(BASE, f)).st_mtime_ns,
+             os.stat(os.path.join(BASE, f)).st_size)
+            for f in os.listdir(BASE)
+        )).encode()).hexdigest()[:12]
+        return f"{'multifile' if multifile else 'singlefile'}:k={k_}:base={base_fp}"
+
+    def ensure_scaled(k_, dir_):
+        marker = f"{dir_}/._build"
+        tag = _build_tag(k_)
+        if os.path.exists(f"{dir_}/lineitem.parquet"):
+            built = (open(marker).read().strip()
+                     if os.path.exists(marker) else "?")
+            if built != tag:
+                raise SystemExit(
+                    f"{dir_} was built as {built!r}, requested {tag!r} — "
+                    "remove the dir (or pass a different out_dir) to rebuild"
+                )
+        else:
+            build_scaled(spark, k_, dir_, multifile=multifile)
+            with open(marker, "w") as fh:
+                fh.write(tag)
+
+    ensure_scaled(k, out_dir)
     qs = entrymod.queries()
     run_list = subset if subset else QUERIES
     unknown = sorted(set(run_list) - set(qs))
@@ -270,8 +284,7 @@ def main() -> None:
         # both scales through the SAME writer/layout (a 1x replica of
         # every fact, 32 files each) so the ratio isolates data growth
         base_dir = out_dir.rstrip("/") + "_base1"
-        if not os.path.exists(f"{base_dir}/lineitem.parquet"):
-            build_scaled(spark, 1, base_dir, multifile=True)
+        ensure_scaled(1, base_dir)
     results = {}
     for name in run_list:
         base_s = best_of_2(qs[name], spark, base_dir)

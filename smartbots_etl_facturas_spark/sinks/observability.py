@@ -162,13 +162,12 @@ class StreamBatchAuditor:
     repaired on redelivery (the monitor skips the fold, the auditor
     back-fills the missing row). For that to hold ACROSS RESTARTS the
     run_uuid must be restart-stable, so the default is a DETERMINISTIC
-    uuid5 of (base_dir, monitor) — the same lineage identity the
-    monitors' state files key on (round-11 review: a random uuid4
-    default made pre-crash rows invisible to the back-fill probe and
-    duplicated them). Pass an explicit ``run_uuid`` only to separate
-    two deliberate logical runs of one lineage. Single-writer per
-    (run_uuid, monitor) is assumed — the same assumption the monitors'
-    own JSON state files make.
+    uuid5 of (base_dir, monitor, lineage) (round-11 review: a random
+    uuid4 default made pre-crash rows invisible to the back-fill probe
+    and duplicated them; see ``__init__`` for the uniqueness contract
+    the determinism implies). Single-writer per (run_uuid, monitor) is
+    assumed — the same assumption the monitors' own JSON state files
+    make.
 
     Cost: COMPLETED batch ids are cached in memory after ONE load of
     this lineage's ids at construction, so steady-state emission is an
@@ -180,7 +179,15 @@ class StreamBatchAuditor:
     """
 
     def __init__(self, spark: SparkSession, base_dir: str, monitor: str,
-                 run_uuid: str | None = None):
+                 run_uuid: str | None = None, lineage: str | None = None):
+        """``monitor`` (plus the optional ``lineage`` discriminator,
+        e.g. a checkpoint path) must uniquely name ONE stream lineage
+        within ``base_dir``: the restart-stable default run_uuid is
+        derived from them, so two live streams sharing both would
+        suppress each other's rows (the flip side of restart
+        idempotency — round-11 review). Pass ``lineage`` when one
+        monitor name legitimately serves several streams, or an
+        explicit ``run_uuid`` to separate deliberate logical runs."""
         import uuid
 
         self.spark = spark
@@ -189,7 +196,7 @@ class StreamBatchAuditor:
         self.run_uuid = run_uuid or str(
             uuid.uuid5(uuid.NAMESPACE_URL,
                        f"stream-batch-auditor:{os.path.abspath(base_dir)}:"
-                       f"{monitor}")
+                       f"{monitor}:{lineage or ''}")
         )
         self._completed: set[int] | None = None  # lazy one-time load
 

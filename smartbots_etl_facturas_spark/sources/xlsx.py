@@ -722,10 +722,15 @@ def append_rows_xlsx(
         max_col = max(max_col, len(row) - 1)
     splice = "".join(new_rows)
 
-    if self_closed:  # self-closed <sheetData/> (empty template sheet)
+    if self_closed:  # self-closed <sheetData .../> (empty template sheet)
+        # re-open with the ORIGINAL attributes (minus the trailing '/')
+        # — rebuilding as a bare <sheetData> would silently drop
+        # spec-legal extension attributes (round-11 review)
+        attrs = sheet_xml[m0.end():i].rstrip()
+        attrs = attrs[:-1].rstrip() if attrs.endswith("/") else attrs
         sheet_xml = (
             sheet_xml[: tag_start]
-            + f"<{pfx}sheetData>{splice}</{pfx}sheetData>"
+            + f"<{pfx}sheetData{attrs}>{splice}</{pfx}sheetData>"
             + sheet_xml[tag_end:]
         )
     else:

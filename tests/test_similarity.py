@@ -388,19 +388,10 @@ def test_ann_fixture_matches_registered_parameters():
     __spark_entry__.ANN_PARAMS without a re-freeze
     (scripts/freeze_ann_candidates.py) fails here instead of leaving
     the ann_*_rerank oracles checking a stale tier's candidates."""
-    import importlib.util
-    import os
-
     import __spark_entry__ as entry
 
-    spec = importlib.util.spec_from_file_location(
-        "ann_candidates",
-        os.path.join(os.path.dirname(os.path.abspath(entry.__file__)),
-                     "fixtures", "ann_candidates.py"),
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    assert mod.PARAMS == entry.ANN_PARAMS
+    # reuse the entry module's own fixture loader (one loading path)
+    assert entry._ann_fixture_pairs("PARAMS") == entry.ANN_PARAMS
     for name in ("LSH_PAIRS", "IVF_PAIRS", "PQ_PAIRS", "PQ_PREBUILT_PAIRS"):
-        pairs = getattr(mod, name)
+        pairs = entry._ann_fixture_pairs(name)
         assert pairs and all(len(p) == 2 for p in pairs)
