@@ -76,7 +76,12 @@ def hll_registers(
         F.lit(rest_bits) - F.length(F.bin(rest)) + 1
     )
     return (
-        df.select(bucket.alias("bucket"), rho.cast("int").alias("rho"))
+        # NULL keys are excluded — SQL count-distinct convention (and
+        # the oracles' count(DISTINCT ...) agrees); a null key would
+        # otherwise hash to a NULL bucket row that poisons the
+        # driver-side fold (round-11 streaming review)
+        df.filter(F.col(key).isNotNull())
+        .select(bucket.alias("bucket"), rho.cast("int").alias("rho"))
         .groupBy("bucket")
         .agg(F.max("rho").alias("rho_max"))
     )
@@ -196,7 +201,10 @@ def cms_cells(
         )
     ).alias("c")
     return (
-        df.select(cells)
+        # NULL keys excluded (see hll_registers): a null would emit d
+        # (row, NULL-col) cells that crash the monitors' int() folds
+        df.filter(F.col(key).isNotNull())
+        .select(cells)
         .select("c.row", "c.col")
         .groupBy("row", "col")
         .agg(F.count(F.lit(1)).alias("cnt"))

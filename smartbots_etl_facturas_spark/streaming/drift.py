@@ -32,6 +32,8 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._batchlog import already_merged, mark_merged
+
 from smartbots_etl_facturas_spark.operators.drift import _bin
 
 __all__ = ["DriftMonitor"]
@@ -62,6 +64,15 @@ class DriftMonitor:
         state_dir: str | None = None,
         auditor=None,
     ):
+        if nbins < 1:
+            raise ValueError("nbins must be >= 1")
+        bad = sorted(int(b) for b in ref_counts if not 0 <= int(b) < nbins)
+        if bad:
+            raise ValueError(
+                f"ref_counts bins {bad} outside 0..{nbins - 1} — they "
+                "would inflate the reference total without ever being "
+                "scored (1-indexed histogram?)"
+            )
         self.value_col = value_col
         #: optional StreamBatchAuditor (see streaming/topk.py)
         self.auditor = auditor
@@ -70,15 +81,17 @@ class DriftMonitor:
         self.ref = {int(b): int(c) for b, c in ref_counts.items()}
         self.counts: dict[int, int] = {}
         self.seen: set[int] = set()
+        self.low = -1  # seen-id compaction watermark (_batchlog)
         self.state_dir = state_dir
         if state_dir and os.path.exists(os.path.join(state_dir, "state.json")):
             with open(os.path.join(state_dir, "state.json")) as fh:
                 snap = json.load(fh)
             self.counts = {int(k): int(v) for k, v in snap["counts"].items()}
             self.seen = set(snap["seen"])
+            self.low = int(snap.get("low", -1))
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in self.seen:
+        if already_merged(self.seen, self.low, batch_id, "DriftMonitor"):
             if self.auditor:  # back-fill a crash-lost audit row
                 self.auditor.emit(batch_id, batch_df.count())
             return  # redelivered after recovery: already folded in
@@ -94,7 +107,7 @@ class DriftMonitor:
         )
         for r in delta:
             self.counts[int(r.bin)] = self.counts.get(int(r.bin), 0) + int(r.c)
-        self.seen.add(batch_id)
+        self.low = mark_merged(self.seen, self.low, batch_id)
         self._persist()
         if self.auditor:
             # sum of bin counts == rows in the batch (every row lands
@@ -113,7 +126,8 @@ class DriftMonitor:
         tmp = os.path.join(self.state_dir, "state.json.tmp")
         with open(tmp, "w") as fh:
             json.dump(
-                {"counts": self.counts, "seen": sorted(self.seen)}, fh
+                {"counts": self.counts, "seen": sorted(self.seen),
+                 "low": self.low}, fh
             )
         os.replace(tmp, os.path.join(self.state_dir, "state.json"))
 

@@ -70,7 +70,7 @@ def funnel_stateful(
     state lives forever; see streaming/timeseries.py:ewma_stateful for
     the shared TTL contract)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-    from .timeseries import _arm_ttl, _validate_ttl
+    from .timeseries import MIN_US, _arm_ttl, _validate_ttl
 
     steps = list(steps)
     if not steps:
@@ -96,7 +96,7 @@ def funnel_stateful(
         ts_us = (rows[ts_col].astype("int64") // 1000).tolist()
         types = rows[type_col].tolist()
 
-        stage, bound_us = (state.get if state.exists else (0, -1))
+        stage, bound_us = (state.get if state.exists else (0, MIN_US))
         for t, ty in zip(ts_us, types):
             if stage < k and ty == steps[stage] and t > bound_us:
                 stage += 1
@@ -108,7 +108,7 @@ def funnel_stateful(
                 user_col: [key[0]],
                 "stage": [int(stage)],
                 "bound_ts": [
-                    pd.Timestamp(bound_us * 1000) if bound_us >= 0 else pd.NaT
+                    pd.Timestamp(bound_us * 1000) if bound_us > MIN_US else pd.NaT
                 ],
             }
         )
@@ -174,6 +174,7 @@ def funnel_stateful_buffered(
     in state.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from .timeseries import MIN_US
 
     steps = list(steps)
     if not steps:
@@ -204,7 +205,7 @@ def funnel_stateful_buffered(
             stage, bound_us, fin_us = int(st[0]), int(st[1]), int(st[2])
             buf = list(zip(list(st[3] or []), list(st[4] or [])))
         else:
-            stage, bound_us, fin_us = 0, -1, -(1 << 62)
+            stage, bound_us, fin_us = 0, MIN_US, MIN_US
             buf = []
 
         if state.hasTimedOut:
@@ -254,7 +255,7 @@ def funnel_stateful_buffered(
                 user_col: [key[0]],
                 "stage": [int(stage)],
                 "bound_ts": [
-                    pd.Timestamp(bound_us * 1000) if bound_us >= 0 else pd.NaT
+                    pd.Timestamp(bound_us * 1000) if bound_us > MIN_US else pd.NaT
                 ],
                 "n_buffered": [len(buf)],
             }

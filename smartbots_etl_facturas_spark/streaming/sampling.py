@@ -34,6 +34,8 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._batchlog import already_merged, mark_merged
+
 __all__ = ["BottomKSampler"]
 
 
@@ -82,31 +84,14 @@ class BottomKSampler:
             self.seen = set(snap["seen"])
             self.low = snap.get("low", -1)
 
-    # seen-id compaction bounds (ids are monotone per checkpoint, so
-    # compaction can never mask a genuinely new batch id)
-    _SEEN_CAP = 1024
-    _SEEN_KEEP = 512
-
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= self.low or batch_id in self.seen:
+        # seen-id compaction + monotonicity invariant now shared with
+        # the whole monitor family — see streaming/_batchlog.py
+        if already_merged(self.seen, self.low, batch_id, "exact-k sampler"):
             if self.auditor:  # back-fill a crash-lost audit row
                 self.auditor.emit(batch_id, batch_df.count())
             return  # redelivered after recovery: already merged
         _t0 = time.perf_counter()
-        # Compaction invariant, made explicit: everything at or below
-        # ``low`` is treated as seen, which is only sound if batch ids
-        # are contiguous-monotone (structured streaming's foreachBatch
-        # contract — redelivery is only ever the LAST batch). A
-        # genuinely NEW id must therefore exceed every id seen so far;
-        # anything else means the source violated the contract and the
-        # low-watermark may have silently swallowed an unseen batch.
-        if self.seen and batch_id < max(self.seen):
-            raise ValueError(
-                f"exact-k sampler: non-monotone new batch_id {batch_id} "
-                f"(max seen {max(self.seen)}, low watermark {self.low}) — "
-                "foreachBatch ids must be contiguous-monotone for "
-                "seen-id compaction to be exactly-once"
-            )
         draw = F.md5(
             F.concat(
                 F.lit(self.seed + ":"), F.col(self.id_col).cast("string")
@@ -122,6 +107,14 @@ class BottomKSampler:
             .limit(self.k)  # TakeOrdered: per-partition heap, ≤ k rows out
             .collect()
         )
+        for r in batch_bottom:
+            if r["__id"] is None or r["__draw"] is None:
+                raise ValueError(
+                    f"exact-k sampler: NULL {self.id_col!r} in batch "
+                    f"{batch_id} — id_col must uniquely identify rows "
+                    "(a null draw would sort first and displace the "
+                    "sample); drop or default null ids upstream"
+                )
         merged = {(row[0], row[1]): row for row in self.rows}
         for r in batch_bottom:
             merged[(r["__draw"], r["__id"])] = [r["__draw"], r["__id"]] + [
@@ -130,10 +123,7 @@ class BottomKSampler:
         self.rows = [
             merged[key] for key in sorted(merged)[: self.k]
         ]
-        self.seen.add(batch_id)
-        if len(self.seen) > self._SEEN_CAP:
-            self.low = max(self.low, max(self.seen) - self._SEEN_KEEP)
-            self.seen = {i for i in self.seen if i > self.low}
+        self.low = mark_merged(self.seen, self.low, batch_id)
         self._persist()
         if self.auditor:
             self.auditor.emit(

@@ -69,9 +69,12 @@ def sessionize_stateful(
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    from .timeseries import _reject_null_fold_input
+
+    key_type = df.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} long, session_start timestamp, session_end timestamp, "
-        "n_events long, sum_value double"
+        f"{key_col} {key_type}, session_start timestamp, "
+        "session_end timestamp, n_events long, sum_value double"
     )
     state_schema = "start long, last long, n long, s double"
     gap_us = gap_seconds * 1_000_000
@@ -97,6 +100,7 @@ def sessionize_stateful(
             return
 
         rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values(ts_col)
+        _reject_null_fold_input(rows, key, ts_col, value_col, None)
         ts_us = (rows[ts_col].astype("int64") // 1000).tolist()
         vals = rows[value_col].astype(float).tolist()
 
@@ -110,7 +114,16 @@ def sessionize_stateful(
                 start, n, s = t, 0, 0.0
             if start is None:
                 start = t
-            last, n, s = t, n + 1, s + v
+            # cross-batch out-of-order rows (admitted by the watermark)
+            # MERGE into the open session without regressing its span:
+            # last = max, start = min — the r11 review found a plain
+            # `last = t` producing session_end < session_start. A row
+            # more than gap BEFORE session_start still merges (one
+            # open session per key; reopening history is the buffered
+            # family's job — documented semantics, not batch parity).
+            start = min(start, t)
+            last = t if last is None else max(last, t)
+            n, s = n + 1, s + v
         state.update((start, last, n, s))
         state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
 

@@ -43,6 +43,8 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._batchlog import already_merged, mark_merged
+
 from smartbots_etl_facturas_spark.operators.sketches import (
     cms_cells,
     hll_registers,
@@ -90,6 +92,7 @@ class SketchAccumulator:
         self.hll: dict[int, int] = {}
         self.cms: dict[tuple[int, int], int] = {}
         self._seen: set[int] = set()
+        self._low = -1  # seen-id compaction watermark (_batchlog)
         self.state_dir = state_dir
         if state_dir:
             self._load()
@@ -117,6 +120,7 @@ class SketchAccumulator:
             (int(row), int(col)): cnt for row, col, cnt in st["cms"]
         }
         self._seen = set(st["seen"])
+        self._low = int(st.get("low", -1))
 
     def _persist(self) -> None:
         os.makedirs(self.state_dir, exist_ok=True)
@@ -131,6 +135,7 @@ class SketchAccumulator:
                         for (row, col), cnt in self.cms.items()
                     ],
                     "seen": sorted(self._seen),
+                    "low": self._low,
                 },
                 fh,
             )
@@ -139,7 +144,8 @@ class SketchAccumulator:
     # --- foreachBatch hook --------------------------------------------------
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in self._seen:  # redelivery (same process OR restart)
+        if already_merged(self._seen, self._low, batch_id,
+                          "SketchAccumulator"):
             if self.auditor:  # back-fill a crash-lost audit row (no-op otherwise)
                 self.auditor.emit(batch_id, batch_df.count())
             return
@@ -154,7 +160,7 @@ class SketchAccumulator:
         # mark seen only after the merge succeeded, persist after
         # marking: a crash anywhere in between re-runs this batch on
         # recovery against the LAST PERSISTED state — exactly once
-        self._seen.add(batch_id)
+        self._low = mark_merged(self._seen, self._low, batch_id)
         if self.state_dir:
             self._persist()
         if self.auditor:
@@ -201,6 +207,7 @@ class QuantileAccumulator:
         self.key, self.value, self.k = key, value, int(k)
         self.groups: dict = {}
         self._seen: set[int] = set()
+        self._low = -1  # seen-id compaction watermark (_batchlog)
         self.state_dir = state_dir
         self.auditor = auditor  # see SketchAccumulator
         if state_dir:
@@ -226,6 +233,7 @@ class QuantileAccumulator:
             for g, (n, levels) in st["groups"].items()
         }
         self._seen = set(st["seen"])
+        self._low = int(st.get("low", -1))
 
     def _persist(self) -> None:
         os.makedirs(self.state_dir, exist_ok=True)
@@ -239,6 +247,8 @@ class QuantileAccumulator:
                         for g, s in sorted(self.groups.items())
                     },
                     "seen": sorted(self._seen),
+                    "low": self._low,
+                    "low": self._low,
                 },
                 fh,
             )
@@ -249,7 +259,8 @@ class QuantileAccumulator:
             kll_group_partials,
         )
 
-        if batch_id in self._seen:  # redelivery (same process OR restart)
+        if already_merged(self._seen, self._low, batch_id,
+                          "QuantileAccumulator"):
             if self.auditor:
                 self.auditor.emit(batch_id, batch_df.count())
             return
@@ -266,7 +277,7 @@ class QuantileAccumulator:
                 self.groups[str(r[self.key])] = delta
             else:
                 cur.merge(delta)
-        self._seen.add(batch_id)
+        self._low = mark_merged(self._seen, self._low, batch_id)
         if self.state_dir:
             self._persist()
         if self.auditor:

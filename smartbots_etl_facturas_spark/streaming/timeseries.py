@@ -37,6 +37,14 @@ def _reject_null_fold_input(rows, key, ts_col, units_col, tie_col):
             )
 
 
+#: fresh-state "processed bound" sentinel: strictly below any real
+#: epoch-micros value, INCLUDING pre-1970 negatives — a -1 sentinel
+#: silently dropped pre-epoch events on fresh keys, diverging from the
+#: batch twins (round-11 streaming review; the buffered family always
+#: used this value)
+MIN_US = -(1 << 62)
+
+
 def _validate_ttl(state_ttl_us) -> None:
     if state_ttl_us is not None and state_ttl_us <= 0:
         raise ValueError("state_ttl_us must be positive (or None)")
@@ -137,7 +145,7 @@ def ewma_stateful(
             acc, bound_us = st[0], st[1]
             bound_tie = st[2] if tie_col else None
         else:
-            acc, bound_us, bound_tie = None, -1, None
+            acc, bound_us, bound_tie = None, MIN_US, None
 
         last_us, last_tie = bound_us, bound_tie
         out_t, out_x, out_s = [], [], []
@@ -258,7 +266,7 @@ def holt_stateful(
             trend, bound_us = int(st[1]), int(st[2])
             bound_tie = st[3] if tie_col else None
         else:
-            level, trend, bound_us, bound_tie = None, 0, -1, None
+            level, trend, bound_us, bound_tie = None, 0, MIN_US, None
 
         last_us, last_tie = bound_us, bound_tie
         out_t, out_x, out_l, out_b = [], [], [], []
@@ -658,7 +666,7 @@ def cusum_stateful(
             s, bound_us = st[0], st[1]
             bound_tie = st[2] if tie_col else None
         else:
-            s, bound_us, bound_tie = 0, -1, None
+            s, bound_us, bound_tie = 0, MIN_US, None
 
         last_us, last_tie = bound_us, bound_tie
         out_t, out_x, out_s = [], [], []

@@ -44,6 +44,8 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._batchlog import already_merged, mark_merged
+
 from smartbots_etl_facturas_spark.operators.sketches import cms_cells
 
 __all__ = ["HeavyHittersMonitor"]
@@ -82,6 +84,7 @@ class HeavyHittersMonitor:
         self.cells: dict[tuple[int, int], int] = {}
         self.candidates: dict[str, int] = {}  # key -> last CMS estimate
         self.seen: set[int] = set()
+        self.low = -1  # seen-id compaction watermark (_batchlog)
         self.state_dir = state_dir
         if state_dir and os.path.exists(os.path.join(state_dir, "state.json")):
             with open(os.path.join(state_dir, "state.json")) as fh:
@@ -91,9 +94,11 @@ class HeavyHittersMonitor:
             }
             self.candidates = {k: int(v) for k, v in snap["candidates"]}
             self.seen = set(snap["seen"])
+            self.low = int(snap.get("low", -1))
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in self.seen:
+        if already_merged(self.seen, self.low, batch_id,
+                          "HeavyHittersMonitor"):
             if self.auditor:  # back-fill a crash-lost audit row
                 self.auditor.emit(batch_id, batch_df.count())
             return  # redelivered after recovery: already folded in
@@ -109,7 +114,8 @@ class HeavyHittersMonitor:
             # group by Spark's OWN string cast of the key so the
             # candidate string matches what cms_cells hashed — Python
             # str() renders booleans/timestamps/decimals differently
-            batch_df.groupBy(
+            batch_df.filter(F.col(self.key).isNotNull())
+            .groupBy(
                 F.col(self.key).cast("string").alias("__k")
             )
             .agg(F.count(F.lit(1)).alias("c"))
@@ -131,7 +137,7 @@ class HeavyHittersMonitor:
                 self.candidates.items(), key=lambda kv: (-kv[1], kv[0])
             )[: self.capacity]
             self.candidates = dict(keep)
-        self.seen.add(batch_id)
+        self.low = mark_merged(self.seen, self.low, batch_id)
         self._persist()
         if self.auditor:
             self.auditor.emit(
@@ -162,6 +168,7 @@ class HeavyHittersMonitor:
                     "cells": [[r, c, v] for (r, c), v in self.cells.items()],
                     "candidates": sorted(self.candidates.items()),
                     "seen": sorted(self.seen),
+                    "low": self.low,
                 },
                 fh,
             )

@@ -352,11 +352,16 @@ def test_bottom_k_sampler_seen_ids_stay_bounded(spark, tmp_path):
     df = spark.sql(
         "SELECT 1 AS doc_id, DATE'2024-01-02' AS d"
     )
-    cap = BottomKSampler._SEEN_CAP
+    from smartbots_etl_facturas_spark.streaming._batchlog import (
+        SEEN_CAP,
+        SEEN_KEEP,
+    )
+
+    cap = SEEN_CAP
     for bid in range(cap + 10):
         mon(df, bid)  # date payload: must not raise on persist
     assert len(mon.seen) <= cap
-    assert mon.low >= cap - BottomKSampler._SEEN_KEEP
+    assert mon.low >= cap - SEEN_KEEP
     snap = json.load(open(os.path.join(state, "state.json")))
     assert len(snap["seen"]) <= cap and snap["low"] == mon.low
     # a compacted-away (old) id is still treated as merged
@@ -500,3 +505,50 @@ def test_buffered_fold_watermark_delay_validation(spark):
                            watermark_delay_us=60_000_000)
     funnel_stateful_buffered(stream, ["a"], horizon_us=10_000_000,
                              watermark_delay_us=60_000_000)
+
+
+def test_sessionize_stateful_out_of_order_never_regresses_span(spark, tmp_path):
+    """Round-11 streaming review: an admitted cross-batch out-of-order
+    event merged with `last = t`, regressing session_end below
+    session_start. The span must only ever widen (last=max, start=min)."""
+    import datetime
+
+    from smartbots_etl_facturas_spark.streaming.sessions import (
+        sessionize_stateful,
+    )
+
+    base = datetime.datetime(2026, 1, 1)
+
+    def ts(m):
+        return base + datetime.timedelta(minutes=m)
+
+    schema = "user_id long, ts timestamp, value double"
+    # watermark delay inside sessionize_stateful comes from the source
+    # watermark; feed batches so the out-of-order row is ADMITTED
+    batches = [
+        [(1, ts(10), 1.0), (1, ts(20), 1.0)],
+        [(1, ts(15), 1.0)],                     # late but admitted
+        [(1, ts(500), 1.0)],                    # closes the session
+    ]
+    src = str(tmp_path / "src")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(f"{src}/b{i:02d}")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/b*")
+              .withWatermark("ts", "2 hours"))
+    collected = []
+
+    def sink(batch_df, batch_id):
+        collected.extend(batch_df.collect())
+
+    q = (sessionize_stateful(stream, gap_seconds=600)
+         .writeStream.outputMode("append").foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    closed = [r for r in collected if r.n_events == 3]
+    assert closed, f"no 3-event session emitted: {collected}"
+    r = closed[0]
+    assert r.session_start <= r.session_end
+    assert (r.session_start.minute, r.session_end.minute) == (10, 20)

@@ -192,3 +192,40 @@ def test_restart_with_fresh_auditor_does_not_duplicate(spark, tmp_path):
     assert a2.run_uuid == a1.run_uuid  # deterministic lineage identity
     SketchAccumulator("k", state_dir=state, auditor=a2)(batch, 0)
     assert _audit_rows(a2) == [(0, 4, "COMPLETED")]
+
+
+def test_monitors_survive_null_keys(spark, tmp_path):
+    """Round-11 streaming review: null keys crashed the driver folds
+    (None > int, int(None)). Sketch/topk exclude nulls (SQL
+    count-distinct convention, matching the oracles); the sampler
+    fails fast (its contract requires identifying ids)."""
+    import pytest
+
+    from smartbots_etl_facturas_spark.streaming.sampling import (
+        BottomKSampler,
+    )
+
+    batch = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,)], "k string"
+    )
+    sk = SketchAccumulator("k", state_dir=str(tmp_path / "s1"))
+    sk(batch, 0)
+    assert all(b is not None for b in sk.hll)          # no null bucket
+    assert all(c[1] is not None for c in sk.cms)       # no null col
+    hh = HeavyHittersMonitor("k", state_dir=str(tmp_path / "s2"))
+    hh(batch, 0)
+    assert None not in hh.candidates
+    assert hh.top(2) == [("a", 1), ("b", 1)]
+    samp = BottomKSampler("k", k=3, state_dir=str(tmp_path / "s3"))
+    with pytest.raises(ValueError, match="NULL 'k'"):
+        samp(batch, 0)
+
+
+def test_drift_monitor_validates_reference_domain(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="outside 0..9"):
+        DriftMonitor("v", lo=0.0, hi=100.0, nbins=10,
+                     ref_counts={i: 10 for i in range(1, 11)})
+    with pytest.raises(ValueError, match="nbins"):
+        DriftMonitor("v", lo=0.0, hi=100.0, nbins=0, ref_counts={})

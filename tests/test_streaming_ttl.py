@@ -144,3 +144,21 @@ def test_funnel_ttl_not_refreshed_by_non_advancing_events(spark, tmp_path):
     for r in out:
         last[r.user_id] = r.stage
     assert last[1] == 1
+
+
+def test_pre_1970_events_fold_on_fresh_keys(spark, tmp_path):
+    """Round-11 streaming review: the strict fold family's fresh-state
+    bound sentinel was -1, silently dropping pre-epoch (negative
+    micros) events — diverging from the batch twin. Now MIN_US."""
+    from smartbots_etl_facturas_spark.streaming.timeseries import (
+        ewma_stateful,
+    )
+
+    t0 = datetime.datetime(1969, 12, 31, 23, 0)   # pre-epoch
+    t1 = datetime.datetime(1969, 12, 31, 23, 30)
+    out = _drain(
+        spark,
+        [[(1, t0, 100)], [(1, t1, 200)]],
+        EWMA_SCHEMA, tmp_path, lambda s: ewma_stateful(s), mode="append",
+    )
+    assert [r.ewma_units for r in out] == [100, 125]
