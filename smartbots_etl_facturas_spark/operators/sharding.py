@@ -110,9 +110,20 @@ def interleave_key(
          F.col(id_col).asc()],
         rank_col="__g",
     )
-    offsets = ranked.groupBy(source_col).agg(F.min("__g").alias("__g0"))
+    # Null-safe offsets join: rows with a NULL source form their own
+    # rank block (the global order sorts them contiguously and groupBy
+    # folds NULL into one group), and the coalesce weight fallback
+    # already gives them weight 1 — a plain inner join on source_col
+    # would silently drop them (NULL != NULL in join conditions).
+    offsets = ranked.groupBy(source_col).agg(
+        F.min("__g").alias("__g0")
+    ).withColumnRenamed(source_col, "__src0")
     return (
-        ranked.join(F.broadcast(offsets), source_col)
+        ranked.join(
+            F.broadcast(offsets),
+            F.col(source_col).eqNullSafe(F.col("__src0")),
+        )
+        .drop("__src0")
         .withColumn(
             "rank_in_source",
             (F.col("__g") - F.col("__g0") + 1).cast("int"),

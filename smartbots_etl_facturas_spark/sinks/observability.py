@@ -172,7 +172,13 @@ class StreamBatchAuditor:
     Cost: COMPLETED batch ids are cached in memory after ONE load of
     this lineage's ids at construction, so steady-state emission is an
     in-memory probe + a 1-row append per micro-batch — the audit-table
-    read does not grow with stream age (round-11 review). Monitors
+    read does not grow with stream age (round-11 review), and the
+    in-memory set itself is compacted behind the monitor family's
+    LOW-WATERMARK discipline (streaming/_batchlog.py): foreachBatch
+    ids are contiguous-monotone, every id at/below ``_low`` counts as
+    completed, and only a bounded recent tail is held explicitly — a
+    month-long stream's id set stays O(SEEN_CAP), not O(batches)
+    (round-11 verdict #2). Monitors
     that cannot derive the batch row count from their own collected
     aggregates pay one extra ``count()`` action per batch when
     auditing is enabled (opt-in, documented per monitor).
@@ -199,6 +205,7 @@ class StreamBatchAuditor:
                        f"{monitor}:{lineage or ''}")
         )
         self._completed: set[int] | None = None  # lazy one-time load
+        self._low = -1  # seen-id compaction watermark (_batchlog)
 
     def _path(self) -> str:
         return os.path.join(self.base, "stream_batches")
@@ -210,7 +217,15 @@ class StreamBatchAuditor:
 
     def _load_completed(self) -> set[int]:
         """This lineage's COMPLETED batch ids, loaded from the table
-        ONCE (restart recovery) and maintained in memory after."""
+        ONCE (restart recovery), compacted behind the low watermark,
+        and maintained in memory after. foreachBatch ids per lineage
+        are contiguous-monotone (the _batchlog contract the whole
+        monitor family relies on), so every id at/below ``_low`` is
+        completed by construction and only a recent tail is kept."""
+        from smartbots_etl_facturas_spark.streaming._batchlog import (
+            SEEN_CAP, SEEN_KEEP,
+        )
+
         if self._completed is None:
             if os.path.isdir(self._path()):
                 self._completed = {
@@ -224,15 +239,24 @@ class StreamBatchAuditor:
                     .select("batch_id")
                     .collect()
                 }
+                if len(self._completed) > SEEN_CAP:
+                    self._low = max(self._completed) - SEEN_KEEP
+                    self._completed = {
+                        i for i in self._completed if i > self._low
+                    }
             else:
                 self._completed = set()
         return self._completed
 
     def already_emitted(self, batch_id: int) -> bool:
-        """True when the batch already has its COMPLETED row. ERROR
-        rows do not count: each failure is logged as evidence, and a
-        later successful redelivery still gets its one COMPLETED row."""
-        return int(batch_id) in self._load_completed()
+        """True when the batch already has its COMPLETED row (held
+        explicitly or at/below the compaction watermark). ERROR rows
+        do not count: each failure is logged as evidence, and a later
+        successful redelivery still gets its one COMPLETED row."""
+        return (
+            int(batch_id) <= self._low
+            or int(batch_id) in self._load_completed()
+        )
 
     def emit(self, batch_id: int, n_rows: int | None = None,
              wall_seconds: float | None = None,
@@ -249,7 +273,13 @@ class StreamBatchAuditor:
         (self.spark.createDataFrame([row], STREAM_BATCH_SCHEMA)
          .write.mode("append").parquet(self._path()))
         if status == "COMPLETED":
-            self._load_completed().add(int(batch_id))
+            from smartbots_etl_facturas_spark.streaming._batchlog import (
+                mark_merged,
+            )
+
+            self._low = mark_merged(
+                self._load_completed(), self._low, int(batch_id)
+            )
         return True
 
     def audited_sink(self, inner=None):

@@ -92,7 +92,9 @@ class DriftMonitor:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if already_merged(self.seen, self.low, batch_id, "DriftMonitor"):
-            if self.auditor:  # back-fill a crash-lost audit row
+            # back-fill a crash-lost audit row; probe first so a plain
+            # redelivery skips the count() action entirely
+            if self.auditor and not self.auditor.already_emitted(batch_id):
                 self.auditor.emit(batch_id, batch_df.count())
             return  # redelivered after recovery: already folded in
         _t0 = time.perf_counter()

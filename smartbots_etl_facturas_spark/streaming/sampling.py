@@ -88,7 +88,9 @@ class BottomKSampler:
         # seen-id compaction + monotonicity invariant now shared with
         # the whole monitor family — see streaming/_batchlog.py
         if already_merged(self.seen, self.low, batch_id, "exact-k sampler"):
-            if self.auditor:  # back-fill a crash-lost audit row
+            # back-fill a crash-lost audit row; probe first so a plain
+            # redelivery skips the count() action entirely
+            if self.auditor and not self.auditor.already_emitted(batch_id):
                 self.auditor.emit(batch_id, batch_df.count())
             return  # redelivered after recovery: already merged
         _t0 = time.perf_counter()

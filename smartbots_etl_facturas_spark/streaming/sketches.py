@@ -146,7 +146,9 @@ class SketchAccumulator:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if already_merged(self._seen, self._low, batch_id,
                           "SketchAccumulator"):
-            if self.auditor:  # back-fill a crash-lost audit row (no-op otherwise)
+            # back-fill a crash-lost audit row; probe BEFORE counting so a
+            # plain redelivery does not pay a full count() action
+            if self.auditor and not self.auditor.already_emitted(batch_id):
                 self.auditor.emit(batch_id, batch_df.count())
             return
         _t0 = time.perf_counter()
@@ -248,7 +250,6 @@ class QuantileAccumulator:
                     },
                     "seen": sorted(self._seen),
                     "low": self._low,
-                    "low": self._low,
                 },
                 fh,
             )
@@ -261,7 +262,8 @@ class QuantileAccumulator:
 
         if already_merged(self._seen, self._low, batch_id,
                           "QuantileAccumulator"):
-            if self.auditor:
+            # back-fill only when the audit row is actually missing
+            if self.auditor and not self.auditor.already_emitted(batch_id):
                 self.auditor.emit(batch_id, batch_df.count())
             return
         _t0 = time.perf_counter()

@@ -80,3 +80,25 @@ def test_interleave_rejects_non_divisor_weight(spark):
     docs = _docs(spark, 10).withColumn("src", F.lit("a"))
     with pytest.raises(ValueError):
         interleave_key(docs, "src", "doc_id", {"a": 17})
+
+
+def test_interleave_keeps_null_source_rows(spark):
+    """Round-12 ADVICE regression: the offsets join must be null-safe
+    — rows whose source is NULL form their own rank block with the
+    coalesce fallback weight 1, they are NOT silently dropped."""
+    docs = _docs(spark, 60).withColumn(
+        "src", F.when(F.col("doc_id") % 4 == 0, F.lit(None)).otherwise("a")
+    )
+    keyed = interleave_key(docs, "src", "doc_id", {"a": 3})
+    rows = keyed.collect()
+    assert len(rows) == 60  # no row loss
+    null_rows = [r for r in rows if r.src is None]
+    assert len(null_rows) == 15
+    # unknown (incl. NULL) sources get weight 1 → step == scale, and
+    # ranks within the NULL block are dense from 1
+    assert sorted(r.rank_in_source for r in null_rows) == list(
+        range(1, 16)
+    )
+    assert all(
+        r.schedule_key == r.rank_in_source * 720720 for r in null_rows
+    )

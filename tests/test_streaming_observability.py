@@ -229,3 +229,51 @@ def test_drift_monitor_validates_reference_domain(spark, tmp_path):
                      ref_counts={i: 10 for i in range(1, 11)})
     with pytest.raises(ValueError, match="nbins"):
         DriftMonitor("v", lo=0.0, hi=100.0, nbins=0, ref_counts={})
+
+
+def test_completed_set_compacts_behind_watermark(spark, tmp_path, monkeypatch):
+    """Round-12 verdict #2: the auditor's in-memory COMPLETED id set
+    is bounded by the _batchlog low-watermark discipline — a
+    long-lived stream holds O(SEEN_CAP) ids, not O(batches), and a
+    restarted auditor compacts the loaded set the same way while
+    keeping idempotency for every id at/below the watermark."""
+    from smartbots_etl_facturas_spark.streaming import _batchlog
+
+    monkeypatch.setattr(_batchlog, "SEEN_CAP", 8)
+    monkeypatch.setattr(_batchlog, "SEEN_KEEP", 4)
+    base = str(tmp_path / "audit")
+    auditor = StreamBatchAuditor(spark, base, "mon")
+    for i in range(10):
+        assert auditor.emit(i, n_rows=1) is True
+    # live set compacted: explicit tail only, watermark covers the rest
+    assert len(auditor._load_completed()) <= 8
+    assert auditor._low >= 0
+    assert all(auditor.already_emitted(i) for i in range(10))
+    assert auditor.emit(3, n_rows=1) is False  # below watermark: idempotent
+    # restart: fresh auditor loads 10 ids from the table and compacts
+    fresh = StreamBatchAuditor(spark, base, "mon")
+    assert len(fresh._load_completed()) <= 8
+    assert fresh._low == 5  # max 9 - SEEN_KEEP 4
+    assert all(fresh.already_emitted(i) for i in range(10))
+    assert not fresh.already_emitted(10)
+    # exactly one COMPLETED row per id despite the re-emit attempts
+    ids = sorted(r.batch_id for r in fresh.table().collect())
+    assert ids == list(range(10))
+
+
+def test_redelivery_skip_does_not_recount(spark, tmp_path):
+    """Round-12 ADVICE: on the redelivered-batch skip path the
+    monitor probes already_emitted BEFORE touching the batch — a
+    plain redelivery whose audit row already exists must not invoke
+    emit (and so never pays the count() action)."""
+    auditor = StreamBatchAuditor(spark, str(tmp_path / "audit"), "topk")
+    mon = HeavyHittersMonitor("k", state_dir=str(tmp_path / "state"),
+                              auditor=auditor)
+    batch = spark.createDataFrame([("a",)] * 5, ["k"])
+    mon(batch, 0)
+    calls = []
+    orig = auditor.emit
+    auditor.emit = lambda *a, **kw: (calls.append(a), orig(*a, **kw))[1]
+    mon(batch, 0)  # redelivery: row exists -> no emit, no count
+    assert calls == []
+    auditor.emit = orig
