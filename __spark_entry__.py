@@ -1304,6 +1304,7 @@ ANN_PARAMS = {
     "ivf": {"k": 5, "n_cells": 16, "nprobe": 10, "train_iters": 3},
     "pq": {"k": 5, "nprobe": 10, "rerank": 64, "m": 16},
     "pq_prebuilt": {"k": 5, "nprobe": 10, "rerank": 64},
+    "pq_incremental": {"k": 5, "nprobe": 10, "rerank": 64},
 }
 
 
@@ -1764,6 +1765,251 @@ FROM embeddings WHERE vec_id % 50 = 0
 """
 
 
+# --- incremental ANN index maintenance (round-12 verdict #1) -----------------
+
+#: vec_id % 3 == 2 is the delta batch appended to the incremental
+#: index; the other two thirds are the standing corpus the codebooks
+#: train on. One modulus, shared by both ensure functions and the
+#: oracles.
+_ANN_INC_DELTA_MOD = 3
+
+_ANN_INC_INDEX_CACHE: dict[str, str] = {}
+_ANN_INC_TWIN_CACHE: dict[str, str] = {}
+
+
+def _ann_inc_split(emb):
+    base_corpus = emb.filter(F.col("vec_id") % _ANN_INC_DELTA_MOD != 2)
+    delta = emb.filter(F.col("vec_id") % _ANN_INC_DELTA_MOD == 2)
+    return base_corpus, delta
+
+
+def ensure_pq_incremental_index(spark, sf_dir: str) -> str:
+    """Incrementally-MAINTAINED IVF-PQ index: built over the standing
+    two-thirds of the embeddings, then the remaining third appended as
+    a delta batch through operators/ann_index.py:append_ivfpq_delta —
+    encoded with the STORED codebooks (no retrain anywhere), published
+    as an O(Δ) code segment, committed by the atomic manifest flip.
+    The ANN member of the persisted-index family's incremental
+    discipline (minhash_incremental / bm25_incremental /
+    hll_incremental; reference ancestor: the insert-only incremental
+    ingest, consolidate_invoices.py:475-515). Cached per process;
+    bench.py runs this outside the timed loop so ann_pq_incremental
+    measures the segment-union probe path."""
+    base = _ANN_INC_INDEX_CACHE.get(sf_dir)
+    if base is None:
+        from smartbots_etl_facturas_spark.operators.ann_index import (
+            append_ivfpq_delta,
+            build_ivfpq_index,
+        )
+
+        base = _scratch_dir("ivfpq_inc_index_")
+        emb = _read(spark, sf_dir, "embeddings")
+        base_corpus, delta = _ann_inc_split(emb)
+        build_ivfpq_index(base_corpus, base, n_cells=16, m=16, k_sub=16,
+                          train_iters=2)
+        append_ivfpq_delta(delta, base)
+        _ANN_INC_INDEX_CACHE[sf_dir] = base
+    return base
+
+
+def ensure_pq_incremental_twin(spark, sf_dir: str) -> str:
+    """The equivalence twin: a ONE-SHOT index over the FULL embeddings
+    encoded with the SAME trained metadata (train_on = the standing
+    corpus) — what a full re-encode with the stored codebooks would
+    publish. ann_pq_incremental_equiv proves the appended index's
+    probe reproduces this index's probe bit-for-bit."""
+    base = _ANN_INC_TWIN_CACHE.get(sf_dir)
+    if base is None:
+        from smartbots_etl_facturas_spark.operators.ann_index import (
+            build_ivfpq_index,
+        )
+
+        base = _scratch_dir("ivfpq_inc_twin_")
+        emb = _read(spark, sf_dir, "embeddings")
+        base_corpus, _ = _ann_inc_split(emb)
+        build_ivfpq_index(emb, base, n_cells=16, m=16, k_sub=16,
+                          train_iters=2, train_on=base_corpus)
+        _ANN_INC_TWIN_CACHE[sf_dir] = base
+    return base
+
+
+def q_ann_pq_incremental(spark, sf_dir):
+    """IVF-PQ probe against the INCREMENTALLY-MAINTAINED index (built
+    on two-thirds of the corpus, last third appended as an O(Δ) code
+    segment encoded with the stored codebooks — no retrain; see
+    ensure_pq_incremental_index): the probe unions the manifest's
+    code segments and runs the identical candidate → ADC → exact-
+    rerank dataflow as ann_pq_prebuilt. Approximate tier → rows-only,
+    pinned by the value-oracled ann_pq_incremental_equiv (probe ==
+    one-shot-rebuild probe bit-for-bit), ann_pq_incremental_recall
+    (0.8 floor) and ann_pq_incremental_rerank (frozen-fixture exact
+    rerank) companions plus the O(Δ)/no-retrain plan assertions in
+    tests/test_similarity.py::TestIncrementalIndex."""
+    from smartbots_etl_facturas_spark.operators.ann_index import (
+        cosine_topk_ivfpq_probe,
+    )
+
+    base = ensure_pq_incremental_index(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk_ivfpq_probe(q, emb, base,
+                                   **ANN_PARAMS["pq_incremental"])
+
+
+def q_ann_pq_incremental_equiv(spark, sf_dir):
+    """Value-oracled equivalence invariant of the incremental index:
+    the appended index's probe output is BIT-IDENTICAL (every column,
+    including float cosines — same expressions over the same rows) to
+    the probe of a one-shot index over the full corpus built with the
+    same trained metadata. Ships (n_queries, identical_ok);
+    ``n_queries`` recomputed by the oracle."""
+    from smartbots_etl_facturas_spark.operators.ann_index import (
+        cosine_topk_ivfpq_probe,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    inc = cosine_topk_ivfpq_probe(
+        q, emb, ensure_pq_incremental_index(spark, sf_dir),
+        **ANN_PARAMS["pq_incremental"],
+    )
+    one_shot = cosine_topk_ivfpq_probe(
+        q, emb, ensure_pq_incremental_twin(spark, sf_dir),
+        **ANN_PARAMS["pq_incremental"],
+    )
+    d1 = inc.exceptAll(one_shot).agg(F.count(F.lit(1)).alias("d1"))
+    d2 = one_shot.exceptAll(inc).agg(F.count(F.lit(1)).alias("d2"))
+    nq = q.agg(F.count(F.lit(1)).alias("n_queries"))
+    return nq.crossJoin(d1).crossJoin(d2).select(
+        "n_queries",
+        ((F.col("d1") == 0) & (F.col("d2") == 0)).alias("identical_ok"),
+    )
+
+
+SQL_ANN_PQ_INCREMENTAL_EQUIV = """
+SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS identical_ok
+FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
+def q_ann_pq_incremental_recall(spark, sf_dir):
+    """Driver-checkable recall invariant of the incrementally-
+    maintained index's probe: recall@5 vs brute force clears the same
+    0.8 floor as the other tiers (codebooks train on two-thirds of
+    the corpus only — the appended third quantizes onto that geometry,
+    the realistic incremental-ingest shape). ``n_truth`` recomputed
+    by the oracle."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    truth = cosine_topk_bruteforce(q, emb, k=5).select("query_id", "neighbor_id")
+    approx = q_ann_pq_incremental(spark, sf_dir).select("query_id", "neighbor_id")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_hits = truth.join(approx, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return n_truth.crossJoin(n_hits).select(
+        "n_truth",
+        (F.col("n_hits") >= F.col("n_truth") * F.lit(0.8)).alias("recall_ok"),
+    )
+
+
+SQL_ANN_PQ_INCREMENTAL_RECALL = """
+SELECT CAST(5 * count(*) AS BIGINT) AS n_truth, TRUE AS recall_ok
+FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
+# --- streaming observability read-back (round-12 verdict #7) -----------------
+
+_STREAM_AUDIT_CACHE: dict[str, str] = {}
+
+
+def ensure_stream_audit(spark, sf_dir: str) -> str:
+    """Drive a REAL availableNow micro-batch stream over this sf_dir's
+    events (4 source files → 4 micro-batches via maxFilesPerTrigger=1)
+    through a HeavyHittersMonitor wired to a StreamBatchAuditor, then
+    REDELIVER the last batch id in-process — the audit table this
+    leaves behind is what stream_batches_report invariant-checks.
+    Cached per process; bench.py runs this outside the timed loop."""
+    base = _STREAM_AUDIT_CACHE.get(sf_dir)
+    if base is None:
+        from smartbots_etl_facturas_spark.sinks.observability import (
+            StreamBatchAuditor,
+        )
+        from smartbots_etl_facturas_spark.streaming.topk import (
+            HeavyHittersMonitor,
+        )
+
+        base = _scratch_dir("stream_audit_")
+        src = os.path.join(base, "src")
+        ev = read_events(spark, sf_dir).select("user_id", "event_type")
+        # 4 deterministic user buckets, one file each (coalesce to NULL
+        # bucket 0 so no event row is dropped — total audited n_rows
+        # must equal count(events), which the oracle recomputes)
+        bucket = F.pmod(F.coalesce(F.col("user_id"), F.lit(0)), F.lit(4))
+        for b in range(4):
+            (ev.filter(bucket == b).coalesce(1)
+             .write.mode("append").parquet(src))
+        auditor = StreamBatchAuditor(spark, base, "heavy_hitters")
+        mon = HeavyHittersMonitor(
+            "event_type", state_dir=os.path.join(base, "state"),
+            auditor=auditor,
+        )
+        q = (
+            spark.readStream.schema("user_id bigint, event_type string")
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .writeStream.foreachBatch(mon)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(600)
+        # same-process redelivery of the last folded batch id: the
+        # monitor must skip the fold AND the auditor must not write a
+        # second COMPLETED row — the exactly-once half the report
+        # asserts (any frame works: the skip path never reads it)
+        mon(spark.createDataFrame([("redelivered",)],
+                                  "event_type string"), 3)
+        _STREAM_AUDIT_CACHE[sf_dir] = base
+    return base
+
+
+def q_stream_batches_report(spark, sf_dir):
+    """Invariant read-back of the streaming observability surface
+    (sinks/observability.py:StreamBatchAuditor): after a real 4-batch
+    availableNow run PLUS an in-process redelivery of the last batch
+    id (ensure_stream_audit), the stream_batches table must show
+    exactly 4 batches, ZERO duplicate (run, monitor, batch_id)
+    COMPLETED rows despite the redelivery, per-batch row counts
+    summing to count(events) — recomputed by the oracle — and a
+    status domain of COMPLETED/ERROR only."""
+    from smartbots_etl_facturas_spark.sinks.observability import (
+        StreamBatchAuditor,
+    )
+
+    base = ensure_stream_audit(spark, sf_dir)
+    tb = StreamBatchAuditor(spark, base, "heavy_hitters").table()
+    completed = tb.filter(F.col("status") == "COMPLETED")
+    per = completed.groupBy("run_uuid", "monitor", "batch_id").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("n_rows").alias("nr")
+    )
+    summary = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_batches"),
+        (F.max("c") == 1).alias("exactly_once_ok"),
+        F.sum("nr").cast("long").alias("total_rows"),
+    )
+    status_ok = tb.agg(
+        F.min(F.col("status").isin("COMPLETED", "ERROR")).alias("status_ok")
+    )
+    return summary.crossJoin(status_ok)
+
+
+SQL_STREAM_BATCHES_REPORT = """
+SELECT CAST(4 AS BIGINT) AS n_batches, TRUE AS exactly_once_ok,
+       CAST(count(*) AS BIGINT) AS total_rows, TRUE AS status_ok
+FROM events
+"""
+
+
 # --- ANN rerank-over-frozen-candidates companions (round-11) -----------------
 
 def _ann_fixture_pairs(name: str) -> list:
@@ -1872,6 +2118,17 @@ def q_ann_pq_prebuilt_rerank(spark, sf_dir):
     return _ann_rerank_fixture(
         spark, sf_dir, _ann_fixture_pairs("PQ_PREBUILT_PAIRS"),
         ANN_PARAMS["pq_prebuilt"]["k"],
+    )
+
+
+def q_ann_pq_incremental_rerank(spark, sf_dir):
+    """Value-oracled exact-rerank stage of the incrementally-
+    maintained index's probe tier over its frozen sf0.01 ADC-top-64
+    survivor set (round-12: the rerank-fixture companion the
+    incremental member gets like every other approximate tier)."""
+    return _ann_rerank_fixture(
+        spark, sf_dir, _ann_fixture_pairs("PQ_INCREMENTAL_PAIRS"),
+        ANN_PARAMS["pq_incremental"]["k"],
     )
 
 
@@ -5964,6 +6221,102 @@ SQL_PNG_IMAGE_PIPELINE = "\nUNION ALL\n".join(
     "CAST(3 AS BIGINT) AS resized_ch"
     for i in range(6)
 )
+
+
+def q_phash_dedup(spark, sf_dir):
+    """Image perceptual-hash near-dup dedup (round-12 verdict #8) —
+    the IMAGE twin of minhash/simhash text dedup, end to end through
+    the real multimodal plumbing: one sha256-noise 32×32 PNG per
+    sampled document (rendered Arrow-batched in executors, stdlib
+    codec), plus an EXACT byte copy and a NEAR copy (one 4×4 patch
+    +16) per base; integer-DCT pHash over decoded pixels
+    (operators/phash.py — exact int64 arithmetic, bit-reproducible);
+    Hamming-band candidate join (8 bands × 8 bits, lossless for
+    d ≤ 7 by pigeonhole — never all-pairs, plan-asserted in
+    tests/test_multimodal.py); exact bit_count verify. Ships the
+    invariant row the construction guarantees: every exact pair found
+    at Hamming 0, every near pair found within 7 (measured max 6 over
+    250 seeds, cross-family minimum 14), zero cross-family pairs.
+    ``n_base`` recomputed by the oracle."""
+    from smartbots_etl_facturas_spark.operators.phash import (
+        phash_images,
+        phash_near_pairs,
+    )
+
+    fam = F.lit(10_000_000)
+    docs = _read(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 20 == 0
+    )
+    variants = docs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_id").alias("media_id")),
+                F.struct((F.col("doc_id") + fam).alias("media_id")),
+                F.struct((F.col("doc_id") + 2 * fam).alias("media_id")),
+            )
+        ).alias("v")
+    ).select("v.media_id")
+
+    def _render(batches):
+        import hashlib as _hl
+
+        import numpy as np
+        import pandas as pd
+
+        from smartbots_etl_facturas_spark.sources.multimodal import (
+            png_encode,
+        )
+
+        def noise(seed: int):
+            out = b""
+            i = 0
+            while len(out) < 1024:
+                out += _hl.sha256(f"{seed}:{i}".encode()).digest()
+                i += 1
+            return np.frombuffer(out[:1024], dtype=np.uint8).reshape(
+                32, 32
+            ).copy()
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                img = noise(mid % 10_000_000)
+                if mid // 10_000_000 == 2:    # near copy: small patch
+                    img[4:8, 4:8] = np.minimum(
+                        img[4:8, 4:8].astype(np.int64) + 16, 255
+                    ).astype(np.uint8)
+                payloads.append(bytearray(png_encode(img)))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": payloads}
+            )
+
+    media = variants.mapInPandas(_render, "media_id long, content binary")
+    pairs = phash_near_pairs(phash_images(media), max_distance=7, bands=8)
+    same = F.pmod(F.col("id_a"), fam) == F.pmod(F.col("id_b"), fam)
+    vsum = F.floor(F.col("id_a") / fam) + F.floor(F.col("id_b") / fam)
+    agg = pairs.agg(
+        F.sum(F.when(same & (vsum == 1) & (F.col("hamming") == 0), 1)
+              .otherwise(0)).alias("n_exact0"),
+        F.sum(F.when(same & (vsum == 2), 1).otherwise(0)).alias("n_nb"),
+        F.sum(F.when(same & (vsum == 3), 1).otherwise(0)).alias("n_ne"),
+        F.sum(F.when(~same, 1).otherwise(0)).alias("n_cross"),
+    )
+    nb = docs.agg(F.count(F.lit(1)).cast("long").alias("n_base"))
+    return nb.crossJoin(agg).select(
+        "n_base",
+        (F.col("n_exact0") == F.col("n_base")).alias("exact_pairs_ok"),
+        ((F.col("n_nb") == F.col("n_base"))
+         & (F.col("n_ne") == F.col("n_base"))).alias("near_pairs_ok"),
+        (F.col("n_cross") == 0).alias("no_cross_pairs"),
+    )
+
+
+SQL_PHASH_DEDUP = """
+SELECT CAST(count(*) AS BIGINT) AS n_base, TRUE AS exact_pairs_ok,
+       TRUE AS near_pairs_ok, TRUE AS no_cross_pairs
+FROM documents WHERE doc_id % 20 = 0
+"""
 
 
 def q_audit_actions(spark, sf_dir):
@@ -12535,6 +12888,12 @@ _QUERIES: dict[str, Callable] = {
     "ann_pq_recall": q_ann_pq_recall,
     "ann_pq_prebuilt": q_ann_pq_prebuilt,
     "ann_pq_prebuilt_recall": q_ann_pq_prebuilt_recall,
+    "ann_pq_incremental": q_ann_pq_incremental,
+    "ann_pq_incremental_equiv": q_ann_pq_incremental_equiv,
+    "ann_pq_incremental_recall": q_ann_pq_incremental_recall,
+    "ann_pq_incremental_rerank": q_ann_pq_incremental_rerank,
+    "stream_batches_report": q_stream_batches_report,
+    "phash_dedup": q_phash_dedup,
     "recursive_bom": q_recursive_bom,
     "incremental_agg": q_incremental_agg,
     "zorder_keys": q_zorder_keys,
@@ -12765,6 +13124,10 @@ _ORACLES: dict[str, str] = {
     "wav_audio_pipeline": SQL_WAV_AUDIO_PIPELINE,
     "ann_pq_recall": SQL_ANN_PQ_RECALL,
     "ann_pq_prebuilt_recall": SQL_ANN_PQ_PREBUILT_RECALL,
+    "ann_pq_incremental_equiv": SQL_ANN_PQ_INCREMENTAL_EQUIV,
+    "ann_pq_incremental_recall": SQL_ANN_PQ_INCREMENTAL_RECALL,
+    "stream_batches_report": SQL_STREAM_BATCHES_REPORT,
+    "phash_dedup": SQL_PHASH_DEDUP,
     "recursive_bom": SQL_RECURSIVE_BOM,
     "incremental_agg": SQL_INCREMENTAL_AGG,
     "zorder_keys": SQL_ZORDER_KEYS,
@@ -12874,6 +13237,8 @@ def oracle_sql() -> dict[str, str]:
             ("ann_ivf_rerank", "IVF_PAIRS", "ivf"),
             ("ann_pq_rerank", "PQ_PAIRS", "pq"),
             ("ann_pq_prebuilt_rerank", "PQ_PREBUILT_PAIRS", "pq_prebuilt"),
+            ("ann_pq_incremental_rerank", "PQ_INCREMENTAL_PAIRS",
+             "pq_incremental"),
         ):
             out[name] = _sql_ann_rerank(_ann_fixture_pairs(fx),
                                         ANN_PARAMS[tier]["k"])

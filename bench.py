@@ -80,6 +80,9 @@ EXCLUDED: dict[str, str] = {
     "ann_pq_rerank": _FIXTURE + " (frozen sf0.01 survivor pairs; the live IVF-PQ tier is benched as ann_pq)",
     "ann_lsh_recall": _TWIN + "ann_lsh",
     "ann_pq_prebuilt_recall": _TWIN + "ann_pq_prebuilt",
+    "ann_pq_incremental_equiv": _TWIN + "ann_pq_incremental",
+    "ann_pq_incremental_recall": _TWIN + "ann_pq_incremental",
+    "ann_pq_incremental_rerank": _FIXTURE + " (frozen sf0.01 survivor pairs; the live incremental tier is benched as ann_pq_incremental)",
     "ann_pq_recall": _TWIN + "ann_pq",
     "approx_aggregates": _TWIN + "hll_distinct / kll_quantiles",
     "bloom_prune_invariants": _TWIN + "bloom_join_prune",
@@ -259,6 +262,12 @@ def main() -> None:
     # ann_pq_prebuilt measures the probe path only (vs ann_pq, which
     # deliberately times build+probe in one query)
     entrymod.ensure_pq_index(spark, sf_dir)
+    # incremental twin: build-then-append runs here so
+    # ann_pq_incremental times the segment-union probe path only
+    entrymod.ensure_pq_incremental_index(spark, sf_dir)
+    # drive the 4-batch audited stream once so stream_batches_report
+    # times the read-back invariant, not the stream run
+    entrymod.ensure_stream_audit(spark, sf_dir)
     # same split for the dedup index: minhash_incremental times the
     # per-batch probe, not the corpus indexing job
     entrymod.ensure_minhash_index(spark, sf_dir)

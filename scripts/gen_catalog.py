@@ -63,6 +63,19 @@ ROWS_ONLY_NOTES: dict[str, str] = {
         "`ann_pq_prebuilt_recall` (value-oracled) plus the "
         "probe-never-retrains plan assertions in tests/test_pq.py."
     ),
+    "ann_pq_incremental": (
+        "Probe of the incrementally-MAINTAINED persisted index "
+        "(base build + append_ivfpq_delta segments): inherits the "
+        "trained-codebook dependency of ann_pq_prebuilt — the same "
+        "iterative-float argument applies. Pinned by "
+        "`ann_pq_incremental_equiv` (value-oracled: probe output "
+        "BIT-IDENTICAL to a one-shot rebuild over the full corpus "
+        "with the same trained metadata), `ann_pq_incremental_recall` "
+        "(value-oracled 0.8 floor), `ann_pq_incremental_rerank` "
+        "(value-oracled frozen-fixture rerank) and the "
+        "no-retrain/O(\u0394) plan assertions in "
+        "tests/test_similarity.py::TestIncrementalIndex."
+    ),
     "bpe_merges": (
         "BPE training is a GREEDY GLOBAL LOOP: each round's winning "
         "pair depends on all previous merges (argmax over a "

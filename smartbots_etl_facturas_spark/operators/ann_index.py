@@ -37,7 +37,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sinks.staged import publish, read_published
+from ..sinks.staged import current_version, publish, read_published
+
+#: segment-manifest table name under the index base (round-12
+#: incremental maintenance): ``ordinal int, segment string`` rows in
+#: probe-union order; flipping the manifest pointer IS the atomic
+#: commit of an append (a crash after the segment publish but before
+#: the manifest publish leaves an unreferenced directory no reader
+#: ever sees — the staged-sink forensics discipline).
+_MANIFEST = "codes_manifest"
 from .pq import _pq_lut, pq_codebooks, pq_encode
 from .similarity import (
     _dot,
@@ -56,6 +64,7 @@ def build_ivfpq_index(
     m: int = 8,
     k_sub: int = 16,
     train_iters: int = 2,
+    train_on: DataFrame | None = None,
 ) -> dict[str, str]:
     """Train and persist an IVF-PQ index for ``corpus`` under
     ``base``; returns the published version id per component table.
@@ -63,11 +72,20 @@ def build_ivfpq_index(
     Training is the same deterministic pair as the in-query tier
     (hash-ordered seeds, exact-decimal means rounded to 6 decimals),
     so rebuilding over identical data republishes identical artifacts.
+
+    ``train_on``: optional training sample distinct from the encoded
+    corpus — the FAISS-standard split (codebooks fit on a sample, the
+    whole corpus encoded with them). This is also what makes the
+    incremental contract provable: an index built over the FULL corpus
+    with ``train_on=base`` is bit-identical to one built over ``base``
+    and extended with :func:`append_ivfpq_delta` (same codebooks, same
+    per-vector encoding — see tests/test_similarity.py).
     """
     spark = corpus.sparkSession
-    coarse = kmeans_centroids(corpus, vec_col, id_col, k=n_cells,
+    trainer = corpus if train_on is None else train_on
+    coarse = kmeans_centroids(trainer, vec_col, id_col, k=n_cells,
                               iters=train_iters)
-    books = pq_codebooks(corpus, vec_col, id_col, m=m, k_sub=k_sub,
+    books = pq_codebooks(trainer, vec_col, id_col, m=m, k_sub=k_sub,
                          iters=train_iters)
 
     cent_df = spark.createDataFrame(
@@ -87,11 +105,21 @@ def build_ivfpq_index(
     codes = pq_encode(corpus, books, vec_col, id_col, out_id="neighbor_id")
     codes_df = cells.join(codes, "neighbor_id")
 
-    return {
+    out = {
         "centroids": publish(cent_df, os.path.join(base, "centroids")),
         "codebooks": publish(books_df, os.path.join(base, "codebooks")),
         "codes": publish(codes_df, os.path.join(base, "codes")),
     }
+    # segment manifest (round-12): the codes table is a SEGMENT LOG —
+    # the build publishes segment "codes", each append_ivfpq_delta
+    # adds one O(Δ) segment, and probes union the manifest's segments.
+    # The manifest flip is the append's atomic commit point (the
+    # Iceberg manifest pattern on the versioned sink).
+    manifest = spark.createDataFrame(
+        [(0, "codes")], "ordinal int, segment string"
+    )
+    out["manifest"] = publish(manifest, os.path.join(base, _MANIFEST))
+    return out
 
 
 def load_ivfpq_metadata(
@@ -111,8 +139,113 @@ def load_ivfpq_metadata(
     return coarse, books
 
 
+def _manifest_segments(spark: SparkSession, base: str) -> list[str]:
+    """The code-segment names in append order; legacy indexes written
+    before the manifest existed read as the single "codes" segment."""
+    man_base = os.path.join(base, _MANIFEST)
+    if current_version(man_base) is None:
+        return ["codes"]
+    rows = read_published(spark, man_base).collect()
+    return [r.segment for r in sorted(rows, key=lambda r: r.ordinal)]
+
+
 def read_ivfpq_codes(spark: SparkSession, base: str) -> DataFrame:
-    return read_published(spark, os.path.join(base, "codes"))
+    """The logical codes table: the UNION of the manifest's published
+    segments (one base segment + one per append). Union of parquet
+    scans — no shuffle; the cell equi-join downstream treats it as one
+    table. Call :func:`compact_ivfpq_codes` when the segment count
+    grows past scan-split comfort."""
+    segs = _manifest_segments(spark, base)
+    out = read_published(spark, os.path.join(base, segs[0]))
+    for s in segs[1:]:
+        out = out.unionByName(read_published(spark, os.path.join(base, s)))
+    return out
+
+
+def encode_with_stored_metadata(
+    delta: DataFrame,
+    base: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ-encode a delta batch with the index's STORED centroids and
+    codebooks — no training anywhere in the plan (the incremental-
+    ingest contract; tests monkeypatch the trainers to raise and this
+    path never hits them). Returns (neighbor_id, cell, codes) rows,
+    exactly the codes-segment schema; cost is one Arrow pass over the
+    delta plus the broadcast of two bounded metadata tables."""
+    spark = delta.sparkSession
+    coarse, books = load_ivfpq_metadata(spark, base)
+    cells = with_cells_matmul(
+        delta.select(F.col(id_col).alias("neighbor_id"),
+                     F.col(vec_col).alias("__v")),
+        coarse, "__v",
+    ).select("neighbor_id", "cell")
+    codes = pq_encode(delta, books, vec_col, id_col, out_id="neighbor_id")
+    return cells.join(codes, "neighbor_id")
+
+
+def append_ivfpq_delta(
+    delta: DataFrame,
+    base: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict[str, str]:
+    """Incremental index maintenance (round-12 verdict #1): append a
+    delta vector batch to a persisted IVF-PQ index WITHOUT a rebuild —
+    the ANN member of the O(Δ)-per-batch persisted-index family
+    (minhash: operators/dedup_index.py, BM25/HLL/KLL incremental; the
+    moral ancestor is the reference's insert-only incremental ingest,
+    consolidate_invoices.py:475-515).
+
+    The delta is encoded with the STORED codebooks (no retrain — new
+    vectors quantize onto the existing codebook geometry, the standard
+    FAISS ``add`` semantics), published as a NEW code segment through
+    the versioned sink, and committed by atomically republishing the
+    segment manifest. Per-append cost: O(|Δ|) encode + O(segments)
+    manifest metadata — the standing corpus codes are never read or
+    rewritten. The merged index's probe is bit-identical to a one-shot
+    index built over the full corpus with the same trained metadata
+    (``build_ivfpq_index(full, train_on=base)``) because segment union
+    order cannot affect per-row ADC scores or the deterministic
+    tie-broken rank windows.
+
+    Caller contract: delta ids must be disjoint from already-indexed
+    ids (same as every insert-only member of the family).
+    """
+    spark = delta.sparkSession
+    seg_df = encode_with_stored_metadata(delta, base, vec_col, id_col)
+    segs = _manifest_segments(spark, base)
+    seg_name = f"codes_seg_{len(segs):06d}"
+    seg_version = publish(seg_df, os.path.join(base, seg_name))
+    manifest = spark.createDataFrame(
+        [(i, s) for i, s in enumerate([*segs, seg_name])],
+        "ordinal int, segment string",
+    )
+    man_version = publish(manifest, os.path.join(base, _MANIFEST))
+    return {"segment": seg_name, "segment_version": seg_version,
+            "manifest": man_version}
+
+
+def compact_ivfpq_codes(spark: SparkSession, base: str,
+                        target_files: int | None = None) -> dict[str, str]:
+    """Fold the manifest's segments back into ONE published segment
+    (small-file maintenance for long append chains): union all
+    segments, publish as a fresh segment, flip the manifest to list
+    only it. Probes before/after read identical logical rows; old
+    segments stay on disk as snapshots per the sink's retention."""
+    merged = read_ivfpq_codes(spark, base)
+    if target_files is not None:
+        merged = merged.coalesce(int(target_files))
+    segs = _manifest_segments(spark, base)
+    seg_name = f"codes_seg_{len(segs):06d}"
+    seg_version = publish(merged, os.path.join(base, seg_name))
+    manifest = spark.createDataFrame(
+        [(0, seg_name)], "ordinal int, segment string"
+    )
+    man_version = publish(manifest, os.path.join(base, _MANIFEST))
+    return {"segment": seg_name, "segment_version": seg_version,
+            "manifest": man_version}
 
 
 def cosine_topk_ivfpq_probe(

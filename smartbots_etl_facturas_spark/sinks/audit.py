@@ -129,6 +129,26 @@ class AuditWriter:
     def table(self, name: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.base, name))
 
+    def compact(self, table: str | None = None,
+                target_files: int | None = None) -> dict[str, dict]:
+        """Small-file maintenance for the audit tables (round-12
+        verdict #3): every run/file/record append writes its own tiny
+        parquet file; fold each table through the crash-safe
+        intent-log protocol (sinks/layout.py:compact_append_dir).
+        Rows are preserved exactly; pass ``table`` to compact one
+        relation, default sweeps all three that exist on disk."""
+        from .layout import compact_append_dir
+
+        names = [table] if table else ["execution_runs", "file_log",
+                                       "record_log"]
+        out: dict[str, dict] = {}
+        for name in names:
+            path = os.path.join(self.base, name)
+            if os.path.isdir(path):
+                out[name] = compact_append_dir(self.spark, path,
+                                               target_files=target_files)
+        return out
+
     def is_completed(self, file_name: str, modified_time: str) -> bool:
         """J5 idempotency probe against file_log (False when the audit
         table does not exist yet — first-ever run)."""

@@ -190,3 +190,139 @@ def plan_exchange_count(df: DataFrame) -> int:
     """Number of Exchange (shuffle) nodes in the physical plan."""
     plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     return plan.count("Exchange")
+
+
+# --- append-only table compaction (round-12 verdict #3) ----------------------
+#
+# The S9 audit tables and the streaming `stream_batches` table append
+# ONE small parquet file per batch / micro-batch — a month-long stream
+# accretes tens of thousands of tiny files. `compact_published`
+# (sinks/staged.py) already solves this for versioned-sink layouts;
+# these plain append DIRECTORIES need their own maintenance path that
+# preserves every row and survives a crash at any step.
+#
+# Protocol (intent-log two-phase move, all inside the table dir —
+# underscore/dot-prefixed names are invisible to Spark readers):
+#   1. snapshot the current data files; read EXACTLY them
+#   2. write the compacted files into a hidden `.compact_<id>/` dir
+#      and VERIFY the row count matches the snapshot
+#   3. write `_compact_<id>.intent.json` (outputs + inputs)
+#   4. move outputs into place          (not yet committed)
+#   5. create `_compact_<id>.committed` (THE commit point)
+#   6. unlink the snapshot inputs, then the intent/marker
+# Recovery (`recover_compactions`, run before every compaction):
+#   marker present  -> roll FORWARD  (finish input deletes + cleanup)
+#   marker absent   -> roll BACK     (delete moved outputs; inputs
+#                                     were never touched)
+# Caller contract: same single-writer discipline the audit sinks
+# already assume — compaction runs from the table's owning process or
+# a quiet maintenance window; a concurrent reader in the step-5→6
+# window could transiently see a row twice, never lose one.
+
+
+def _append_dir_data_files(path: str) -> list[str]:
+    return sorted(
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+def recover_compactions(path: str) -> int:
+    """Finish or roll back compactions interrupted by a crash; returns
+    the number of intent logs resolved. Idempotent."""
+    import glob as _glob
+    import json
+    import shutil
+
+    resolved = 0
+    for intent in sorted(_glob.glob(os.path.join(path, "_compact_*.intent.json"))):
+        cid = os.path.basename(intent)[len("_compact_"):-len(".intent.json")]
+        with open(intent) as fh:
+            st = json.load(fh)
+        marker = os.path.join(path, f"_compact_{cid}.committed")
+        if os.path.exists(marker):
+            for f in st["inputs"]:           # roll forward
+                try:
+                    os.unlink(os.path.join(path, f))
+                except FileNotFoundError:
+                    pass
+        else:
+            for f in st["outputs"]:          # roll back
+                try:
+                    os.unlink(os.path.join(path, f))
+                except FileNotFoundError:
+                    pass
+        shutil.rmtree(os.path.join(path, f".compact_{cid}"),
+                      ignore_errors=True)
+        for p in (marker, intent):
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass
+        resolved += 1
+    return resolved
+
+
+def compact_append_dir(
+    spark,
+    path: str,
+    target_files: int | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compact a plain append-only parquet directory to
+    ``target_files`` files (default: sized from on-disk bytes at
+    ``target_bytes`` per file) — rows preserved exactly, crash-safe
+    via the intent-log protocol above. Appends that land AFTER the
+    snapshot are untouched (they are not in the input list)."""
+    import json
+    import shutil
+    import uuid
+
+    recover_compactions(path)
+    inputs = _append_dir_data_files(path)
+    if target_files is None:
+        size = sum(os.path.getsize(os.path.join(path, f)) for f in inputs)
+        target_files = max(1, -(-size // target_bytes))
+    if len(inputs) <= int(target_files):
+        return {"files_before": len(inputs), "files_after": len(inputs),
+                "rows": None, "compacted": False}
+
+    cid = uuid.uuid4().hex[:12]
+    tmp = os.path.join(path, f".compact_{cid}")
+    snap = spark.read.parquet(*[os.path.join(path, f) for f in inputs])
+    snap.coalesce(int(target_files)).write.mode("error").parquet(tmp)
+    written = spark.read.parquet(tmp)
+    n_in, n_out = snap.count(), written.count()
+    if n_in != n_out:  # pragma: no cover - defensive
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction row-count mismatch under {path}: "
+            f"{n_in} in vs {n_out} out"
+        )
+    out_names = [
+        f"compact-{cid}-{i:05d}.parquet"
+        for i, _ in enumerate(sorted(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ))
+    ]
+    tmp_files = sorted(
+        f for f in os.listdir(tmp)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    intent = os.path.join(path, f"_compact_{cid}.intent.json")
+    staged = intent + ".tmp"
+    with open(staged, "w") as fh:
+        json.dump({"outputs": out_names, "inputs": inputs}, fh)
+    os.replace(staged, intent)
+    for src, dst in zip(tmp_files, out_names):
+        os.replace(os.path.join(tmp, src), os.path.join(path, dst))
+    with open(os.path.join(path, f"_compact_{cid}.committed"), "w"):
+        pass                                  # commit point
+    for f in inputs:
+        os.unlink(os.path.join(path, f))
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.unlink(os.path.join(path, f"_compact_{cid}.committed"))
+    os.unlink(intent)
+    return {"files_before": len(inputs), "files_after": len(out_names),
+            "rows": n_out, "compacted": True}

@@ -282,6 +282,19 @@ class StreamBatchAuditor:
             )
         return True
 
+    def compact(self, target_files: int | None = None) -> dict:
+        """Small-file maintenance for the stream_batches table (round-12
+        verdict #3): one parquet file per micro-batch accretes over a
+        long stream; fold them through the crash-safe intent-log
+        protocol (sinks/layout.py:compact_append_dir) — rows preserved
+        exactly, appends racing the snapshot untouched. Safe to call
+        from the owning process between batches; the in-memory
+        completed-id cache is unaffected (same rows)."""
+        from .layout import compact_append_dir
+
+        return compact_append_dir(self.spark, self._path(),
+                                  target_files=target_files)
+
     def audited_sink(self, inner=None):
         """A foreachBatch callable that logs every micro-batch then
         delegates to ``inner`` — the audit hook for stateful streaming

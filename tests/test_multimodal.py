@@ -366,3 +366,104 @@ def test_extract_audio_features_bad_decoder(spark):
 
     with _pytest.raises(ValueError):
         extract_audio_features(synthetic_media(spark, 3), decoder="mp3")
+
+
+# --- pHash image near-dup (round-12, operators/phash.py) ---------------------
+
+
+def _noise_png(seed: int, patch: int = 0) -> bytes:
+    import hashlib
+
+    import numpy as np
+
+    from smartbots_etl_facturas_spark.sources.multimodal import png_encode
+
+    out = b""
+    i = 0
+    while len(out) < 1024:
+        out += hashlib.sha256(f"{seed}:{i}".encode()).digest()
+        i += 1
+    img = np.frombuffer(out[:1024], dtype=np.uint8).reshape(32, 32).copy()
+    if patch:
+        img[4:8, 4:8] = np.minimum(
+            img[4:8, 4:8].astype(np.int64) + patch, 255
+        ).astype(np.uint8)
+    return png_encode(img)
+
+
+def test_phash_exact_integer_and_stable():
+    """phash_bits is pure integer arithmetic: identical pixels →
+    identical hash; gray/RGB of the same luminance agree; every hash
+    has bit 0 (the DC slot) clear."""
+    import numpy as np
+
+    from smartbots_etl_facturas_spark.operators.phash import (
+        _to_gray,
+        phash_bits,
+    )
+    from smartbots_etl_facturas_spark.sources.multimodal import png_decode
+
+    g = png_decode(_noise_png(7))
+    assert phash_bits(_to_gray(g)) == phash_bits(_to_gray(g))
+    assert phash_bits(_to_gray(g)) & 1 == 0
+    # a gray image expanded to RGB has identical BT.601 luminance
+    rgb = np.repeat(g, 3, axis=2)
+    assert phash_bits(_to_gray(rgb)) == phash_bits(_to_gray(g))
+
+
+def test_phash_images_and_banded_pairs(spark):
+    """End-to-end: decode → hash → banded join finds exact (Hamming 0)
+    and near (patched) duplicates, never the cross pairs; the
+    candidate join is keyed on (band, slice) — NO nested-loop or
+    cartesian stage anywhere in the plan."""
+    from smartbots_etl_facturas_spark.operators.phash import (
+        phash_images,
+        phash_near_pairs,
+    )
+    from smartbots_etl_facturas_spark.plans.doctor import plan_report
+
+    rows = []
+    for s in range(8):
+        rows.append((s, bytearray(_noise_png(s))))
+        rows.append((s + 100, bytearray(_noise_png(s))))          # exact
+        rows.append((s + 200, bytearray(_noise_png(s, patch=16))))  # near
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    sk = phash_images(media)
+    pairs = phash_near_pairs(sk, max_distance=7, bands=8)
+    rep = plan_report(pairs)
+    assert rep.cartesian_products == 0
+    assert rep.broadcast_nested_loop_joins == 0
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    for s in range(8):
+        assert got[(s, s + 100)] == 0            # exact copy
+        assert got[(s, s + 200)] <= 7            # near copy found
+        assert got[(s + 100, s + 200)] == got[(s, s + 200)]
+    # no cross-family pair survives the verify
+    assert all(a % 100 == b % 100 for (a, b) in got)
+
+
+def test_phash_banding_is_lossless_up_to_bound(spark):
+    """Pigeonhole contract: for hashes within max_distance < bands,
+    the banded join finds EVERY pair a brute-force comparison finds;
+    distances >= bands are rejected at the API."""
+    import pytest as _pytest
+
+    from smartbots_etl_facturas_spark.operators.phash import (
+        phash_near_pairs,
+    )
+
+    # craft sketches with known pairwise distances around the bound
+    base = 0x0123456789ABCDEF
+    sketches = spark.createDataFrame(
+        [(0, base),
+         (1, base ^ 0x7),                # d=3
+         (2, base ^ 0x7F),               # d=7 (= max allowed)
+         (3, base ^ ((1 << 63) - 1))],   # far
+        "media_id long, phash long",
+    )
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in phash_near_pairs(sketches, max_distance=7).collect()}
+    assert got[(0, 1)] == 3 and got[(0, 2)] == 7 and got[(1, 2)] == 4
+    assert not any(3 in p for p in got)
+    with _pytest.raises(ValueError):
+        phash_near_pairs(sketches, max_distance=8, bands=8)

@@ -56,6 +56,28 @@ ALLOW: dict[str, tuple[set, str]] = {
         {"bnlj"},
         "recall harness vs brute-force ground truth (see ann_lsh_recall)",
     ),
+    "ann_pq_incremental_recall": (
+        {"bnlj"},
+        "recall harness vs brute-force ground truth (see ann_lsh_recall)",
+    ),
+    "ann_pq_incremental_equiv": (
+        {"bnlj"},
+        "equivalence harness: crossJoins THREE 1-row aggregates "
+        "(n_queries x exceptAll-count x exceptAll-count) into the "
+        "single invariant row — bounded by construction",
+    ),
+    "stream_batches_report": (
+        {"bnlj"},
+        "invariant harness: crossJoin of two 1-row aggregates over "
+        "the bounded stream_batches audit table",
+    ),
+    "phash_dedup": (
+        {"bnlj"},
+        "invariant harness: crossJoin of the 1-row base count onto "
+        "the 1-row pair-classification aggregate; the candidate join "
+        "itself is keyed on (band, slice) — asserted in "
+        "tests/test_multimodal.py",
+    ),
     "minhash_precision": (
         {"bnlj"},
         "precision harness: joins LSH candidates against the exact "
@@ -374,6 +396,14 @@ WINDOW_ALLOW: dict[str, str] = {
     "ann_pq_rerank": "per-query: rank over the frozen fixture pairs",
     "ann_pq_prebuilt_rerank": "per-query: rank over the frozen fixture "
                               "pairs",
+    "ann_pq_incremental": "per-query: probe-only index ranks per "
+                          "query_id (segment-union codes table)",
+    "ann_pq_incremental_equiv": "per-query: two probe plans compared, "
+                                "ranks per query_id",
+    "ann_pq_incremental_recall": "per-query: recall harness per "
+                                 "query_id",
+    "ann_pq_incremental_rerank": "per-query: rank over the frozen "
+                                 "fixture pairs",
     "curriculum_interleave": "adaptive: interleave_key derives "
                              "per-source rank from global_order_index "
                              "(round-11 migration off the per-lang "

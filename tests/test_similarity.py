@@ -395,3 +395,113 @@ def test_ann_fixture_matches_registered_parameters():
     for name in ("LSH_PAIRS", "IVF_PAIRS", "PQ_PAIRS", "PQ_PREBUILT_PAIRS"):
         pairs = entry._ann_fixture_pairs(name)
         assert pairs and all(len(p) == 2 for p in pairs)
+
+
+class TestIncrementalIndex:
+    """Round-12: O(Δ) incremental maintenance of the persisted IVF-PQ
+    index (operators/ann_index.py:append_ivfpq_delta) — the ANN member
+    of the persisted-index family's incremental discipline."""
+
+    def _split(self, emb):
+        base_corpus = emb.filter(F.col("vec_id") % 3 != 2)
+        delta = emb.filter(F.col("vec_id") % 3 == 2)
+        return base_corpus, delta
+
+    def test_merged_probe_equals_one_shot_bit_for_bit(
+        self, spark, emb, tmp_path
+    ):
+        """Index(base) + append(delta) probes BIT-IDENTICAL to a
+        one-shot index over the full corpus built with the SAME
+        trained metadata (train_on=base) — the incremental contract."""
+        from smartbots_etl_facturas_spark.operators.ann_index import (
+            append_ivfpq_delta,
+            build_ivfpq_index,
+            cosine_topk_ivfpq_probe,
+        )
+
+        base_corpus, delta = self._split(emb)
+        inc = str(tmp_path / "inc")
+        build_ivfpq_index(base_corpus, inc, n_cells=8, m=8, k_sub=8,
+                          train_iters=1)
+        append_ivfpq_delta(delta, inc)
+        full = str(tmp_path / "full")
+        build_ivfpq_index(emb, full, n_cells=8, m=8, k_sub=8,
+                          train_iters=1, train_on=base_corpus)
+        q = emb.filter(F.col("vec_id") % 50 == 0)
+        a = sorted(
+            cosine_topk_ivfpq_probe(q, emb, inc, k=5, nprobe=4,
+                                    rerank=32).collect(),
+            key=lambda r: (r.query_id, r.rank),
+        )
+        b = sorted(
+            cosine_topk_ivfpq_probe(q, emb, full, k=5, nprobe=4,
+                                    rerank=32).collect(),
+            key=lambda r: (r.query_id, r.rank),
+        )
+        assert [(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in a] \
+            == [(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in b]
+        assert len(a) > 0
+
+    def test_append_never_retrains_and_is_o_delta(
+        self, spark, emb, tmp_path, monkeypatch
+    ):
+        """No trainer call anywhere in the append path (monkeypatched
+        to raise), and the published segment holds EXACTLY the delta's
+        rows — the standing corpus codes are never read or rewritten."""
+        from smartbots_etl_facturas_spark.operators import ann_index
+        from smartbots_etl_facturas_spark.sinks.staged import (
+            read_published,
+        )
+
+        base_corpus, delta = self._split(emb)
+        idx = str(tmp_path / "idx")
+        ann_index.build_ivfpq_index(base_corpus, idx, n_cells=4, m=8,
+                                    k_sub=8, train_iters=1)
+
+        def _boom(*a, **kw):  # pragma: no cover - failure path
+            raise AssertionError("append path invoked a trainer")
+
+        monkeypatch.setattr(ann_index, "kmeans_centroids", _boom)
+        monkeypatch.setattr(ann_index, "pq_codebooks", _boom)
+        out = ann_index.append_ivfpq_delta(delta, idx)
+        seg = read_published(spark, f"{idx}/{out['segment']}")
+        assert seg.count() == delta.count()
+        assert ann_index._manifest_segments(spark, idx) == [
+            "codes", out["segment"],
+        ]
+        # merged logical table = base codes + delta codes
+        assert ann_index.read_ivfpq_codes(spark, idx).count() == emb.count()
+
+    def test_appends_compose_and_compact_preserves_rows(
+        self, spark, emb, tmp_path
+    ):
+        """append(d1); append(d2) == append(d1 ∪ d2) on the logical
+        codes table, and compaction folds segments without changing
+        a single row."""
+        from smartbots_etl_facturas_spark.operators import ann_index
+
+        base_corpus, delta = self._split(emb)
+        d1 = delta.filter(F.col("vec_id") % 2 == 0)
+        d2 = delta.filter(F.col("vec_id") % 2 == 1)
+        two = str(tmp_path / "two")
+        one = str(tmp_path / "one")
+        for p in (two, one):
+            ann_index.build_ivfpq_index(base_corpus, p, n_cells=4, m=8,
+                                        k_sub=8, train_iters=1)
+        ann_index.append_ivfpq_delta(d1, two)
+        ann_index.append_ivfpq_delta(d2, two)
+        ann_index.append_ivfpq_delta(delta, one)
+
+        def rows(base):
+            return sorted(
+                (r.neighbor_id, r.cell, tuple(r.codes))
+                for r in ann_index.read_ivfpq_codes(spark, base).collect()
+            )
+
+        assert rows(two) == rows(one)
+        before = rows(two)
+        ann_index.compact_ivfpq_codes(spark, two, target_files=1)
+        assert ann_index._manifest_segments(spark, two) == [
+            "codes_seg_000003"
+        ]
+        assert rows(two) == before
