@@ -357,3 +357,33 @@ class TestGroupEquiDepthBins:
                            match="distinct values|KLL"):
             group_equi_depth_bins(
                 df, ["k"], "v", 4, max_domain_per_key=10).collect()
+
+
+def test_domain_guard_raises_on_realistic_continuous_domain(spark):
+    """Round-12 verdict #5: the MAX_DOMAIN_PER_KEY guard pinned at a
+    REALISTIC domain size, not just a toy limit override — a
+    continuous column with >2M distinct values in one group raises at
+    execution time naming the KLL tier, and the measured domain-growth
+    curve behind the guard value lives in PERF.md round-12."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from smartbots_etl_facturas_spark.operators.orderstats import (
+        MAX_DOMAIN_PER_KEY,
+        group_quantile_values,
+    )
+
+    assert MAX_DOMAIN_PER_KEY == 2_000_000
+    n = MAX_DOMAIN_PER_KEY + 100_000
+    df = spark.range(n).select(
+        F.lit("g").alias("k"),
+        (F.col("id") * 2654435761 % n).cast("double").alias("v"),
+    )
+    q = group_quantile_values(df, ["k"], "v", [("p50", 1, 2)])
+    with _pytest.raises(Exception) as ei:
+        q.collect()
+    assert "KLL tier" in str(ei.value)
+    # the same frame passes with the guard lifted (the experiment path)
+    ok = group_quantile_values(df, ["k"], "v", [("p50", 1, 2)],
+                               max_domain_per_key=None).collect()
+    assert len(ok) == 1 and ok[0]["__n"] == n

@@ -440,6 +440,77 @@ def _flags(report) -> set:
     return flags
 
 
+# --- selective-scan pushdown gate (round-12 verdict #6) ---------------------
+#
+# The plan doctor reads pushed filters off the scan NODES (incl. DSv2);
+# these queries' selectivity lives in predicates the parquet source can
+# push, and losing that pushdown (a refactor wrapping the filter behind
+# a non-pushable expression, a cache barrier, a projection that hides
+# the column) silently turns a pruned scan into a full read — the same
+# drift class the r10 hot-window regressions came from. Two tiers:
+# every scan pushes (the all-selective family), or a pinned minimum
+# (queries that legitimately carry one unfiltered corpus scan).
+
+PUSHDOWN_ALL_SCANS = [
+    "blocking_suppliers",
+    "disjunctive_revenue",
+    "forecast_revenue",
+    "min_cost_supplier",
+    "priority_late_orders",
+    "promotion_candidate_suppliers",
+    "regional_revenue",
+    "returned_items",
+    "small_qty_revenue",
+]
+
+#: query -> minimum pushed-scan count (documented residue: which scans
+#: legitimately read unfiltered)
+PUSHDOWN_MIN: dict[str, int] = {
+    # customers scan pushes the balance predicate; the orders probe of
+    # the NOT EXISTS and the 1-row avg-balance subquery legitimately
+    # scan unfiltered
+    "dormant_high_balance": 1,
+}
+
+
+@pytest.mark.parametrize("name", sorted(PUSHDOWN_ALL_SCANS))
+def test_selective_scans_keep_pushdown(spark, sf_dir, name):
+    rep = plan_report(entry.queries()[name](spark, sf_dir))
+    assert rep.scans, f"{name}: no scan nodes found"
+    lost = [s for s in rep.scans if not s["pushed_filters"]]
+    assert not lost, (
+        f"{name}: {len(lost)}/{len(rep.scans)} scans lost filter "
+        f"pushdown (columns: {[s['columns'] for s in lost]}) — the "
+        "predicate no longer reaches the parquet source"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(PUSHDOWN_MIN))
+def test_partially_selective_scans_keep_pushdown(spark, sf_dir, name):
+    rep = plan_report(entry.queries()[name](spark, sf_dir))
+    pushed = sum(1 for s in rep.scans if s["pushed_filters"])
+    assert pushed >= PUSHDOWN_MIN[name], (
+        f"{name}: {pushed} pushed scans < required {PUSHDOWN_MIN[name]}"
+    )
+
+
+def test_pushdown_gate_detects_loss(spark, sf_dir):
+    """Deliberate regression: the same predicate wrapped in a
+    null-tolerant non-pushable expression must read as NOT pushed —
+    proving the gate's detector actually discriminates. (A plain
+    md5(col)=x wrapper is NOT enough: Catalyst still pushes the
+    implied IsNotNull residual; coalesce kills even that.)"""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    good = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    bad = li.filter(
+        F.coalesce(F.col("l_returnflag"), F.lit("R")) == "R"
+    ).select("l_orderkey")
+    assert all(s["pushed_filters"] for s in plan_report(good).scans)
+    assert not any(s["pushed_filters"] for s in plan_report(bad).scans)
+
+
 @pytest.mark.parametrize("name", sorted(entry.queries()))
 def test_query_plan_is_scalable(spark, sf_dir, name):
     df = entry.queries()[name](spark, sf_dir)
