@@ -6223,39 +6223,30 @@ SQL_PNG_IMAGE_PIPELINE = "\nUNION ALL\n".join(
 )
 
 
-def q_phash_dedup(spark, sf_dir):
-    """Image perceptual-hash near-dup dedup (round-12 verdict #8) —
-    the IMAGE twin of minhash/simhash text dedup, end to end through
-    the real multimodal plumbing: one sha256-noise 32×32 PNG per
-    sampled document (rendered Arrow-batched in executors, stdlib
-    codec), plus an EXACT byte copy and a NEAR copy (one 4×4 patch
-    +16) per base; integer-DCT pHash over decoded pixels
-    (operators/phash.py — exact int64 arithmetic, bit-reproducible);
-    Hamming-band candidate join (8 bands × 8 bits, lossless for
-    d ≤ 7 by pigeonhole — never all-pairs, plan-asserted in
-    tests/test_multimodal.py); exact bit_count verify. Ships the
-    invariant row the construction guarantees: every exact pair found
-    at Hamming 0, every near pair found within 7 (measured max 6 over
-    250 seeds, cross-family minimum 14), zero cross-family pairs.
-    ``n_base`` recomputed by the oracle."""
-    from smartbots_etl_facturas_spark.operators.phash import (
-        phash_images,
-        phash_near_pairs,
-    )
+#: pHash family id arithmetic: media_id = doc_id + variant·_PHASH_FAM
+#: (variant 0 = base, 1 = exact byte copy, 2 = near copy with a +16
+#: 4×4 patch). One constant shared by the dedup query, the
+#: incremental-index query and their oracles.
+_PHASH_FAM = 10_000_000
 
-    fam = F.lit(10_000_000)
-    docs = _read(spark, sf_dir, "documents").select("doc_id").filter(
+
+def _phash_base_docs(spark, sf_dir):
+    return _read(spark, sf_dir, "documents").select("doc_id").filter(
         F.col("doc_id") % 20 == 0
     )
-    variants = docs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("doc_id").alias("media_id")),
-                F.struct((F.col("doc_id") + fam).alias("media_id")),
-                F.struct((F.col("doc_id") + 2 * fam).alias("media_id")),
-            )
-        ).alias("v")
-    ).select("v.media_id")
+
+
+def _phash_media(docs, variants):
+    """One deterministic sha256-noise 32×32 PNG per (doc, variant),
+    rendered Arrow-batched IN EXECUTORS (stdlib codec) — variant 2
+    perturbs a 4×4 patch by +16 (measured: ≤ 6 Hamming bits from its
+    base over 250 seeds; cross-family minimum 14)."""
+    arr = F.array(*[
+        F.struct((F.col("doc_id") + v * F.lit(_PHASH_FAM))
+                 .alias("media_id"))
+        for v in variants
+    ])
+    vdf = docs.select(F.explode(arr).alias("v")).select("v.media_id")
 
     def _render(batches):
         import hashlib as _hl
@@ -6281,8 +6272,8 @@ def q_phash_dedup(spark, sf_dir):
             payloads = []
             for mid in pdf["media_id"]:
                 mid = int(mid)
-                img = noise(mid % 10_000_000)
-                if mid // 10_000_000 == 2:    # near copy: small patch
+                img = noise(mid % _PHASH_FAM)
+                if mid // _PHASH_FAM == 2:    # near copy: small patch
                     img[4:8, 4:8] = np.minimum(
                         img[4:8, 4:8].astype(np.int64) + 16, 255
                     ).astype(np.uint8)
@@ -6291,7 +6282,32 @@ def q_phash_dedup(spark, sf_dir):
                 {"media_id": pdf["media_id"], "content": payloads}
             )
 
-    media = variants.mapInPandas(_render, "media_id long, content binary")
+    return vdf.mapInPandas(_render, "media_id long, content binary")
+
+
+def q_phash_dedup(spark, sf_dir):
+    """Image perceptual-hash near-dup dedup (round-12 verdict #8) —
+    the IMAGE twin of minhash/simhash text dedup, end to end through
+    the real multimodal plumbing: one sha256-noise 32×32 PNG per
+    sampled document (rendered Arrow-batched in executors, stdlib
+    codec), plus an EXACT byte copy and a NEAR copy (one 4×4 patch
+    +16) per base; integer-DCT pHash over decoded pixels
+    (operators/phash.py — exact int64 arithmetic, bit-reproducible);
+    Hamming-band candidate join (8 bands × 8 bits, lossless for
+    d ≤ 7 by pigeonhole — never all-pairs, plan-asserted in
+    tests/test_multimodal.py); exact bit_count verify. Ships the
+    invariant row the construction guarantees: every exact pair found
+    at Hamming 0, every near pair found within 7 (measured max 6 over
+    250 seeds, cross-family minimum 14), zero cross-family pairs.
+    ``n_base`` recomputed by the oracle."""
+    from smartbots_etl_facturas_spark.operators.phash import (
+        phash_images,
+        phash_near_pairs,
+    )
+
+    fam = F.lit(_PHASH_FAM)
+    docs = _phash_base_docs(spark, sf_dir)
+    media = _phash_media(docs, (0, 1, 2))
     pairs = phash_near_pairs(phash_images(media), max_distance=7, bands=8)
     same = F.pmod(F.col("id_a"), fam) == F.pmod(F.col("id_b"), fam)
     vsum = F.floor(F.col("id_a") / fam) + F.floor(F.col("id_b") / fam)
@@ -6315,6 +6331,82 @@ def q_phash_dedup(spark, sf_dir):
 SQL_PHASH_DEDUP = """
 SELECT CAST(count(*) AS BIGINT) AS n_base, TRUE AS exact_pairs_ok,
        TRUE AS near_pairs_ok, TRUE AS no_cross_pairs
+FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+_PHASH_INDEX_CACHE: dict[str, str] = {}
+
+
+def ensure_phash_index(spark, sf_dir: str) -> str:
+    """Build-once half of the image-dedup incremental split: persist
+    the Hamming-band postings + hash table of the STANDING corpus
+    (base + exact-copy images) through the versioned sink
+    (operators/phash.py:build_phash_index), once per process — the
+    image member of the persisted-index family (minhash / BM25 / HLL /
+    KLL / IVF-PQ). bench.py runs this outside the timed loop so
+    phash_incremental times the per-batch probe only."""
+    base = _PHASH_INDEX_CACHE.get(sf_dir)
+    if base is None:
+        from smartbots_etl_facturas_spark.operators.phash import (
+            build_phash_index,
+            phash_images,
+        )
+
+        base = _scratch_dir("phash_index_")
+        corpus = _phash_media(_phash_base_docs(spark, sf_dir), (0, 1))
+        build_phash_index(phash_images(corpus), base, bands=8)
+        _PHASH_INDEX_CACHE[sf_dir] = base
+    return base
+
+
+def q_phash_incremental(spark, sf_dir):
+    """INCREMENTAL image near-dup matching: the arriving batch (the
+    near-copy variant of every sampled document) is pHashed ALONE —
+    never re-decoding the standing corpus — and probes the PERSISTED
+    band postings (ensure_phash_index); candidates exact-verify by one
+    xor + bit_count against the stored hash column. Per-batch cost is
+    O(|Δ| + candidates) at any corpus size, the dedup_index.py
+    discipline applied to images. Invariants shipped: every delta
+    matches EXACTLY its base and exact-copy family members (2·n_base
+    matches, each within Hamming 7), zero cross-family matches;
+    ``n_base`` recomputed by the oracle."""
+    from smartbots_etl_facturas_spark.operators.phash import (
+        phash_images,
+        phash_match_against_index,
+    )
+
+    base = ensure_phash_index(spark, sf_dir)
+    delta = _phash_media(_phash_base_docs(spark, sf_dir), (2,))
+    matches = phash_match_against_index(
+        phash_images(delta), base, max_distance=7
+    )
+    fam = F.lit(_PHASH_FAM)
+    same = F.pmod(F.col("delta_id"), fam) == F.pmod(F.col("corpus_id"), fam)
+    per_delta = matches.groupBy("delta_id").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min(same.cast("int")).alias("all_same"),
+    )
+    agg = per_delta.agg(
+        F.count(F.lit(1)).cast("long").alias("n_delta_matched"),
+        F.min("c").alias("min_c"),
+        F.max("c").alias("max_c"),
+        F.min("all_same").alias("same_ok"),
+    )
+    nb = _phash_base_docs(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_base")
+    )
+    return nb.crossJoin(agg).select(
+        "n_base",
+        (F.col("n_delta_matched") == F.col("n_base")).alias("coverage_ok"),
+        ((F.col("min_c") == 2) & (F.col("max_c") == 2)).alias("family_ok"),
+        (F.col("same_ok") == 1).alias("no_cross_matches"),
+    )
+
+
+SQL_PHASH_INCREMENTAL = """
+SELECT CAST(count(*) AS BIGINT) AS n_base, TRUE AS coverage_ok,
+       TRUE AS family_ok, TRUE AS no_cross_matches
 FROM documents WHERE doc_id % 20 = 0
 """
 
@@ -12894,6 +12986,7 @@ _QUERIES: dict[str, Callable] = {
     "ann_pq_incremental_rerank": q_ann_pq_incremental_rerank,
     "stream_batches_report": q_stream_batches_report,
     "phash_dedup": q_phash_dedup,
+    "phash_incremental": q_phash_incremental,
     "recursive_bom": q_recursive_bom,
     "incremental_agg": q_incremental_agg,
     "zorder_keys": q_zorder_keys,
@@ -13128,6 +13221,7 @@ _ORACLES: dict[str, str] = {
     "ann_pq_incremental_recall": SQL_ANN_PQ_INCREMENTAL_RECALL,
     "stream_batches_report": SQL_STREAM_BATCHES_REPORT,
     "phash_dedup": SQL_PHASH_DEDUP,
+    "phash_incremental": SQL_PHASH_INCREMENTAL,
     "recursive_bom": SQL_RECURSIVE_BOM,
     "incremental_agg": SQL_INCREMENTAL_AGG,
     "zorder_keys": SQL_ZORDER_KEYS,

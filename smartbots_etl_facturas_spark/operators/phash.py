@@ -39,7 +39,13 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["phash_bits", "phash_images", "phash_near_pairs"]
+__all__ = [
+    "build_phash_index",
+    "phash_bits",
+    "phash_images",
+    "phash_match_against_index",
+    "phash_near_pairs",
+]
 
 _DCT_N = 32       # resize target and DCT size
 _DCT_BLOCK = 8    # low-frequency block kept
@@ -134,6 +140,24 @@ def phash_images(
     return src.mapInPandas(_batches, schema=f"{id_col} long, phash long")
 
 
+def _band_slices(hash_col: str, bands: int):
+    """exploded-array expression of (band, slice) structs — the shared
+    band split of the self-join and the persisted-index paths; raises
+    when ``bands`` does not divide 64."""
+    if 64 % bands != 0:
+        raise ValueError(f"bands={bands} must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col(hash_col), b * width)
+            .bitwiseAND(F.lit(mask)).alias("slice"),
+        )
+        for b in range(bands)
+    ])
+
+
 def phash_near_pairs(
     sketches: DataFrame,
     id_col: str = "media_id",
@@ -149,23 +173,12 @@ def phash_near_pairs(
     is REQUIRED — that is the pigeonhole bound making the banded join
     lossless (a pair within distance d < bands must agree on ≥ 1
     slice). Output is deduplicated with id_a < id_b."""
-    if 64 % bands != 0:
-        raise ValueError(f"bands={bands} must divide 64")
     if max_distance >= bands:
         raise ValueError(
             f"max_distance={max_distance} >= bands={bands}: the banded "
             "join is only lossless for max_distance < bands (pigeonhole)"
         )
-    width = 64 // bands
-    mask = (1 << width) - 1
-    slices = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned(F.col(hash_col), b * width)
-            .bitwiseAND(F.lit(mask)).alias("slice"),
-        )
-        for b in range(bands)
-    ])
+    slices = _band_slices(hash_col, bands)
     keyed = sketches.select(
         F.col(id_col), F.col(hash_col), F.explode(slices).alias("bs")
     ).select(
@@ -191,4 +204,97 @@ def phash_near_pairs(
         cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+# --- persisted pHash index (incremental image ingest) ------------------------
+
+
+def build_phash_index(
+    sketches: DataFrame,
+    base: str,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    bands: int = 8,
+) -> dict[str, str]:
+    """Persist the corpus's Hamming-band postings (corpus_id, band,
+    slice) plus the hash table (corpus_id, phash) and a 1-row meta
+    table through the versioned sink — the image member of the
+    build-once/probe-many family (operators/dedup_index.py for
+    MinHash, ann_index.py for vectors): a delta image batch hashes
+    ONLY ITSELF and equi-joins the stored postings, so per-ingest cost
+    is O(|Δ| + candidates) at any corpus size. The band split is a
+    pure function of (phash, bands), pinned in meta so probes can
+    never mix band geometries."""
+    import os
+
+    from ..sinks.staged import publish
+
+    slices = _band_slices(hash_col, bands)
+    postings = sketches.select(
+        F.col(id_col).alias("corpus_id"), F.explode(slices).alias("bs")
+    ).select(
+        "corpus_id",
+        F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice"),
+    )
+    hashes = sketches.select(
+        F.col(id_col).alias("corpus_id"), F.col(hash_col).alias("phash")
+    )
+    meta = sketches.sparkSession.createDataFrame(
+        [(int(bands),)], "bands int"
+    )
+    return {
+        "postings": publish(postings, os.path.join(base, "postings")),
+        "hashes": publish(hashes, os.path.join(base, "hashes")),
+        "meta": publish(meta, os.path.join(base, "meta")),
+    }
+
+
+def phash_match_against_index(
+    delta_sketches: DataFrame,
+    base: str,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_distance: int = 7,
+) -> DataFrame:
+    """Near-duplicate matches (delta_id, corpus_id, hamming ≤
+    max_distance) of a DELTA image batch against the INDEXED corpus:
+    only the delta is hashed and band-exploded; the corpus contributes
+    its stored postings and (for candidates only) its hash column.
+    ``max_distance < bands`` enforced against the INDEX's pinned band
+    count — the pigeonhole losslessness contract."""
+    import os
+
+    from ..sinks.staged import read_published
+
+    spark = delta_sketches.sparkSession
+    bands = int(read_published(
+        spark, os.path.join(base, "meta")).collect()[0].bands)
+    if max_distance >= bands:
+        raise ValueError(
+            f"max_distance={max_distance} >= index bands={bands}: the "
+            "banded probe is only lossless for max_distance < bands"
+        )
+    postings = read_published(spark, os.path.join(base, "postings"))
+    hashes = read_published(spark, os.path.join(base, "hashes"))
+    slices = _band_slices(hash_col, bands)
+    d_keys = delta_sketches.select(
+        F.col(id_col).alias("delta_id"), F.col(hash_col).alias("h_d"),
+        F.explode(slices).alias("bs"),
+    ).select(
+        "delta_id", "h_d",
+        F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice"),
+    )
+    cand = (
+        d_keys.join(postings, on=["band", "slice"])
+        .filter(F.col("delta_id") != F.col("corpus_id"))
+        .select("delta_id", "h_d", "corpus_id")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_d").bitwiseXOR(F.col("phash")))
+    return (
+        cand.join(hashes, "corpus_id")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_distance)
+        .select("delta_id", "corpus_id", "hamming")
     )

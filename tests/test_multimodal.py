@@ -467,3 +467,54 @@ def test_phash_banding_is_lossless_up_to_bound(spark):
     assert not any(3 in p for p in got)
     with _pytest.raises(ValueError):
         phash_near_pairs(sketches, max_distance=8, bands=8)
+
+
+def test_phash_persisted_index_incremental_probe(spark, tmp_path):
+    """Persisted pHash index (round-12): the corpus's band postings +
+    hash table publish once; a delta batch hashes ONLY itself, probes
+    the stored postings, and finds exactly its near/exact family
+    members — bit-identical to what the self-join finds among the
+    same pairs."""
+    from smartbots_etl_facturas_spark.operators.phash import (
+        build_phash_index,
+        phash_images,
+        phash_match_against_index,
+        phash_near_pairs,
+    )
+
+    corpus_rows, delta_rows = [], []
+    for s in range(6):
+        corpus_rows.append((s, bytearray(_noise_png(s))))
+        corpus_rows.append((s + 100, bytearray(_noise_png(s))))      # exact
+        delta_rows.append((s + 200, bytearray(_noise_png(s, patch=16))))
+    corpus = phash_images(
+        spark.createDataFrame(corpus_rows, "media_id long, content binary")
+    )
+    delta = phash_images(
+        spark.createDataFrame(delta_rows, "media_id long, content binary")
+    )
+    base = str(tmp_path / "phash_idx")
+    build_phash_index(corpus, base, bands=8)
+    got = {
+        (r.delta_id, r.corpus_id): r.hamming
+        for r in phash_match_against_index(delta, base,
+                                           max_distance=7).collect()
+    }
+    # each delta matches exactly its base + exact twin, nothing else
+    assert sorted(got) == sorted(
+        [(s + 200, s) for s in range(6)] + [(s + 200, s + 100)
+                                            for s in range(6)]
+    )
+    # distances agree with the self-join tier on the union
+    self_pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_pairs(corpus.unionByName(delta),
+                                  max_distance=7).collect()
+    }
+    for (d, c), h in got.items():
+        assert self_pairs[(min(c, d), max(c, d))] == h
+    # geometry contract: probing past the index's band bound raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phash_match_against_index(delta, base, max_distance=8)

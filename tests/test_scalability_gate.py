@@ -78,6 +78,12 @@ ALLOW: dict[str, tuple[set, str]] = {
         "itself is keyed on (band, slice) — asserted in "
         "tests/test_multimodal.py",
     ),
+    "phash_incremental": (
+        {"bnlj"},
+        "invariant harness: crossJoin of the 1-row base count onto "
+        "the 1-row match-classification aggregate; the probe join is "
+        "keyed on (band, slice) against the stored postings",
+    ),
     "minhash_precision": (
         {"bnlj"},
         "precision harness: joins LSH candidates against the exact "
