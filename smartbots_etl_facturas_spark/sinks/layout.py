@@ -278,6 +278,9 @@ def compact_append_dir(
     import shutil
     import uuid
 
+    if not os.path.isdir(path):  # never-written table: nothing to do
+        return {"files_before": 0, "files_after": 0, "rows": None,
+                "compacted": False}
     recover_compactions(path)
     inputs = _append_dir_data_files(path)
     if target_files is None:
@@ -299,17 +302,10 @@ def compact_append_dir(
             f"compaction row-count mismatch under {path}: "
             f"{n_in} in vs {n_out} out"
         )
+    tmp_files = _append_dir_data_files(tmp)
     out_names = [
-        f"compact-{cid}-{i:05d}.parquet"
-        for i, _ in enumerate(sorted(
-            f for f in os.listdir(tmp)
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
-        ))
+        f"compact-{cid}-{i:05d}.parquet" for i in range(len(tmp_files))
     ]
-    tmp_files = sorted(
-        f for f in os.listdir(tmp)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    )
     intent = os.path.join(path, f"_compact_{cid}.intent.json")
     staged = intent + ".tmp"
     with open(staged, "w") as fh:
