@@ -185,14 +185,23 @@ def phash_near_pairs(
         id_col, hash_col,
         F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice"),
     )
+    # Width pin (the PPJoin/edit-distance discipline,
+    # operators/linkage.py round-10): the sketch frames are tiny in
+    # bytes but the (band, slice) equi-join EMITS the candidate
+    # explosion, so AQE's byte-based coalescing would funnel that work
+    # onto a few cores; an explicit repartition by the join key is
+    # exempt from coalescing and the join reuses the partitioning.
+    from .linkage import _shuffle_width
+
+    sp = _shuffle_width(sketches.sparkSession)
     left = keyed.select(
         F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"),
         "band", "slice",
-    )
+    ).repartition(sp, "band", "slice")
     right = keyed.select(
         F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"),
         "band", "slice",
-    )
+    ).repartition(sp, "band", "slice")
     cand = (
         left.join(right, on=["band", "slice"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -266,6 +275,7 @@ def phash_match_against_index(
     import os
 
     from ..sinks.staged import read_published
+    from .linkage import _shuffle_width
 
     spark = delta_sketches.sparkSession
     bands = int(read_published(
@@ -285,8 +295,11 @@ def phash_match_against_index(
         "delta_id", "h_d",
         F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice"),
     )
+    sp = _shuffle_width(spark)
     cand = (
-        d_keys.join(postings, on=["band", "slice"])
+        d_keys.repartition(sp, "band", "slice")
+        .join(postings.repartition(sp, "band", "slice"),
+              on=["band", "slice"])
         .filter(F.col("delta_id") != F.col("corpus_id"))
         .select("delta_id", "h_d", "corpus_id")
         .distinct()
