@@ -9134,10 +9134,17 @@ def q_xlsx_template_append(spark, sf_dir):
 
     d = _scratch_dir("xlsx_append_")
     p = os.path.join(d, "t.xlsx")
+    # round-12: the template is built through the AUTHORED-style path
+    # (alignments + bold/bordered header — the new-workbook styling
+    # the reference inherits from COLUMN_FORMATS + pandas to_excel);
+    # values are oracle-checked here, the style bytes are pinned in
+    # tests/test_xlsx.py
     write_xlsx(
         p,
         [["key", "name"], [99, "TEMPLATE"]],
         column_formats={0: "0"},
+        column_alignments={0: "center", 1: "left"},
+        header_style=True,
     )
     region = sorted(
         (int(r.r_regionkey), str(r.r_name))

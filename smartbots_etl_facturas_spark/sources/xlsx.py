@@ -441,6 +441,33 @@ def read_column_formats(path, sheet_name=0) -> dict[int, str]:
     return out
 
 
+def read_column_alignments(path, sheet_name=0) -> dict[int, str]:
+    """Round-trip probe for ``column_alignments``: {0-based column
+    index -> horizontal alignment} resolved through each cell's ``s=``
+    ref into cellXfs <alignment horizontal=..> (round-12 authored-
+    style surface); first aligned cell per column wins. Empty dict
+    when the workbook has no styles part."""
+    with zipfile.ZipFile(path) as zf:
+        try:
+            styles = ET.fromstring(zf.read("xl/styles.xml"))
+        except KeyError:
+            return {}
+        cellxfs = styles.find(f"{_NS}cellXfs")
+        align_of_style: dict[str, str] = {}
+        if cellxfs is not None:
+            for i, xf in enumerate(cellxfs.findall(f"{_NS}xf")):
+                al = xf.find(f"{_NS}alignment")
+                if al is not None and al.get("horizontal"):
+                    align_of_style[str(i)] = al.get("horizontal")
+        out: dict[int, str] = {}
+        sheet = ET.fromstring(zf.read(_resolve_sheet_path(zf, sheet_name)))
+        for cell in sheet.iter(f"{_NS}c"):
+            al = align_of_style.get(cell.get("s", ""))
+            if al is not None:
+                out.setdefault(_col_ord(cell.get("r", "A1")), al)
+    return out
+
+
 def _ref(ri: int, ci: int) -> str:
     col = ""
     ci += 1
@@ -455,6 +482,8 @@ def write_xlsx(
     sheets,
     use_shared_strings: bool = False,
     column_formats: dict[int, str] | None = None,
+    column_alignments: dict[int, str] | None = None,
+    header_style: bool = False,
 ) -> None:
     """Write a minimal ECMA-376 workbook. ``sheets`` is either a list
     of row-lists (single 'Sheet1') or a dict {sheet_name: rows}.
@@ -466,23 +495,48 @@ def write_xlsx(
     presentation-fidelity surface the reference pins per column
     (excel_handler.py:17-36 COLUMN_FORMATS, applied at :119-131).
     Every code is emitted as a CUSTOM numFmt (ids from 164) in
-    xl/styles.xml plus one cellXf per distinct code; data cells
-    (row index >= 1 — the header row stays text) in a mapped column
-    carry the matching ``s=`` style ref. ``read_column_formats``
-    round-trips them. Remaining presentation non-goals (alignment,
-    images, template-preserving append) are recorded in SURVEY §7.1."""
+    xl/styles.xml; ``read_column_formats`` round-trips them.
+
+    ``column_alignments`` maps 0-based column index ->
+    left|center|right — the alignment half of the reference's
+    COLUMN_FORMATS dict (excel_handler.py:17-36), AUTHORED into
+    cellXfs (round-12: new-workbook style authoring, previously the
+    recorded non-goal); ``read_column_alignments`` round-trips them.
+    A column may carry a format, an alignment, or both — one cellXf
+    per distinct combination, applied to data cells (row >= 1).
+
+    ``header_style=True`` styles the header row (row 0) bold with a
+    thin border on all sides — the new-workbook header presentation
+    the reference inherits from pandas ``to_excel``
+    (excel_handler.py:70-72). Images and template-preserving append
+    remain on the append path (``append_rows_xlsx``)."""
     if not isinstance(sheets, dict):
         sheets = {"Sheet1": sheets}
     shared: dict[str, int] = {}
     fmts = dict(column_formats or {})
-    # one cellXf per DISTINCT code; style index 0 is the default xf
+    aligns = dict(column_alignments or {})
+    for a in aligns.values():
+        if a not in ("left", "center", "right"):
+            raise ValueError(f"unsupported alignment {a!r}")
+    # one cellXf per DISTINCT (format, alignment) combination used by
+    # any column; style index 0 stays the default xf
     codes = sorted(set(fmts.values()))
-    style_of_code = {c: i + 1 for i, c in enumerate(codes)}
-    style_of_col = {ci: style_of_code[c] for ci, c in fmts.items()}
+    fmt_id = {c: 164 + i for i, c in enumerate(codes)}
+    combos = sorted(
+        {(fmts.get(ci), aligns.get(ci)) for ci in set(fmts) | set(aligns)},
+        key=lambda t: (t[0] or "", t[1] or ""),
+    )
+    style_of_combo = {t: i + 1 for i, t in enumerate(combos)}
+    style_of_col = {
+        ci: style_of_combo[(fmts.get(ci), aligns.get(ci))]
+        for ci in set(fmts) | set(aligns)
+    }
+    header_xf = len(combos) + 1 if header_style else 0
+    has_styles = bool(combos) or header_style
 
     def cell_xml(ri: int, ci: int, v) -> str:
         ref = _ref(ri, ci)
-        style = style_of_col.get(ci, 0) if ri >= 1 else 0
+        style = style_of_col.get(ci, 0) if ri >= 1 else header_xf
         s_attr = f' s="{style}"' if style else ""
         if v is None:
             return ""
@@ -528,7 +582,7 @@ def write_xlsx(
             'Target="sharedStrings.xml"/>'
         )
         next_rid += 1
-    if codes:
+    if has_styles:
         rels += (
             f'<Relationship Id="rId{next_rid}" '
             'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" '
@@ -545,7 +599,7 @@ def write_xlsx(
             _CT.format(
                 sheet_overrides="".join(_SHEET_CT.format(i=i + 1) for i in range(len(sheets))),
                 ss_override=_SS_CT if use_shared_strings else "",
-                styles_override=_STYLES_CT if codes else "",
+                styles_override=_STYLES_CT if has_styles else "",
             ),
         )
         zf.writestr("_rels/.rels", _ROOT_RELS)
@@ -553,31 +607,53 @@ def write_xlsx(
         zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
         for i, part in enumerate(sheet_parts):
             zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", part)
-        if codes:
+        if has_styles:
             # every code becomes a CUSTOM numFmt (ids from 164, even
             # codes that shadow built-ins like "0") so read-back never
             # needs the implicit built-in format table
             num_fmts = "".join(
-                f'<numFmt numFmtId="{164 + i}" formatCode="{_esc_attr(c)}"/>'
-                for i, c in enumerate(codes)
+                f'<numFmt numFmtId="{fmt_id[c]}" formatCode="{_esc_attr(c)}"/>'
+                for c in codes
             )
-            xfs = "".join(
-                f'<xf numFmtId="{164 + i}" fontId="0" fillId="0" '
-                'borderId="0" xfId="0" applyNumberFormat="1"/>'
-                for i in range(len(codes))
-            )
+            xfs = []
+            for code, align in combos:
+                attrs = 'fontId="0" fillId="0" borderId="0" xfId="0"'
+                if code is not None:
+                    attrs = f'numFmtId="{fmt_id[code]}" {attrs} applyNumberFormat="1"'
+                else:
+                    attrs = f'numFmtId="0" {attrs}'
+                if align is not None:
+                    xfs.append(
+                        f'<xf {attrs} applyAlignment="1">'
+                        f'<alignment horizontal="{align}"/></xf>'
+                    )
+                else:
+                    xfs.append(f"<xf {attrs}/>")
+            if header_style:
+                # fontId=1 (bold) + borderId=1 (thin all sides) — the
+                # pandas-default new-workbook header the reference
+                # writes through df.to_excel (excel_handler.py:70-72)
+                xfs.append(
+                    '<xf numFmtId="0" fontId="1" fillId="0" borderId="1" '
+                    'xfId="0" applyFont="1" applyBorder="1"/>'
+                )
+            fonts = "<font/>" + ("<font><b/></font>" if header_style else "")
+            thin = ("<border><left style=\"thin\"/><right style=\"thin\"/>"
+                    "<top style=\"thin\"/><bottom style=\"thin\"/>"
+                    "<diagonal/></border>")
+            borders = "<border/>" + (thin if header_style else "")
             zf.writestr(
                 "xl/styles.xml",
                 '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
                 f'<styleSheet xmlns="{_NS[1:-1]}">'
                 f'<numFmts count="{len(codes)}">{num_fmts}</numFmts>'
-                '<fonts count="1"><font/></fonts>'
+                f'<fonts count="{2 if header_style else 1}">{fonts}</fonts>'
                 '<fills count="1"><fill><patternFill patternType="none"/></fill></fills>'
-                '<borders count="1"><border/></borders>'
+                f'<borders count="{2 if header_style else 1}">{borders}</borders>'
                 '<cellStyleXfs count="1"><xf/></cellStyleXfs>'
-                f'<cellXfs count="{len(codes) + 1}">'
+                f'<cellXfs count="{len(xfs) + 1}">'
                 '<xf numFmtId="0" fontId="0" fillId="0" borderId="0" xfId="0"/>'
-                f"{xfs}</cellXfs></styleSheet>",
+                f"{''.join(xfs)}</cellXfs></styleSheet>",
             )
         if use_shared_strings:
             items = "".join(

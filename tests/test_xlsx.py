@@ -434,3 +434,74 @@ def test_append_rows_sheetdata_attr_value_with_slash_gt(tmp_path):
     append_rows_xlsx(p, [["y"]])
     grid = parse_xlsx_grid(open(p, "rb").read())
     assert grid == [["h"], ["x"], ["y"]]
+
+
+def test_column_alignments_and_header_style_authoring(tmp_path):
+    """Round-12: new-workbook STYLE AUTHORING (the last recorded S8
+    non-goal) — the alignment half of the reference's COLUMN_FORMATS
+    (excel_handler.py:17-36) and the pandas-default bold/bordered
+    header row (excel_handler.py:70-72) are authored into styles.xml
+    for workbooks never touched by a template; formats+alignments
+    compose per column and both round-trip."""
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    from smartbots_etl_facturas_spark.sources.xlsx import (
+        parse_xlsx_grid,
+        read_column_alignments,
+        read_column_formats,
+        write_xlsx,
+    )
+
+    path = str(tmp_path / "styled.xlsx")
+    rows = [
+        ["N° Factura", "Empresa", "Órdenes de Embarque", "Total"],
+        ["123", "ACME", "OE-1", 4500],
+        ["456", "Beta", "OE-2", 980],
+    ]
+    fmts = {0: "0", 3: "#,##0"}
+    aligns = {0: "center", 2: "left", 3: "right"}
+    write_xlsx(path, rows, column_formats=fmts,
+               column_alignments=aligns, header_style=True)
+    # values untouched by styling
+    grid = parse_xlsx_grid(open(path, "rb").read())
+    assert grid[1][0] == "123" and grid[2][3] == "980"
+    # both halves round-trip; column 0 carries BOTH format and align
+    assert read_column_formats(path) == fmts
+    assert read_column_alignments(path) == aligns
+    # header xf: bold font + thin border, applied to row 1 cells
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as zf:
+        styles = ET.fromstring(zf.read("xl/styles.xml"))
+        sheet = ET.fromstring(zf.read("xl/worksheets/sheet1.xml"))
+    fonts = styles.find(f"{ns}fonts").findall(f"{ns}font")
+    assert len(fonts) == 2 and fonts[1].find(f"{ns}b") is not None
+    borders = styles.find(f"{ns}borders").findall(f"{ns}border")
+    assert len(borders) == 2
+    assert borders[1].find(f"{ns}top").get("style") == "thin"
+    xfs = styles.find(f"{ns}cellXfs").findall(f"{ns}xf")
+    header_s = str(len(xfs) - 1)          # header xf appended last
+    assert xfs[-1].get("fontId") == "1" and xfs[-1].get("borderId") == "1"
+    row1 = next(r for r in sheet.iter(f"{ns}row") if r.get("r") == "1")
+    assert all(c.get("s") == header_s for c in row1.findall(f"{ns}c"))
+    # data rows never reference the header xf
+    row2 = next(r for r in sheet.iter(f"{ns}row") if r.get("r") == "2")
+    assert all(c.get("s") != header_s for c in row2.findall(f"{ns}c"))
+
+
+def test_alignment_only_and_invalid_alignment(tmp_path):
+    from smartbots_etl_facturas_spark.sources.xlsx import (
+        read_column_alignments,
+        read_column_formats,
+        write_xlsx,
+    )
+
+    path = str(tmp_path / "a.xlsx")
+    write_xlsx(path, [["h"], ["v"]], column_alignments={0: "center"})
+    assert read_column_alignments(path) == {0: "center"}
+    assert read_column_formats(path) == {}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported alignment"):
+        write_xlsx(str(tmp_path / "b.xlsx"), [["h"]],
+                   column_alignments={0: "middle"})
