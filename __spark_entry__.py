@@ -6223,11 +6223,13 @@ SQL_PNG_IMAGE_PIPELINE = "\nUNION ALL\n".join(
 )
 
 
-#: pHash family id arithmetic: media_id = doc_id + variant·_PHASH_FAM
+#: pHash family id arithmetic: media_id = doc_id·4 + variant
 #: (variant 0 = base, 1 = exact byte copy, 2 = near copy with a +16
-#: 4×4 patch). One constant shared by the dedup query, the
-#: incremental-index query and their oracles.
-_PHASH_FAM = 10_000_000
+#: 4×4 patch; family = media_id div 4, seed = family). Multiplicative
+#: encoding is MAGNITUDE-PROOF: it stays correct for any doc_id —
+#: including the scale experiment's billion-offset replicas, where an
+#: additive offset scheme would mis-decode variants and collide noise
+#: seeds across replicas (round-12 review).
 
 
 def _phash_base_docs(spark, sf_dir):
@@ -6242,8 +6244,7 @@ def _phash_media(docs, variants):
     perturbs a 4×4 patch by +16 (measured: ≤ 6 Hamming bits from its
     base over 250 seeds; cross-family minimum 14)."""
     arr = F.array(*[
-        F.struct((F.col("doc_id") + v * F.lit(_PHASH_FAM))
-                 .alias("media_id"))
+        F.struct((F.col("doc_id") * 4 + F.lit(v)).alias("media_id"))
         for v in variants
     ])
     vdf = docs.select(F.explode(arr).alias("v")).select("v.media_id")
@@ -6272,8 +6273,8 @@ def _phash_media(docs, variants):
             payloads = []
             for mid in pdf["media_id"]:
                 mid = int(mid)
-                img = noise(mid % _PHASH_FAM)
-                if mid // _PHASH_FAM == 2:    # near copy: small patch
+                img = noise(mid // 4)
+                if mid % 4 == 2:              # near copy: small patch
                     img[4:8, 4:8] = np.minimum(
                         img[4:8, 4:8].astype(np.int64) + 16, 255
                     ).astype(np.uint8)
@@ -6305,12 +6306,11 @@ def q_phash_dedup(spark, sf_dir):
         phash_near_pairs,
     )
 
-    fam = F.lit(_PHASH_FAM)
     docs = _phash_base_docs(spark, sf_dir)
     media = _phash_media(docs, (0, 1, 2))
     pairs = phash_near_pairs(phash_images(media), max_distance=7, bands=8)
-    same = F.pmod(F.col("id_a"), fam) == F.pmod(F.col("id_b"), fam)
-    vsum = F.floor(F.col("id_a") / fam) + F.floor(F.col("id_b") / fam)
+    same = F.expr("id_a div 4") == F.expr("id_b div 4")
+    vsum = F.pmod(F.col("id_a"), F.lit(4)) + F.pmod(F.col("id_b"), F.lit(4))
     agg = pairs.agg(
         F.sum(F.when(same & (vsum == 1) & (F.col("hamming") == 0), 1)
               .otherwise(0)).alias("n_exact0"),
@@ -6381,8 +6381,7 @@ def q_phash_incremental(spark, sf_dir):
     matches = phash_match_against_index(
         phash_images(delta), base, max_distance=7
     )
-    fam = F.lit(_PHASH_FAM)
-    same = F.pmod(F.col("delta_id"), fam) == F.pmod(F.col("corpus_id"), fam)
+    same = F.expr("delta_id div 4") == F.expr("corpus_id div 4")
     per_delta = matches.groupBy("delta_id").agg(
         F.count(F.lit(1)).alias("c"),
         F.min(same.cast("int")).alias("all_same"),
