@@ -6410,6 +6410,186 @@ FROM documents WHERE doc_id % 20 = 0
 """
 
 
+def q_audio_fingerprint_dedup(spark, sf_dir):
+    """AUDIO near-dup dedup (round-12) — the third member of the
+    near-dup triad (text minhash/simhash, image pHash): exact-integer
+    Haitsma-Kalker fingerprint words (operators/audiofp.py — band-
+    energy difference-of-difference signs over decoded PCM16, no
+    float anywhere) matched by the (frame_idx, word) equi-join. One
+    sha256-noise WAV per sampled document, rendered in executors,
+    with three derived variants per base: an EXACT byte copy, an
+    amplitude-DOUBLED copy (provably identical words — energies scale
+    by 4, every difference sign preserved), and a one-frame-corrupted
+    NEAR copy (provably ≤ 2 of the 31 words differ). Invariants
+    shipped: every family contributes exactly its 6 in-family pairs
+    (the three full-31 matches and the three ≥ 29 near matches), zero
+    cross-family pairs (cross word collisions: measured max 0 over
+    250 seeds on 32-bit words). ``n_base`` recomputed by the oracle;
+    media_id = doc_id·4 + variant (the magnitude-proof encoding)."""
+    from smartbots_etl_facturas_spark.operators.audiofp import (
+        afp_near_pairs,
+        audio_fingerprints,
+    )
+
+    docs = _phash_base_docs(spark, sf_dir)
+    media = _afp_media(docs, (0, 1, 2, 3))
+    pairs = afp_near_pairs(audio_fingerprints(media), min_matches=29)
+    same = F.expr("id_a div 4") == F.expr("id_b div 4")
+    near = (F.pmod(F.col("id_a"), F.lit(4)) == 3) | (
+        F.pmod(F.col("id_b"), F.lit(4)) == 3
+    )
+    agg = pairs.agg(
+        F.sum(F.when(same & ~near & (F.col("n_matched") == 31), 1)
+              .otherwise(0)).alias("n_full"),
+        F.sum(F.when(same & near, 1).otherwise(0)).alias("n_near"),
+        F.sum(F.when(~same, 1).otherwise(0)).alias("n_cross"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    nb = docs.agg(F.count(F.lit(1)).cast("long").alias("n_base"))
+    return nb.crossJoin(agg).select(
+        "n_base",
+        (F.col("n_full") == 3 * F.col("n_base")).alias("full_pairs_ok"),
+        (F.col("n_near") == 3 * F.col("n_base")).alias("near_pairs_ok"),
+        (F.col("n_cross") == 0).alias("no_cross_pairs"),
+        (F.col("n_pairs") == 6 * F.col("n_base")).alias("pair_count_ok"),
+    )
+
+
+SQL_AUDIO_FINGERPRINT_DEDUP = """
+SELECT CAST(count(*) AS BIGINT) AS n_base, TRUE AS full_pairs_ok,
+       TRUE AS near_pairs_ok, TRUE AS no_cross_pairs,
+       TRUE AS pair_count_ok
+FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+_AFP_INDEX_CACHE: dict[str, str] = {}
+
+
+def ensure_afp_index(spark, sf_dir: str) -> str:
+    """Build-once half of the audio-dedup incremental split: persist
+    the fingerprint postings of the STANDING corpus (base + exact +
+    amplitude-doubled recordings) through the versioned sink
+    (operators/audiofp.py:build_afp_index), once per process — the
+    audio member of the persisted-index family. bench.py runs this
+    outside the timed loop so audio_fp_incremental times the
+    per-batch probe only."""
+    base = _AFP_INDEX_CACHE.get(sf_dir)
+    if base is None:
+        from smartbots_etl_facturas_spark.operators.audiofp import (
+            audio_fingerprints,
+            build_afp_index,
+        )
+
+        base = _scratch_dir("afp_index_")
+        corpus = _afp_media(_phash_base_docs(spark, sf_dir), (0, 1, 2))
+        build_afp_index(audio_fingerprints(corpus), base)
+        _AFP_INDEX_CACHE[sf_dir] = base
+    return base
+
+
+def _afp_media(docs, variants):
+    """One deterministic sha256-noise WAV per (doc, variant) —
+    variant 0/1 identical PCM, 2 amplitude-doubled (provably the same
+    fingerprint words), 3 one-frame-corrupted (provably <= 2 words
+    differ); media_id = doc_id*4 + variant."""
+    arr = F.array(*[
+        F.struct((F.col("doc_id") * 4 + F.lit(v)).alias("media_id"))
+        for v in variants
+    ])
+    vdf = docs.select(F.explode(arr).alias("v")).select("v.media_id")
+
+    def _render(batches):
+        import hashlib as _hl
+
+        import numpy as np
+        import pandas as pd
+
+        from smartbots_etl_facturas_spark.sources.multimodal import (
+            wav_encode,
+        )
+
+        n = 4224
+
+        def pcm(seed: int):
+            out = b""
+            i = 0
+            while len(out) < n * 2:
+                out += _hl.sha256(f"a:{seed}:{i}".encode()).digest()
+                i += 1
+            x = np.frombuffer(out[: n * 2], dtype="<i2").astype(np.int64)
+            return np.clip(x // 4, -8192, 8191)
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                x = pcm(mid // 4)
+                v = mid % 4
+                if v == 2:
+                    x = x * 2
+                elif v == 3:
+                    x = x.copy()
+                    seg = n // 32
+                    x[10 * seg:11 * seg] = 0
+                payloads.append(bytearray(wav_encode(x.astype(np.int16))))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": payloads}
+            )
+
+    return vdf.mapInPandas(_render, "media_id long, content binary")
+
+
+def q_audio_fp_incremental(spark, sf_dir):
+    """INCREMENTAL audio near-dup matching: the arriving batch (the
+    one-frame-corrupted variant of every sampled recording) is
+    fingerprinted ALONE — never re-decoding the standing corpus — and
+    probes the PERSISTED (frame_idx, word) postings
+    (ensure_afp_index); per-batch cost O(|delta| + candidates). Every
+    delta matches EXACTLY its three family members (base, exact copy,
+    amplitude-doubled — each with >= 29 of 31 words, the provable
+    one-corrupted-frame bound), zero cross-family matches. The audio
+    twin of phash_incremental / minhash_incremental; ``n_base``
+    recomputed by the oracle."""
+    from smartbots_etl_facturas_spark.operators.audiofp import (
+        afp_match_against_index,
+        audio_fingerprints,
+    )
+
+    base = ensure_afp_index(spark, sf_dir)
+    delta = _afp_media(_phash_base_docs(spark, sf_dir), (3,))
+    matches = afp_match_against_index(
+        audio_fingerprints(delta), base, min_matches=29
+    )
+    same = F.expr("delta_id div 4") == F.expr("corpus_id div 4")
+    per_delta = matches.groupBy("delta_id").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min(same.cast("int")).alias("all_same"),
+    )
+    agg = per_delta.agg(
+        F.count(F.lit(1)).cast("long").alias("n_delta_matched"),
+        F.min("c").alias("min_c"),
+        F.max("c").alias("max_c"),
+        F.min("all_same").alias("same_ok"),
+    )
+    nb = _phash_base_docs(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_base")
+    )
+    return nb.crossJoin(agg).select(
+        "n_base",
+        (F.col("n_delta_matched") == F.col("n_base")).alias("coverage_ok"),
+        ((F.col("min_c") == 3) & (F.col("max_c") == 3)).alias("family_ok"),
+        (F.col("same_ok") == 1).alias("no_cross_matches"),
+    )
+
+
+SQL_AUDIO_FP_INCREMENTAL = """
+SELECT CAST(count(*) AS BIGINT) AS n_base, TRUE AS coverage_ok,
+       TRUE AS family_ok, TRUE AS no_cross_matches
+FROM documents WHERE doc_id % 20 = 0
+"""
+
+
 def q_audit_actions(spark, sf_dir):
     """J6 status-lookup join (consolidate_invoices.py:517-548): each
     incoming row mapped to its post-upsert INSERT/UPDATE/UNCHANGED
@@ -12993,6 +13173,8 @@ _QUERIES: dict[str, Callable] = {
     "stream_batches_report": q_stream_batches_report,
     "phash_dedup": q_phash_dedup,
     "phash_incremental": q_phash_incremental,
+    "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
+    "audio_fp_incremental": q_audio_fp_incremental,
     "recursive_bom": q_recursive_bom,
     "incremental_agg": q_incremental_agg,
     "zorder_keys": q_zorder_keys,
@@ -13228,6 +13410,8 @@ _ORACLES: dict[str, str] = {
     "stream_batches_report": SQL_STREAM_BATCHES_REPORT,
     "phash_dedup": SQL_PHASH_DEDUP,
     "phash_incremental": SQL_PHASH_INCREMENTAL,
+    "audio_fingerprint_dedup": SQL_AUDIO_FINGERPRINT_DEDUP,
+    "audio_fp_incremental": SQL_AUDIO_FP_INCREMENTAL,
     "recursive_bom": SQL_RECURSIVE_BOM,
     "incremental_agg": SQL_INCREMENTAL_AGG,
     "zorder_keys": SQL_ZORDER_KEYS,

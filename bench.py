@@ -271,6 +271,9 @@ def main() -> None:
     # standing-corpus image index: phash_incremental times the delta
     # hash + postings probe, never the corpus indexing job
     entrymod.ensure_phash_index(spark, sf_dir)
+    # standing-corpus audio index: audio_fp_incremental times the
+    # delta fingerprint + postings probe, never the corpus indexing
+    entrymod.ensure_afp_index(spark, sf_dir)
     # same split for the dedup index: minhash_incremental times the
     # per-batch probe, not the corpus indexing job
     entrymod.ensure_minhash_index(spark, sf_dir)

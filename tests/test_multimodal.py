@@ -518,3 +518,145 @@ def test_phash_persisted_index_incremental_probe(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         phash_match_against_index(delta, base, max_distance=8)
+
+
+# --- audio fingerprint near-dup (round-12, operators/audiofp.py) -------------
+
+
+def _noise_wav(seed: int, scale: int = 1, corrupt_frame: int | None = None,
+               n: int = 4224) -> bytes:
+    import hashlib
+
+    import numpy as np
+
+    from smartbots_etl_facturas_spark.sources.multimodal import wav_encode
+
+    out = b""
+    i = 0
+    while len(out) < n * 2:
+        out += hashlib.sha256(f"a:{seed}:{i}".encode()).digest()
+        i += 1
+    x = np.frombuffer(out[: n * 2], dtype="<i2").astype(np.int64)
+    x = np.clip(x // 4, -8192, 8191) * scale
+    if corrupt_frame is not None:
+        seg = n // 32
+        x = x.copy()
+        x[corrupt_frame * seg:(corrupt_frame + 1) * seg] = 0
+    return wav_encode(x.astype(np.int16))
+
+
+def test_audio_fingerprint_invariants():
+    """Exact-integer Haitsma-Kalker words: copy identity, EXACT
+    amplitude-scaling invariance (energies scale by c^2 > 0), and the
+    provable locality bound (one corrupted frame flips <= 2 of the 31
+    words)."""
+    import numpy as np
+
+    from smartbots_etl_facturas_spark.operators.audiofp import (
+        audio_fingerprint_words,
+    )
+    from smartbots_etl_facturas_spark.sources.multimodal import wav_decode
+
+    def words(b):
+        arr, _ = wav_decode(b)
+        return audio_fingerprint_words(arr.astype(np.int64).sum(axis=1))
+
+    base = words(_noise_wav(7))
+    assert len(base) == 31
+    assert words(_noise_wav(7)) == base
+    assert words(_noise_wav(7, scale=2)) == base          # exact
+    corrupted = words(_noise_wav(7, corrupt_frame=10))
+    diff = sum(1 for a, b in zip(base, corrupted) if a != b)
+    assert 0 < diff <= 2                                   # locality
+    assert sum(1 for a, b in zip(base, words(_noise_wav(8)))
+               if a == b) <= 2                             # cross-family
+
+
+def test_afp_near_pairs_banded_join(spark):
+    """End-to-end: decode → fingerprint → (frame, word) equi-join
+    finds exact/scaled/corrupted family pairs and nothing across
+    families; no cartesian or nested-loop stage in the plan."""
+    from smartbots_etl_facturas_spark.operators.audiofp import (
+        afp_near_pairs,
+        audio_fingerprints,
+    )
+    from smartbots_etl_facturas_spark.plans.doctor import plan_report
+
+    rows = []
+    for s in range(6):
+        rows.append((s * 4 + 0, bytearray(_noise_wav(s))))
+        rows.append((s * 4 + 1, bytearray(_noise_wav(s))))           # exact
+        rows.append((s * 4 + 2, bytearray(_noise_wav(s, scale=2))))  # scaled
+        rows.append((s * 4 + 3,
+                     bytearray(_noise_wav(s, corrupt_frame=10))))    # near
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    pairs = afp_near_pairs(audio_fingerprints(media), min_matches=29)
+    rep = plan_report(pairs)
+    assert rep.cartesian_products == 0
+    assert rep.broadcast_nested_loop_joins == 0
+    got = {(r.id_a, r.id_b): r.n_matched for r in pairs.collect()}
+    assert len(got) == 6 * 6                  # 6 in-family pairs per family
+    for s in range(6):
+        b = s * 4
+        assert got[(b, b + 1)] == 31 and got[(b, b + 2)] == 31
+        assert got[(b + 1, b + 2)] == 31
+        for other in (b, b + 1, b + 2):
+            assert got[(other, b + 3)] >= 29
+    assert all(a // 4 == b // 4 for (a, b) in got)
+
+
+def test_afp_rejects_too_short(spark):
+    import pytest as _pytest
+
+    from smartbots_etl_facturas_spark.operators.audiofp import (
+        audio_fingerprint_words,
+    )
+
+    with _pytest.raises(ValueError, match="too short"):
+        audio_fingerprint_words(list(range(100)))
+
+
+def test_afp_persisted_index_incremental_probe(spark, tmp_path):
+    """Persisted audio-fingerprint index: corpus postings publish
+    once; a delta batch fingerprints ONLY itself, probes the stored
+    postings, and finds exactly its family members with the same
+    match counts as the self-join tier."""
+    from smartbots_etl_facturas_spark.operators.audiofp import (
+        afp_index_geometry,
+        afp_match_against_index,
+        afp_near_pairs,
+        audio_fingerprints,
+        build_afp_index,
+    )
+
+    corpus_rows, delta_rows = [], []
+    for s in range(5):
+        corpus_rows.append((s * 4, bytearray(_noise_wav(s))))
+        corpus_rows.append((s * 4 + 2, bytearray(_noise_wav(s, scale=2))))
+        delta_rows.append((s * 4 + 3,
+                           bytearray(_noise_wav(s, corrupt_frame=10))))
+    corpus = audio_fingerprints(
+        spark.createDataFrame(corpus_rows, "media_id long, content binary")
+    )
+    delta = audio_fingerprints(
+        spark.createDataFrame(delta_rows, "media_id long, content binary")
+    )
+    base = str(tmp_path / "afp_idx")
+    build_afp_index(corpus, base)
+    assert afp_index_geometry(spark, base) == (32, 33)
+    got = {
+        (r.delta_id, r.corpus_id): r.n_matched
+        for r in afp_match_against_index(delta, base,
+                                         min_matches=29).collect()
+    }
+    assert sorted(got) == sorted(
+        [(s * 4 + 3, s * 4) for s in range(5)]
+        + [(s * 4 + 3, s * 4 + 2) for s in range(5)]
+    )
+    self_pairs = {
+        (r.id_a, r.id_b): r.n_matched
+        for r in afp_near_pairs(corpus.unionByName(delta),
+                                min_matches=29).collect()
+    }
+    for (d, c), m in got.items():
+        assert self_pairs[(min(c, d), max(c, d))] == m

@@ -84,6 +84,19 @@ ALLOW: dict[str, tuple[set, str]] = {
         "the 1-row match-classification aggregate; the probe join is "
         "keyed on (band, slice) against the stored postings",
     ),
+    "audio_fp_incremental": (
+        {"bnlj"},
+        "invariant harness: crossJoin of the 1-row base count onto "
+        "the 1-row match-classification aggregate; the probe join is "
+        "keyed on (frame_idx, word) against the stored postings",
+    ),
+    "audio_fingerprint_dedup": (
+        {"bnlj"},
+        "invariant harness: crossJoin of the 1-row base count onto "
+        "the 1-row pair-classification aggregate; the candidate join "
+        "is keyed on (frame_idx, word) — asserted in "
+        "tests/test_multimodal.py",
+    ),
     "minhash_precision": (
         {"bnlj"},
         "precision harness: joins LSH candidates against the exact "
