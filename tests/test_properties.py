@@ -391,3 +391,47 @@ def test_holt_linear_matches_python_reference(spark, xs):
     ).repartition(7)
     out = sorted(holt_linear(df).collect(), key=lambda r: r.ts)
     assert [(r.level_units, r.trend_units) for r in out] == want
+
+
+# small fingerprint geometry (8 frames x 5 bands) so hypothesis can
+# generate and shrink; the claims are geometry-independent
+_AFP_F, _AFP_B = 8, 5
+_afp_pcm = st.lists(
+    st.integers(min_value=-4096, max_value=4095),
+    min_size=_AFP_F * _AFP_B, max_size=_AFP_F * _AFP_B * 3,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(xs=_afp_pcm, c=st.integers(min_value=1, max_value=4))
+def test_afp_amplitude_scaling_invariance_property(xs, c):
+    """operators/audiofp.py's provable claim, as a property: the
+    fingerprint words are EXACTLY invariant under positive integer
+    amplitude scaling, for arbitrary PCM content (energies scale by
+    c^2 > 0, every difference sign is preserved)."""
+    from smartbots_etl_facturas_spark.operators.audiofp import (
+        audio_fingerprint_words,
+    )
+
+    assert audio_fingerprint_words([x * c for x in xs], _AFP_F, _AFP_B) \
+        == audio_fingerprint_words(xs, _AFP_F, _AFP_B)
+
+
+@settings(max_examples=60, deadline=None)
+@given(xs=_afp_pcm, frame=st.integers(min_value=0, max_value=_AFP_F - 1),
+       fill=st.integers(min_value=-4096, max_value=4095))
+def test_afp_one_frame_corruption_locality_property(xs, frame, fill):
+    """The locality bound, as a property: overwriting ONE frame window
+    with an arbitrary constant changes at most 2 of the frames-1
+    words (samples of frame f feed only words f-1 and f)."""
+    from smartbots_etl_facturas_spark.operators.audiofp import (
+        audio_fingerprint_words,
+    )
+
+    base = audio_fingerprint_words(xs, _AFP_F, _AFP_B)
+    seg = len(xs) // (_AFP_F * _AFP_B)
+    width = _AFP_B * seg                   # one frame's sample span
+    ys = list(xs)
+    ys[frame * width:(frame + 1) * width] = [fill] * width
+    got = audio_fingerprint_words(ys, _AFP_F, _AFP_B)
+    assert sum(1 for a, b in zip(base, got) if a != b) <= 2
