@@ -33,6 +33,7 @@ persistence pattern reuses S11's versioned publish
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -149,6 +150,32 @@ def _manifest_segments(spark: SparkSession, base: str) -> list[str]:
     return [r.segment for r in sorted(rows, key=lambda r: r.ordinal)]
 
 
+_SEG_RE = re.compile(r"codes_seg_(\d+)")
+
+
+def _next_segment_name(spark: SparkSession, base: str,
+                       segs: list[str]) -> str:
+    """Mint a code-segment name that can NEVER collide with a live or
+    historical segment: next ordinal = max numeric suffix across the
+    manifest's segments AND every on-disk ``codes_seg_*`` directory,
+    plus one. Deriving it from ``len(segs)`` (the round-12 bug) reused
+    names after a compaction reset the manifest to one segment — a
+    later append would re-publish to an already-used path, flipping
+    that segment's pointer away from the compacted corpus (silent row
+    loss) and double-listing the name."""
+    ordinals = [0]
+    for s in segs:
+        m = _SEG_RE.fullmatch(s)
+        if m:
+            ordinals.append(int(m.group(1)))
+    if os.path.isdir(base):
+        for d in os.listdir(base):
+            m = _SEG_RE.fullmatch(d)
+            if m and os.path.isdir(os.path.join(base, d)):
+                ordinals.append(int(m.group(1)))
+    return f"codes_seg_{max(ordinals) + 1:06d}"
+
+
 def read_ivfpq_codes(spark: SparkSession, base: str) -> DataFrame:
     """The logical codes table: the UNION of the manifest's published
     segments (one base segment + one per append). Union of parquet
@@ -214,15 +241,21 @@ def append_ivfpq_delta(
     ids (same as every insert-only member of the family).
     """
     spark = delta.sparkSession
+    man_base = os.path.join(base, _MANIFEST)
+    man_before = current_version(man_base)
     seg_df = encode_with_stored_metadata(delta, base, vec_col, id_col)
     segs = _manifest_segments(spark, base)
-    seg_name = f"codes_seg_{len(segs):06d}"
+    seg_name = _next_segment_name(spark, base, segs)
     seg_version = publish(seg_df, os.path.join(base, seg_name))
     manifest = spark.createDataFrame(
         [(i, s) for i, s in enumerate([*segs, seg_name])],
         "ordinal int, segment string",
     )
-    man_version = publish(manifest, os.path.join(base, _MANIFEST))
+    # CAS on the manifest flip: a concurrent append/compact that beat
+    # us to the manifest makes THIS commit fail loudly (our segment dir
+    # stays unreferenced forensics) instead of silently dropping theirs.
+    man_version = publish(manifest, man_base,
+                          expected_version=man_before)
     return {"segment": seg_name, "segment_version": seg_version,
             "manifest": man_version}
 
@@ -234,16 +267,19 @@ def compact_ivfpq_codes(spark: SparkSession, base: str,
     segments, publish as a fresh segment, flip the manifest to list
     only it. Probes before/after read identical logical rows; old
     segments stay on disk as snapshots per the sink's retention."""
+    man_base = os.path.join(base, _MANIFEST)
+    man_before = current_version(man_base)
     merged = read_ivfpq_codes(spark, base)
     if target_files is not None:
         merged = merged.coalesce(int(target_files))
     segs = _manifest_segments(spark, base)
-    seg_name = f"codes_seg_{len(segs):06d}"
+    seg_name = _next_segment_name(spark, base, segs)
     seg_version = publish(merged, os.path.join(base, seg_name))
     manifest = spark.createDataFrame(
         [(0, seg_name)], "ordinal int, segment string"
     )
-    man_version = publish(manifest, os.path.join(base, _MANIFEST))
+    man_version = publish(manifest, man_base,
+                          expected_version=man_before)
     return {"segment": seg_name, "segment_version": seg_version,
             "manifest": man_version}
 

@@ -92,7 +92,7 @@ def _to_gray(arr):
     a = np.asarray(arr, dtype=np.int64)
     if a.ndim == 2:
         return a
-    if a.shape[2] == 1:
+    if a.shape[2] <= 2:          # 1 = gray, 2 = gray+alpha (PIL 'LA')
         return a[:, :, 0]
     r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
     return (r * 299 + g * 587 + b * 114) // 1000

@@ -127,7 +127,16 @@ class AuditWriter:
         self._append(records.select(*[f.name for f in RECORD_LOG_SCHEMA]), "record_log")
 
     def table(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.base, name))
+        """Read one audit relation. Resolves any compaction interrupted
+        by a crash FIRST (roll forward / roll back via the intent log),
+        so a restart reader never double-counts rows from the step-4..6
+        window — the same single-writer contract as compact() itself."""
+        from .layout import recover_compactions
+
+        path = os.path.join(self.base, name)
+        if os.path.isdir(path):
+            recover_compactions(path)
+        return self.spark.read.parquet(path)
 
     def compact(self, table: str | None = None,
                 target_files: int | None = None) -> dict[str, dict]:

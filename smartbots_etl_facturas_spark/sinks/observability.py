@@ -211,6 +211,15 @@ class StreamBatchAuditor:
         return os.path.join(self.base, "stream_batches")
 
     def table(self) -> DataFrame:
+        """Read the stream_batches relation. Resolves any compaction
+        interrupted by a crash FIRST (intent-log roll forward / roll
+        back, sinks/layout.py), so a restart reader — including
+        :meth:`_load_completed` rebuilding the completed-id set — never
+        sees duplicated rows from the step-4..6 window."""
+        from .layout import recover_compactions
+
+        if os.path.isdir(self._path()):
+            recover_compactions(self._path())
         return self.spark.read.schema(STREAM_BATCH_SCHEMA).parquet(
             self._path()
         )
@@ -253,10 +262,13 @@ class StreamBatchAuditor:
         explicitly or at/below the compaction watermark). ERROR rows
         do not count: each failure is logged as evidence, and a later
         successful redelivery still gets its one COMPLETED row."""
-        return (
-            int(batch_id) <= self._low
-            or int(batch_id) in self._load_completed()
-        )
+        # _load_completed must run BEFORE the watermark test: on a
+        # freshly constructed auditor _low is still -1, and the load is
+        # what (re)establishes the compaction watermark — testing the
+        # stale -1 first lets an id below the real watermark slip
+        # through as "not emitted" and back-fill a duplicate row.
+        completed = self._load_completed()
+        return int(batch_id) <= self._low or int(batch_id) in completed
 
     def emit(self, batch_id: int, n_rows: int | None = None,
              wall_seconds: float | None = None,

@@ -21,6 +21,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 _CURRENT = "_CURRENT"
 _HISTORY = "_HISTORY"
+_PUBLISH_LOCK = "_PUBLISH_LOCK"
+
+#: sentinel distinguishing "no CAS requested" from "expect no current
+#: version" (expected_version=None) on publish().
+_NO_CAS = object()
+
+
+class PublishConflictError(RuntimeError):
+    """Raised by :func:`publish` when ``expected_version`` no longer
+    matches the table's current pointer — another writer published in
+    between. The loser's version directory is left on disk, never
+    flipped, never readable (same forensics rule as a failed check).
+
+    Concurrency contract of every versioned table (ANN segment
+    manifests, minhash/BM25/pHash/audio-fp postings, audit snapshots):
+    SINGLE WRITER per table. Two concurrent incremental ingests must
+    serialize externally; passing ``expected_version`` turns the silent
+    last-wins overwrite into this loud failure so the losing ingest can
+    re-read and retry instead of having its flip dropped."""
 
 
 def _pointer_path(base: str) -> str:
@@ -68,7 +87,35 @@ def _flip_pointer(base: str, version: str) -> None:
     os.replace(tmp, _pointer_path(base))  # atomic on POSIX
 
 
-def publish(df: DataFrame, base: str, check=None) -> str:
+def _acquire_publish_lock(base: str, timeout: float = 30.0) -> str:
+    """O_EXCL lock file serializing the check-and-flip critical section
+    of a CAS publish. Local-filesystem scope (same box), matching the
+    sink's single-box layout; a crashed holder is detected by age and
+    broken after ``timeout`` so a stale lock cannot wedge ingestion."""
+    lock = os.path.join(base, _PUBLISH_LOCK)
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return lock
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock) > timeout:
+                    os.unlink(lock)  # stale holder: break the lock
+                    continue
+            except FileNotFoundError:
+                continue
+            if time.monotonic() > deadline:
+                raise PublishConflictError(
+                    f"publish lock under {base} held past {timeout}s"
+                ) from None
+            time.sleep(0.05)
+
+
+def publish(df: DataFrame, base: str, check=None,
+            expected_version=_NO_CAS) -> str:
     """Write df as a new version and flip the pointer atomically.
 
     ``check``: optional callable run on the WRITTEN data (re-read from
@@ -76,6 +123,15 @@ def publish(df: DataFrame, base: str, check=None) -> str:
     hook. Raise inside it to abort: the pointer keeps pointing at the
     previous good version and the rejected version dir is left for
     forensics (never referenced by any reader).
+
+    ``expected_version``: optional compare-and-swap guard. When passed
+    (a version id, or ``None`` meaning "expect no published version
+    yet"), the flip happens only if the current pointer still matches;
+    otherwise :class:`PublishConflictError` — a concurrent writer won.
+    The check-and-flip pair runs under an exclusive lock file so two
+    CAS publishers can never both pass the comparison. Without it the
+    flip is last-wins (the historical behavior, fine for the
+    single-writer tables).
     """
     os.makedirs(base, exist_ok=True)
     # zero-padded wall-clock EPOCH ns so lexicographic order matches
@@ -89,9 +145,28 @@ def publish(df: DataFrame, base: str, check=None) -> str:
     if check is not None:
         written = df.sparkSession.read.parquet(target)
         check(written)
-    with open(_history_path(base), "a") as fh:
-        fh.write(version + "\n")
-    _flip_pointer(base, version)
+    if expected_version is _NO_CAS:
+        with open(_history_path(base), "a") as fh:
+            fh.write(version + "\n")
+        _flip_pointer(base, version)
+        return version
+    lock = _acquire_publish_lock(base)
+    try:
+        actual = current_version(base)
+        if actual != expected_version:
+            raise PublishConflictError(
+                f"publish CAS failed under {base}: expected current "
+                f"version {expected_version!r}, found {actual!r} — a "
+                f"concurrent writer published first; re-read and retry"
+            )
+        with open(_history_path(base), "a") as fh:
+            fh.write(version + "\n")
+        _flip_pointer(base, version)
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
     return version
 
 

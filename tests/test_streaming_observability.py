@@ -261,6 +261,30 @@ def test_completed_set_compacts_behind_watermark(spark, tmp_path, monkeypatch):
     assert ids == list(range(10))
 
 
+def test_fresh_auditor_probe_below_watermark_without_explicit_load(
+    spark, tmp_path, monkeypatch
+):
+    """Round-13 (ADVICE low): already_emitted on a FRESHLY constructed
+    auditor, probed for an id below the compaction watermark, with NO
+    explicit _load_completed() call first — the probe itself must
+    establish the watermark before testing it, else the pruned id
+    reads as "not emitted" and emit() back-fills a duplicate row."""
+    from smartbots_etl_facturas_spark.streaming import _batchlog
+
+    monkeypatch.setattr(_batchlog, "SEEN_CAP", 8)
+    monkeypatch.setattr(_batchlog, "SEEN_KEEP", 4)
+    base = str(tmp_path / "audit")
+    auditor = StreamBatchAuditor(spark, base, "mon")
+    for i in range(10):
+        auditor.emit(i, n_rows=1)
+    # fresh auditor: FIRST interaction is the probe for a pruned id
+    fresh = StreamBatchAuditor(spark, base, "mon")
+    assert fresh.already_emitted(0) is True
+    assert fresh.emit(0, n_rows=1) is False
+    ids = sorted(r.batch_id for r in fresh.table().collect())
+    assert ids == list(range(10))  # no duplicate back-fill
+
+
 def test_redelivery_skip_does_not_recount(spark, tmp_path):
     """Round-12 ADVICE: on the redelivered-batch skip path the
     monitor probes already_emitted BEFORE touching the batch — a
