@@ -215,7 +215,17 @@ def afp_match_against_index(
     min_matches) of a DELTA recording batch against the INDEXED
     corpus: only the delta is fingerprinted; the corpus contributes
     its stored postings. Same keyed (frame_idx, word) join + one
-    aggregation as the self-join tier, width-pinned."""
+    aggregation as the self-join tier, width-pinned.
+
+    CONTRACT — cross-batch pairs ONLY (round-13 pin, shared with
+    :func:`dedup_index.minhash_match_against_index` and
+    :func:`phash.phash_match_against_index`): two near-dup recordings
+    in the SAME delta batch are invisible to the probe (neither is
+    indexed yet). An admit-on-no-match ingest loop must also run
+    :func:`afp_near_pairs` over the delta's own fingerprints (already
+    computed for the probe) and union the verdicts; see
+    tests/test_multimodal.py::test_afp_ingest_loop_catches_within_batch_pairs.
+    """
     import os
 
     from ..sinks.staged import read_published

@@ -83,7 +83,20 @@ def minhash_match_against_index(
     """Near-dup pairs (delta_id, corpus_id, jaccard) between the delta
     batch and the INDEXED corpus, exact-Jaccard verified. Only the
     delta is sketched; the corpus contributes its stored postings and
-    (for candidates only) its text."""
+    (for candidates only) its text.
+
+    CONTRACT — cross-batch pairs ONLY (round-13 pin, shared by the
+    whole incremental probe family: :func:`phash_match_against_index`,
+    :func:`audiofp.afp_match_against_index`): two near-dup documents
+    arriving in the SAME delta batch are not reported here, because
+    neither is in the index yet. An ingest loop that admits documents
+    on "no probe match" must ALSO run the batch-local banded pass over
+    the delta — ``minhash_lsh_pairs(delta, ...)`` with the index's
+    pinned parameters — and union its verdicts, or it admits both
+    copies forever. The delta's sketches are recomputed there, but the
+    batch is small by construction; see
+    tests/test_incremental.py::test_ingest_loop_composes_probe_with_batch_local_pass.
+    """
     spark = delta.sparkSession
     num_hashes, bands, shingle_n, hash_fn = _index_params(spark, base)
     postings = read_published(spark, os.path.join(base, "postings"))

@@ -271,7 +271,17 @@ def phash_match_against_index(
     only the delta is hashed and band-exploded; the corpus contributes
     its stored postings and (for candidates only) its hash column.
     ``max_distance < bands`` enforced against the INDEX's pinned band
-    count — the pigeonhole losslessness contract."""
+    count — the pigeonhole losslessness contract.
+
+    CONTRACT — cross-batch pairs ONLY (round-13 pin, shared with
+    :func:`dedup_index.minhash_match_against_index` and
+    :func:`audiofp.afp_match_against_index`): two near-dup images in
+    the SAME delta batch are invisible to the probe (neither is
+    indexed yet). An admit-on-no-match ingest loop must also run
+    :func:`phash_near_pairs` over the delta's own sketches (already
+    computed for the probe) and union the verdicts; see
+    tests/test_multimodal.py::test_phash_ingest_loop_catches_within_batch_pairs.
+    """
     import os
 
     from ..sinks.staged import read_published

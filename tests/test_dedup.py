@@ -395,6 +395,53 @@ def test_minhash_incremental_index(spark, tmp_path):
     assert (1, 101) in pairs
 
 
+def test_ingest_loop_composes_probe_with_batch_local_pass(spark, tmp_path):
+    """Round-13 verdict #8 pin: the index probe reports CROSS-BATCH
+    pairs only — two near-dup docs arriving in the SAME delta batch
+    are invisible to it (neither is indexed yet). The composed ingest
+    loop (batch-local minhash_lsh_pairs over the delta + the probe)
+    catches both kinds; an admit-on-probe-miss loop without the
+    batch-local pass would admit both copies forever."""
+    from smartbots_etl_facturas_spark.operators.dedup import minhash_lsh_pairs
+    from smartbots_etl_facturas_spark.operators.dedup_index import (
+        build_minhash_index,
+        minhash_match_against_index,
+    )
+
+    body = ("the quick brown fox jumps over the lazy dog again and "
+            "again every single day without fail in the morning")
+    fresh = ("a brand new story about distributed banded joins and "
+             "posting lists that shares nothing with the old corpus")
+    corpus = spark.createDataFrame(
+        [(1, body)], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [(101, body.replace("lazy", "sleepy")),      # cross-batch dup of 1
+         (201, fresh),                               # within-batch pair...
+         (202, fresh.replace("old", "prior")),       # ...of 201
+         (301, "entirely unrelated filler text mentioning nothing "
+               "shared with any other document here at all")],
+        "doc_id long, text string",
+    )
+    base = str(tmp_path / "mh-idx")
+    build_minhash_index(corpus, base, num_hashes=32, bands=8)
+    cross = {(r.delta_id, r.corpus_id)
+             for r in minhash_match_against_index(
+                 delta, corpus, base, threshold=0.3).collect()}
+    # the pinned blind spot: probe sees the cross-batch pair ONLY
+    assert cross == {(101, 1)}
+    # batch-local pass over the delta's own docs (index params reused)
+    within = {(r.id_a, r.id_b)
+              for r in minhash_lsh_pairs(delta, num_hashes=32, bands=8,
+                                         threshold=0.3).collect()}
+    assert (201, 202) in within
+    # composed loop: every duplicate is caught exactly once
+    flagged = {d for d, _ in cross} | {b for _, b in within}
+    assert flagged == {101, 202}
+    admitted = {r.doc_id for r in delta.collect()} - flagged
+    assert admitted == {201, 301}
+
+
 def test_duplicate_span_runs_merges_maximal_ranges(spark):
     """Round-9 cut list: overlapping duplicated windows merge into one
     maximal (start, end) range per document; isolated duplicated

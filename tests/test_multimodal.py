@@ -660,3 +660,82 @@ def test_afp_persisted_index_incremental_probe(spark, tmp_path):
     }
     for (d, c), m in got.items():
         assert self_pairs[(min(c, d), max(c, d))] == m
+
+
+def test_phash_ingest_loop_catches_within_batch_pairs(spark, tmp_path):
+    """Round-13 verdict #8 pin: phash_match_against_index reports
+    CROSS-BATCH matches only — two near-dup images in the same delta
+    batch are invisible to it. The composed ingest loop (batch-local
+    phash_near_pairs over the delta's own sketches + the probe)
+    catches both kinds."""
+    from smartbots_etl_facturas_spark.operators.phash import (
+        build_phash_index,
+        phash_images,
+        phash_match_against_index,
+        phash_near_pairs,
+    )
+
+    corpus = phash_images(spark.createDataFrame(
+        [(s, bytearray(_noise_png(s))) for s in range(3)],
+        "media_id long, content binary",
+    ))
+    # delta: one near-dup of corpus seed 0, one NEW within-batch pair
+    # (seed 10 exact + patched), one singleton (seed 20)
+    delta = phash_images(spark.createDataFrame(
+        [(200, bytearray(_noise_png(0, patch=16))),
+         (500, bytearray(_noise_png(10))),
+         (501, bytearray(_noise_png(10, patch=16))),
+         (600, bytearray(_noise_png(20)))],
+        "media_id long, content binary",
+    )).cache()
+    base = str(tmp_path / "phash_idx")
+    build_phash_index(corpus, base, bands=8)
+    cross = {(r.delta_id, r.corpus_id)
+             for r in phash_match_against_index(
+                 delta, base, max_distance=7).collect()}
+    # pinned blind spot: (500, 501) is NOT here
+    assert cross == {(200, 0)}
+    within = {(r.id_a, r.id_b)
+              for r in phash_near_pairs(delta, max_distance=7).collect()}
+    assert within == {(500, 501)}
+    flagged = {d for d, _ in cross} | {b for _, b in within}
+    assert flagged == {200, 501}          # composed loop: both caught
+    delta.unpersist()
+
+
+def test_afp_ingest_loop_catches_within_batch_pairs(spark, tmp_path):
+    """Round-13 verdict #8 pin: afp_match_against_index reports
+    CROSS-BATCH matches only — two near-dup recordings in the same
+    delta batch are invisible to it. The composed ingest loop
+    (batch-local afp_near_pairs over the delta's own fingerprints +
+    the probe) catches both kinds."""
+    from smartbots_etl_facturas_spark.operators.audiofp import (
+        afp_match_against_index,
+        afp_near_pairs,
+        audio_fingerprints,
+        build_afp_index,
+    )
+
+    corpus = audio_fingerprints(spark.createDataFrame(
+        [(s, bytearray(_noise_wav(s))) for s in range(3)],
+        "media_id long, content binary",
+    ))
+    delta = audio_fingerprints(spark.createDataFrame(
+        [(200, bytearray(_noise_wav(0, corrupt_frame=10))),
+         (500, bytearray(_noise_wav(10))),
+         (501, bytearray(_noise_wav(10, scale=2)))]
+        + [(600, bytearray(_noise_wav(20)))],
+        "media_id long, content binary",
+    )).cache()
+    base = str(tmp_path / "afp_idx")
+    build_afp_index(corpus, base)
+    cross = {(r.delta_id, r.corpus_id)
+             for r in afp_match_against_index(
+                 delta, base, min_matches=29).collect()}
+    assert cross == {(200, 0)}            # pinned blind spot: no (500, 501)
+    within = {(r.id_a, r.id_b)
+              for r in afp_near_pairs(delta, min_matches=29).collect()}
+    assert within == {(500, 501)}
+    flagged = {d for d, _ in cross} | {b for _, b in within}
+    assert flagged == {200, 501}
+    delta.unpersist()
