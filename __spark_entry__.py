@@ -3716,6 +3716,166 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+#: Registered operating point of the semantic-dedup SCALE path
+#: (round-13 verdict #1). One source of truth shared by the live
+#: query, the recall companion, the freeze script and the frozen-
+#: fixture companions — changing it without re-freezing
+#: SEMDEDUP_PAIRS is caught by the PARAMS echo in the fixture header.
+#: bits=8 × tables=16 measured recall 1.00 at sf0.001 AND sf0.01 on
+#: the augmented corpus (this corpus's seeded near-dups sit at cosine
+#: 0.90-0.92 — wide angles, so fewer bits per table + more tables,
+#: the ann_lsh lesson); candidates ~1.0k of 11.2k possible pairs.
+SEMDEDUP_PARAMS = {"threshold": 0.9, "bucket_bits": 8, "tables": 16,
+                   "dim": 64}
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-shaped semantic dedup at SCALE (round-13 verdict #1):
+    multi-table hyperplane-bucket candidates → within-bucket exact
+    cosine verify → connected components → keep-one-per-cluster
+    representatives, over the augmented embedding corpus. Every stage
+    is a keyed equi-join or aggregation — no crossJoin anywhere (plan-
+    asserted in tests/test_dedup.py); the O(n²) exact form stays
+    registered separately as oracle ground truth (dedup_embedding).
+    Rows-only (hyperplane sign decisions are not SQL-replayable); its
+    value-oracled companions are semantic_dedup_rerank /
+    semantic_dedup_representatives (frozen candidates) and
+    semantic_dedup_recall (floor 0.8 vs the exact tier)."""
+    aug = _augmented_embeddings(spark, sf_dir)
+    pairs = cosine_neardup_pairs(aug, **SEMDEDUP_PARAMS)
+    return cluster_representatives(
+        neardup_clusters(pairs, aug, id_col="vec_id"), id_col="vec_id"
+    )
+
+
+def q_semantic_dedup_recall(spark, sf_dir):
+    """Driver-checkable recall invariant of the bucketed semantic-
+    dedup tier vs the exact all-pairs ground truth: measured 1.00 at
+    sf0.001/sf0.01 with the registered 8-bit × 16-table point; pinned
+    floor 0.8 absorbs corpus drift. ``n_truth`` is genuinely
+    recomputed by the oracle (exact n² cosine in SQL)."""
+    aug = _augmented_embeddings(spark, sf_dir)
+    truth = cosine_neardup_pairs(
+        aug, threshold=SEMDEDUP_PARAMS["threshold"]
+    ).select("id_a", "id_b")
+    approx = cosine_neardup_pairs(aug, **SEMDEDUP_PARAMS).select(
+        "id_a", "id_b"
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_hits = truth.join(approx, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return n_truth.crossJoin(n_hits).select(
+        "n_truth",
+        (F.col("n_hits") >= F.col("n_truth") * F.lit(0.8)).alias("recall_ok"),
+    )
+
+
+SQL_SEMANTIC_DEDUP_RECALL = f"""
+WITH {_AUGMENTED_EMB_SQL},
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM aug),
+ex AS (SELECT a.vec_id FROM n a JOIN n b ON a.vec_id < b.vec_id
+       WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9)
+SELECT CAST(count(*) AS BIGINT) AS n_truth, TRUE AS recall_ok FROM ex
+"""
+
+
+def _semdedup_verified_fixture(spark, sf_dir):
+    """Exact-cosine verify of the FROZEN semantic-dedup candidate
+    pairs (fixtures/ann_candidates.py:SEMDEDUP_PAIRS) against the
+    CURRENT augmented embeddings — the deterministic half of the
+    bucketed tier, value-oracled; ids absent at this sf drop
+    symmetrically in both engines' joins."""
+    from smartbots_etl_facturas_spark.operators.similarity import (
+        _dot,
+        with_norm,
+    )
+
+    cand = spark.createDataFrame(
+        _ann_fixture_pairs("SEMDEDUP_PAIRS"), "id_a long, id_b long"
+    )
+    e = with_norm(_augmented_embeddings(spark, sf_dir))
+    with_a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("__va"),
+        F.col("__norm").alias("__na"),
+    ).join(F.broadcast(cand), "id_a")
+    return (
+        e.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("__vb"),
+            F.col("__norm").alias("__nb"),
+        )
+        .join(F.broadcast(with_a), "id_b")
+        .withColumn(
+            "cosine",
+            _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        )
+        .filter(F.col("cosine") >= F.lit(SEMDEDUP_PARAMS["threshold"]))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def q_semantic_dedup_rerank(spark, sf_dir):
+    """Value-oracled exact-verify stage of the bucketed semantic-dedup
+    tier over its frozen sf0.01 candidate set — the ann_*_rerank
+    discipline applied to the dedup family."""
+    return _semdedup_verified_fixture(spark, sf_dir)
+
+
+def q_semantic_dedup_representatives(spark, sf_dir):
+    """Value-oracled DECISION half of the SemDeDup composition: the
+    frozen verified pairs feed connected components + keep-one-per-
+    cluster, oracled by DuckDB's recursive-CTE transitive closure on
+    the same graph — so the clustering logic the live semantic_dedup
+    runs is value-checked end to end."""
+    aug = _augmented_embeddings(spark, sf_dir)
+    verified = _semdedup_verified_fixture(spark, sf_dir).select(
+        "id_a", "id_b"
+    )
+    return cluster_representatives(
+        neardup_clusters(verified, aug, id_col="vec_id"), id_col="vec_id"
+    )
+
+
+def _sql_semdedup_verified(pairs, threshold) -> str:
+    """CTE fragment: frozen pairs → exact-cosine verify in DuckDB
+    (shared by the rerank and representatives oracles)."""
+    vals = ", ".join(f"({a}, {b})" for a, b in pairs)
+    return f"""{_AUGMENTED_EMB_SQL},
+pairs(id_a, id_b) AS (VALUES {vals}),
+nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM aug),
+verified AS (
+  SELECT CAST(p.id_a AS BIGINT) AS id_a, CAST(p.id_b AS BIGINT) AS id_b,
+         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+  FROM pairs p
+  JOIN nrm a ON a.vec_id = p.id_a
+  JOIN nrm b ON b.vec_id = p.id_b
+  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {threshold})"""
+
+
+def _sql_semdedup_rerank(pairs, threshold) -> str:
+    return (f"WITH {_sql_semdedup_verified(pairs, threshold)}\n"
+            "SELECT id_a, id_b, cosine FROM verified")
+
+
+def _sql_semdedup_representatives(pairs, threshold) -> str:
+    return f"""
+WITH RECURSIVE {_sql_semdedup_verified(pairs, threshold)},
+edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+          UNION SELECT id_b, id_a FROM verified),
+reach(node, r) AS (
+  SELECT vec_id, vec_id FROM aug
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+clusters AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY 1)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(min(node) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM clusters GROUP BY 1
+"""
+
+
 def q_token_count(spark, sf_dir):
     """Token counting: whitespace tokens + BPE-ish pre-tokenizer runs
     (letters/digits/symbols), chars-per-token compression proxy."""
@@ -13112,6 +13272,10 @@ _QUERIES: dict[str, Callable] = {
     "exists_decorrelated": q_exists_decorrelated,
     "unpivot_amounts": q_unpivot_amounts,
     "dedup_embedding": q_dedup_embedding,
+    "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_recall": q_semantic_dedup_recall,
+    "semantic_dedup_rerank": q_semantic_dedup_rerank,
+    "semantic_dedup_representatives": q_semantic_dedup_representatives,
     "token_count": q_token_count,
     "cube_sales": q_cube_sales,
     "semi_join_amounts": q_semi_join_amounts,
@@ -13339,6 +13503,7 @@ _ORACLES: dict[str, str] = {
     "exists_decorrelated": SQL_EXISTS_DECORRELATED,
     "unpivot_amounts": SQL_UNPIVOT_AMOUNTS,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "semantic_dedup_recall": SQL_SEMANTIC_DEDUP_RECALL,
     "token_count": SQL_TOKEN_COUNT,
     "cube_sales": SQL_CUBE_SALES,
     "semi_join_amounts": SQL_SEMI_JOIN_AMOUNTS,
@@ -13526,6 +13691,11 @@ def oracle_sql() -> dict[str, str]:
         ):
             out[name] = _sql_ann_rerank(_ann_fixture_pairs(fx),
                                         ANN_PARAMS[tier]["k"])
-    except FileNotFoundError:
+        sd_pairs = _ann_fixture_pairs("SEMDEDUP_PAIRS")
+        thr = SEMDEDUP_PARAMS["threshold"]
+        out["semantic_dedup_rerank"] = _sql_semdedup_rerank(sd_pairs, thr)
+        out["semantic_dedup_representatives"] = \
+            _sql_semdedup_representatives(sd_pairs, thr)
+    except (FileNotFoundError, AttributeError):
         pass
     return out

@@ -94,6 +94,9 @@ EXCLUDED: dict[str, str] = {
     "minhash_precision": _TWIN + "minhash_lsh_pairs",
     "reconciliation_broken": _TWIN + "reconciliation (error-injection)",
     "rolling_fingerprint_invariants": _TWIN + "rolling_fingerprint",
+    "semantic_dedup_recall": _TWIN + "semantic_dedup",
+    "semantic_dedup_rerank": _FIXTURE + " (frozen sf0.01 candidate pairs; the live bucketed tier is benched as semantic_dedup)",
+    "semantic_dedup_representatives": _FIXTURE + " (frozen sf0.01 candidate pairs; the live composition is benched as semantic_dedup)",
     "simhash_invariants": _TWIN + "simhash_docs",
 }
 

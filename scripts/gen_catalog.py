@@ -76,6 +76,19 @@ ROWS_ONLY_NOTES: dict[str, str] = {
         "no-retrain/O(\u0394) plan assertions in "
         "tests/test_similarity.py::TestIncrementalIndex."
     ),
+    "semantic_dedup": (
+        "The multi-table hyperplane-bucket candidate generation is "
+        "deterministic (seeded planes) but FLOAT dot-product SIGN "
+        "decisions — the same non-replayable class as ann_lsh. The "
+        "composition's arithmetic and decision logic ARE value-"
+        "oracled: `semantic_dedup_rerank` (exact cosine over the "
+        "frozen sf0.01 candidate pairs), "
+        "`semantic_dedup_representatives` (connected components + "
+        "keep-one over the frozen verified pairs vs DuckDB's "
+        "recursive-CTE closure) and `semantic_dedup_recall` (floor "
+        "0.8 vs the exact all-pairs tier, measured 1.00); the plan is "
+        "asserted crossJoin-free in tests/test_dedup.py."
+    ),
     "bpe_merges": (
         "BPE training is a GREEDY GLOBAL LOOP: each round's winning "
         "pair depends on all previous merges (argmax over a "

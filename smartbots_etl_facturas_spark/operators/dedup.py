@@ -481,6 +481,8 @@ def cosine_neardup_pairs(
     threshold: float = 0.9,
     bucket_bits: int | None = None,
     dim: int = 64,
+    tables: int = 1,
+    return_candidates: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold) — the fifth dedup tier, over vector columns.
@@ -488,42 +490,93 @@ def cosine_neardup_pairs(
     With ``bucket_bits=None`` every pair is scored (exact ground
     truth; O(n²) — fine for verification corpora). With ``bucket_bits``
     set, candidates are restricted to vectors sharing a
-    random-hyperplane sign bucket, so the self-join is bucket-
-    partitioned (narrow shuffle) instead of a cross join — the scale
-    path: near-dups (cosine ≥ 0.9 ⇒ small angle) collide with
-    probability (1-θ/π)^bits per table.
+    random-hyperplane sign bucket in at least one of ``tables``
+    independent plane families, so the self-join is (table, bucket)
+    equi-partitioned (narrow shuffle) instead of a cross join — the
+    scale path: near-dups (cosine ≥ 0.9 ⇒ small angle) collide with
+    probability 1-(1-(1-θ/π)^bits)^tables. All ``tables`` sketches
+    are computed in ONE pass over the corpus (posexplode of a bucket
+    array), candidates are distinct'd as bare id pairs, and only the
+    surviving pairs re-join their vectors for the exact verify — the
+    SemDeDup candidate shape (round-13 verdict #1).
+
+    ``return_candidates=True`` returns the DISTINCT candidate id pairs
+    BEFORE the exact-cosine verify — the frozen-fixture hook
+    (fixtures/ann_candidates.py discipline) that lets the verify
+    arithmetic be value-oracled even though the sign-dependent
+    candidate generation is not SQL-replayable.
 
     Scoring stays JVM-side (zip_with/aggregate fold in double).
     """
     from smartbots_etl_facturas_spark.operators.similarity import (
         _dot,
-        hyperplane_sketch,
+        hyperplane_bucket_expr,
         with_norm,
     )
 
     base = with_norm(df, vec_col)
-    join_keys = []
     if bucket_bits:
-        base = hyperplane_sketch(base, vec_col, bits=bucket_bits, dim=dim)
-        join_keys = ["bucket"]
-    a = base.select(
-        *join_keys,
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__va"),
-        F.col("__norm").alias("__na"),
-    )
-    b = base.select(
-        *join_keys,
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__vb"),
-        F.col("__norm").alias("__nb"),
-    )
-    # parallelize the all-pairs path: one-split sources would otherwise
-    # score every pair in a single task (see PERF.md)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    joined = (
-        a.join(b, on=join_keys) if join_keys else a.repartition(par).crossJoin(b)
-    ).filter(F.col("id_a") < F.col("id_b"))
+        buckets = F.array(*[
+            hyperplane_bucket_expr(vec_col, bucket_bits, dim, table=t)
+            for t in range(tables)
+        ])
+        keyed = base.select(
+            F.col(id_col), F.posexplode(buckets).alias("table", "bucket")
+        )
+        # width pin (the banded-join discipline, operators/phash.py):
+        # the sketch frames are tiny in bytes but the (table, bucket)
+        # equi-join emits the candidate volume — explicit repartition
+        # by the join key is exempt from AQE byte-based coalescing
+        from .linkage import _shuffle_width
+
+        sp = _shuffle_width(df.sparkSession)
+        cand = (
+            keyed.select(F.col(id_col).alias("id_a"), "table", "bucket")
+            .repartition(sp, "table", "bucket")
+            .join(
+                keyed.select(F.col(id_col).alias("id_b"), "table", "bucket")
+                .repartition(sp, "table", "bucket"),
+                on=["table", "bucket"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        if return_candidates:
+            return cand
+        joined = cand.join(
+            base.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("__va"),
+                        F.col("__norm").alias("__na")),
+            "id_a",
+        ).join(
+            base.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("__vb"),
+                        F.col("__norm").alias("__nb")),
+            "id_b",
+        )
+    else:
+        if return_candidates:
+            raise ValueError(
+                "return_candidates requires bucket_bits: the exact tier "
+                "has no candidate stage to freeze"
+            )
+        a = base.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("__va"),
+            F.col("__norm").alias("__na"),
+        )
+        b = base.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("__vb"),
+            F.col("__norm").alias("__nb"),
+        )
+        # parallelize the all-pairs path: one-split sources would
+        # otherwise score every pair in a single task (see PERF.md)
+        par = df.sparkSession.sparkContext.defaultParallelism
+        joined = a.repartition(par).crossJoin(b).filter(
+            F.col("id_a") < F.col("id_b")
+        )
     return (
         joined.withColumn(
             "cosine", _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))

@@ -91,15 +91,13 @@ def cosine_topk_bruteforce(
     )
 
 
-def hyperplane_sketch(df: DataFrame, vec_col: str = "embedding",
-                      bits: int = 16, dim: int = 64, table: int = 0) -> DataFrame:
-    """b-bit random-hyperplane sign sketch (deterministic planes).
-
-    Plane j component i = hash-derived pseudo-random ±1 weights from
-    xxhash64(table*1024 + j, i) — data-independent, reproducible
-    across runs and cluster sizes (no RNG state on executors).
-    ``table`` selects an independent plane family for multi-table LSH.
-    """
+def hyperplane_bucket_expr(vec_col: str, bits: int, dim: int,
+                           table: int = 0):
+    """The b-bit random-hyperplane sign sketch as a pure COLUMN
+    expression (plane j component i = xxhash64(table*1024 + j, i)
+    parity ±1 weights) — shared by :func:`hyperplane_sketch` and the
+    multi-table candidate generators so every consumer scores against
+    the identical plane families."""
     sketch = None
     for jj in range(bits):
         j = table * 1024 + jj
@@ -118,7 +116,21 @@ def hyperplane_sketch(df: DataFrame, vec_col: str = "embedding",
         bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, jj)
         sketch = term if sketch is None else sketch.bitwiseOR(term)
-    return df.withColumn("bucket", sketch)
+    return sketch
+
+
+def hyperplane_sketch(df: DataFrame, vec_col: str = "embedding",
+                      bits: int = 16, dim: int = 64, table: int = 0) -> DataFrame:
+    """b-bit random-hyperplane sign sketch (deterministic planes).
+
+    Plane j component i = hash-derived pseudo-random ±1 weights from
+    xxhash64(table*1024 + j, i) — data-independent, reproducible
+    across runs and cluster sizes (no RNG state on executors).
+    ``table`` selects an independent plane family for multi-table LSH.
+    """
+    return df.withColumn(
+        "bucket", hyperplane_bucket_expr(vec_col, bits, dim, table)
+    )
 
 
 _PLANE_CACHE: dict[tuple[int, int, int], "object"] = {}

@@ -60,6 +60,13 @@ ALLOW: dict[str, tuple[set, str]] = {
         {"bnlj"},
         "recall harness vs brute-force ground truth (see ann_lsh_recall)",
     ),
+    "semantic_dedup_recall": (
+        {"bnlj"},
+        "recall harness: compares the bucketed semantic-dedup tier "
+        "against the exact all-pairs ground truth (see ann_lsh_recall); "
+        "the live semantic_dedup plan itself is asserted crossJoin-free "
+        "in tests/test_dedup.py",
+    ),
     "ann_pq_incremental_equiv": (
         {"bnlj"},
         "equivalence harness: crossJoins THREE 1-row aggregates "
