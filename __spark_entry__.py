@@ -2132,6 +2132,76 @@ def q_ann_pq_incremental_rerank(spark, sf_dir):
     )
 
 
+#: Registered operating point of the two-sided KNN join (round-13
+#: verdict #4) — matches ann_pq's cell geometry; rerank=96 measured
+#: corpus-wide recall@5 0.87 (sf0.001) / 0.89 (sf0.01), floor 0.8.
+KNN_JOIN_PARAMS = {"k": 5, "nprobe": 10, "rerank": 96}
+
+
+def q_knn_join(spark, sf_dir):
+    """Two-sided KNN join: top-5 cosine neighbors for EVERY corpus row
+    against the persisted IVF-PQ index — the corpus×corpus upstream of
+    SemDeDup clustering and contrastive mining
+    (operators/ann_index.py:knn_join_ivfpq). Every stage keyed (cell
+    equi-join candidates, ADC LUT on a keyed query_id join — nothing
+    broadcast, nothing all-pairs; plan-asserted in
+    tests/test_similarity.py). Rows-only (trained-codebook float
+    dependency, the ann_pq class); companions: knn_join_recall
+    (floor 0.8, oracle-recomputed n_truth) and knn_join_rerank
+    (frozen-fixture exact rerank)."""
+    from smartbots_etl_facturas_spark.operators.ann_index import (
+        knn_join_ivfpq,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    base = ensure_pq_index(spark, sf_dir)
+    return knn_join_ivfpq(emb, emb, base, **KNN_JOIN_PARAMS)
+
+
+def q_knn_join_recall(spark, sf_dir):
+    """Driver-checkable recall invariant of the two-sided KNN join vs
+    the exact corpus×corpus brute force: measured 0.87/0.89 at
+    sf0.001/sf0.01 with the registered point; pinned floor 0.8.
+    ``n_truth`` (= 5 × |corpus|) genuinely recomputed by the oracle."""
+    from smartbots_etl_facturas_spark.operators.ann_index import (
+        knn_join_ivfpq,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    base = ensure_pq_index(spark, sf_dir)
+    truth = cosine_topk_bruteforce(emb, emb, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = knn_join_ivfpq(emb, emb, base, **KNN_JOIN_PARAMS).select(
+        "query_id", "neighbor_id"
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_hits = truth.join(approx, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return n_truth.crossJoin(n_hits).select(
+        "n_truth",
+        (F.col("n_hits") >= F.col("n_truth") * F.lit(0.8)).alias("recall_ok"),
+    )
+
+
+SQL_KNN_JOIN_RECALL = """
+SELECT CAST(5 * count(*) AS BIGINT) AS n_truth, TRUE AS recall_ok
+FROM embeddings
+"""
+
+
+def q_knn_join_rerank(spark, sf_dir):
+    """Value-oracled exact-rerank stage of the two-sided KNN join over
+    its frozen sf0.01 ADC-survivor set (left rows vec_id % 10 = 0 —
+    the fixture bounds the pair list; the arithmetic it value-checks
+    is the identical rerank every left row gets)."""
+    return _ann_rerank_fixture(
+        spark, sf_dir, _ann_fixture_pairs("KNN_PAIRS"),
+        KNN_JOIN_PARAMS["k"],
+    )
+
+
 def q_ann_ivf_recall(spark, sf_dir):
     """Driver-checkable recall invariant of the IVF ANN tier (16
     k-means cells, nprobe=10, 3 Lloyd iterations): recall@5 vs brute
@@ -13334,6 +13404,9 @@ _QUERIES: dict[str, Callable] = {
     "ann_pq_incremental_equiv": q_ann_pq_incremental_equiv,
     "ann_pq_incremental_recall": q_ann_pq_incremental_recall,
     "ann_pq_incremental_rerank": q_ann_pq_incremental_rerank,
+    "knn_join": q_knn_join,
+    "knn_join_recall": q_knn_join_recall,
+    "knn_join_rerank": q_knn_join_rerank,
     "stream_batches_report": q_stream_batches_report,
     "phash_dedup": q_phash_dedup,
     "phash_incremental": q_phash_incremental,
@@ -13572,6 +13645,7 @@ _ORACLES: dict[str, str] = {
     "ann_pq_prebuilt_recall": SQL_ANN_PQ_PREBUILT_RECALL,
     "ann_pq_incremental_equiv": SQL_ANN_PQ_INCREMENTAL_EQUIV,
     "ann_pq_incremental_recall": SQL_ANN_PQ_INCREMENTAL_RECALL,
+    "knn_join_recall": SQL_KNN_JOIN_RECALL,
     "stream_batches_report": SQL_STREAM_BATCHES_REPORT,
     "phash_dedup": SQL_PHASH_DEDUP,
     "phash_incremental": SQL_PHASH_INCREMENTAL,
@@ -13691,6 +13765,9 @@ def oracle_sql() -> dict[str, str]:
         ):
             out[name] = _sql_ann_rerank(_ann_fixture_pairs(fx),
                                         ANN_PARAMS[tier]["k"])
+        out["knn_join_rerank"] = _sql_ann_rerank(
+            _ann_fixture_pairs("KNN_PAIRS"), KNN_JOIN_PARAMS["k"]
+        )
         sd_pairs = _ann_fixture_pairs("SEMDEDUP_PAIRS")
         thr = SEMDEDUP_PARAMS["threshold"]
         out["semantic_dedup_rerank"] = _sql_semdedup_rerank(sd_pairs, thr)

@@ -93,6 +93,8 @@ EXCLUDED: dict[str, str] = {
     "minhash_incremental_precision": _TWIN + "minhash_incremental",
     "minhash_precision": _TWIN + "minhash_lsh_pairs",
     "reconciliation_broken": _TWIN + "reconciliation (error-injection)",
+    "knn_join_recall": _TWIN + "knn_join",
+    "knn_join_rerank": _FIXTURE + " (frozen sf0.01 ADC survivors; the live two-sided join is benched as knn_join)",
     "rolling_fingerprint_invariants": _TWIN + "rolling_fingerprint",
     "semantic_dedup_recall": _TWIN + "semantic_dedup",
     "semantic_dedup_rerank": _FIXTURE + " (frozen sf0.01 candidate pairs; the live bucketed tier is benched as semantic_dedup)",

@@ -76,6 +76,16 @@ ROWS_ONLY_NOTES: dict[str, str] = {
         "no-retrain/O(\u0394) plan assertions in "
         "tests/test_similarity.py::TestIncrementalIndex."
     ),
+    "knn_join": (
+        "Two-sided KNN join over the persisted IVF-PQ index: inherits "
+        "the trained-codebook float dependency of ann_pq (iterative "
+        "k-means fits, ADC float sums) — the same non-replayable "
+        "class. Pinned by `knn_join_recall` (value-oracled floor 0.8 "
+        "vs the exact corpus×corpus brute force, n_truth "
+        "oracle-recomputed), `knn_join_rerank` (value-oracled frozen-"
+        "fixture exact rerank) and the keyed-plan assertions in "
+        "tests/test_similarity.py."
+    ),
     "semantic_dedup": (
         "The multi-table hyperplane-bucket candidate generation is "
         "deterministic (seeded planes) but FLOAT dot-product SIGN "

@@ -284,6 +284,114 @@ def compact_ivfpq_codes(spark: SparkSession, base: str,
             "manifest": man_version}
 
 
+def knn_join_ivfpq(
+    left: DataFrame,
+    right: DataFrame,
+    index_base: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    nprobe: int = 2,
+    rerank: int = 16,
+    return_candidates: bool = False,
+) -> DataFrame:
+    """Two-sided KNN join (round-13 verdict #4): top-``k`` cosine
+    neighbors in ``right`` for EVERY row of ``left`` — the
+    corpus×corpus upstream of SemDeDup-style cluster-then-dedup and
+    contrastive-pair mining, where the query set is itself
+    corpus-scale so nothing may be broadcast or all-pairs.
+
+    ``right`` must be the corpus the persisted index at ``index_base``
+    was built/appended over (its stored codes ARE the right side's
+    compressed representation; ``right`` supplies only full vectors
+    for the exact rerank). ``left`` is encoded with the STORED
+    metadata — no training anywhere in the plan.
+
+    Plan shape, every stage keyed:
+    - left cells: one Arrow matmul vs the broadcast centroid matrix,
+      ``nprobe``-way fan-out (rows, not broadcast);
+    - candidates: (cell) equi-join of coded left vs the stored codes
+      segments — per-pair work bounded by the probed cell fraction
+      (nprobe/n_cells of the corpus per left row), never n²;
+    - compressed-domain score: ADC against the stored codes, with the
+      per-left-row LUT riding a KEYED query_id join instead of the
+      probe tier's broadcast (the LUT table is corpus-scale here —
+      m·k_sub doubles per left row — so it ships through one shuffle
+      like any other column; SDC over a broadcast codebook-product
+      grid was measured at recall 0.75 vs ADC's 0.86 at the same
+      nprobe=10/rerank=64 point on this corpus — double quantization
+      costs too much at these wide angles);
+    - top-``rerank`` survivors per left row (WindowGroupLimit-
+      protected rank), exact cosine rerank via two keyed vector joins
+      (no broadcast: both sides corpus-scale), final top-``k``.
+
+    ``return_candidates=True`` returns the ADC survivors as bare
+    (query_id, neighbor_id) pairs — the frozen-fixture hook.
+    """
+    spark = left.sparkSession
+    coarse, books = load_ivfpq_metadata(spark, index_base)
+    m, k_sub = len(books), len(books[0])
+    codes_df = read_ivfpq_codes(spark, index_base)
+
+    l_cells = with_cells_matmul(
+        left.select(F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("__v")),
+        coarse, "__v", nprobe=nprobe,
+    ).select("query_id", "cell")
+    l_lut = _pq_lut(left, books, vec_col, id_col)
+
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda code, s: F.element_at(
+                F.col("lut"), (s * k_sub + code + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        l_cells.join(codes_df, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(l_lut, "query_id")          # keyed, NOT broadcast
+        .withColumn("approx_ip", adc)
+    )
+    w_r = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_ip"), F.col("neighbor_id")
+    )
+    survivors = (
+        scored.withColumn("__r", F.row_number().over(w_r))
+        .filter(F.col("__r") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    if return_candidates:
+        return survivors
+    rn = with_norm(right, vec_col)
+    ln = with_norm(left, vec_col)
+    exact = survivors.join(
+        rn.select(F.col(id_col).alias("neighbor_id"),
+                  F.col(vec_col).alias("__cv"),
+                  F.col("__norm").alias("__cn")),
+        "neighbor_id",
+    ).join(
+        ln.select(F.col(id_col).alias("query_id"),
+                  F.col(vec_col).alias("__qv"),
+                  F.col("__norm").alias("__qn")),
+        "query_id",
+    ).withColumn(
+        "cosine",
+        _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.col("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_topk_ivfpq_probe(
     queries: DataFrame,
     corpus: DataFrame,

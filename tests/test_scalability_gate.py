@@ -60,6 +60,13 @@ ALLOW: dict[str, tuple[set, str]] = {
         {"bnlj"},
         "recall harness vs brute-force ground truth (see ann_lsh_recall)",
     ),
+    "knn_join_recall": (
+        {"bnlj"},
+        "recall harness: compares the two-sided KNN join against the "
+        "exact corpus×corpus brute force (see ann_lsh_recall); the "
+        "live knn_join plan is asserted keyed-only in "
+        "tests/test_similarity.py",
+    ),
     "semantic_dedup_recall": (
         {"bnlj"},
         "recall harness: compares the bucketed semantic-dedup tier "
@@ -413,6 +420,13 @@ WINDOW_ALLOW: dict[str, str] = {
     "ann_lsh": "per-query: top-k rank per query_id over bucket matches",
     "ann_lsh_recall": "per-query: recall harness, rank per query_id",
     "ann_pq": "per-query: ADC + exact rerank ranks per query_id",
+    "knn_join": "per-query: ADC + exact rerank ranks per query_id — "
+                "query_id cardinality = corpus (two-sided join), group "
+                "size = probed cell fraction, WindowGroupLimit-protected",
+    "knn_join_recall": "per-query: recall harness per query_id (brute "
+                       "truth + the join under test)",
+    "knn_join_rerank": "per-query: rank over the frozen fixture pairs "
+                       "per query_id",
     "ann_pq_prebuilt": "per-query: probe-only index ranks per query_id",
     "ann_pq_prebuilt_recall": "per-query: recall harness per query_id",
     "ann_pq_recall": "per-query: recall harness per query_id",
