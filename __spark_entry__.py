@@ -6820,6 +6820,194 @@ FROM documents WHERE doc_id % 20 = 0
 """
 
 
+def _vfp_media(docs, variants):
+    """One deterministic 8-frame sha256-noise RAWV video per (doc,
+    variant), rendered Arrow-batched IN EXECUTORS (stdlib container,
+    sources/multimodal.py:rawv_encode) — variant 0/1 identical bytes,
+    2 a per-frame +16 4×4 patch (the measured ≤ 6-Hamming-bit pHash
+    construction), 3 one FRAME replaced by fresh noise (frames hash
+    independently, so EXACTLY that frame's pHash changes — the
+    provable locality bound); media_id = doc_id·4 + variant."""
+    arr = F.array(*[
+        F.struct((F.col("doc_id") * 4 + F.lit(v)).alias("media_id"))
+        for v in variants
+    ])
+    vdf = docs.select(F.explode(arr).alias("v")).select("v.media_id")
+
+    def _render(batches):
+        import hashlib as _hl
+
+        import numpy as np
+        import pandas as pd
+
+        from smartbots_etl_facturas_spark.sources.multimodal import (
+            rawv_encode,
+        )
+
+        def noise(seed: str):
+            out = b""
+            i = 0
+            while len(out) < 1024:
+                out += _hl.sha256(f"{seed}:{i}".encode()).digest()
+                i += 1
+            return np.frombuffer(out[:1024], dtype=np.uint8).reshape(
+                32, 32
+            ).copy()
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                doc = mid // 4
+                frames = np.stack([noise(f"v:{doc}:{j}") for j in range(8)])
+                if mid % 4 == 2:          # near copy: per-frame patch
+                    f = frames.astype(np.int64)
+                    f[:, 4:8, 4:8] = np.minimum(f[:, 4:8, 4:8] + 16, 255)
+                    frames = f.astype(np.uint8)
+                if mid % 4 == 3:          # one frame replaced entirely
+                    frames = frames.copy()
+                    frames[3] = noise(f"v:{doc}:corrupt")
+                payloads.append(bytearray(rawv_encode(frames)))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": payloads}
+            )
+
+    return vdf.mapInPandas(_render, "media_id long, content binary")
+
+
+def q_video_fingerprint_dedup(spark, sf_dir):
+    """VIDEO near-dup dedup (round-13 verdict #3) — the fourth member
+    completing the modality quad (text minhash/simhash, image pHash,
+    audio Haitsma-Kalker): per-frame integer-DCT pHash sequences
+    (operators/videofp.py) matched by the keyed (frame_idx, band,
+    slice) equi-join. One 8-frame sha256-noise RAWV video per sampled
+    document, rendered in executors, with three variants per base: an
+    EXACT byte copy, a per-frame-patched NEAR copy (each frame ≤ 6
+    Hamming bits from its base — the measured pHash margin), and a
+    one-FRAME-REPLACED copy (provably matches on EXACTLY 7 of 8
+    frames: frames hash independently and the untouched 7 are
+    byte-identical). Invariants shipped: the three full-8 matches and
+    the three exactly-7 near matches per family, zero cross-family
+    pairs (cross frame-hash minimum 14 bits over 250 seeds — pHash
+    margin tests). ``n_base`` recomputed by the oracle."""
+    from smartbots_etl_facturas_spark.operators.videofp import (
+        vfp_near_pairs,
+        video_fingerprints,
+    )
+
+    docs = _phash_base_docs(spark, sf_dir)
+    media = _vfp_media(docs, (0, 1, 2, 3))
+    pairs = vfp_near_pairs(video_fingerprints(media), max_distance=7,
+                           bands=8, min_frames=7)
+    same = F.expr("id_a div 4") == F.expr("id_b div 4")
+    near = (F.pmod(F.col("id_a"), F.lit(4)) == 3) | (
+        F.pmod(F.col("id_b"), F.lit(4)) == 3
+    )
+    agg = pairs.agg(
+        F.sum(F.when(same & ~near & (F.col("n_matched") == 8), 1)
+              .otherwise(0)).alias("n_full"),
+        F.sum(F.when(same & near & (F.col("n_matched") == 7), 1)
+              .otherwise(0)).alias("n_near"),
+        F.sum(F.when(~same, 1).otherwise(0)).alias("n_cross"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    nb = docs.agg(F.count(F.lit(1)).cast("long").alias("n_base"))
+    return nb.crossJoin(agg).select(
+        "n_base",
+        (F.col("n_full") == 3 * F.col("n_base")).alias("full_pairs_ok"),
+        (F.col("n_near") == 3 * F.col("n_base")).alias("near_pairs_ok"),
+        (F.col("n_cross") == 0).alias("no_cross_pairs"),
+        (F.col("n_pairs") == 6 * F.col("n_base")).alias("pair_count_ok"),
+    )
+
+
+SQL_VIDEO_FINGERPRINT_DEDUP = """
+SELECT CAST(count(*) AS BIGINT) AS n_base, TRUE AS full_pairs_ok,
+       TRUE AS near_pairs_ok, TRUE AS no_cross_pairs,
+       TRUE AS pair_count_ok
+FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+_VFP_INDEX_CACHE: dict[str, str] = {}
+
+
+def ensure_vfp_index(spark, sf_dir: str) -> str:
+    """Build-once half of the video-dedup incremental split: persist
+    the per-frame band postings of the STANDING corpus (base + exact +
+    per-frame-patched videos) through the versioned sink
+    (operators/videofp.py:build_vfp_index), once per process — the
+    video member of the persisted-index family. bench.py runs this
+    outside the timed loop so video_fp_incremental times the per-batch
+    probe only."""
+    base = _VFP_INDEX_CACHE.get(sf_dir)
+    if base is None:
+        from smartbots_etl_facturas_spark.operators.videofp import (
+            build_vfp_index,
+            video_fingerprints,
+        )
+
+        base = _scratch_dir("vfp_index_")
+        corpus = _vfp_media(_phash_base_docs(spark, sf_dir), (0, 1, 2))
+        build_vfp_index(video_fingerprints(corpus), base, bands=8)
+        _VFP_INDEX_CACHE[sf_dir] = base
+    return base
+
+
+def q_video_fp_incremental(spark, sf_dir):
+    """INCREMENTAL video near-dup matching: the arriving batch (the
+    one-frame-replaced variant of every sampled video) is
+    fingerprinted ALONE — never re-decoding the standing corpus — and
+    probes the PERSISTED (frame_idx, band, slice) postings
+    (ensure_vfp_index); per-batch cost O(|delta| frames + candidates).
+    Every delta matches EXACTLY its three family members on EXACTLY 7
+    of 8 frames (the provable independent-frame locality bound), zero
+    cross-family matches. The video twin of phash_incremental /
+    audio_fp_incremental; ``n_base`` recomputed by the oracle."""
+    from smartbots_etl_facturas_spark.operators.videofp import (
+        vfp_match_against_index,
+        video_fingerprints,
+    )
+
+    base = ensure_vfp_index(spark, sf_dir)
+    delta = _vfp_media(_phash_base_docs(spark, sf_dir), (3,))
+    matches = vfp_match_against_index(
+        video_fingerprints(delta), base, max_distance=7, min_frames=7
+    )
+    same = F.expr("delta_id div 4") == F.expr("corpus_id div 4")
+    per_delta = matches.groupBy("delta_id").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min(same.cast("int")).alias("all_same"),
+        F.min("n_matched").alias("min_m"),
+        F.max("n_matched").alias("max_m"),
+    )
+    agg = per_delta.agg(
+        F.count(F.lit(1)).cast("long").alias("n_delta_matched"),
+        F.min("c").alias("min_c"),
+        F.max("c").alias("max_c"),
+        F.min("all_same").alias("same_ok"),
+        F.min("min_m").alias("min_m"),
+        F.max("max_m").alias("max_m"),
+    )
+    nb = _phash_base_docs(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_base")
+    )
+    return nb.crossJoin(agg).select(
+        "n_base",
+        (F.col("n_delta_matched") == F.col("n_base")).alias("coverage_ok"),
+        ((F.col("min_c") == 3) & (F.col("max_c") == 3)).alias("family_ok"),
+        ((F.col("min_m") == 7) & (F.col("max_m") == 7)).alias("locality_ok"),
+        (F.col("same_ok") == 1).alias("no_cross_matches"),
+    )
+
+
+SQL_VIDEO_FP_INCREMENTAL = """
+SELECT CAST(count(*) AS BIGINT) AS n_base, TRUE AS coverage_ok,
+       TRUE AS family_ok, TRUE AS locality_ok, TRUE AS no_cross_matches
+FROM documents WHERE doc_id % 20 = 0
+"""
+
+
 def q_audit_actions(spark, sf_dir):
     """J6 status-lookup join (consolidate_invoices.py:517-548): each
     incoming row mapped to its post-upsert INSERT/UPDATE/UNCHANGED
@@ -13412,6 +13600,8 @@ _QUERIES: dict[str, Callable] = {
     "phash_incremental": q_phash_incremental,
     "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
     "audio_fp_incremental": q_audio_fp_incremental,
+    "video_fingerprint_dedup": q_video_fingerprint_dedup,
+    "video_fp_incremental": q_video_fp_incremental,
     "recursive_bom": q_recursive_bom,
     "incremental_agg": q_incremental_agg,
     "zorder_keys": q_zorder_keys,
@@ -13651,6 +13841,8 @@ _ORACLES: dict[str, str] = {
     "phash_incremental": SQL_PHASH_INCREMENTAL,
     "audio_fingerprint_dedup": SQL_AUDIO_FINGERPRINT_DEDUP,
     "audio_fp_incremental": SQL_AUDIO_FP_INCREMENTAL,
+    "video_fingerprint_dedup": SQL_VIDEO_FINGERPRINT_DEDUP,
+    "video_fp_incremental": SQL_VIDEO_FP_INCREMENTAL,
     "recursive_bom": SQL_RECURSIVE_BOM,
     "incremental_agg": SQL_INCREMENTAL_AGG,
     "zorder_keys": SQL_ZORDER_KEYS,

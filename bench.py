@@ -279,6 +279,9 @@ def main() -> None:
     # standing-corpus audio index: audio_fp_incremental times the
     # delta fingerprint + postings probe, never the corpus indexing
     entrymod.ensure_afp_index(spark, sf_dir)
+    # standing-corpus video index: video_fp_incremental times the
+    # delta fingerprint + postings probe, never the corpus indexing
+    entrymod.ensure_vfp_index(spark, sf_dir)
     # same split for the dedup index: minhash_incremental times the
     # per-batch probe, not the corpus indexing job
     entrymod.ensure_minhash_index(spark, sf_dir)

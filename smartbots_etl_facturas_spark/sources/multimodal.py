@@ -453,6 +453,41 @@ def wav_decode(data: bytes):
         r.close()
 
 
+def rawv_encode(frames) -> bytes:
+    """Encode a stack of grayscale uint8 frames (n, h, w) as a RAWV
+    payload: ``b"RAWV" + <I h + <I w + <I n_frames`` header followed
+    by the frame bytes in order. The minimal deterministic video
+    container the stdlib can round-trip — real codecs are out of this
+    environment (the frame_sample stub's rationale); the SPARK-side
+    plumbing over it (binary column → Arrow-batched per-frame decode →
+    keyed joins) is the real, tested part."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(frames, dtype=np.uint8)
+    if a.ndim != 3:
+        raise ValueError("rawv_encode expects (n_frames, h, w) uint8")
+    n, h, w = a.shape
+    return b"RAWV" + struct.pack("<III", h, w, n) + a.tobytes()
+
+
+def rawv_decode(data: bytes):
+    """Decode a RAWV payload to a uint8 ndarray of shape (n, h, w)."""
+    import struct
+
+    import numpy as np
+
+    data = bytes(data)
+    if data[:4] != b"RAWV":
+        raise ValueError("not a RAWV payload")
+    h, w, n = struct.unpack("<III", data[4:16])
+    body = data[16:16 + n * h * w]
+    if len(body) != n * h * w:
+        raise ValueError("truncated RAWV payload")
+    return np.frombuffer(body, dtype=np.uint8).reshape(n, h, w).copy()
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("sample_rate", T.LongType(), True),

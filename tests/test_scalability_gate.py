@@ -111,6 +111,19 @@ ALLOW: dict[str, tuple[set, str]] = {
         "is keyed on (frame_idx, word) — asserted in "
         "tests/test_multimodal.py",
     ),
+    "video_fingerprint_dedup": (
+        {"bnlj"},
+        "invariant harness: crossJoin of the 1-row base count onto "
+        "the 1-row pair-classification aggregate; the candidate join "
+        "is keyed on (frame_idx, band, slice) — asserted in "
+        "tests/test_multimodal.py",
+    ),
+    "video_fp_incremental": (
+        {"bnlj"},
+        "invariant harness: crossJoin of the 1-row base count onto "
+        "the 1-row match-classification aggregate; the probe join is "
+        "keyed on (frame_idx, band, slice) against the stored postings",
+    ),
     "minhash_precision": (
         {"bnlj"},
         "precision harness: joins LSH candidates against the exact "
