@@ -273,6 +273,9 @@ def main() -> None:
     # drive the 4-batch audited stream once so stream_batches_report
     # times the read-back invariant, not the stream run
     entrymod.ensure_stream_audit(spark, sf_dir)
+    # emit + compact the append-dir audit table once so
+    # audit_compaction_report times the invariant read-back only
+    entrymod.ensure_compacted_audit(spark, sf_dir)
     # standing-corpus image index: phash_incremental times the delta
     # hash + postings probe, never the corpus indexing job
     entrymod.ensure_phash_index(spark, sf_dir)
