@@ -38,7 +38,9 @@ def main() -> int:
     qs = entrymod.queries()
     headline = bench.headline_queries(qs)
     with open(os.path.join(REPO, "BENCH_FLOOR.json")) as fh:
-        floors = json.load(fh)["queries"]
+        floor_doc = json.load(fh)
+    floors = floor_doc["queries"]
+    refloat_warnings = floor_doc.get("refloat_warnings") or []
 
     unarmed = sorted(set(headline) - set(floors))
     stale = sorted(set(floors) - set(qs) - FIXTURE_SERIES)
@@ -67,6 +69,17 @@ def main() -> int:
         # informational: an excluded query with a historical floor is
         # harmless (the floor is simply never compared) but worth a line
         print(f"note: EXCLUDED queries with historical floors: {overlap}")
+    if refloat_warnings:
+        # round-13 verdict #5: a refloat that raised a floor >1.3×
+        # while the median fell may have baked in a plan regression —
+        # fail the gate until it is re-recorded or the cause is
+        # documented and the warning cleared.
+        ok = False
+        print(f"REFLOAT WARNINGS ({len(refloat_warnings)}): a floor "
+              "rose sharply against a falling median — investigate, "
+              "then re-record or document and clear refloat_warnings:")
+        for w in refloat_warnings:
+            print(f"  {w}")
     if ok:
         print(
             f"floor coverage OK: {len(headline)} armed queries, "

@@ -59,10 +59,36 @@ def main() -> None:
     with open(FLOOR) as fh:
         old = json.load(fh)
     history = old.pop("history", [])
+    # round-13 verdict #5: the old→new per-query ratio table rides the
+    # history entry, so a refloat can never silently bake in a plan
+    # regression — a query that RISES >1.3× while the median falls is
+    # recorded as a warning that fails check_floor_coverage until a
+    # human re-records it or documents the cause in notes.
+    overlap = {q: merged[q] / old["queries"][q]
+               for q in merged if q in old["queries"]
+               and old["queries"][q] > 0}
+    ratios_sorted = sorted(overlap.values())
+    median_ratio = (
+        ratios_sorted[len(ratios_sorted) // 2] if ratios_sorted else 1.0
+    )
+    risers = sorted(q for q, r in overlap.items() if r > 1.3)
+    warnings = []
+    if risers and median_ratio < 1.0:
+        warnings = [
+            f"{q}: floor rose {overlap[q]:.2f}x while the median "
+            f"moved {median_ratio:.2f}x — a plan regression may be "
+            "riding this refloat; re-record on a quiet box or document "
+            "the cause in notes, then clear refloat_warnings"
+            for q in risers
+        ]
+        for w in warnings:
+            print(f"WARNING: {w}", file=sys.stderr)
     history.append({
         "queries": old["queries"],
         "source": old.get("source"),
         "notes": old.get("notes"),
+        "diff_to_next": {q: round(r, 3) for q, r in sorted(overlap.items())},
+        "diff_median": round(median_ratio, 3),
     })
     if only_missing:
         added = {q: s for q, s in merged.items()
@@ -85,6 +111,7 @@ def main() -> None:
         "hard_cap": old.get("hard_cap", 3.0),
         "min_skew_speedup": old.get("min_skew_speedup", 2.0),
         "observed_skew_speedups": skews,
+        "refloat_warnings": warnings,
         "queries": {q: round(s, 3) for q, s in sorted(merged.items())},
         "history": history,
     }
