@@ -4023,6 +4023,135 @@ FROM clusters GROUP BY 1
 """
 
 
+_SEMANTIC_INDEX_CACHE: dict[str, str] = {}
+
+
+def ensure_semantic_index(spark, sf_dir: str) -> str:
+    """Build-once half of the semantic-dedup incremental split:
+    persist the hyperplane-bucket postings + verify-side vectors of
+    the BASE embedding corpus (the half the seeded near-dup twins
+    arrive against) through the versioned sink, once per process
+    (operators/dedup_index.py:build_embedding_index). Same geometry
+    as SEMDEDUP_PARAMS, pinned in the index's meta table; bench.py
+    calls this outside the timed loop so semantic_dedup_incremental
+    times the per-batch probe only."""
+    base = _SEMANTIC_INDEX_CACHE.get(sf_dir)
+    if base is None:
+        from smartbots_etl_facturas_spark.operators.dedup_index import (
+            build_embedding_index,
+        )
+
+        base = _scratch_dir("semantic_index_")
+        emb = _read(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+            .alias("embedding"),
+        )
+        corpus = emb.filter(F.col("vec_id") % 5 == 0)
+        build_embedding_index(
+            corpus, base,
+            bucket_bits=SEMDEDUP_PARAMS["bucket_bits"],
+            tables=SEMDEDUP_PARAMS["tables"],
+        )
+        _SEMANTIC_INDEX_CACHE[sf_dir] = base
+    return base
+
+
+def q_semantic_dedup_incremental(spark, sf_dir):
+    """Incremental semantic dedup against the PERSISTED embedding
+    index (operators/dedup_index.py:embedding_match_against_index) —
+    the embedding member of the incremental probe family
+    (minhash/phash/audio/video), completing the ingest-loop symmetry
+    for the 5th dedup tier: the seeded twins of _augmented_embeddings
+    arrive as a delta batch, ONLY the delta is sketched (geometry read
+    from the index's meta table), candidates come from the
+    (table, bucket) equi-join against the stored postings, and the
+    exact-cosine verify runs against the STORED vectors — per-batch
+    cost O(|delta| + candidates), never re-reading the corpus.
+    Cross-batch pairs only (the family contract, pinned in the
+    operator docstring + tests/test_dedup.py). Rows-only (hyperplane
+    sign decisions are not SQL-replayable); companions:
+    semantic_dedup_incremental_recall (floor 0.8, oracle-recomputed
+    n_truth) and semantic_dedup_rerank (the identical verify
+    arithmetic, value-oracled over frozen pairs)."""
+    from smartbots_etl_facturas_spark.operators.dedup_index import (
+        embedding_match_against_index,
+    )
+
+    base = ensure_semantic_index(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        .alias("embedding"),
+    )
+    delta = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(
+            "concat(array(embedding[0] + CAST(0.5 AS DOUBLE)),"
+            " slice(embedding, 2, size(embedding) - 1))"
+        ).alias("embedding"),
+    )
+    return embedding_match_against_index(
+        delta, base, threshold=SEMDEDUP_PARAMS["threshold"]
+    )
+
+
+def q_semantic_dedup_incremental_recall(spark, sf_dir):
+    """Driver-checkable recall invariant of the incremental embedding
+    probe vs the exact spanning truth (delta × corpus cosine ≥ 0.9,
+    ``n_truth`` genuinely recomputed by the oracle): precision is 1 by
+    construction (exact verify before emission, so hits ⊆ truth), and
+    hits must reach ≥ 0.8 × truth — the dedup-family recall floor."""
+    from smartbots_etl_facturas_spark.operators.similarity import (
+        _dot,
+        with_norm,
+    )
+
+    aug = _augmented_embeddings(spark, sf_dir)
+    a = with_norm(aug.filter(F.col("vec_id") < 1000000)).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("__vc"),
+        F.col("__norm").alias("__nc"),
+    )
+    b = with_norm(aug.filter(F.col("vec_id") >= 1000000)).select(
+        F.col("vec_id").alias("delta_id"),
+        F.col("embedding").alias("__vd"),
+        F.col("__norm").alias("__nd"),
+    )
+    par = spark.sparkContext.defaultParallelism
+    exact = (
+        a.repartition(par).crossJoin(b)
+        .withColumn(
+            "cosine",
+            _dot(F.col("__vc"), F.col("__vd"))
+            / (F.col("__nc") * F.col("__nd")),
+        )
+        .filter(F.col("cosine") >= F.lit(SEMDEDUP_PARAMS["threshold"]))
+        .select("delta_id", "corpus_id")
+    )
+    hits = q_semantic_dedup_incremental(spark, sf_dir).select(
+        "delta_id", "corpus_id"
+    )
+    n_truth = exact.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_hits = exact.join(hits, ["delta_id", "corpus_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return n_truth.crossJoin(n_hits).select(
+        "n_truth",
+        (F.col("n_hits") >= F.col("n_truth") * F.lit(0.8)).alias("recall_ok"),
+    )
+
+
+SQL_SEMANTIC_DEDUP_INCREMENTAL_RECALL = f"""
+WITH {_AUGMENTED_EMB_SQL},
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM aug),
+sp AS (SELECT d.vec_id AS delta_id FROM n c JOIN n d
+       ON c.vec_id < 1000000 AND d.vec_id >= 1000000
+       WHERE list_dot_product(c.v, d.v) / (c.nrm * d.nrm) >= 0.9)
+SELECT CAST(count(*) AS BIGINT) AS n_truth, TRUE AS recall_ok FROM sp
+"""
+
+
 def q_token_count(spark, sf_dir):
     """Token counting: whitespace tokens + BPE-ish pre-tokenizer runs
     (letters/digits/symbols), chars-per-token compression proxy."""
@@ -13611,6 +13740,8 @@ _QUERIES: dict[str, Callable] = {
     "semantic_dedup_recall": q_semantic_dedup_recall,
     "semantic_dedup_rerank": q_semantic_dedup_rerank,
     "semantic_dedup_representatives": q_semantic_dedup_representatives,
+    "semantic_dedup_incremental": q_semantic_dedup_incremental,
+    "semantic_dedup_incremental_recall": q_semantic_dedup_incremental_recall,
     "token_count": q_token_count,
     "cube_sales": q_cube_sales,
     "semi_join_amounts": q_semi_join_amounts,
@@ -13845,6 +13976,7 @@ _ORACLES: dict[str, str] = {
     "unpivot_amounts": SQL_UNPIVOT_AMOUNTS,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "semantic_dedup_recall": SQL_SEMANTIC_DEDUP_RECALL,
+    "semantic_dedup_incremental_recall": SQL_SEMANTIC_DEDUP_INCREMENTAL_RECALL,
     "token_count": SQL_TOKEN_COUNT,
     "cube_sales": SQL_CUBE_SALES,
     "semi_join_amounts": SQL_SEMI_JOIN_AMOUNTS,

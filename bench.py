@@ -96,6 +96,7 @@ EXCLUDED: dict[str, str] = {
     "knn_join_recall": _TWIN + "knn_join",
     "knn_join_rerank": _FIXTURE + " (frozen sf0.01 ADC survivors; the live two-sided join is benched as knn_join)",
     "rolling_fingerprint_invariants": _TWIN + "rolling_fingerprint",
+    "semantic_dedup_incremental_recall": _TWIN + "semantic_dedup_incremental",
     "semantic_dedup_recall": _TWIN + "semantic_dedup",
     "semantic_dedup_rerank": _FIXTURE + " (frozen sf0.01 candidate pairs; the live bucketed tier is benched as semantic_dedup)",
     "semantic_dedup_representatives": _FIXTURE + " (frozen sf0.01 candidate pairs; the live composition is benched as semantic_dedup)",
@@ -288,6 +289,9 @@ def main() -> None:
     # same split for the dedup index: minhash_incremental times the
     # per-batch probe, not the corpus indexing job
     entrymod.ensure_minhash_index(spark, sf_dir)
+    # same split for the embedding index: semantic_dedup_incremental
+    # times the delta sketch + postings probe + stored-vector verify
+    entrymod.ensure_semantic_index(spark, sf_dir)
     # same split for the sketch state: hll_incremental times the
     # merge-with-delta path, not the corpus sketch build
     entrymod.ensure_sketch_state(spark, sf_dir)

@@ -99,6 +99,17 @@ ROWS_ONLY_NOTES: dict[str, str] = {
         "0.8 vs the exact all-pairs tier, measured 1.00); the plan is "
         "asserted crossJoin-free in tests/test_dedup.py."
     ),
+    "semantic_dedup_incremental": (
+        "The probe's candidates come from the same non-replayable "
+        "hyperplane sign decisions as semantic_dedup (geometry pinned "
+        "in the persisted index's meta table). The verify arithmetic "
+        "is the identical exact-cosine expression value-oracled by "
+        "`semantic_dedup_rerank`, and "
+        "`semantic_dedup_incremental_recall` pins hits ≥ 0.8 × the "
+        "oracle-recomputed delta×corpus spanning truth (precision 1 "
+        "by construction); the probe plan is asserted keyed-only in "
+        "tests/test_dedup.py."
+    ),
     "bpe_merges": (
         "BPE training is a GREEDY GLOBAL LOOP: each round's winning "
         "pair depends on all previous merges (argmax over a "

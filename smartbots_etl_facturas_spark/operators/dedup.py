@@ -474,6 +474,50 @@ def cluster_representatives(
     )
 
 
+def hyperplane_keyed(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_bits: int = 8,
+    dim: int = 64,
+    tables: int = 1,
+    out_id: str | None = None,
+) -> DataFrame:
+    """(id, table, bucket) hyperplane sign sketches — one row per
+    (vector, table), the candidate key both :func:`cosine_neardup_pairs`
+    and the persisted embedding index (operators/dedup_index.py:
+    build_embedding_index) join on. A pure function of the vector and
+    the (bucket_bits, dim, tables) geometry — the planes are
+    xxhash64(j, i) parity, no RNG state — so sketches computed in a
+    LATER process collide with stored postings bit-identically, the
+    property the incremental probe relies on. Tiering follows
+    cosine_topk_lsh: expression fold below the matmul crossover, one
+    Arrow-batched matmul past it."""
+    from smartbots_etl_facturas_spark.operators.similarity import (
+        _plane_matrix,
+        _resolve_assign_mode,
+        hyperplane_bucket_expr,
+        hyperplane_buckets_matmul,
+    )
+
+    out = out_id or id_col
+    mode = _resolve_assign_mode("auto", tables * bucket_bits, dim)
+    if mode == "matmul":
+        planes = _plane_matrix(df.sparkSession, bucket_bits, dim, tables)
+        return hyperplane_buckets_matmul(
+            df.select(F.col(id_col), F.col(vec_col)), planes,
+            bucket_bits, tables, vec_col, id_col, out_id=out,
+        )
+    buckets = F.array(*[
+        hyperplane_bucket_expr(vec_col, bucket_bits, dim, table=t)
+        for t in range(tables)
+    ])
+    return df.select(
+        F.col(id_col).alias(out),
+        F.posexplode(buckets).alias("table", "bucket"),
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -516,32 +560,13 @@ def cosine_neardup_pairs(
     """
     from smartbots_etl_facturas_spark.operators.similarity import (
         _dot,
-        _plane_matrix,
-        _resolve_assign_mode,
-        hyperplane_bucket_expr,
-        hyperplane_buckets_matmul,
         with_norm,
     )
 
     base = with_norm(df, vec_col)
     if bucket_bits:
-        mode = _resolve_assign_mode("auto", tables * bucket_bits, dim)
-        if mode == "matmul":
-            planes = _plane_matrix(df.sparkSession, bucket_bits, dim,
-                                   tables)
-            keyed = hyperplane_buckets_matmul(
-                df.select(F.col(id_col), F.col(vec_col)), planes,
-                bucket_bits, tables, vec_col, id_col, out_id=id_col,
-            )
-        else:
-            buckets = F.array(*[
-                hyperplane_bucket_expr(vec_col, bucket_bits, dim, table=t)
-                for t in range(tables)
-            ])
-            keyed = base.select(
-                F.col(id_col),
-                F.posexplode(buckets).alias("table", "bucket"),
-            )
+        keyed = hyperplane_keyed(df, vec_col, id_col, bucket_bits, dim,
+                                 tables)
         # width pin (the banded-join discipline, operators/phash.py):
         # the sketch frames are tiny in bytes but the (table, bucket)
         # equi-join emits the candidate volume — explicit repartition

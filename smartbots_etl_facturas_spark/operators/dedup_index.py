@@ -146,3 +146,121 @@ def minhash_match_against_index(
         .filter(F.col("jaccard") >= threshold)
         .select("delta_id", "corpus_id", "jaccard")
     )
+
+def build_embedding_index(
+    corpus: DataFrame,
+    base: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_bits: int = 8,
+    dim: int = 64,
+    tables: int = 16,
+) -> dict[str, str]:
+    """Persist the corpus's hyperplane-bucket postings — the embedding
+    member of the persisted dedup-index family (MinHash for text,
+    pHash for images, Haitsma-Kalker for audio, frame-pHash for
+    video): (corpus_id, table, bucket) postings, the verify-side
+    vectors+norms, and a 1-row geometry meta table, all through the
+    versioned sink.
+
+    The planes are a pure function of (bucket_bits, dim, tables) —
+    xxhash64(j, i) parity, no RNG state (operators/similarity.py:
+    _plane_matrix) — so a delta batch sketched in a LATER process
+    collides with the stored postings exactly; the meta table pins the
+    geometry so probes can never mix plane families. Storing the
+    corpus vectors beside the postings means probes never touch the
+    raw corpus table: per-batch cost is O(|delta| + candidates).
+    """
+    spark = corpus.sparkSession
+    from .dedup import hyperplane_keyed
+    from .similarity import with_norm as _with_norm
+
+    postings = hyperplane_keyed(
+        corpus, vec_col, id_col, bucket_bits, dim, tables,
+        out_id="corpus_id",
+    )
+    vectors = _with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("vec"),
+        F.col("__norm").alias("norm"),
+    )
+    meta = spark.createDataFrame(
+        [(bucket_bits, dim, tables)],
+        "bucket_bits int, dim int, tables int",
+    )
+    return {
+        "postings": publish(postings, os.path.join(base, "postings")),
+        "vectors": publish(vectors, os.path.join(base, "vectors")),
+        "meta": publish(meta, os.path.join(base, "meta")),
+    }
+
+
+def embedding_match_against_index(
+    delta: DataFrame,
+    base: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-dup pairs (delta_id, corpus_id, cosine >= threshold)
+    between a delta batch and the INDEXED embedding corpus — the
+    incremental member of the semantic-dedup family. Only the delta is
+    sketched (with the geometry pinned in the index's meta table);
+    candidates come from the (table, bucket) equi-join against the
+    stored postings, and the exact-cosine verify runs against the
+    STORED vectors — the probe never reads the raw corpus. Exactness
+    contract: no false positives (every emitted pair is exact-cosine
+    verified); recall is the hyperplane collision probability
+    1-(1-(1-theta/pi)^bits)^tables, floor-checked by the registered
+    semantic_dedup_incremental_recall companion.
+
+    CONTRACT — cross-batch pairs ONLY (the round-13 pin shared by the
+    whole incremental probe family: minhash_match_against_index,
+    phash_match_against_index, afp_match_against_index,
+    vfp_match_against_index): two near-dup vectors arriving in the
+    SAME delta batch are not reported, because neither is in the index
+    yet. An ingest loop admitting on "no probe match" must ALSO run
+    the batch-local pass — ``cosine_neardup_pairs(delta,
+    bucket_bits=..., tables=...)`` with the meta table's geometry —
+    and union its verdicts, or it admits both copies forever; see
+    tests/test_incremental.py.
+    """
+    spark = delta.sparkSession
+    from .dedup import hyperplane_keyed
+    from .linkage import _shuffle_width
+    from .similarity import _dot, with_norm as _with_norm
+
+    r = read_published(spark, os.path.join(base, "meta")).collect()[0]
+    postings = read_published(spark, os.path.join(base, "postings"))
+    vectors = read_published(spark, os.path.join(base, "vectors"))
+
+    d_k = hyperplane_keyed(
+        delta, vec_col, id_col, int(r.bucket_bits), int(r.dim),
+        int(r.tables), out_id="delta_id",
+    )
+    # width pin (the banded-join discipline): the sketch frames are
+    # tiny in bytes but the equi-join emits the candidate volume
+    sp = _shuffle_width(spark)
+    cand = (
+        d_k.repartition(sp, "table", "bucket")
+        .join(postings.repartition(sp, "table", "bucket"),
+              on=["table", "bucket"])
+        .filter(F.col("delta_id") != F.col("corpus_id"))
+        .select("delta_id", "corpus_id")
+        .distinct()
+    )
+    d_v = _with_norm(delta, vec_col).select(
+        F.col(id_col).alias("delta_id"),
+        F.col(vec_col).alias("__vd"),
+        F.col("__norm").alias("__nd"),
+    )
+    return (
+        cand.join(d_v, "delta_id")
+        .join(vectors, "corpus_id")
+        .withColumn(
+            "cosine",
+            _dot(F.col("__vd"), F.col("vec")) / (F.col("__nd") * F.col("norm")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("delta_id", "corpus_id", "cosine")
+    )

@@ -590,3 +590,106 @@ def test_apply_span_cuts_null_text_raises(spark):
         apply_span_cuts(df, runs).collect()
     assert "apply_span_cuts" in str(ei.value)
     assert "doc_id=2" in str(ei.value)
+
+def _unit(seq):
+    import math
+
+    n = math.sqrt(sum(x * x for x in seq))
+    return [x / n for x in seq]
+
+
+def test_embedding_index_probe_matches_only_neardups(spark, tmp_path):
+    """Build-once/probe-many embedding index (the semantic member of
+    the incremental dedup family): the delta is matched against stored
+    hyperplane postings + stored vectors WITHOUT re-reading the
+    corpus, finds the true near-dup pair with its exact cosine, skips
+    unrelated vectors, and the index is self-describing (probe reads
+    the geometry from the meta table). The stored postings are
+    bit-identical to a fresh sketch of the corpus — the cross-process
+    determinism the xxhash64-parity planes guarantee."""
+    from smartbots_etl_facturas_spark.operators.dedup import (
+        hyperplane_keyed,
+    )
+    from smartbots_etl_facturas_spark.operators.dedup_index import (
+        build_embedding_index,
+        embedding_match_against_index,
+    )
+    from smartbots_etl_facturas_spark.sinks.staged import read_published
+
+    v1 = _unit([5, 1, 0, 0, 0, 0, 0, 1])
+    v1n = _unit([5, 1.1, 0, 0.1, 0, 0, 0, 1])     # cosine(v1, v1n) ~ 0.999
+    v2 = _unit([0, 0, 1, 0, 7, 0, 1, 0])          # far from both
+    v3 = _unit([0, 1, 0, 0, 0, 9, 0, 0])          # far from everything
+    corpus = spark.createDataFrame(
+        [(1, v1), (2, v2)], "vec_id long, embedding array<double>"
+    )
+    delta = spark.createDataFrame(
+        [(101, v1n), (102, v3)], "vec_id long, embedding array<double>"
+    )
+    base = str(tmp_path / "emb-idx")
+    build_embedding_index(corpus, base, bucket_bits=6, dim=8, tables=8)
+
+    out = embedding_match_against_index(delta, base, threshold=0.9).collect()
+    assert {(r.delta_id, r.corpus_id) for r in out} == {(101, 1)}
+    assert all(0.9 <= r.cosine <= 1.0 for r in out)
+
+    stored = {(r.corpus_id, r.table, r.bucket)
+              for r in read_published(
+                  spark, f"{base}/postings").collect()}
+    fresh = {(r.corpus_id, r.table, r.bucket)
+             for r in hyperplane_keyed(
+                 corpus, "embedding", "vec_id", 6, 8, 8,
+                 out_id="corpus_id").collect()}
+    assert stored == fresh
+
+    # the probe plan is keyed end to end: candidates come from the
+    # (table, bucket) equi-join, verify from two id joins — nothing
+    # all-pairs anywhere
+    plan = embedding_match_against_index(
+        delta, base, threshold=0.9
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_embedding_ingest_loop_composes_probe_with_batch_local_pass(
+        spark, tmp_path):
+    """The family cross-batch contract, embedding member: two near-dup
+    vectors arriving in the SAME delta batch are invisible to the
+    probe (neither is indexed yet); the composed loop — batch-local
+    ``cosine_neardup_pairs`` over the delta with the index's geometry
+    + the probe — catches both kinds."""
+    from smartbots_etl_facturas_spark.operators.dedup import (
+        cosine_neardup_pairs,
+    )
+    from smartbots_etl_facturas_spark.operators.dedup_index import (
+        build_embedding_index,
+        embedding_match_against_index,
+    )
+
+    v1 = _unit([5, 1, 0, 0, 0, 0, 0, 1])
+    v1n = _unit([5, 1.1, 0, 0.1, 0, 0, 0, 1])
+    w = _unit([0, 0, 1, 0, 7, 0, 1, 0])
+    wn = _unit([0, 0.1, 1, 0, 7, 0, 1.1, 0])      # within-batch pair of w
+    x = _unit([0, 1, 0, 0, 0, 9, 0, 0])
+    corpus = spark.createDataFrame(
+        [(1, v1)], "vec_id long, embedding array<double>"
+    )
+    delta = spark.createDataFrame(
+        [(101, v1n), (201, w), (202, wn), (301, x)],
+        "vec_id long, embedding array<double>",
+    )
+    base = str(tmp_path / "emb-idx")
+    build_embedding_index(corpus, base, bucket_bits=6, dim=8, tables=8)
+
+    cross = {(r.delta_id, r.corpus_id)
+             for r in embedding_match_against_index(
+                 delta, base, threshold=0.9).collect()}
+    assert cross == {(101, 1)}               # the pinned blind spot
+    within = {(r.id_a, r.id_b)
+              for r in cosine_neardup_pairs(
+                  delta, threshold=0.9, bucket_bits=6, dim=8,
+                  tables=8).collect()}
+    assert (201, 202) in within
+    flagged = {d for d, _ in cross} | {b for _, b in within}
+    assert flagged == {101, 202}

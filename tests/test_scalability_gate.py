@@ -74,6 +74,13 @@ ALLOW: dict[str, tuple[set, str]] = {
         "the live semantic_dedup plan itself is asserted crossJoin-free "
         "in tests/test_dedup.py",
     ),
+    "semantic_dedup_incremental_recall": (
+        {"bnlj"},
+        "recall harness: exact delta×corpus spanning truth vs the "
+        "incremental embedding probe (see ann_lsh_recall); the live "
+        "probe plan is asserted keyed-only (no cartesian) in "
+        "tests/test_dedup.py",
+    ),
     "ann_pq_incremental_equiv": (
         {"bnlj"},
         "equivalence harness: crossJoins THREE 1-row aggregates "
