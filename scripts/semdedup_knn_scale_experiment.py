@@ -170,9 +170,63 @@ def knn_run(spark, left, corpus, idx) -> float:
         left, corpus, idx, **entrymod.KNN_JOIN_PARAMS))
 
 
+def semantic_incremental_run(spark, sf_dir: str,
+                             bucket_bits: int | None = None) -> dict:
+    """Probe-only timing of the incremental embedding index
+    (q_semantic_dedup_incremental's construction parametrized by dir):
+    index built OUTSIDE the timed loop (the bench ensure_* split),
+    the delta (seeded twins) sketched + verified per rep."""
+    import tempfile
+
+    from pyspark.sql import functions as SF
+
+    from smartbots_etl_facturas_spark.operators.dedup_index import (
+        build_embedding_index,
+        embedding_match_against_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        SF.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        .alias("embedding"),
+    )
+    corpus = emb.filter(SF.col("vec_id") % 5 == 0)
+    delta = emb.filter(SF.col("vec_id") % 10 == 0).select(
+        (SF.col("vec_id") + 1000000).alias("vec_id"),
+        SF.expr(
+            "concat(array(embedding[0] + CAST(0.5 AS DOUBLE)),"
+            " slice(embedding, 2, size(embedding) - 1))"
+        ).alias("embedding"),
+    )
+    base = tempfile.mkdtemp(prefix="seminc32_idx_")
+    params = entrymod.SEMDEDUP_PARAMS
+    bits = bucket_bits or params["bucket_bits"]
+    build_embedding_index(corpus, base, bucket_bits=bits,
+                          tables=params["tables"])
+    sec = timed(lambda: embedding_match_against_index(
+        delta, base, threshold=params["threshold"]))
+    n = embedding_match_against_index(
+        delta, base, threshold=params["threshold"]).count()
+    return {"sec": sec, "matches": n, "bucket_bits": bits}
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/semknn32_r13"
     fresh = "--fresh" in sys.argv
+    if "--incremental" in sys.argv:
+        spark = get_spark("semdedup-incremental-scale32")
+        spark.sparkContext.setLogLevel("ERROR")
+        build_scaled_embeddings(spark, out_dir)
+        print(json.dumps({
+            "k": K,
+            "semantic_incremental_base":
+                semantic_incremental_run(spark, BASE_SF),
+            "semantic_incremental_x32_fixed_knob":
+                semantic_incremental_run(spark, out_dir),
+            "semantic_incremental_x32_scaled_knob":
+                semantic_incremental_run(spark, out_dir, bucket_bits=11),
+        }))
+        return
     if fresh and os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
