@@ -4067,7 +4067,9 @@ def q_semantic_dedup_incremental(spark, sf_dir):
     from the index's meta table), candidates come from the
     (table, bucket) equi-join against the stored postings, and the
     exact-cosine verify runs against the STORED vectors — per-batch
-    cost O(|delta| + candidates), never re-reading the corpus.
+    compute O(|delta| + candidates), never re-sketching the corpus
+    (the verify's stored-vector scan is column-pruned and keyed on
+    candidate ids).
     Cross-batch pairs only (the family contract, pinned in the
     operator docstring + tests/test_dedup.py). Rows-only (hyperplane
     sign decisions are not SQL-replayable); companions:

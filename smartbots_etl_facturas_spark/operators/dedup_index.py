@@ -169,7 +169,11 @@ def build_embedding_index(
     collides with the stored postings exactly; the meta table pins the
     geometry so probes can never mix plane families. Storing the
     corpus vectors beside the postings means probes never touch the
-    raw corpus table: per-batch cost is O(|delta| + candidates).
+    raw corpus table — and never RE-SKETCH it: per-batch compute is
+    O(|delta| + candidates), with the verify reading the stored
+    vectors through a column-pruned scan streamed against the
+    broadcast candidate set (the same shape as the minhash probe's
+    candidate-text semi-join).
     """
     spark = corpus.sparkSession
     from .dedup import hyperplane_keyed
@@ -208,7 +212,9 @@ def embedding_match_against_index(
     sketched (with the geometry pinned in the index's meta table);
     candidates come from the (table, bucket) equi-join against the
     stored postings, and the exact-cosine verify runs against the
-    STORED vectors — the probe never reads the raw corpus. Exactness
+    STORED vectors — the probe never reads the raw corpus table and
+    never re-sketches anything but the delta (the verify's stored-
+    vector scan is column-pruned and keyed on candidate ids). Exactness
     contract: no false positives (every emitted pair is exact-cosine
     verified); recall is the hyperplane collision probability
     1-(1-(1-theta/pi)^bits)^tables, floor-checked by the registered
