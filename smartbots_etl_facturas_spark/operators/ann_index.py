@@ -47,7 +47,7 @@ from ..sinks.staged import current_version, publish, read_published
 #: the manifest publish leaves an unreferenced directory no reader
 #: ever sees — the staged-sink forensics discipline).
 _MANIFEST = "codes_manifest"
-from .pq import _pq_lut, pq_codebooks, pq_encode
+from .pq import _pq_lut, adc_sum_expr, pq_codebooks, pq_encode
 from .similarity import (
     _dot,
     kmeans_centroids,
@@ -340,22 +340,11 @@ def knn_join_ivfpq(
     ).select("query_id", "cell")
     l_lut = _pq_lut(left, books, vec_col, id_col)
 
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda code, s: F.element_at(
-                F.col("lut"), (s * k_sub + code + 1).cast("int")
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     scored = (
         l_cells.join(codes_df, on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .join(l_lut, "query_id")          # keyed, NOT broadcast
-        .withColumn("approx_ip", adc)
+        .withColumn("approx_ip", adc_sum_expr(m, k_sub))
     )
     w_r = Window.partitionBy("query_id").orderBy(
         F.desc("approx_ip"), F.col("neighbor_id")
@@ -429,22 +418,11 @@ def cosine_topk_ivfpq_probe(
     ).select("query_id", "cell")
     q_lut = _pq_lut(queries, books, vec_col, id_col)
 
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda code, s: F.element_at(
-                F.col("lut"), (s * k_sub + code + 1).cast("int")
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     scored = (
         q_probe.join(codes_df, on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .join(F.broadcast(q_lut), "query_id")
-        .withColumn("approx_ip", adc)
+        .withColumn("approx_ip", adc_sum_expr(m, k_sub))
     )
     w_r = Window.partitionBy("query_id").orderBy(
         F.desc("approx_ip"), F.col("neighbor_id")

@@ -27,6 +27,27 @@ from .similarity import (
 
 # --- PQ: product quantization (compressed-domain scoring) -------------------
 
+def adc_sum_expr(m: int, k_sub: int, codes_col: str = "codes",
+                 lut_col: str = "lut"):
+    """The ADC score Σ_s lut[s·k_sub + codes[s]] as an UNROLLED
+    codegen'd sum over the ``m`` subspaces (1-based ``element_at``).
+
+    Bit-identical to the higher-order-function form it replaces
+    (``aggregate(zip_with(codes, sequence(0, m-1), …), 0.0, acc+v)``):
+    the terms are added left-to-right starting from 0.0, the same IEEE
+    fold order. The HOF form is CodegenFallback — interpreted per
+    element with boxing on every candidate row — which dominated the
+    compressed-domain scoring stage at candidate scale (optimization
+    guide §4.1); the unrolled form whole-stage-codegens."""
+    out = F.lit(0.0)
+    for s in range(m):
+        out = out + F.element_at(
+            F.col(lut_col),
+            (F.lit(s * k_sub) + F.element_at(F.col(codes_col), s + 1)
+             + F.lit(1)).cast("int"),
+        )
+    return out
+
 def pq_codebooks(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -268,21 +289,10 @@ def cosine_topk_ivfpq(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda code, s: F.element_at(
-                F.col("lut"), (s * k_sub + code + 1).cast("int")
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     scored = (
         cand.join(F.broadcast(q_lut), "query_id")
         .join(c_codes, "neighbor_id")
-        .withColumn("approx_ip", adc)
+        .withColumn("approx_ip", adc_sum_expr(m, k_sub))
     )
     w_r = Window.partitionBy("query_id").orderBy(
         F.desc("approx_ip"), F.col("neighbor_id")
