@@ -2,13 +2,16 @@
 
 EWMA is the canonical operator that CANNOT be a window expression —
 each output depends on the previous output (s_t = s_{t-1} +
-(x_t - s_{t-1})/k), so it runs as ``applyInPandas`` with one ordered
-pass per key: the Spark-sanctioned shape for per-entity sequential
-state (same family as streaming/sessions.py's stateful kernel).
+(x_t - s_{t-1})/k), so it runs as ONE Arrow-batched partition pass
+(``repartition(key) + sortWithinPartitions(key, ts, tie)`` +
+``mapInPandas`` with key-boundary resets): the per-entity sequential
+state family (streaming/sessions.py's stateful kernel), but with
+~|partitions| Python invocations instead of the ~|keys| a
+``groupBy().applyInPandas`` costs when entities are many and small.
 
-Scale design: one hash shuffle on the key, then embarrassingly
-parallel per-group passes; group size is bounded by per-entity
-history, never by corpus size. No driver participation.
+Scale design: one hash shuffle on the key, a partition-local sort,
+then embarrassingly parallel partition passes; state is O(1) per
+task. No driver participation.
 
 Cross-engine determinism: values are scaled to exact integer units
 and the recurrence uses TRUNCATING integer division (toward zero) on
@@ -48,26 +51,54 @@ def ewma_smooth(
         + [T.StructField("ewma_units", T.LongType(), False)]
     )
 
-    def _group(pdf):
+    # Partition-wise kernel instead of groupBy().applyInPandas: with
+    # many small per-entity histories the per-group pandas overhead
+    # (one Python call + frame assembly per key) dominates the O(rows)
+    # recurrence. One hash repartition on the key co-locates each
+    # key's rows; a partition-local sort establishes the same (ts,
+    # tie) total order per key; ONE Arrow-batched pass then walks the
+    # recurrence, resetting at key boundaries and carrying (key, acc)
+    # across Arrow batch splits within the task. Identical rows out —
+    # same shuffle count as the groupBy form, ~|partitions| Python
+    # calls instead of ~|keys| (optimization guide §4.5).
+    src = (
+        df.select(key_col, ts_col, tie_col, units_col)
+        .repartition(key_col)
+        .sortWithinPartitions(key_col, ts_col, tie_col)
+    )
+
+    def _partitions(batches):
         import numpy as np
 
-        pdf = pdf.sort_values([ts_col, tie_col]).reset_index(drop=True)
-        x = pdf[units_col].to_numpy(dtype=np.int64)
-        s = np.empty_like(x)
-        acc = int(x[0])
-        s[0] = acc
-        for i in range(1, len(x)):
-            d = int(x[i]) - acc
-            q = abs(d) // alpha_denom          # truncation toward zero
-            acc = acc + (q if d >= 0 else -q)
-            s[i] = acc
-        return pdf[[key_col, ts_col, tie_col, units_col]].assign(ewma_units=s)
+        sentinel = object()
+        last_key, acc = sentinel, 0
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            keys = pdf[key_col].to_numpy()
+            x = pdf[units_col].to_numpy(dtype=np.int64)
+            s = np.empty_like(x)
+            lk, a = last_key, acc
+            for i in range(n):
+                k = keys[i]
+                # NaN-safe key equality: a null key hashes to one
+                # partition and sorts first, but NaN != NaN would
+                # split it into per-row groups
+                same = (k == lk) or (k != k and lk != lk)
+                xi = int(x[i])
+                if not same:
+                    a = xi
+                    lk = k
+                else:
+                    d = xi - a
+                    q = abs(d) // alpha_denom  # truncation toward zero
+                    a = a + (q if d >= 0 else -q)
+                s[i] = a
+            last_key, acc = lk, a
+            yield pdf.assign(ewma_units=s)
 
-    return (
-        df.select(key_col, ts_col, tie_col, units_col)
-        .groupBy(key_col)
-        .applyInPandas(_group, out_schema)
-    )
+    return src.mapInPandas(_partitions, out_schema)
 
 
 def holt_linear(
@@ -95,10 +126,10 @@ def holt_linear(
     recursive CTE. The one-step forecast for t+1 is level + trend,
     shipped per row as ``forecast_units``.
 
-    Plan: ONE user-keyed applyInPandas (the sessionization bound) —
-    the recurrence is inherently sequential per key, and keys are
-    independent, which is exactly the parallelism a keyed shuffle
-    gives. O(rows) work, state O(1) per key.
+    Plan: ONE user-keyed shuffle + partition-local sort + Arrow-batched
+    partition pass — the recurrence is inherently sequential per key,
+    and keys are independent, which is exactly the parallelism a keyed
+    shuffle gives. O(rows) work, state O(1) per task.
     """
     if alpha_denom < 2 or beta_denom < 2:
         raise ValueError("alpha_denom and beta_denom must be >= 2")
@@ -115,30 +146,47 @@ def holt_linear(
         q = abs(n) // d
         return q if n >= 0 else -q
 
-    def _group(pdf):
+    # Partition-wise kernel with key-boundary resets — same rewrite
+    # (and rationale) as :func:`ewma_smooth` above.
+    src = (
+        df.select(key_col, ts_col, tie_col, units_col)
+        .repartition(key_col)
+        .sortWithinPartitions(key_col, ts_col, tie_col)
+    )
+
+    def _partitions(batches):
         import numpy as np
 
-        pdf = pdf.sort_values([ts_col, tie_col]).reset_index(drop=True)
-        x = pdf[units_col].to_numpy(dtype=np.int64)
-        lvl = np.empty_like(x)
-        trd = np.empty_like(x)
-        level, trend = int(x[0]), 0
-        lvl[0], trd[0] = level, trend
-        for i in range(1, len(x)):
-            pred = level + trend
-            new_level = pred + _trunc_div(int(x[i]) - pred, alpha_denom)
-            trend = trend + _trunc_div(new_level - pred, beta_denom)
-            level = new_level
-            lvl[i], trd[i] = level, trend
-        return pdf[[key_col, ts_col, tie_col, units_col]].assign(
-            level_units=lvl, trend_units=trd, forecast_units=lvl + trd
-        )
+        sentinel = object()
+        last_key, level, trend = sentinel, 0, 0
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            keys = pdf[key_col].to_numpy()
+            x = pdf[units_col].to_numpy(dtype=np.int64)
+            lvl = np.empty_like(x)
+            trd = np.empty_like(x)
+            lk, lv, tr = last_key, level, trend
+            for i in range(n):
+                k = keys[i]
+                same = (k == lk) or (k != k and lk != lk)
+                xi = int(x[i])
+                if not same:
+                    lv, tr = xi, 0
+                    lk = k
+                else:
+                    pred = lv + tr
+                    new_level = pred + _trunc_div(xi - pred, alpha_denom)
+                    tr = tr + _trunc_div(new_level - pred, beta_denom)
+                    lv = new_level
+                lvl[i], trd[i] = lv, tr
+            last_key, level, trend = lk, lv, tr
+            yield pdf.assign(
+                level_units=lvl, trend_units=trd, forecast_units=lvl + trd
+            )
 
-    return (
-        df.select(key_col, ts_col, tie_col, units_col)
-        .groupBy(key_col)
-        .applyInPandas(_group, out_schema)
-    )
+    return src.mapInPandas(_partitions, out_schema)
 
 
 def cusum(
