@@ -224,7 +224,11 @@ def _edit_idx_level0(mains: DataFrame, d: int) -> DataFrame:
     segment substring) — a 64-bit collision can only ADD candidates
     (the exact verify removes them), never lose a pair. ``res`` is
     the string with the segment cut out (the recursion residual),
-    ``rl`` its length."""
+    ``rl`` its length. Postings carry only (id, k, res, rl): the
+    source string itself never rides a posting or candidate shuffle
+    (round-13, guide 2.3 "shuffle keys and metadata instead of
+    payloads" - strings re-attach by one keyed join after the
+    id-level dedup in edit_distance_join)."""
     entries = []
     for i, (m, r) in enumerate(_pieces("__L", d)):
         entries.append(
@@ -235,9 +239,8 @@ def _edit_idx_level0(mains: DataFrame, d: int) -> DataFrame:
         )
     return mains.select(
         F.col("__id").alias("a_id"),
-        F.col("__s").alias("a_s"),
         F.explode(F.expr("array(" + ", ".join(entries) + ")")).alias("e"),
-    ).select("a_id", "a_s", "e.k", "e.res", "e.rl")
+    ).select("a_id", "e.k", "e.res", "e.rl")
 
 
 def _edit_probe_level0(mains: DataFrame, d: int) -> DataFrame:
@@ -275,14 +278,13 @@ def _edit_probe_level0(mains: DataFrame, d: int) -> DataFrame:
                 )
     return mains.select(
         F.col("__id").alias("b_id"),
-        F.col("__s").alias("b_s"),
         F.explode(
             F.expr(
                 "filter(array(" + ", ".join(entries) + "), "
                 "x -> x IS NOT NULL)"
             )
         ).alias("e"),
-    ).select("b_id", "b_s", "e.k", "e.res", "e.rl")
+    ).select("b_id", "e.k", "e.res", "e.rl")
 
 
 def _edit_refine_idx(idx: DataFrame, d: int) -> DataFrame:
@@ -298,9 +300,9 @@ def _edit_refine_idx(idx: DataFrame, d: int) -> DataFrame:
             f"'rl', CAST(rl - {m} AS INT))"
         )
     return idx.select(
-        "a_id", "a_s",
+        "a_id",
         F.explode(F.expr("array(" + ", ".join(entries) + ")")).alias("e"),
-    ).select("a_id", "a_s", "e.k", "e.res", "e.rl")
+    ).select("a_id", "e.k", "e.res", "e.rl")
 
 
 def _edit_refine_probe(probe: DataFrame, d: int) -> DataFrame:
@@ -326,14 +328,14 @@ def _edit_refine_probe(probe: DataFrame, d: int) -> DataFrame:
                 f"'rl', CAST(rl - {m} AS INT)), NULL)"
             )
     return probe.select(
-        "b_id", "b_s",
+        "b_id",
         F.explode(
             F.expr(
                 "filter(array(" + ", ".join(entries) + "), "
                 "x -> x IS NOT NULL)"
             )
         ).alias("e"),
-    ).select("b_id", "b_s", "e.k", "e.res", "e.rl")
+    ).select("b_id", "e.k", "e.res", "e.rl")
 
 
 def _edit_candidates(
@@ -344,10 +346,12 @@ def _edit_candidates(
     salt_buckets: int,
     checkpoint: str = "local",
 ) -> DataFrame:
-    """Candidate pairs ``(a_id, b_id, a_s, b_s)`` (a_id < b_id,
-    superset of all true pairs, may repeat) — the skew-aware candidate
-    stage, exposed for the pruning experiment
-    (scripts/edit_skew_experiment.py). See edit_distance_join."""
+    """Candidate pairs ``(a_id, b_id)`` (a_id < b_id, superset of all
+    true pairs, may repeat) — the skew-aware candidate stage, exposed
+    for the pruning experiment (scripts/edit_skew_experiment.py).
+    Ids only: the strings re-attach downstream after the id-level
+    dedup (guide 2.3), so no candidate shuffle carries payload.
+    See edit_distance_join."""
     n = d + 1
     mains = base.filter(F.col("__L") >= n)
     cands: list[DataFrame] = []
@@ -406,11 +410,9 @@ def _edit_candidates(
         # probe doubles as the loop-termination signal.
         both_hot = (
             idx_k.withColumnRenamed("a_id", "__pid")
-            .withColumnRenamed("a_s", "__ps")
             .withColumn("__idx", F.lit(True))
             .unionByName(
                 probe_k.withColumnRenamed("b_id", "__pid")
-                .withColumnRenamed("b_s", "__ps")
                 .withColumn("__idx", F.lit(False))
             )
             .join(hot, "k", "left_semi")
@@ -425,18 +427,16 @@ def _edit_candidates(
             cands.append(
                 _by_k(idx_k).join(_by_k(probe_k), "k")
                 .filter(F.col("a_id") < F.col("b_id"))
-                .select("a_id", "b_id", "a_s", "b_s")
+                .select("a_id", "b_id")
             )
             break
         idx_hot = (
             both_hot.filter("__idx")
-            .select(F.col("__pid").alias("a_id"),
-                    F.col("__ps").alias("a_s"), "k", "res", "rl")
+            .select(F.col("__pid").alias("a_id"), "k", "res", "rl")
         )
         probe_hot = (
             both_hot.filter("NOT __idx")
-            .select(F.col("__pid").alias("b_id"),
-                    F.col("__ps").alias("b_s"), "k", "res", "rl")
+            .select(F.col("__pid").alias("b_id"), "k", "res", "rl")
         )
         # cold join: probe rows with hot keys simply find no partner
         # here (those keys are absent from idx_cold), so only the
@@ -446,7 +446,7 @@ def _edit_candidates(
             _by_k(idx_k.join(idx_hot.select("k"), "k", "left_anti"))
             .join(_by_k(probe_k), "k")
             .filter(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id", "a_s", "b_s")
+            .select("a_id", "b_id")
         )
         if level == refine_levels:
             # out of refinement budget: whatever is still hot goes to
@@ -489,7 +489,7 @@ def _edit_candidates(
                 ["k", "__salt"],
             )
             .filter(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id", "a_s", "b_s"),
+            .select("a_id", "b_id"),
         )
 
     out = cands[0]
@@ -614,26 +614,21 @@ def edit_distance_join(
     short_raw = (
         shorts.select(
             F.col("__id").alias("a_id"),
-            F.col("__s").alias("a_s"),
             F.col("__s").alias("__u"),
         )
         .join(vpairs, "__u")
         .join(
             partners.select(
                 F.col("__id").alias("b_id"),
-                F.col("__s").alias("b_s"),
                 F.col("__s").alias("__v"),
             ),
             "__v",
         )
         .filter(F.col("a_id") != F.col("b_id"))
     )
-    flip = F.col("a_id") > F.col("b_id")
     short_cand = short_raw.select(
-        F.when(flip, F.col("b_id")).otherwise(F.col("a_id")).alias("a_id"),
-        F.when(flip, F.col("a_id")).otherwise(F.col("b_id")).alias("b_id"),
-        F.when(flip, F.col("b_s")).otherwise(F.col("a_s")).alias("a_s"),
-        F.when(flip, F.col("a_s")).otherwise(F.col("b_s")).alias("b_s"),
+        F.least(F.col("a_id"), F.col("b_id")).alias("a_id"),
+        F.greatest(F.col("a_id"), F.col("b_id")).alias("b_id"),
     )
 
     # dedup BEFORE the exact verify: a true pair reaches the union via
@@ -642,13 +637,31 @@ def edit_distance_join(
     # row costs ~1-2 µs while a thresholded levenshtein costs ~10-15,
     # so one dropDuplicates shuffle on the candidate ids and a single
     # verify per unique pair strictly beats verify-per-route (and
-    # makes a post-verify distinct unnecessary). levenshtein's
-    # threshold form early-exits at distance > d (an O(d*len) band
-    # instead of the O(len^2) full DP; returns -1 past the threshold,
-    # the exact distance within it).
+    # makes a post-verify distinct unnecessary). The dedup exchange
+    # carries ONLY (a_id, b_id) — candidates never ship the strings
+    # (round-13, guide 2.3/8: every shuffle but the last moves a
+    # lightweight proxy); the two keyed joins below re-attach each
+    # side's string once per UNIQUE pair, then the thresholded
+    # levenshtein verifies. levenshtein's threshold form early-exits
+    # at distance > d (an O(d*len) band instead of the O(len^2) full
+    # DP; returns -1 past the threshold, the exact distance within
+    # it).
+    names = base.select("__id", "__s")
     return (
         cand.unionByName(short_cand)
         .dropDuplicates(["a_id", "b_id"])
+        .join(
+            names.select(
+                F.col("__id").alias("a_id"), F.col("__s").alias("a_s")
+            ),
+            "a_id",
+        )
+        .join(
+            names.select(
+                F.col("__id").alias("b_id"), F.col("__s").alias("b_s")
+            ),
+            "b_id",
+        )
         .select(
             "a_id", "b_id",
             F.col("a_s").alias("a_val"),
