@@ -84,10 +84,22 @@ def build_ivfpq_index(
     """
     spark = corpus.sparkSession
     trainer = corpus if train_on is None else train_on
-    coarse = kmeans_centroids(trainer, vec_col, id_col, k=n_cells,
-                              iters=train_iters)
-    books = pq_codebooks(trainer, vec_col, id_col, m=m, k_sub=k_sub,
-                         iters=train_iters)
+    # independent training chains overlapped on two driver threads
+    # (guide §2.6) — same policy as cosine_topk_ivfpq; deterministic
+    # trainings, bit-identical to the sequential form
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_coarse = pool.submit(
+            kmeans_centroids, trainer, vec_col, id_col,
+            k=n_cells, iters=train_iters,
+        )
+        f_books = pool.submit(
+            pq_codebooks, trainer, vec_col, id_col,
+            m=m, k_sub=k_sub, iters=train_iters,
+        )
+        coarse = f_coarse.result()
+        books = f_books.result()
 
     cent_df = spark.createDataFrame(
         [(j, [float(x) for x in c]) for j, c in enumerate(coarse)],

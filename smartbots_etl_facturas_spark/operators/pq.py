@@ -255,10 +255,26 @@ def cosine_topk_ivfpq(
     both trainings round their means (bit-identical codebooks), ADC
     sums fold in fixed subspace order, ties break on neighbor id.
     """
-    coarse = kmeans_centroids(corpus, vec_col, id_col, k=n_cells,
-                              iters=train_iters)
-    books = pq_codebooks(corpus, vec_col, id_col, m=m, k_sub=k_sub,
-                         iters=train_iters)
+    # The coarse-quantizer and PQ-codebook trainings are INDEPENDENT
+    # serial chains of small driver-coordinated jobs (seed top-k +
+    # one assignment/mean job per iteration each). Run them on two
+    # driver threads so the chains' jobs overlap on the cluster
+    # (optimization guide §2.6 "overlap independent jobs"); each
+    # training is self-contained and deterministic, so the result is
+    # bit-identical to the sequential form.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_coarse = pool.submit(
+            kmeans_centroids, corpus, vec_col, id_col,
+            k=n_cells, iters=train_iters,
+        )
+        f_books = pool.submit(
+            pq_codebooks, corpus, vec_col, id_col,
+            m=m, k_sub=k_sub, iters=train_iters,
+        )
+        coarse = f_coarse.result()
+        books = f_books.result()
 
     cn = with_norm(corpus, vec_col)
     c_cells = with_cells_matmul(
