@@ -5551,8 +5551,19 @@ def q_corpus_curation_pipeline(spark, sf_dir):
     # documents at 100 TB.
     from smartbots_etl_facturas_spark.functions.text import shingles_from_tokens
 
-    docs = _read(spark, sf_dir, "documents").select(
-        "doc_id", "text", tokens(F.col("text")).alias("w")
+    # the documents table ships as ONE parquet row group (unsplittable
+    # scan) and every derived exchange here is MB-scale, so AQE's
+    # byte-based coalescing funnels the tokenize/explode/digest work
+    # — the expensive part, CPU per byte — onto one core (the "AQE
+    # width collapse" pattern, tests/test_skew.py). An explicit width
+    # repartition right after the read parallelizes every map stage;
+    # exempt from AQE coalescing by design, keyed by doc_id so it is
+    # deterministic.
+    width = spark.sparkContext.defaultParallelism
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .repartition(width, "doc_id")
+        .select("doc_id", "text", tokens(F.col("text")).alias("w"))
     )
     tok = docs.select(
         "doc_id", F.explode("w").alias("t"),
@@ -5607,7 +5618,20 @@ def q_corpus_curation_pipeline(spark, sf_dir):
         duplicate_span_runs,
     )
 
-    kept_docs = stage3.select("doc_id", "text")
+    # kept_docs feeds BOTH the cut-list detection and the redaction
+    # join; un-materialized, the whole upstream (scan -> two
+    # explode+agg gate subtrees -> window dedup, ~1.4 s at sf0.1) is
+    # planned and executed TWICE (verified in the round-13 plan:
+    # duplicated Window/HashAggregate subtrees). One eager local
+    # checkpoint computes it once (the operators/graph.py lineage
+    # policy), re-widened first: the digest-window exchange above is
+    # KB-scale so AQE coalesces it to one partition, and a 1-partition
+    # checkpoint would serialize the whole span-digest stage below.
+    kept_docs = (
+        stage3.select("doc_id", "text")
+        .repartition(width, "doc_id")
+        .localCheckpoint(eager=True)
+    )
     runs = duplicate_span_runs(kept_docs, window=8, min_occurrences=2)
     red = apply_span_cuts(kept_docs, runs)
     return (
