@@ -367,65 +367,77 @@ def _edit_candidates(
 
     def _by_k(f: DataFrame, *extra: str) -> DataFrame:
         return f.repartition(sp, "k", *extra)
+
+    def _ck(f: DataFrame) -> DataFrame:
+        return (
+            f.checkpoint(eager=True)
+            if checkpoint == "reliable"
+            else f.localCheckpoint()
+        )
     salted_idx: list[DataFrame] = []
     salted_probe: list[DataFrame] = []
 
-    # ADAPTIVE skew loop. Each iteration runs ONE small action — the
-    # count of over-threshold posting keys (the count frame itself is
-    # map-side-combinable and reduced to <= #postings/threshold keys).
-    # A skew-free corpus exits after that single probe with a plan
-    # identical in shape to plain PassJoin. When skew exists, the hot
-    # posting frames are localCheckpoint'ed per level: lineage stays
-    # flat (each level re-references its inputs several times — an
-    # un-truncated recursion would grow the logical plan
-    # exponentially) and each level's postings are computed once.
-    # Checkpointed frames hold ONLY still-hot postings, which shrink
-    # per level as the key hash accumulates entropy.
+    # ADAPTIVE skew loop. Each iteration materializes ONE snapshot of
+    # the level's postings (both sides, tagged) and runs one bounded
+    # probe. The posting EXPLODE — the level's CPU-heavy subtree,
+    # (2d+1)^2 (d+1) xxhash64+substr entries per probe row — is
+    # referenced by the hot-key counts, the hot/cold split, AND the
+    # candidate joins the caller forces again later; without the
+    # snapshot it re-executes once per reference (measured 3-4x at
+    # sf0.1, ~5 s of the round-13 9.6 s wall). The snapshot also
+    # truncates lineage so the per-level recursion cannot grow the
+    # logical plan exponentially. Level 0's snapshot is linear in the
+    # input (the same volume the candidate equi-join must shuffle
+    # anyway); refined levels hold only still-hot postings, which
+    # shrink as the key hash accumulates entropy.
     idx_k = _edit_idx_level0(mains, d)
     probe_k = _edit_probe_level0(mains, d)
     for level in range(refine_levels + 1):
-        # hot = the JOIN PRODUCT per key (idx postings x probe
-        # postings — the actual per-task candidate work a single hash
-        # partition would absorb), not the index count alone: a
-        # 1000 x 1000 shared-prefix group is one cheap task and takes
-        # the direct join, while a data-scale group's product
-        # explodes past any threshold and recurses. Both counts are
-        # map-side-combinable aggregations reduced to key-scale.
-        pc = probe_k.groupBy("k").agg(F.count(F.lit(1)).alias("__p"))
-        hot = (
-            idx_k.groupBy("k")
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .join(pc, "k")
-            .filter(
-                F.col("__c").cast("double") * F.col("__p").cast("double")
-                > F.lit(float(hot_product))
-            )
-            .select("k")
-        )
-        # ONE eager checkpoint per level holds both sides' hot
-        # postings (tagged) — lineage is truncated (the plan becomes
-        # an RDD scan, so the per-level multi-reference recursion
-        # cannot grow the logical plan exponentially), each level's
-        # hot postings are computed exactly once, and the empty-result
-        # probe doubles as the loop-termination signal.
-        both_hot = (
+        u_k = _ck(
             idx_k.withColumnRenamed("a_id", "__pid")
             .withColumn("__idx", F.lit(True))
             .unionByName(
                 probe_k.withColumnRenamed("b_id", "__pid")
                 .withColumn("__idx", F.lit(False))
             )
-            .join(hot, "k", "left_semi")
         )
-        both_hot = (
-            both_hot.checkpoint(eager=True)
-            if checkpoint == "reliable"
-            else both_hot.localCheckpoint()
+        idx_u = u_k.filter("__idx").select(
+            F.col("__pid").alias("a_id"), "k", "res", "rl"
         )
+        probe_u = u_k.filter("NOT __idx").select(
+            F.col("__pid").alias("b_id"), "k", "res", "rl"
+        )
+        # hot = the JOIN PRODUCT per key (idx postings x probe
+        # postings — the actual per-task candidate work a single hash
+        # partition would absorb), not the index count alone: a
+        # 1000 x 1000 shared-prefix group is one cheap task and takes
+        # the direct join, while a data-scale group's product
+        # explodes past any threshold and recurses. ONE map-side-
+        # combinable aggregation over the tagged snapshot yields both
+        # sides' counts (previously two groupBys + an inner join —
+        # three exchanges per level collapsed to one; the inner join's
+        # both-sides-present requirement is preserved because a zero
+        # count zeroes the product).
+        hot = (
+            u_k.groupBy("k")
+            .agg(
+                F.sum(F.col("__idx").cast("long")).alias("__c"),
+                F.sum((~F.col("__idx")).cast("long")).alias("__p"),
+            )
+            .filter(
+                F.col("__c").cast("double") * F.col("__p").cast("double")
+                > F.lit(float(hot_product))
+            )
+            .select("k")
+        )
+        # second (small) snapshot: only the still-hot postings — the
+        # refinement recursion and salted fallback re-reference these,
+        # and the empty-result probe doubles as loop termination.
+        both_hot = _ck(u_k.join(hot, "k", "left_semi"))
         if not both_hot.take(1):
             # nothing hot: join everything here, recursion over.
             cands.append(
-                _by_k(idx_k).join(_by_k(probe_k), "k")
+                _by_k(idx_u).join(_by_k(probe_u), "k")
                 .filter(F.col("a_id") < F.col("b_id"))
                 .select("a_id", "b_id")
             )
@@ -443,8 +455,8 @@ def _edit_candidates(
         # index side needs the anti-join (against the checkpointed
         # hot keys, not a recomputed aggregation).
         cands.append(
-            _by_k(idx_k.join(idx_hot.select("k"), "k", "left_anti"))
-            .join(_by_k(probe_k), "k")
+            _by_k(idx_u.join(idx_hot.select("k"), "k", "left_anti"))
+            .join(_by_k(probe_u), "k")
             .filter(F.col("a_id") < F.col("b_id"))
             .select("a_id", "b_id")
         )
@@ -574,9 +586,10 @@ def edit_distance_join(
     For long-running production jobs pass ``checkpoint="reliable"``
     to persist level snapshots to the fault-tolerant checkpoint
     directory instead (requires
-    ``spark.sparkContext.setCheckpointDir(...)``; costs one
-    HDFS/object-store write per refinement level, which only
-    still-hot postings reach).
+    ``spark.sparkContext.setCheckpointDir(...)``; costs two
+    HDFS/object-store writes per refinement level — the level's
+    posting snapshot, linear in that level's input, and the
+    still-hot subset).
     """
     if checkpoint not in ("local", "reliable"):
         raise ValueError("checkpoint must be 'local' or 'reliable'")
