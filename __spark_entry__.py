@@ -4183,12 +4183,21 @@ FROM t
 def q_cube_sales(spark, sf_dir):
     """CUBE over (returnflag, linestatus) — all 4 grouping-set
     combinations in one pass (engine surface the reference lacks;
-    SURVEY §2.4 note)."""
-    li = _read(spark, sf_dir, "lineitem")
+    SURVEY §2.4 note). The double→decimal casts are projected BEFORE
+    the cube (round-13): Expand copies each row once per grouping set,
+    and a cast inside the aggregate re-executes per copy — projecting
+    first evaluates it once per source row and the Expand duplicates
+    the already-cast value (same partial_sum inputs, identical
+    results)."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus",
+        F.col("l_extendedprice").cast(DEC).alias("__price_dec"),
+        F.col("l_quantity").cast("decimal(12,2)").alias("__qty_dec"),
+    )
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.grouping_id().cast("long").alias("gid"),
-        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
-        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        F.sum("__price_dec").cast("double").alias("sum_base_price"),
+        F.sum("__qty_dec").cast("double").alias("sum_qty"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -4275,11 +4284,24 @@ WHERE r.rk <= 5
 def q_approx_distinct(spark, sf_dir):
     """HyperLogLog++ approximate distinct count, asserted within 5% of
     exact (the oracle pins the exact count and the bound, so the sketch
-    quality itself is hash-checked)."""
+    quality itself is hash-checked).
+
+    Shape (round-13 optimization): both aggregates run over the
+    DEDUPED key set, not the raw table. Mixing count_distinct with
+    approx_count_distinct in ONE agg makes Spark plan the non-distinct
+    aggregate's partial state KEYED BY the distinct column — at
+    rsd=0.01 the HLL++ buffer is 1,639 longs (~13 KB) carried PER
+    l_partkey GROUP through the exchange (~260 MB of sketch state for
+    a 1-row result; measured 3.5 s at sf0.1, guide §2.3). Deduping
+    first keeps one HLL per task: count(non-null) over distinct keys
+    IS count_distinct, and the HLL estimate is bit-identical because
+    registers are maxima over hash values — duplicates cannot change
+    them."""
     li = _read(spark, sf_dir, "lineitem")
-    exact = F.count_distinct(F.col("l_partkey"))
+    keys = li.select("l_partkey").distinct()
+    exact = F.count(F.col("l_partkey"))
     approx = F.approx_count_distinct("l_partkey", rsd=0.01)
-    return li.agg(
+    return keys.agg(
         exact.alias("exact_distinct"),
         ((F.abs(approx - exact).cast("double") / exact.cast("double")) <= 0.05)
         .alias("within_5pct"),
