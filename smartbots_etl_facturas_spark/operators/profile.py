@@ -54,32 +54,59 @@ def column_profile(
 
     ``approx=True`` swaps exact ``count_distinct`` for Spark's native
     HLL++ (``approx_count_distinct``, relative standard deviation
-    ``rsd``) — the 100 TB tier. Exact distinct counting expands the
-    single aggregation into one distinct-shuffle PER PROFILED COLUMN
-    (|cols| scans-worth of shuffle rows through one stage); the
-    sketch is fixed-size per column, fully map-side mergeable, and
-    keeps the plan at one genuine pass. Same contract as the repo's
-    own HLL operator family (operators/sketches.py) — the built-in is
-    used here because it composes into the one-shot ``agg()`` without
-    a per-column register explode. Relative-error contract pinned in
-    tests/test_profile_drift.py.
+    ``rsd``) — the 100 TB tier: the sketch is fixed-size per column,
+    fully map-side mergeable, and keeps the plan at one genuine pass.
+    Same contract as the repo's own HLL operator family
+    (operators/sketches.py) — the built-in is used here because it
+    composes into the one-shot ``agg()`` without a per-column register
+    explode. Relative-error contract pinned in
+    tests/test_profile_drift.py. The EXACT tier runs each column's
+    distinct count as its own concurrent single-distinct job instead
+    of letting Spark Expand-multiply one agg (see inline comment).
     """
     aggs = []
     for c in cols:
-        nd = (
-            F.approx_count_distinct(F.col(c), rsd)
-            if approx
-            else F.count_distinct(F.col(c))
-        )
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
-            nd.alias(f"__nd_{c}"),
             F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
             F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
         ]
-    row = df.agg(*aggs).collect()[0]  # bounded: ONE row, 4*|cols| cells
+        if approx:
+            aggs.append(F.approx_count_distinct(F.col(c), rsd).alias(f"__nd_{c}"))
+    if approx:
+        # sketches compose into the one-shot agg: fixed-size HLL state
+        # per column per task, one genuine pass.
+        row = df.agg(*aggs).collect()[0]  # bounded: ONE row, 4*|cols| cells
+        nd = {c: row[f"__nd_{c}"] for c in cols}
+    else:
+        # EXACT tier (round-13 optimization): |cols| count_distinct in
+        # one agg() plans as an Expand — every input row copied once
+        # per profiled column with the partial aggregate keyed on ALL
+        # distinct columns at once (measured 3.1 s for a 5-column
+        # orders profile at sf0.1). Instead each column's exact
+        # distinct count runs as its OWN single-distinct aggregation
+        # (no Expand: partial dedup -> exchange of deduped values ->
+        # count), submitted concurrently from a small driver thread
+        # pool so the per-job latency overlaps (optimization guide
+        # §2.6); the null/min/max pass stays one scan. On columnar
+        # storage the per-column scans read the same total bytes as
+        # the one wide scan the Expand plan did, and each dedup
+        # shuffle carries one column's near-distinct values — the
+        # same volume the Expand plan shuffled, without the |cols|x
+        # row multiplication through the partial aggregate. Results
+        # identical: same aggregates, computed per column.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _nd(c: str) -> int:
+            return df.agg(F.count_distinct(F.col(c))).collect()[0][0]
+
+        with ThreadPoolExecutor(max_workers=min(4, len(cols) + 1)) as pool:
+            base_fut = pool.submit(lambda: df.agg(*aggs).collect()[0])
+            nd_futs = {c: pool.submit(_nd, c) for c in cols}
+            row = base_fut.result()
+            nd = {c: f.result() for c, f in nd_futs.items()}
     tidy = [
-        (c, row[f"__nn_{c}"], row[f"__nd_{c}"], row[f"__mn_{c}"], row[f"__mx_{c}"])
+        (c, row[f"__nn_{c}"], nd[c], row[f"__mn_{c}"], row[f"__mx_{c}"])
         for c in cols
     ]
     return df.sparkSession.createDataFrame(

@@ -130,6 +130,24 @@ def test_column_profile_stats(spark):
     assert (out["s"].min_str, out["s"].max_str) == ("a", "c")
 
 
+def test_column_profile_exact_more_columns_than_pool_workers(spark):
+    """Round-13: the exact tier submits one single-distinct job per
+    column from a bounded driver thread pool (max 4 workers) — with 6
+    columns the pool must queue and still return every column's exact
+    stats (ordering and values independent of scheduling)."""
+    df = spark.createDataFrame(
+        [(1, 1, "a", 1.5, None, 7), (2, 1, "b", 1.5, "x", 7),
+         (2, None, "b", 2.5, "y", 7)],
+        "c1 long, c2 long, c3 string, c4 double, c5 string, c6 long",
+    )
+    cols = ["c1", "c2", "c3", "c4", "c5", "c6"]
+    out = {r.col_name: r for r in column_profile(df, cols).collect()}
+    assert [r for r in out] == cols  # tidy frame keeps caller order
+    assert [out[c].n_distinct for c in cols] == [2, 1, 2, 2, 2, 1]
+    assert [out[c].n_null for c in cols] == [0, 1, 0, 0, 1, 0]
+    assert out["c4"].min_str == "1.5" and out["c4"].max_str == "2.5"
+
+
 def test_column_profile_approx_relative_error(spark):
     """The 100 TB tier: approx=True swaps exact count_distinct for
     HLL++ (approx_count_distinct). Estimates must land within 5x the
