@@ -47,6 +47,21 @@ def get_spark(app_name: str = "smartbots-etl-facturas-spark",
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)),
         )
+        # Eagerly-checkpointed operators (graph rounds, skew loops,
+        # curation snapshots) leave their blocks pinned until the
+        # ContextCleaner sees the RDD collected by a JVM GC; the
+        # default periodic-GC interval (30min) is longer than a whole
+        # multi-query session here, so dead checkpoint blocks
+        # accumulate in the block manager and randomly tax later
+        # queries with memory pressure (measured: multi-second
+        # per-query inflation late in a 225-query run, all clearing on
+        # quiet reprobe). 2min keeps long sessions clean; tune with
+        # SPARK_GRAFT_PERIODIC_GC on clusters where full GCs are
+        # costlier than the reclaimed headroom.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "2min"),
+        )
     )
     return builder.getOrCreate()
 
