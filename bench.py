@@ -186,6 +186,30 @@ def bench_skew(spark) -> dict[str, float]:
             spark.conf.set(k, v)
 
 
+def reprobe_skew(run_skew, reg: dict, timings: dict, bar: float,
+                 cleared: list, still: list):
+    """Quiet re-probe for a flagged skew_speedup (round-13): the
+    fixture's plain/salted ratio is the most machine-state-dependent
+    number in the run (documented 1.0-3.6x swing; one quiet-box
+    session recorded a 0.75 first pass whose immediate standalone
+    re-probes read 3.86 and 2.05), so the DIRECTION pin gets the same
+    re-probe discipline as every per-query flag. Both measurement
+    pairs are recorded (originals keep their keys; the re-probe lands
+    under ``*_reprobe``) and the flag survives only if the re-probe
+    agrees. Returns the re-probed speedup (or None)."""
+    skew2 = run_skew()
+    speedup2 = (round(skew2["skew_join_plain"] / skew2["skew_join_salted"], 2)
+                if skew2.get("skew_join_salted") else None)
+    timings.update({f"{k}_reprobe": v for k, v in skew2.items()})
+    reg["sec_reprobe"] = speedup2
+    reg["reprobed"] = True
+    if speedup2 is not None and speedup2 >= bar:
+        cleared.append(reg)
+    else:
+        still.append(reg)
+    return speedup2
+
+
 #: scan-bound queries benched against the SPLITTABLE layout (round-11,
 #: r10 verdict #7): the generated testdata ships each table as ONE
 #: parquet file with one row group, so the fact scan cannot split and
@@ -392,6 +416,7 @@ def main() -> None:
     # artifact records both timings either way, so a cleared flag is
     # auditable, not silently dropped.
     reprobed_cleared = []
+    skew_speedup_reprobe = None
     if regressions and machine_factor is not None:
         norm = max(machine_factor, 1.0)
         rel_tol = floor.get("relative_tolerance", 1.5)
@@ -399,9 +424,16 @@ def main() -> None:
         still = []
         for reg in regressions:
             name = reg["query"]
+            if name == "skew_speedup":
+                skew_speedup_reprobe = reprobe_skew(
+                    lambda: bench_skew(spark), reg, timings,
+                    floor.get("min_skew_speedup", 2.0),
+                    reprobed_cleared, still,
+                )
+                continue
             fn = qs.get(name)
             if fn is None or name not in floor.get("queries", {}):
-                still.append(reg)  # skew_speedup and friends: no re-probe path
+                still.append(reg)  # no re-probe path
                 continue
             best = None
             for _ in range(4):
@@ -445,6 +477,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "skew_speedup": skew_speedup,
+        "skew_speedup_reprobe": skew_speedup_reprobe,
         "machine_factor": machine_factor,
         "machine_factor_warning": machine_factor_warning,
         "regressions": regressions,

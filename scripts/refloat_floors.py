@@ -37,6 +37,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FLOOR = os.path.join(REPO, "BENCH_FLOOR.json")
 
 
+def merge_query_floors(runs: list[dict]) -> dict[str, float]:
+    """Per-query minimum across bench runs — the reproducible cost of
+    each plan. ``*_reprobe`` keys are skipped: they are conditional
+    audit artifacts of a flagged run (the skew re-probe pair), not a
+    benched series — a floor for them would be stale on every clean
+    run."""
+    merged: dict[str, float] = {}
+    for r in runs:
+        for q, sec in r["queries"].items():
+            if q.endswith("_reprobe"):
+                continue
+            merged[q] = min(merged.get(q, float("inf")), sec)
+    return merged
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     only_missing = "--only-missing" in args
@@ -50,10 +65,7 @@ def main() -> None:
             capture_output=True, text=True, check=True,
         ).stdout.strip().splitlines()[-1]
         runs.append(json.loads(out))
-    merged: dict[str, float] = {}
-    for r in runs:
-        for q, sec in r["queries"].items():
-            merged[q] = min(merged.get(q, float("inf")), sec)
+    merged = merge_query_floors(runs)
     skews = [r.get("skew_speedup") for r in runs if r.get("skew_speedup")]
 
     with open(FLOOR) as fh:

@@ -65,3 +65,43 @@ def test_no_stale_floors():
     floors = _floors()
     stale = sorted(set(floors) - set(qs) - FIXTURE_SERIES)
     assert stale == [], f"floors for unknown queries: {stale}"
+
+
+def test_skew_reprobe_clears_transient_direction_flip():
+    """A flagged skew_speedup is re-probed before it stands (round-13:
+    one quiet-box run recorded 0.75 whose immediate re-probes read
+    3.86/2.05). Clearing re-probe -> flag moves to cleared with both
+    pairs recorded under *_reprobe; agreeing re-probe -> flag stands."""
+    # clears: re-probed ratio 6.0/3.0 = 2.0 >= bar 1.2
+    reg = {"query": "skew_speedup", "sec": 0.75, "floor": 1.2, "ratio": None}
+    timings, cleared, still = {}, [], []
+    got = bench.reprobe_skew(
+        lambda: {"skew_join_plain": 6.0, "skew_join_salted": 3.0},
+        reg, timings, 1.2, cleared, still,
+    )
+    assert got == 2.0 and still == [] and cleared == [reg]
+    assert reg["sec_reprobe"] == 2.0 and reg["reprobed"] is True
+    assert timings == {"skew_join_plain_reprobe": 6.0,
+                       "skew_join_salted_reprobe": 3.0}
+
+    # stands: re-probed ratio 3.0/3.0 = 1.0 < bar 1.2
+    reg2 = {"query": "skew_speedup", "sec": 0.9, "floor": 1.2, "ratio": None}
+    timings2, cleared2, still2 = {}, [], []
+    got2 = bench.reprobe_skew(
+        lambda: {"skew_join_plain": 3.0, "skew_join_salted": 3.0},
+        reg2, timings2, 1.2, cleared2, still2,
+    )
+    assert got2 == 1.0 and cleared2 == [] and still2 == [reg2]
+
+
+def test_refloat_merge_skips_reprobe_artifacts():
+    """refloat_floors must never mint a floor for the conditional
+    *_reprobe audit keys (they'd be stale on every clean run and trip
+    test_no_stale_floors)."""
+    from scripts.refloat_floors import merge_query_floors
+
+    merged = merge_query_floors([
+        {"queries": {"q1": 2.0, "skew_join_plain_reprobe": 5.0}},
+        {"queries": {"q1": 1.5, "skew_join_salted_reprobe": 2.0}},
+    ])
+    assert merged == {"q1": 1.5}
