@@ -67,7 +67,10 @@ from smartbots_etl_facturas_spark.sources.multimodal import extract_image_featur
 from smartbots_etl_facturas_spark.operators.asof import asof_join
 from smartbots_etl_facturas_spark.operators.skew import salted_agg
 from smartbots_etl_facturas_spark.operators.rangejoin import bucketed_range_join
-from smartbots_etl_facturas_spark.operators.reconcile import reconcile
+from smartbots_etl_facturas_spark.operators.reconcile import (
+    reconcile,
+    reconcile_insert_only,
+)
 from smartbots_etl_facturas_spark.operators.pq import cosine_topk_ivfpq
 from smartbots_etl_facturas_spark.operators.similarity import (
     cosine_topk_bruteforce,
@@ -245,10 +248,17 @@ FROM st, rt, m
 
 
 def q_reconciliation(spark, sf_dir):
-    """J3/J4/A1/A2 — zero-data-loss + amount variance (±1 exclusive)."""
+    """J3/J4/A1/A2 — zero-data-loss + amount variance (±1 exclusive).
+
+    Round-14: computed via the fused single-aggregation form
+    (operators/reconcile.py:reconcile_insert_only — algebraically
+    identical to reconcile(incoming, upsert_insert_only(...)), proof
+    in its docstring, equality pinned by tests and the oracle); the
+    composed form re-evaluated the incoming/existing subtrees twice
+    each and shuffled 5 times where the report needs 2."""
     existing, incoming = _existing(spark, sf_dir), _incoming(spark, sf_dir)
-    result = upsert_insert_only(existing, incoming, PK)
-    return reconcile(incoming, result, PK, amount_type="decimal(27,6)")
+    return reconcile_insert_only(existing, incoming, PK,
+                                 amount_type="decimal(27,6)")
 
 
 SQL_RECONCILIATION = f"""
@@ -7268,18 +7278,30 @@ def q_audit_actions(spark, sf_dir):
     action, rolled up with amount totals. Incoming modifies only
     partkey%3 rows so all three actions occur."""
     inv = invoice_view(_read(spark, sf_dir, "lineitem"))
-    existing = inv.filter(F.col("l_linenumber") >= 3)
-    incoming = inv.filter(F.col("l_linenumber") <= 4).withColumn(
-        "carrier_name",
-        F.when(F.col("l_partkey") % 3 == 0,
-               F.concat(F.lit("MOD-"), F.col("l_suppkey").cast("string")))
-        .otherwise(F.col("carrier_name")),
+    compare = ["carrier_name", "invoice_date", "net_amount",
+               "tax_amount", "total_amount"]
+    # Round-14 (guide §2.4): `incoming` feeds BOTH the upsert's
+    # full-outer join and the audit lookup join — the old plan scanned
+    # lineitem + re-derived the view twice and exchanged each copy on
+    # PK separately (3 scans / 4 pre-agg exchanges total). Narrow it
+    # to the columns either consumer needs, repartition on the join
+    # key ONCE, and materialize; localCheckpoint preserves
+    # partitioning, so both joins reuse the single exchange. Pure
+    # physical change — rows and values are untouched.
+    existing = inv.filter(F.col("l_linenumber") >= 3).select(*PK, *compare)
+    incoming = (
+        inv.filter(F.col("l_linenumber") <= 4)
+        .withColumn(
+            "carrier_name",
+            F.when(F.col("l_partkey") % 3 == 0,
+                   F.concat(F.lit("MOD-"), F.col("l_suppkey").cast("string")))
+            .otherwise(F.col("carrier_name")),
+        )
+        .select(*PK, *compare)
+        .repartition(F.col(PK[0]), F.col(PK[1]))
+        .localCheckpoint(eager=True)
     )
-    result = upsert_full(
-        existing, incoming, PK,
-        compare_cols=["carrier_name", "invoice_date", "net_amount",
-                      "tax_amount", "total_amount"],
-    )
+    result = upsert_full(existing, incoming, PK, compare_cols=compare)
     actions = audit_actions(incoming, result, PK)
     return actions.groupBy("action").agg(
         F.count(F.lit(1)).alias("n_rows"),

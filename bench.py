@@ -193,21 +193,30 @@ def reprobe_skew(run_skew, reg: dict, timings: dict, bar: float,
     number in the run (documented 1.0-3.6x swing; one quiet-box
     session recorded a 0.75 first pass whose immediate standalone
     re-probes read 3.86 and 2.05), so the DIRECTION pin gets the same
-    re-probe discipline as every per-query flag. Both measurement
-    pairs are recorded (originals keep their keys; the re-probe lands
-    under ``*_reprobe``) and the flag survives only if the re-probe
-    agrees. Returns the re-probed speedup (or None)."""
-    skew2 = run_skew()
-    speedup2 = (round(skew2["skew_join_plain"] / skew2["skew_join_salted"], 2)
-                if skew2.get("skew_join_salted") else None)
-    timings.update({f"{k}_reprobe": v for k, v in skew2.items()})
-    reg["sec_reprobe"] = speedup2
+    re-probe discipline as every per-query flag — and (round-14,
+    ADVICE r13) the re-probe itself runs the fixture TWICE, clearing
+    on the BEST of the re-probed ratios, matching the best-of-4
+    discipline per-query flags get. Every measurement pair is
+    recorded (originals keep their keys; re-probes land under
+    ``*_reprobe`` / ``*_reprobe2``) and the flag survives only if the
+    re-probe agrees. Returns the best re-probed speedup (or None)."""
+    best = None
+    for i, suffix in enumerate(("_reprobe", "_reprobe2")):
+        skew2 = run_skew()
+        s = (round(skew2["skew_join_plain"] / skew2["skew_join_salted"], 2)
+             if skew2.get("skew_join_salted") else None)
+        timings.update({f"{k}{suffix}": v for k, v in skew2.items()})
+        if s is not None:
+            best = s if best is None else max(best, s)
+        if best is not None and best >= bar:
+            break  # direction confirmed; no third measurement needed
+    reg["speedup_reprobe"] = best
     reg["reprobed"] = True
-    if speedup2 is not None and speedup2 >= bar:
+    if best is not None and best >= bar:
         cleared.append(reg)
     else:
         still.append(reg)
-    return speedup2
+    return best
 
 
 #: scan-bound queries benched against the SPLITTABLE layout (round-11,
@@ -470,7 +479,31 @@ def main() -> None:
 
     timings.update(skew)
     timings.update(singlefile)
-    print(json.dumps({
+    # Round-14 artifact contract hardening (VERDICT r13 #2): the r12
+    # one-line JSON (~30 KB with full regression/reprobe detail) was
+    # truncated at tail capture and the driver's round-over-round
+    # comparison came up empty. The printed line now carries only the
+    # headline + per-query seconds + scalar diagnostics (compact
+    # separators, ~8 KB), is printed LAST with an explicit flush, and
+    # the full detail (regression dicts, reprobe pairs, warnings)
+    # goes to BENCH_SIDECAR.json next to this script so nothing is
+    # lost — only de-inlined.
+    sidecar = {
+        "machine_factor_warning": machine_factor_warning,
+        "regressions": regressions,
+        "reprobed_cleared": reprobed_cleared,
+        "skew_speedup": skew_speedup,
+        "skew_speedup_reprobe": skew_speedup_reprobe,
+        "machine_factor": machine_factor,
+        "total": total,
+        "sf": sf,
+    }
+    try:
+        with open(os.path.join(REPO, "BENCH_SIDECAR.json"), "w") as fh:
+            json.dump(sidecar, fh, indent=1)
+    except OSError as e:  # read-only checkout must not kill the bench
+        print(f"sidecar write failed: {e}", file=sys.stderr)
+    line = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
@@ -479,10 +512,13 @@ def main() -> None:
         "skew_speedup": skew_speedup,
         "skew_speedup_reprobe": skew_speedup_reprobe,
         "machine_factor": machine_factor,
-        "machine_factor_warning": machine_factor_warning,
-        "regressions": regressions,
-        "reprobed_cleared": reprobed_cleared,
-    }))
+        "machine_factor_warned": bool(machine_factor_warning),
+        "regressions": [r["query"] for r in regressions],
+        "reprobed_cleared": [r["query"] for r in reprobed_cleared],
+        "detail_file": "BENCH_SIDECAR.json",
+    }
+    sys.stderr.flush()
+    print(json.dumps(line, separators=(",", ":")), flush=True)
     if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
         sys.exit(1)
 

@@ -46,7 +46,7 @@ def merge_query_floors(runs: list[dict]) -> dict[str, float]:
     merged: dict[str, float] = {}
     for r in runs:
         for q, sec in r["queries"].items():
-            if q.endswith("_reprobe"):
+            if q.endswith(("_reprobe", "_reprobe2")):
                 continue
             merged[q] = min(merged.get(q, float("inf")), sec)
     return merged
@@ -66,7 +66,18 @@ def main() -> None:
         ).stdout.strip().splitlines()[-1]
         runs.append(json.loads(out))
     merged = merge_query_floors(runs)
-    skews = [r.get("skew_speedup") for r in runs if r.get("skew_speedup")]
+    # ADVICE r13: when a run's own re-probe cleared a transient
+    # skew_speedup flag, the re-probed ratio is the credible one —
+    # recording the transient original would seed observed_skew_speedups
+    # with a value the run itself disowned. Both are kept when present.
+    skews = [
+        {"skew_speedup": r.get("skew_speedup"),
+         "skew_speedup_reprobe": r.get("skew_speedup_reprobe")}
+        if r.get("skew_speedup_reprobe") is not None
+        else r.get("skew_speedup")
+        for r in runs
+        if r.get("skew_speedup") or r.get("skew_speedup_reprobe")
+    ]
 
     with open(FLOOR) as fh:
         old = json.load(fh)
@@ -83,14 +94,22 @@ def main() -> None:
     median_ratio = (
         ratios_sorted[len(ratios_sorted) // 2] if ratios_sorted else 1.0
     )
-    risers = sorted(q for q, r in overlap.items() if r > 1.3)
+    # ADVICE r13: warn on the MEDIAN-NORMALIZED rise, regardless of the
+    # median's direction — the old `median < 1.0` precondition disabled
+    # the guard exactly when the box was slower than the previous
+    # recording (the r13 session: median 1.106, 29 floors rose >1.3x
+    # with zero warnings). A query whose floor rises >1.3x against the
+    # run's own uniform drift is an outlier the machine cannot explain.
+    norm = max(median_ratio, 1e-9)
+    risers = sorted(q for q, r in overlap.items() if r / norm > 1.3)
     warnings = []
-    if risers and median_ratio < 1.0:
+    if risers:
         warnings = [
-            f"{q}: floor rose {overlap[q]:.2f}x while the median "
-            f"moved {median_ratio:.2f}x — a plan regression may be "
-            "riding this refloat; re-record on a quiet box or document "
-            "the cause in notes, then clear refloat_warnings"
+            f"{q}: floor rose {overlap[q]:.2f}x ({overlap[q] / norm:.2f}x "
+            f"median-normalized, median {median_ratio:.2f}x) — a plan "
+            "regression may be riding this refloat; re-record on a quiet "
+            "box or document the cause in notes, then clear "
+            "refloat_warnings"
             for q in risers
         ]
         for w in warnings:

@@ -53,18 +53,35 @@ def pagerank(
     none exist. Returns (node, rank_nanos) with
     sum(rank_nanos) ≈ N · 1e9 (minus sub-nano truncation).
     """
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
+    # round-14: edges is joined on `src` TWICE per iteration (ranks +
+    # outdeg lookups) and nodes/outdeg are re-referenced every
+    # iteration — materialize each once, edges partitioned+sorted by
+    # the join key so iterations exchange only the rank frame, never
+    # the edge list (guide §2.4 — the bfs_levels/sssp standing-frame
+    # policy). All arithmetic is exact int64, so partitioning cannot
+    # change a single rank.
+    e = (
+        edges.select(src, dst)
+        .repartition(F.col(src))
+        .sortWithinPartitions(src)
+        .localCheckpoint(eager=True)
     )
-    outdeg = edges.groupBy(F.col(src).alias("node")).agg(
-        F.count(F.lit(1)).alias("outdeg")
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .union(e.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # e is already hash(src)-partitioned, so this agg is exchange-free
+    outdeg = (
+        e.groupBy(F.col(src).alias("node"))
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=True)
     )
     ranks = nodes.withColumn("rank_nanos", F.lit(NANO).cast("long"))
     for i in range(iters):
         contrib = (
-            edges.join(ranks.withColumnRenamed("node", src), src)
+            e.join(ranks.withColumnRenamed("node", src), src)
             .join(outdeg.withColumnRenamed("node", src), src)
             .select(
                 F.col(dst).alias("node"),
@@ -274,6 +291,19 @@ def sssp(
         F.col(dst).alias("__t"),
         F.col(weight).cast("long").alias("__w"),
     )
+    if checkpoint_every:
+        # round-14: e is joined on __s by EVERY relaxation round, but
+        # it was never materialized — each round re-derived the whole
+        # edge subtree (self-join + distinct in the benched caller)
+        # AND re-exchanged it, while only the small distance frame
+        # changes. Materialize once, partitioned+sorted by the join
+        # key, so rounds exchange the frontier only (guide §2.4 — the
+        # bfs_levels standing-frame policy).
+        e = (
+            e.repartition(F.col("__s"))
+            .sortWithinPartitions("__s")
+            .localCheckpoint(eager=True)
+        )
     dist = (
         seeds.select(F.col(node).alias("n"))
         .distinct()
@@ -320,8 +350,19 @@ def bfs_levels(
     if checkpoint_every:
         # sym joins EVERY level's frontier — materialize once instead
         # of re-deriving the dedup per level (the triangle_count
-        # lesson: multiply-referenced frames re-execute their lineage)
-        sym = sym.localCheckpoint(eager=True)
+        # lesson: multiply-referenced frames re-execute their lineage).
+        # Round-14: materialize it PARTITIONED AND SORTED BY THE JOIN
+        # KEY — the distinct leaves sym hash(s,t)-partitioned, which
+        # no level's frontier⋈sym join can reuse, so every level was
+        # re-exchanging and re-sorting the whole edge list (the big
+        # frame at scale) while only the KB-scale frontier changes.
+        # localCheckpoint preserves outputPartitioning/ordering, so
+        # each level now exchanges the frontier only (guide §2.4).
+        sym = (
+            sym.repartition(F.col("s"))
+            .sortWithinPartitions("s")
+            .localCheckpoint(eager=True)
+        )
     visited = seeds.select(F.col(node).alias("n")).distinct().withColumn(
         "dist", F.lit(0)
     )
@@ -377,6 +418,13 @@ def connected_components(
         .unionAll(edges.select(F.col(b).alias("s"), F.col(a).alias("t")))
         .filter(F.col("s") != F.col("t"))
         .distinct()
+        # round-14: the per-round join is on "t" (labels arrive keyed
+        # by node = t); materializing sym already partitioned+sorted
+        # by t means every propagation round exchanges only the label
+        # frame, never the edge list (guide §2.4 — the bfs_levels /
+        # sssp standing-frame policy)
+        .repartition(F.col("t"))
+        .sortWithinPartitions("t")
         .localCheckpoint(eager=True)
     )
     labels = (

@@ -61,6 +61,46 @@ def test_reconcile_pass_and_exclusive_tolerance(spark):
     assert rep.result_total == 299.0
 
 
+def test_reconcile_insert_only_fusion_equals_composed_form(spark):
+    """Round-14 fusion proof: reconcile_insert_only(existing, incoming)
+    must equal reconcile(incoming, upsert_insert_only(existing,
+    incoming)) row-for-row on adversarial inputs — duplicate PKs on
+    BOTH sides (the driver's lineitem has ~24% dup (orderkey,
+    linenumber) pairs), NULL amounts, existing-only / incoming-only /
+    overlapping PKs, and each side empty."""
+    from smartbots_etl_facturas_spark.operators.reconcile import (
+        reconcile_insert_only,
+    )
+    from smartbots_etl_facturas_spark.operators.upsert import (
+        upsert_insert_only,
+    )
+
+    schema = "invoice_number string, reference_number string, total_amount double"
+    existing = spark.createDataFrame(
+        [("F1", "R1", 100.0), ("F1", "R1", 50.0),   # dup PK in existing
+         ("F2", "R2", 200.0),
+         ("F5", "R5", None),                         # NULL amount
+         ("F6", "R6", 66.0)],                        # existing-only
+        schema)
+    incoming = spark.createDataFrame(
+        [("F1", "R1", 101.0),                        # overlaps (existing wins)
+         ("F3", "R3", 300.0), ("F3", "R3", 301.0),   # dup PK, new
+         ("F4", "R4", None),                         # NULL amount, new
+         ("F5", "R5", 55.0)],                        # overlaps a NULL-amount PK
+        schema)
+
+    def rows(df):
+        return sorted(df.collect(), key=str)
+
+    for src, ex in [(incoming, existing),
+                    (incoming, existing.limit(0)),
+                    (incoming.limit(0), existing)]:
+        composed = reconcile(src, upsert_insert_only(ex, src))
+        fused = reconcile_insert_only(ex, src)
+        assert fused.schema == composed.schema
+        assert rows(fused) == rows(composed)
+
+
 def test_reconcile_detects_loss_and_variance(spark):
     schema = "invoice_number string, reference_number string, total_amount double"
     source = spark.createDataFrame([("F1", "R1", 100.0), ("F2", "R2", 200.0)], schema)
